@@ -1,0 +1,804 @@
+"""Relational operator coverage queries (SURVEY.md §2.4).
+
+The reference (harrystech/hyppo-worker) delegates all record
+transformation to opaque integration callbacks
+(``executor/src/main/java/com/harrys/hyppo/executor/run/ProcessRawDataOperation.java:73-80``);
+the Spark-native engine instead exposes the DataFrame operator algebra
+as the integration-authoring surface. Each query here exercises one
+operator category — scans, projection/filter, join variants,
+aggregation, windows, sorts/top-k, set ops, scalar functions — and is
+checked against a DuckDB oracle at sf=0.01.
+
+Scale notes per query are inline: broadcast hints for dimension
+tables, pushdown-friendly predicates, partial aggregation (automatic),
+and AQE-coalesced shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hyppo_worker_spark.queries import register
+from hyppo_worker_spark.session import load_tables
+
+
+# --------------------------------------------------------------------------
+# q01 — full-scan aggregation (TPC-H Q1 pattern): hash aggregate with
+# partial (map-side) + final combine; only 7 columns read from parquet.
+# At 100 TB this is a scan-bound query: no join, one shuffle keyed by a
+# 6-value group key — AQE coalesces the tiny post-agg exchange.
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregation", "scan", "flagship"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: grouped 8-way aggregate over lineitem."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — star-schema join through two dimension tables. region and nation
+# are tiny → explicit broadcast, so the fact scan never shuffles: at
+# 100 TB the plan is scan + two BroadcastHashJoins + one partial/final agg.
+# --------------------------------------------------------------------------
+@register(
+    "q02_customer_by_region",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    tags=("join", "broadcast", "aggregation"),
+)
+def q02_customer_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer count + balance rollup by region (broadcast dims)."""
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("region_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — 3-way join + agg + top-k (TPC-H Q3 pattern). customer filter is
+# pushed to the scan; top-10 executes as TakeOrderedAndProject (no full
+# sort at scale).
+# --------------------------------------------------------------------------
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "aggregation", "topk"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped orders by revenue for one market segment."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        cust.join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — left-semi join (EXISTS). The semi join needs only the join key
+# from the probe side → Spark builds on the deduped key set; with AQE it
+# can go broadcast when the filtered key set is small.
+# --------------------------------------------------------------------------
+@register(
+    "q04_order_priority_semi",
+    oracle="""
+    SELECT o.o_orderpriority AS o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("join", "semi"),
+)
+def q04_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having at least one high-quantity lineitem (left_semi)."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    big = t["lineitem"].filter(F.col("l_quantity") > 45)
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — left-anti join (NOT EXISTS).
+# --------------------------------------------------------------------------
+@register(
+    "q05_customers_without_orders",
+    oracle="""
+    SELECT c.c_mktsegment AS c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 420000
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("join", "anti"),
+)
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no very-large (>420k) order, by segment (left_anti)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    big = t["orders"].filter(F.col("o_totalprice") > 420000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — pure filter + global aggregate (TPC-H Q6 pattern). All three
+# predicates push to the parquet scan (PushedFilters); single-row result.
+# --------------------------------------------------------------------------
+@register(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("filter", "pushdown", "aggregation"),
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-increase forecast: selective filters + global sum."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — window rank: top-3 suppliers by revenue within each nation.
+# One shuffle on l_suppkey for the agg, one on n_name for the window;
+# the window input is already tiny post-agg.
+# --------------------------------------------------------------------------
+@register(
+    "q07_top_suppliers_per_nation",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey, s.s_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey, s.s_name
+    )
+    SELECT n.n_name AS nation_name, r.s_name AS s_name, r.revenue AS revenue, rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_name) AS rnk
+        FROM rev
+    ) r JOIN nation n ON r.s_nationkey = n.n_nationkey
+    WHERE rnk <= 3
+    ORDER BY nation_name, rnk
+    """,
+    tags=("window", "join", "aggregation"),
+)
+def q07_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue suppliers per nation via row_number window."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    rev = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "s_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = W.partitionBy("s_nationkey").orderBy(F.col("revenue").desc(), "s_name")
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation_name"),
+            "s_name",
+            "revenue",
+            "rnk",
+        )
+        .orderBy("nation_name", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — running/frame windows over an event stream: cumulative sum and
+# lag per user ordered by time; returns each user's final cumulative
+# state (row_number desc = 1).
+# --------------------------------------------------------------------------
+@register(
+    "q08_user_running_state",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, ts, value,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+               count(*)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_events,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, round(running_value, 2) AS total_value, n_events,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM w WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=("window", "events"),
+)
+def q08_user_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative value/count at their latest event."""
+    t = load_tables(spark, sf_dir, ("events",))
+    fwd = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    bwd = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        t["events"]
+        .withColumn("running_value", F.sum("value").over(fwd))
+        .withColumn("n_events", F.count(F.lit(1)).over(fwd))
+        .withColumn("rn", F.row_number().over(bwd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.round("running_value", 2).alias("total_value"),
+            "n_events",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — rollup (hierarchical grouping sets). Nulls introduced by the
+# rollup are coalesced to 'ALL' on both sides for hash stability.
+# --------------------------------------------------------------------------
+@register(
+    "q09_rollup_qty",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    tags=("aggregation", "rollup"),
+)
+def q09_rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity totals at (flag,status), (flag), and grand-total levels."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — set operations: INTERSECT / EXCEPT / UNION over key sets.
+# --------------------------------------------------------------------------
+@register(
+    "q10_set_ops",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         rich   AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+         building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'rich_buyers' AS set_name, count(*) AS n FROM (SELECT k FROM buyers INTERSECT SELECT k FROM rich) t
+    UNION ALL
+    SELECT 'rich_non_buyers' AS set_name, count(*) AS n FROM (SELECT k FROM rich EXCEPT SELECT k FROM buyers) t
+    UNION ALL
+    SELECT 'rich_or_building' AS set_name, count(*) AS n FROM (SELECT k FROM rich UNION SELECT k FROM building) t
+    ORDER BY set_name
+    """,
+    tags=("setops",),
+)
+def q10_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinalities of intersect/except/union over customer key sets."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    buyers = t["orders"].select(F.col("o_custkey").alias("k")).distinct()
+    rich = t["customer"].filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k")
+    )
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    spark_counts = [
+        ("rich_buyers", buyers.intersect(rich)),
+        ("rich_non_buyers", rich.exceptAll(buyers).distinct()),
+        ("rich_or_building", rich.union(building).distinct()),
+    ]
+    out = None
+    for name, df in spark_counts:
+        one = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("set_name"), "n"
+        )
+        out = one if out is None else out.union(one)
+    return out.orderBy("set_name")
+
+
+# --------------------------------------------------------------------------
+# q11 — distinct aggregation: exact countDistinct (expands to two-phase
+# aggregate; at scale prefer approx_count_distinct — see q22).
+# --------------------------------------------------------------------------
+@register(
+    "q11_distinct_parts",
+    oracle="""
+    SELECT l_returnflag AS l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "distinct"),
+)
+def q11_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct part/supplier counts per return flag."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — global top-k: TakeOrderedAndProject, no full sort.
+# --------------------------------------------------------------------------
+@register(
+    "q12_top_orders",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("sort", "topk"),
+)
+def q12_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 orders by total price."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — scalar function coverage: string / date / math / conditional,
+# all JVM-side Catalyst expressions (whole-stage codegen, no UDFs).
+# --------------------------------------------------------------------------
+@register(
+    "q13_scalar_functions",
+    oracle="""
+    SELECT upper(substr(p_brand, 1, 5)) AS brand_prefix,
+           CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class,
+           count(*) AS n,
+           round(sum(sqrt(p_retailprice)), 3) AS sum_sqrt_price,
+           round(avg(length(p_name)), 4) AS avg_name_len,
+           max(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS any_green
+    FROM part
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("scalar", "string", "math"),
+)
+def q13_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/conditional scalar expressions grouped over part."""
+    t = load_tables(spark, sf_dir, ("part",))
+    size_class = (
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+    )
+    return (
+        t["part"]
+        .groupBy(
+            F.upper(F.substring("p_brand", 1, 5)).alias("brand_prefix"),
+            size_class.alias("size_class"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.sqrt("p_retailprice")), 3).alias("sum_sqrt_price"),
+            F.round(F.avg(F.length("p_name")), 4).alias("avg_name_len"),
+            F.max(
+                F.when(F.col("p_name").like("%green%"), 1).otherwise(0)
+            ).alias("any_green"),
+        )
+        .orderBy("brand_prefix", "size_class")
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — conditional aggregation across a join (TPC-H Q14 pattern):
+# promo revenue share. part is broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    tags=("join", "conditional-agg"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotional revenue percentage for one month."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — join against a per-group aggregate (decorrelated subquery,
+# TPC-H Q17 pattern). The avg-per-part side is tiny post-agg → AQE
+# turns the main join into broadcast at small SF; at 100 TB it's a
+# shuffle join co-partitioned on l_partkey.
+# --------------------------------------------------------------------------
+@register(
+    "q15_small_quantity_orders",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < pa.half_avg
+    """,
+    tags=("join", "subquery", "aggregation"),
+)
+def q15_small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems below half the part's average quantity."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — pivot / conditional columnarization: linestatus columns per
+# returnflag. Oracle uses explicit conditional aggregation (same plan
+# shape Spark generates for pivot with known values).
+# --------------------------------------------------------------------------
+@register(
+    "q16_pivot_status",
+    oracle="""
+    SELECT l_returnflag AS l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("pivot", "aggregation"),
+)
+def q16_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list → single pass)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — range join against a small banding table. The band table is a
+# literal → broadcast nested-loop with range predicate; at scale this
+# stays a BNLJ over a broadcast of ~10 rows (cheap) — never a shuffle.
+# --------------------------------------------------------------------------
+PRICE_BANDS = [(0.0, 933.0, "low"), (933.0, 966.0, "mid"), (966.0, 1e18, "high")]
+
+
+@register(
+    "q17_price_band_range_join",
+    oracle="""
+    WITH bands(lo, hi, band) AS (
+        VALUES (0.0, 933.0, 'low'), (933.0, 966.0, 'mid'), (966.0, 1e18, 'high')
+    )
+    SELECT b.band AS band, count(*) AS n_parts,
+           round(avg(p.p_retailprice), 4) AS avg_price
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+    tags=("join", "range"),
+)
+def q17_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (inequality) join of parts onto price bands."""
+    t = load_tables(spark, sf_dir, ("part",))
+    bands = t["part"].sparkSession.createDataFrame(
+        PRICE_BANDS, "lo double, hi double, band string"
+    )
+    p = t["part"]
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — sessionization: gap > 30 min starts a new session (lag + running
+# sum of boundaries). The canonical stream-batch window pattern.
+# --------------------------------------------------------------------------
+@register(
+    "q18_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("window", "sessionization", "events"),
+)
+def q18_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counts per user with a 30-minute inactivity gap."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_start = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        t["events"]
+        .withColumn("is_start", is_start)
+        .withColumn("session_id", F.sum("is_start").over(run))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — tumbling time-window aggregation over events (batch equivalent
+# of the Structured Streaming windowed agg in streaming/pipeline.py).
+# --------------------------------------------------------------------------
+@register(
+    "q19_event_time_windows",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type AS event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("window-agg", "events", "streaming-equivalent"),
+)
+def q19_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window counts/sums per event type."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — grouping sets (explicit, beyond rollup/cube).
+# --------------------------------------------------------------------------
+@register(
+    "q20_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY orderstatus, orderpriority
+    """,
+    tags=("aggregation", "grouping-sets"),
+)
+def q20_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets: by status, by priority, grand total."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY orderstatus, orderpriority
+        """
+    )

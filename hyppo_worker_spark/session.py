@@ -1,0 +1,94 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode testing uses ``local[N]``; the same configs are the ones
+you'd set on a real cluster (AQE, adaptive skew join, Arrow). The
+shuffle-partition count is sized to cores locally; on a 1000-executor
+cluster you'd raise it (or let AQE coalesce from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hyppo_worker_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    AQE is enabled so runtime statistics re-plan shuffles (partition
+    coalescing, skew-join splitting, dynamic broadcast) — this is the
+    scale path: the same job that runs on local[32] re-plans itself on
+    a 1000-executor cluster without code changes.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if master.startswith("local") else 200
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
+    """Read the synthetic star-schema tables and register temp views.
+
+    Returns a dict of DataFrames. Reads are lazy; Catalyst prunes
+    columns and pushes filters into the parquet scans per query.
+    """
+    from pyspark.sql import functions as F
+
+    dfs = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if name == "events":
+            # events.parquet uses INT64 TIMESTAMP(NANOS) which Spark's
+            # parquet reader rejects; read nanos as long and truncate to
+            # microsecond timestamps (matches DuckDB's second-level
+            # formatting in oracles).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                )
+        else:
+            df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs

@@ -1,0 +1,139 @@
+"""Local correctness checker mimicking the driver's oracle compare.
+
+Runs each registered query's Spark implementation and its DuckDB
+oracle SQL on the same parquet tables, then compares row count, sorted
+column names, and an order-insensitive value hash (values stringified
+with float rounding already applied inside the queries).
+
+Usage:
+    python tools/check.py [--sf-dir /root/testdata/sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def normalize_cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(normalize_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(normalize_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--show-diff", action="store_true")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from hyppo_worker_spark.queries import load_all
+    from hyppo_worker_spark.session import get_spark
+
+    registry = load_all()
+    names = args.names or list(registry)
+    spark = get_spark("check")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(args.sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    failures = []
+    for name in names:
+        q = registry.get(name)
+        if q is None:
+            print(f"?? {name}: not registered")
+            failures.append(name)
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.spark_fn(spark, args.sf_dir)
+            scols = list(sdf.columns)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"!! {name}: SPARK ERROR {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        if q.oracle is None:
+            print(f"ok {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s, no oracle)")
+            continue
+        try:
+            res = con.execute(q.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"!! {name}: ORACLE ERROR {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        else:
+            sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
+            if sh != oh:
+                problems.append(f"hash {sh} vs {oh}")
+                if args.show_diff:
+                    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                    order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                    sset = {tuple(normalize_cell(r[i]) for i in order_s) for r in srows}
+                    oset = {tuple(normalize_cell(r[i]) for i in order_o) for r in orows}
+                    for x in sorted(sset - oset)[:5]:
+                        print(f"   spark-only: {x}")
+                    for x in sorted(oset - sset)[:5]:
+                        print(f"   oracle-only: {x}")
+        if problems:
+            print(f"XX {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
+            failures.append(name)
+        else:
+            print(f"OK {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(names)-len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
