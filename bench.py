@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall-clock seconds.
+
+Each query is executed once after a session warm-up; timing covers
+plan + execution + collect (the driver-visible latency).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hyppo_worker_spark.queries import load_all
+from hyppo_worker_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_customer_by_region",
+    "q03_shipping_priority",
+    "q04_order_priority_semi",
+    "q06_forecast_revenue",
+    "q07_top_suppliers_per_nation",
+    "q08_user_running_state",
+    "q09_rollup_qty",
+    "q11_distinct_parts",
+    "q14_promo_revenue",
+    "q15_small_quantity_orders",
+    "q18_sessionize",
+    "q19_event_time_windows",
+    "d01_exact_dedup_groups",
+    "d03_minhash_lsh_pairs",
+    "t01_language_id",
+    "t02_quality_scores",
+    "s01_knn_cosine_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = 0.1
+
+    registry = load_all()
+    spark = get_spark("bench")
+
+    # Warm up the JVM/codegen path outside the timed region.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.time()
+        df = q.spark_fn(spark, sf_dir)
+        n = df.count() if df.isStreaming is False else -1
+        timings[name] = round(time.time() - t0, 3)
+        del n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
