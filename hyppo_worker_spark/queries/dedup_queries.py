@@ -1,1 +1,226 @@
-"""dedup_queries — populated in later slices."""
+"""Deduplication queries over the ``documents`` table, oracle-checked.
+
+The corpus for the exact-dedup queries is augmented deterministically
+(every doc_id % 7 == 0 document re-appears with id+1,000,000) so the
+operator provably removes real copies; both engines perform the same
+augmentation. The near-dup queries run on the raw table, which
+contains planted near-duplicate pairs (Jaccard ≈ 0.99).
+
+Every hash formula in the oracles mirrors
+``hyppo_worker_spark/functions/text.py`` exactly (md5-hex based, so
+engine-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hyppo_worker_spark.operators import dedup as D
+from hyppo_worker_spark.queries import register
+from hyppo_worker_spark.session import load_tables
+
+# Shared DuckDB CTE: tokenization + 3-gram shingles, mirroring
+# functions/text.py::tokens + shingles.
+_SQL_SHINGLES = """
+    tok AS (
+        SELECT doc_id, lang, source,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN len(w) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               ELSE [] END AS sh
+        FROM tok
+    )
+"""
+
+
+def _augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    dups = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.unionByName(dups)
+
+
+_SQL_CORPUS = """
+    corpus AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang, source
+        FROM documents WHERE doc_id % 7 = 0
+    )
+"""
+
+
+@register(
+    "d01_exact_dedup_groups",
+    oracle=f"""
+    WITH {_SQL_CORPUS}
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    ORDER BY canonical_id
+    """,
+    tags=("dedup", "exact"),
+)
+def d01_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups (hash-groupBy on content digest)."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    return D.exact_dedup_groups(corpus, "doc_id", "text").orderBy("canonical_id")
+
+
+@register(
+    "d02_exact_dedup_kept",
+    oracle=f"""
+    WITH {_SQL_CORPUS},
+    keep AS (
+        SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+    )
+    SELECT c.lang AS lang, c.source AS source, count(*) AS n_docs
+    FROM corpus c JOIN keep k ON c.doc_id = k.doc_id
+    GROUP BY c.lang, c.source
+    ORDER BY c.lang, c.source
+    """,
+    tags=("dedup", "exact"),
+)
+def d02_exact_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition after exact dedup (keep min-id copy)."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    return (
+        D.exact_dedup(corpus, "doc_id", "text")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "source")
+    )
+
+
+# MinHash signature SQL: seed i ∈ [0,12), element = min md5('{i}:'||s),
+# 'z' sentinel for empty shingle sets; 6 bands × 2 rows.
+_SQL_SIG = """
+    sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 12),
+                   i -> list_aggregate(
+                            list_transform(sh, s ->
+                                ('0x' || substr(md5(concat(i, ':', s)), 1, 15))::BIGINT),
+                            'min')) AS sig
+        FROM sh
+        WHERE len(sh) > 0
+    ),
+    banded AS (
+        SELECT doc_id, b AS band_id,
+               sig[2*b + 1] || '|' || sig[2*b + 2] AS band_key
+        FROM sigs, range(0, 6) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        FROM banded l JOIN banded r
+          ON l.band_id = r.band_id AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    )
+"""
+
+
+@register(
+    "d03_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG}
+    SELECT c.a_id AS a_id, c.b_id AS b_id,
+           round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+                 / (len(a.sh) + len(b.sh)
+                    - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+                 3) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.a_id
+    JOIN sh b ON b.doc_id = c.b_id
+    WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+          / (len(a.sh) + len(b.sh)
+             - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.8
+    ORDER BY a_id, b_id
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: MinHash/LSH candidates verified ≥0.8 Jaccard."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=12, bands=6, threshold=0.8
+    ).orderBy("a_id", "b_id")
+
+
+@register(
+    "d04_simhash_sketches",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS dt
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(dt) > 0 THEN
+               CAST(list_sum(list_transform(range(0, 16), j ->
+                   CASE WHEN 2 * len(list_filter(dt, w ->
+                            ((strpos('0123456789abcdef',
+                                     substr(md5(w), j + 1, 1)) - 1)
+                             // CAST(pow(2, j % 4) AS INT)) % 2 = 1))
+                          > len(dt)
+                        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)
+           ELSE 0 END AS simhash
+    FROM tok
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def d04_simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash sketch."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return D.simhash_sketches(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "d05_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    mins AS (
+        SELECT doc_id, sh,
+               list_slice(list_sort(list_transform(sh, s -> md5(s))), 1, 4) AS mk
+        FROM sh
+    ),
+    b AS (SELECT doc_id, unnest(mk) AS mh FROM mins),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        FROM b l JOIN b r ON l.mh = r.mh AND l.doc_id < r.doc_id
+    )
+    SELECT c.a_id AS a_id, c.b_id AS b_id,
+           round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+                 / (len(a.sh) + len(b.sh)
+                    - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+                 3) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.a_id
+    JOIN sh b ON b.doc_id = c.b_id
+    WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+          / (len(a.sh) + len(b.sh)
+             - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.5
+    ORDER BY a_id, b_id
+    """,
+    tags=("dedup", "ngram-jaccard"),
+)
+def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via min-k sketch bucketing."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).orderBy(
+        "a_id", "b_id"
+    )
