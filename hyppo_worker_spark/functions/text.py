@@ -140,10 +140,21 @@ STOPWORDS = {
 }
 
 
+def _isin_pred(words: list[str]):
+    # single-parameter lambda factory: PySpark inspects lambda arity,
+    # so the word list must be captured by closure, not default arg.
+    ws = tuple(words)
+
+    def pred(x: Column) -> Column:
+        return x.isin(*ws)
+
+    return pred
+
+
 def lang_scores(toks: Column) -> dict[str, Column]:
     """Stopword-hit counts per language (the n-gram-free heuristic)."""
     return {
-        lang: F.size(F.filter(toks, lambda w, ws=tuple(words): w.isin(*ws)))
+        lang: F.size(F.filter(toks, _isin_pred(words)))
         for lang, words in STOPWORDS.items()
     }
 
@@ -169,8 +180,7 @@ def quality_metrics(text: Column, toks: Column) -> dict[str, Column]:
     """Length/punctuation/stopword-ratio quality signals."""
     n_chars = F.length(text)
     n_toks = F.size(toks)
-    en = [w for w in STOPWORDS["en"]]
-    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*en)))
+    stop_hits = F.size(F.filter(toks, _isin_pred(STOPWORDS["en"])))
     punct = n_chars - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9\s]", ""))
     mean_tok_len = F.when(
         n_toks > 0,

@@ -1,0 +1,46 @@
+"""Vector math over ``array<float|double>`` columns as Catalyst
+expressions (JVM-side; no UDFs).
+
+Determinism contract: dot products and norms are sequential left
+folds (``F.aggregate``) over double-cast arrays, which is the same
+evaluation order as DuckDB's ``list_reduce`` — results are
+bit-identical across engines, so oracle comparison works even on
+floating point."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two equal-length arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 for zero-norm inputs."""
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def sign_bucket(a: Column, bits: int = 8) -> Column:
+    """LSH-style bucket id from the signs of the first ``bits``
+    components: bit j set iff a[j] >= 0. A cheap deterministic
+    space partitioner for bucketed ANN search."""
+    acc = F.lit(0)
+    for j in range(bits):
+        acc = acc + F.when(F.element_at(a, j + 1) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+    return acc.cast("int")

@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns.
+
+Two tiers:
+
+- **Brute-force top-k** for a small query set: broadcast the queries,
+  score every (query, candidate) pair JVM-side, take top-k per query
+  with a window. The corpus is scanned once, never shuffled (the only
+  exchange is the tiny post-score top-k) — at 100 TB this is the
+  standard "small query batch vs huge corpus" pattern.
+- **Sign-bucket ANN**: partition the corpus by an LSH sign bucket of
+  the embedding; a query only scores candidates in its own bucket.
+  The bucket equi-join replaces the cross product, cutting compute by
+  ~2^bits at some recall cost — the scale path for large query sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from hyppo_worker_spark.functions import vectors as V
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Returns (q_id, neighbor_id, cos_sim, rank); self-matches excluded.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), V.as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(V.cosine(F.col("qv"), F.col("cv")), round_to))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def knn_sign_bucket(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    sign bucket (equi-join on bucket id → shuffle-partitioned by
+    bucket, no cross product)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        V.as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", V.sign_bucket(F.col("cv"), bits))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), V.as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", V.sign_bucket(F.col("qv"), bits))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(V.cosine(F.col("qv"), F.col("cv")), round_to))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_to: int = 6,
+) -> DataFrame:
+    """All embedding pairs with cosine ≥ threshold (exact, all-pairs).
+
+    Quadratic by construction — correct as a validation oracle and for
+    moderate corpora; the bucketed variant (``knn_sign_bucket``
+    composition) is the scale path.
+    """
+    a = df.select(F.col(id_col).alias("a_id"), V.as_double(F.col(vec_col)).alias("av"))
+    b = df.select(F.col(id_col).alias("b_id"), V.as_double(F.col(vec_col)).alias("bv"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_sim", F.round(V.cosine(F.col("av"), F.col("bv")), round_to))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id", "cos_sim")
+    )

@@ -1,1 +1,115 @@
-"""similarity_queries — populated in later slices."""
+"""Similarity-search queries over the ``embeddings`` table.
+
+Oracle determinism: both engines compute dot products and norms as
+sequential left folds over double-cast arrays (Spark ``F.aggregate``
+≡ DuckDB ``list_reduce``), so the floating-point results are
+bit-identical and safe to hash-compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hyppo_worker_spark.operators import similarity as S
+from hyppo_worker_spark.queries import register
+from hyppo_worker_spark.session import load_tables
+
+# Sequential-fold cosine between embeddings e1, e2 (DuckDB side).
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+_SQL_VECS = """
+    vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+"""
+
+
+@register(
+    "s01_knn_cosine_bruteforce",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < 5),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               round({_cos('q.qv', 'c.v')}, 6) AS cos_sim
+        FROM q JOIN vecs c ON c.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim, rank FROM ranked
+    WHERE rank <= 10 ORDER BY q_id, rank
+    """,
+    tags=("similarity", "knn", "bruteforce"),
+)
+def s01_knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors vec_id < 5."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.knn_bruteforce(emb, queries, k=10).orderBy("q_id", "rank")
+
+
+@register(
+    "s02_knn_sign_bucket",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    bucketed AS (
+        SELECT vec_id, v,
+               CAST(list_sum(list_transform(range(0, 6),
+                   j -> CASE WHEN v[j + 1] >= 0 THEN (1 << j) ELSE 0 END)) AS INT)
+                   AS bucket
+        FROM vecs
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < 20),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               round({_cos('q.qv', 'c.v')}, 6) AS cos_sim
+        FROM q JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim, rank FROM ranked
+    WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    tags=("similarity", "knn", "lsh", "approximate"),
+)
+def s02_knn_sign_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors within the query's LSH sign bucket."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.knn_sign_bucket(emb, queries, k=5, bits=6).orderBy("q_id", "rank")
+
+
+@register(
+    "s03_cosine_neardup_pairs",
+    oracle=f"""
+    WITH {_SQL_VECS}
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({_cos('a.v', 'b.v')}, 6) AS cos_sim
+    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+    WHERE round({_cos('a.v', 'b.v')}, 6) >= 0.42
+    ORDER BY a_id, b_id
+    """,
+    tags=("similarity", "neardup", "dedup"),
+)
+def s03_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: exact all-pairs cosine ≥ 0.42."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return S.cosine_neardup_pairs(emb, threshold=0.42).orderBy("a_id", "b_id")

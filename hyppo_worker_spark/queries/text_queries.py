@@ -1,1 +1,190 @@
-"""text_queries — populated in later slices."""
+"""Text-analysis queries over the ``documents`` table: language-ID,
+quality scoring, token statistics, fingerprinting. All Catalyst
+expressions (see functions/text.py); oracles mirror each formula."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hyppo_worker_spark.functions import text as TX
+from hyppo_worker_spark.queries import register
+from hyppo_worker_spark.session import load_tables
+
+_SQL_TOK = """
+    tok AS (
+        SELECT doc_id, lang, source, text,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    )
+"""
+
+
+def _sql_stop_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return f"len(list_filter(w, x -> list_contains([{words}], x)))"
+
+
+@register(
+    "t01_language_id",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    scored AS (
+        SELECT doc_id, lang AS actual_lang,
+               {_sql_stop_count('de')} AS c_de,
+               {_sql_stop_count('en')} AS c_en,
+               {_sql_stop_count('es')} AS c_es,
+               {_sql_stop_count('fr')} AS c_fr
+        FROM tok
+    ),
+    pred AS (
+        SELECT doc_id, actual_lang,
+               CASE
+                 WHEN c_de > 0 AND c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                 WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+                 WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+                 WHEN c_fr > 0 THEN 'fr'
+                 ELSE 'und'
+               END AS predicted_lang
+        FROM scored
+    )
+    SELECT predicted_lang, actual_lang, count(*) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("text", "language-id"),
+)
+def t01_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the labeled lang column."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select(
+            TX.predict_lang(TX.tokens("text")).alias("predicted_lang"),
+            F.col("lang").alias("actual_lang"),
+        )
+        .groupBy("predicted_lang", "actual_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("predicted_lang", "actual_lang")
+    )
+
+
+@register(
+    "t02_quality_scores",
+    oracle=f"""
+    WITH {_SQL_TOK}
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(w) AS n_tokens,
+           round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                 * 1.0 / length(text), 4) AS punct_ratio,
+           round(len(list_filter(w, x -> list_contains(
+                 ['the','a','of','and','to','in','is','it','that','for'], x)))
+                 * 1.0 / len(w), 4) AS stopword_ratio,
+           round(list_reduce(list_prepend(0, list_transform(w, x -> length(x))),
+                             (x, y) -> x + y) * 1.0 / len(w), 4) AS mean_token_len
+    FROM tok
+    WHERE length(text) > 0 AND len(w) > 0
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def t02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: length, punct/stopword ratios."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = TX.tokens("text")
+    m = TX.quality_metrics(F.col("text"), toks)
+    return (
+        docs.filter((F.length("text") > 0) & (F.size(toks) > 0))
+        .select(
+            "doc_id",
+            m["n_chars"].alias("n_chars"),
+            m["n_tokens"].alias("n_tokens"),
+            F.round(m["punct_ratio"], 4).alias("punct_ratio"),
+            F.round(m["stopword_ratio"], 4).alias("stopword_ratio"),
+            F.round(m["mean_token_len"], 4).alias("mean_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "t03_token_stats",
+    oracle=f"""
+    WITH {_SQL_TOK}
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(w)) AS total_tokens,
+           sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS total_regex_tokens,
+           round(avg(len(w)), 4) AS avg_tokens_per_doc,
+           max(len(w)) AS max_tokens
+    FROM tok
+    GROUP BY source ORDER BY source
+    """,
+    tags=("text", "token-count"),
+)
+def t03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count statistics per source (whitespace + regex tokenizers)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = TX.tokens("text")
+    regex_toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    return (
+        docs.select("source", F.size(toks).alias("nt"), F.size(regex_toks).alias("nr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("nr").alias("total_regex_tokens"),
+            F.round(F.avg("nt"), 4).alias("avg_tokens_per_doc"),
+            F.max("nt").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "t04_fingerprints",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    sh AS (
+        SELECT doc_id, lang, w,
+               CASE WHEN len(w) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               ELSE [] END AS sh
+        FROM tok
+    ),
+    fp AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_fp,
+               array_to_string(
+                   list_slice(list_sort(list_transform(sh, s -> md5(s))), 1, 4),
+                   '|') AS winnow_fp
+        FROM sh
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT bag_fp) AS n_bag_fp,
+           count(DISTINCT winnow_fp) AS n_winnow_fp
+    FROM fp GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "fingerprint"),
+)
+def t04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct bag/winnowing fingerprints per language."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = TX.tokens("text")
+    sh = TX.shingles(toks, 3)
+    return (
+        docs.select(
+            "lang",
+            TX.bag_fingerprint(toks).alias("bag_fp"),
+            TX.winnow_fingerprint(sh, 4).alias("winnow_fp"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("bag_fp").alias("n_bag_fp"),
+            F.countDistinct("winnow_fp").alias("n_winnow_fp"),
+        )
+        .orderBy("lang")
+    )
