@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "t01_language_id",
     "t02_quality_scores",
     "s01_knn_cosine_bruteforce",
+    "p01_ingestion_pipeline",
 ]
 
 

@@ -1,1 +1,240 @@
-"""pipeline_queries — populated in later slices."""
+"""End-to-end ingestion-pipeline queries: the full engine loop
+(submit → delegate → operations 2→5→6→7 / 2→3→4→6 → typed responses)
+run against the synthetic tables, with the persisted output compared
+to a plain-SQL oracle over the same source table.
+
+This is the Spark-native analog of the reference's executor
+round-trip tests (``ProcessedDataTest.scala`` / ``RawDataTest.scala``)
+promoted to an oracle-checked correctness query: if any stage of the
+control plane (task fan-out, records zone write/read, checksums,
+persist, ack semantics) corrupted or dropped rows, the final
+aggregate would not match the direct SQL on the source table.
+"""
+
+from __future__ import annotations
+
+import gzip
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hyppo_worker_spark.model import (
+    CreateIngestionTasksRequest,
+    DataIngestionJob,
+    FailureResponse,
+    FetchProcessedDataRequest,
+    FetchRawDataRequest,
+    HandleJobCompletedRequest,
+    IngestionSource,
+    Operation,
+    PersistProcessedDataRequest,
+    ProcessRawDataRequest,
+)
+from hyppo_worker_spark.queries import register
+from hyppo_worker_spark.registry import (
+    IntegrationRegistry,
+    ProcessedDataIntegration,
+    RawDataIntegration,
+)
+from hyppo_worker_spark.scheduler.scheduler import EngineConfig, HyppoEngine
+from hyppo_worker_spark.session import load_tables
+from hyppo_worker_spark.storage import DataFileHandler, StorageLayout
+
+N_TASKS = 4
+
+
+class LineitemIntegration(ProcessedDataIntegration):
+    """Fetches lineitem slices (task = l_orderkey % N_TASKS bucket) and
+    persists them into a per-job output area."""
+
+    source_name = "Lineitem Feed"
+    version = 1
+
+    def __init__(self, sf_dir: str, out_dir: str):
+        self.sf_dir = sf_dir
+        self.out_dir = out_dir
+
+    def record_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("l_orderkey", T.LongType(), False),
+                T.StructField("l_partkey", T.LongType(), False),
+                T.StructField("l_returnflag", T.StringType(), False),
+                T.StructField("l_quantity", T.DoubleType(), False),
+                T.StructField("l_extendedprice", T.DoubleType(), False),
+            ]
+        )
+
+    def create_tasks(self, job: DataIngestionJob):
+        return [{"bucket": i} for i in range(N_TASKS)]
+
+    def fetch_processed(self, spark: SparkSession, task) -> DataFrame:
+        li = load_tables(spark, self.sf_dir, ("lineitem",))["lineitem"]
+        bucket = task.task_arguments["bucket"]
+        return li.filter(F.col("l_orderkey") % N_TASKS == bucket).select(
+            "l_orderkey", "l_partkey", "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+
+    def persist(self, spark: SparkSession, task, records: DataFrame) -> None:
+        records.write.mode("append").parquet(f"{self.out_dir}/final")
+
+
+class DocumentsRawIntegration(RawDataIntegration):
+    """Raw path: each task lands one gzipped CSV-ish payload per
+    language, the processor parses them back into typed records
+    distributed over the binaryFile rows."""
+
+    source_name = "Docs Raw Feed"
+    version = 1
+
+    def __init__(self, sf_dir: str, out_dir: str):
+        self.sf_dir = sf_dir
+        self.out_dir = out_dir
+
+    def record_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("lang", T.StringType(), False),
+                T.StructField("n_chars", T.LongType(), False),
+            ]
+        )
+
+    def create_tasks(self, job: DataIngestionJob):
+        return [{}]
+
+    def fetch_raw(self, task) -> list[bytes]:
+        # One payload per language: lines of "doc_id,lang,n_chars".
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT doc_id, lang, n_chars FROM read_parquet('{self.sf_dir}/documents.parquet') ORDER BY lang, doc_id"
+        ).fetchall()
+        by_lang: dict[str, list[str]] = {}
+        for doc_id, lang, n_chars in rows:
+            by_lang.setdefault(lang, []).append(f"{doc_id},{lang},{n_chars}")
+        return [("\n".join(lines)).encode() for _, lines in sorted(by_lang.items())]
+
+    def process_raw(self, spark: SparkSession, task, raw_df: DataFrame) -> DataFrame:
+        @F.udf(T.ArrayType(T.StringType()))
+        def gunzip_lines(b):
+            return gzip.decompress(bytes(b)).decode().split("\n")
+
+        lines = raw_df.select(F.explode(gunzip_lines(F.col("content"))).alias("line"))
+        parts = F.split(F.col("line"), ",")
+        return lines.select(
+            parts[0].cast("long").alias("doc_id"),
+            parts[1].alias("lang"),
+            parts[2].cast("long").alias("n_chars"),
+        )
+
+    def persist(self, spark: SparkSession, task, records: DataFrame) -> None:
+        records.write.mode("append").parquet(f"{self.out_dir}/final")
+
+
+def _run_job(spark: SparkSession, integration, request_cls_chain) -> None:
+    """Drive a full job through the engine with response-chained
+    submissions; raise on any FailureResponse."""
+    registry = IntegrationRegistry()
+    registry.register(integration)
+    layout = StorageLayout(bucket=tempfile.mkdtemp(prefix="hyppo-pipeline-"))
+    engine = HyppoEngine(spark, registry, DataFileHandler(spark, layout), EngineConfig())
+    details = integration.details()
+    job = DataIngestionJob(source=IngestionSource(name=integration.source_name))
+    is_raw = details.is_raw_data_integration
+
+    @engine.responses.on_completed
+    def chain(resp):
+        op = resp.input.operation
+        if op is Operation.CREATE_INGESTION_TASKS:
+            for t in resp.tasks:
+                if is_raw:
+                    engine.submit(FetchRawDataRequest(integration=details, task=t))
+                else:
+                    engine.submit(FetchProcessedDataRequest(integration=details, task=t))
+        elif op is Operation.FETCH_RAW_DATA:
+            engine.submit(
+                ProcessRawDataRequest(
+                    integration=details, task=resp.input.task, files=resp.data
+                )
+            )
+        elif op in (Operation.FETCH_PROCESSED_DATA, Operation.PROCESS_RAW_DATA):
+            engine.submit(
+                PersistProcessedDataRequest(
+                    integration=details, task=resp.input.task, data=resp.data
+                )
+            )
+
+    engine.submit(CreateIngestionTasksRequest(integration=details, job=job))
+    engine.run_until_idle()
+    engine.submit(
+        HandleJobCompletedRequest(integration=details, job=job, tasks=())
+    )
+    engine.run_until_idle()
+    failures = [r for r in engine.results_log if isinstance(r, FailureResponse)]
+    if failures:
+        raise RuntimeError(
+            f"pipeline failed: {failures[0].exception.exception_class}: "
+            f"{failures[0].exception.message}"
+        )
+
+
+@register(
+    "p01_ingestion_pipeline",
+    oracle="""
+    SELECT l_returnflag AS l_returnflag,
+           count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("pipeline", "control-plane", "flagship"),
+)
+def p01_ingestion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine run over lineitem (4-task fan-out, records zone,
+    persist) → aggregate of the persisted output."""
+    out_dir = tempfile.mkdtemp(prefix="hyppo-out-")
+    _run_job(spark, LineitemIntegration(sf_dir, out_dir), None)
+    final = spark.read.parquet(f"{out_dir}/final")
+    return (
+        final.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "p02_raw_pipeline",
+    oracle="""
+    SELECT lang AS lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("pipeline", "control-plane", "raw"),
+)
+def p02_raw_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-path engine run over documents (gzip landing + distributed
+    parse) → aggregate of the persisted output."""
+    out_dir = tempfile.mkdtemp(prefix="hyppo-out-")
+    _run_job(spark, DocumentsRawIntegration(sf_dir, out_dir), None)
+    final = spark.read.parquet(f"{out_dir}/final")
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

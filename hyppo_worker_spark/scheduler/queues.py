@@ -1,0 +1,262 @@
+"""In-driver work-queue table: naming, TTL expiry, ack semantics,
+and per-queue statistics.
+
+Parity targets:
+
+- Deterministic queue naming
+  (``worker/.../actor/amqp/QueueNaming.scala:22-51,89-126``):
+  ``{prefix}.general`` / ``{prefix}.results`` / ``{prefix}.expired``;
+  integration queues ``{prefix}.integration.{source}-v{n}`` plus an
+  8-hex md5 suffix of the resource set when resources are attached;
+  name sanitization whitespace→'_', '.'→'-' (:107-112).
+- Message TTL with dead-lettering to the expired queue
+  (``QueueHelpers.scala:21-28,57-82``; TTL = work-timeout,
+  ``reference.conf:19``).
+- basicGet-without-auto-ack semantics: a popped item stays leased
+  (unacknowledged) until acked or rejected-with-requeue
+  (``WorkDelegation.scala:124-135``, headers ``QueueItemHeaders.scala:11-26``).
+- Queue stats (size/rate/ready/unacked/idleSince) that the priority
+  orderings consume; completion rate is an EMA maintained by the
+  engine itself (the reference polls RabbitMQ's management API —
+  ``RabbitHttpClient.scala:36-68``).
+- Logical rollup of per-resource-suffix queues
+  (``QueueNaming.toLogicalQueueDetails:62-77``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from hyppo_worker_spark.model import WorkInput, WorkResource
+from hyppo_worker_spark.scheduler.priority import QueueDetails
+
+
+def sanitize_name(name: str) -> str:
+    return name.strip().replace(".", "-").replace(" ", "_")
+
+
+@dataclass(frozen=True)
+class QueueNaming:
+    prefix: str = "hyppo"
+
+    @property
+    def general(self) -> str:
+        return f"{self.prefix}.general"
+
+    @property
+    def results(self) -> str:
+        return f"{self.prefix}.results"
+
+    @property
+    def expired(self) -> str:
+        return f"{self.prefix}.expired"
+
+    def integration(
+        self, source_name: str, version: int, resources: tuple[WorkResource, ...] = ()
+    ) -> str:
+        base = f"{self.prefix}.integration.{sanitize_name(source_name)}-v{version}"
+        if resources:
+            digest = hashlib.md5(
+                ",".join(sorted(f"{r.kind.value}:{r.name}" for r in resources)).encode()
+            ).hexdigest()[:8]
+            return f"{base}.{digest}"
+        return base
+
+    def belongs_to_integration(self, source_name: str, version: int, queue_name: str) -> bool:
+        base = f"{self.prefix}.integration.{sanitize_name(source_name)}-v{version}"
+        return queue_name == base or queue_name.startswith(base + ".")
+
+    def is_integration_queue(self, queue_name: str) -> bool:
+        return queue_name.startswith(f"{self.prefix}.integration.")
+
+
+@dataclass
+class QueueItem:
+    input: WorkInput
+    enqueued_at: float
+    ttl_s: float
+    delivery_count: int = 0
+
+    def expired(self, now: float) -> bool:
+        return (now - self.enqueued_at) >= self.ttl_s
+
+
+@dataclass
+class Delivery:
+    """An unacked in-flight item (delivery-tag analog)."""
+
+    tag: int
+    queue_name: str
+    item: QueueItem
+    redelivered: bool
+
+
+@dataclass
+class _Queue:
+    name: str
+    resources: tuple[WorkResource, ...] = ()
+    items: deque = field(default_factory=deque)
+    unacked: dict = field(default_factory=dict)
+    idle_since: datetime = field(default_factory=lambda: datetime.now(timezone.utc))
+    rate_ema: float = 0.0
+    last_completion: float | None = None
+
+    EMA_ALPHA = 0.3
+
+
+class WorkQueueTable:
+    """The broker: thread-safe queue set + TTL sweep + stats."""
+
+    def __init__(self, naming: QueueNaming | None = None, clock=time.monotonic):
+        self.naming = naming or QueueNaming()
+        self._clock = clock
+        self._lock = threading.RLock()
+        self._queues: dict[str, _Queue] = {}
+        self._tags = itertools.count(1)
+        self._expired_items: deque[tuple[str, QueueItem]] = deque()
+        self.ensure(self.naming.general)
+
+    # -- queue management ---------------------------------------------
+
+    def ensure(self, name: str, resources: tuple[WorkResource, ...] = ()) -> None:
+        with self._lock:
+            if name not in self._queues:
+                self._queues[name] = _Queue(name=name, resources=resources)
+
+    def queue_for(self, item: WorkInput) -> str:
+        """Routing: integration-specific queue when the item names an
+        integration (general for validate-only work), mirroring
+        ``EnqueueWorkQueueProxy.scala:56-75``."""
+        integ = item.integration
+        if integ is None:
+            return self.naming.general
+        return self.naming.integration(
+            integ.source_name, integ.version_number, item.resources
+        )
+
+    # -- enqueue / dequeue / ack --------------------------------------
+
+    def enqueue(self, item: WorkInput, ttl_s: float = 3600.0, queue: str | None = None) -> str:
+        name = queue or self.queue_for(item)
+        with self._lock:
+            self.ensure(name, item.resources)
+            self._queues[name].items.append(
+                QueueItem(input=item, enqueued_at=self._clock(), ttl_s=ttl_s)
+            )
+        return name
+
+    def basic_get(self, name: str) -> Delivery | None:
+        """Pop without auto-ack: item moves to the unacked set."""
+        with self._lock:
+            q = self._queues.get(name)
+            if not q:
+                return None
+            self._sweep_queue(q)
+            if not q.items:
+                return None
+            item = q.items.popleft()
+            item.delivery_count += 1
+            tag = next(self._tags)
+            d = Delivery(
+                tag=tag,
+                queue_name=name,
+                item=item,
+                redelivered=item.delivery_count > 1,
+            )
+            q.unacked[tag] = d
+            return d
+
+    def ack(self, delivery: Delivery) -> None:
+        with self._lock:
+            q = self._queues[delivery.queue_name]
+            q.unacked.pop(delivery.tag, None)
+            now = self._clock()
+            if q.last_completion is not None:
+                dt = max(now - q.last_completion, 1e-9)
+                q.rate_ema = (1 - _Queue.EMA_ALPHA) * q.rate_ema + _Queue.EMA_ALPHA / dt
+            q.last_completion = now
+            q.idle_since = datetime.now(timezone.utc)
+
+    def reject_requeue(self, delivery: Delivery) -> None:
+        """Return an unacked item to the front of its queue
+        (``basicReject(requeue=true)`` — ``TaskFSM.scala:135-140``)."""
+        with self._lock:
+            q = self._queues[delivery.queue_name]
+            if q.unacked.pop(delivery.tag, None) is not None:
+                q.items.appendleft(delivery.item)
+
+    # -- TTL expiry ----------------------------------------------------
+
+    def _sweep_queue(self, q: _Queue) -> None:
+        now = self._clock()
+        fresh = deque()
+        for item in q.items:
+            if item.expired(now):
+                self._expired_items.append((q.name, item))
+            else:
+                fresh.append(item)
+        q.items = fresh
+
+    def sweep_expired(self) -> list[tuple[str, QueueItem]]:
+        """Run the TTL sweep over all queues and drain the expired
+        (dead-letter) collection."""
+        with self._lock:
+            for q in self._queues.values():
+                self._sweep_queue(q)
+            out = list(self._expired_items)
+            self._expired_items.clear()
+            return out
+
+    # -- stats ---------------------------------------------------------
+
+    def details(self, name: str) -> QueueDetails:
+        with self._lock:
+            q = self._queues[name]
+            ready = len(q.items)
+            unacked = len(q.unacked)
+            return QueueDetails(
+                queue_name=name,
+                size=ready + unacked,
+                rate=q.rate_ema,
+                ready=ready,
+                unacknowledged=unacked,
+                idle_since=q.idle_since,
+            )
+
+    def all_details(self) -> list[QueueDetails]:
+        with self._lock:
+            return [self.details(n) for n in self._queues]
+
+    def resources_of(self, name: str) -> tuple[WorkResource, ...]:
+        with self._lock:
+            q = self._queues.get(name)
+            return q.resources if q else ()
+
+    def logical_rollup(self) -> dict[str, QueueDetails]:
+        """Group per-resource-suffix integration queues into one
+        logical entry: summed sizes, rate-weighted aggregate
+        (``QueueDetails.scala:50-92``)."""
+        with self._lock:
+            groups: dict[str, list[QueueDetails]] = {}
+            for name in self._queues:
+                base = name.rsplit(".", 1)[0] if self.naming.is_integration_queue(
+                    name
+                ) and name.count(".") > 2 else name
+                groups.setdefault(base, []).append(self.details(name))
+            out = {}
+            for base, ds in groups.items():
+                out[base] = QueueDetails(
+                    queue_name=base,
+                    size=sum(d.size for d in ds),
+                    rate=sum(d.rate for d in ds),
+                    ready=sum(d.ready for d in ds),
+                    unacknowledged=sum(d.unacknowledged for d in ds),
+                    idle_since=max(d.idle_since for d in ds),
+                )
+            return out

@@ -1,0 +1,156 @@
+"""Avro schema JSON ↔ Spark StructType conversion (pure Python — no
+Avro library dependency, no spark-avro jar needed for the *schema*
+plane).
+
+The reference attaches an Avro schema to each integration and
+identifies it by MD5 fingerprint
+(``worker-api/.../code/IntegrationSchema.scala:11-31``). Records are
+Avro ``SpecificRecord``s whose fields the worker never inspects; the
+engine instead maps the schema to a ``StructType`` and lets Spark
+carry the rows.
+
+Supported Avro forms: primitives (null/boolean/int/long/float/double/
+bytes/string), nullable unions (``["null", T]`` / ``["T","null"]``),
+record, array, map, enum (→ string), fixed (→ binary), and logical
+types timestamp-millis/micros (→ timestamp), date (→ date),
+decimal (→ decimal).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import types as T
+
+_PRIMITIVES: dict[str, T.DataType] = {
+    "null": T.NullType(),
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+    "string": T.StringType(),
+}
+
+_LOGICAL: dict[str, T.DataType] = {
+    "timestamp-millis": T.TimestampType(),
+    "timestamp-micros": T.TimestampType(),
+    "date": T.DateType(),
+    "time-millis": T.LongType(),
+    "time-micros": T.LongType(),
+}
+
+
+class AvroSchemaError(ValueError):
+    pass
+
+
+def _convert(avro: Any) -> tuple[T.DataType, bool]:
+    """Returns (spark_type, nullable)."""
+    if isinstance(avro, str):
+        if avro in _PRIMITIVES:
+            return _PRIMITIVES[avro], avro == "null"
+        raise AvroSchemaError(f"unknown avro type: {avro!r}")
+    if isinstance(avro, list):  # union
+        non_null = [t for t in avro if t != "null"]
+        if len(non_null) != 1:
+            raise AvroSchemaError(f"only nullable unions supported, got {avro!r}")
+        inner, _ = _convert(non_null[0])
+        return inner, True
+    if isinstance(avro, dict):
+        logical = avro.get("logicalType")
+        if logical:
+            if logical == "decimal":
+                prec = int(avro.get("precision", 10))
+                scale = int(avro.get("scale", 0))
+                return T.DecimalType(prec, scale), False
+            if logical in _LOGICAL:
+                return _LOGICAL[logical], False
+        kind = avro.get("type")
+        if kind == "record":
+            fields = []
+            for f in avro.get("fields", []):
+                ftype, nullable = _convert(f["type"])
+                fields.append(T.StructField(f["name"], ftype, nullable))
+            return T.StructType(fields), False
+        if kind == "array":
+            item, item_nullable = _convert(avro["items"])
+            return T.ArrayType(item, item_nullable), False
+        if kind == "map":
+            val, val_nullable = _convert(avro["values"])
+            return T.MapType(T.StringType(), val, val_nullable), False
+        if kind == "enum":
+            return T.StringType(), False
+        if kind == "fixed":
+            return T.BinaryType(), False
+        if isinstance(kind, (str, list, dict)):
+            return _convert(kind)
+    raise AvroSchemaError(f"unsupported avro schema node: {avro!r}")
+
+
+def avro_to_struct(schema_json: str | dict) -> T.StructType:
+    """Avro record schema JSON → StructType."""
+    avro = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    if not (isinstance(avro, dict) and avro.get("type") == "record"):
+        raise AvroSchemaError("top-level schema must be an avro record")
+    st, _ = _convert(avro)
+    return st
+
+
+_TO_AVRO: dict[type, str] = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.BinaryType: "bytes",
+    T.StringType: "string",
+}
+
+
+def _to_avro(dt: T.DataType, nullable: bool) -> Any:
+    if isinstance(dt, T.StructType):
+        out: Any = {
+            "type": "record",
+            "name": "record",
+            "fields": [
+                {"name": f.name, "type": _to_avro(f.dataType, f.nullable)}
+                for f in dt.fields
+            ],
+        }
+    elif isinstance(dt, T.ArrayType):
+        out = {"type": "array", "items": _to_avro(dt.elementType, dt.containsNull)}
+    elif isinstance(dt, T.MapType):
+        out = {"type": "map", "values": _to_avro(dt.valueType, dt.valueContainsNull)}
+    elif isinstance(dt, T.TimestampType):
+        out = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(dt, T.DateType):
+        out = {"type": "int", "logicalType": "date"}
+    elif isinstance(dt, T.DecimalType):
+        out = {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    elif type(dt) in _TO_AVRO:
+        out = _TO_AVRO[type(dt)]
+    else:
+        raise AvroSchemaError(f"unsupported spark type: {dt}")
+    return [out, "null"] if nullable else out
+
+
+def struct_to_avro(st: T.StructType, name: str = "record", namespace: str = "") -> str:
+    """StructType → Avro record schema JSON (fields nullable →
+    ``[T, "null"]`` unions, matching the reference's TestRecord shape)."""
+    fields = [
+        {"name": f.name, "type": _to_avro(f.dataType, f.nullable)} for f in st.fields
+    ]
+    rec: dict[str, Any] = {"type": "record", "name": name, "fields": fields}
+    if namespace:
+        rec["namespace"] = namespace
+    return json.dumps(rec)

@@ -1,0 +1,119 @@
+"""Serialization, allowlist gating, schema fingerprints (reference
+test analog: ``AMQPEncryptionTest.scala`` round-trips +
+``AMQPSerialization`` lookahead check)."""
+
+import json
+
+import pytest
+
+from hyppo_worker_spark.model import (
+    ConcurrencyWorkResource,
+    DataIngestionJob,
+    DataIngestionTask,
+    DisallowedTypeError,
+    FetchProcessedDataRequest,
+    IngestionSource,
+    IntegrationDetails,
+    IntegrationSchema,
+    PersistingSemantics,
+    PersistProcessedDataRequest,
+    ProcessRawDataRequest,
+    RemoteProcessedDataFile,
+    RemoteRawDataFile,
+    RemoteStorageLocation,
+    ThrottledWorkResource,
+    compute_schema_fingerprint,
+    deserialize_work,
+    serialize_work,
+)
+
+
+def _details(**kw):
+    defaults = dict(
+        source_name="Test Source",
+        version_number=1,
+        is_raw_data_integration=False,
+    )
+    defaults.update(kw)
+    return IntegrationDetails(**defaults)
+
+
+def _task():
+    job = DataIngestionJob(source=IngestionSource(name="Test Source"))
+    return DataIngestionTask(job=job, task_number=1, task_arguments={"k": "v"})
+
+
+def test_serialize_round_trip_with_nested_entities():
+    item = FetchProcessedDataRequest(
+        integration=_details(),
+        task=_task(),
+        resources=(
+            ConcurrencyWorkResource(name="db", concurrency=2),
+            ThrottledWorkResource(name="api", throttle_rate_ms=500),
+        ),
+    )
+    back = deserialize_work(serialize_work(item))
+    assert back == item
+    assert back.task.job.source.name == "Test Source"
+    assert back.resources[0].concurrency == 2
+    assert back.resources[1].throttle_rate_ms == 500
+
+
+def test_serialize_round_trip_raw_with_manifests():
+    item = ProcessRawDataRequest(
+        integration=_details(is_raw_data_integration=True),
+        task=_task(),
+        files=(
+            RemoteRawDataFile(
+                location=RemoteStorageLocation("/tmp", "a/b.raw.gz"),
+                file_size=10,
+                checksum="ff" * 16,
+            ),
+        ),
+    )
+    back = deserialize_work(serialize_work(item))
+    assert back == item
+
+
+def test_deserialize_rejects_unlisted_type():
+    raw = json.dumps({"type": "os.system", "payload": {}})
+    with pytest.raises(DisallowedTypeError):
+        deserialize_work(raw)
+
+
+def test_deserialize_rejects_response_types():
+    raw = json.dumps({"type": "FailureResponse", "payload": {}})
+    with pytest.raises(DisallowedTypeError):
+        deserialize_work(raw)
+
+
+def test_idempotency_flag():
+    safe = PersistProcessedDataRequest(
+        integration=_details(persisting_semantics=PersistingSemantics.IDEMPOTENT),
+        task=_task(),
+        data=RemoteProcessedDataFile(
+            location=RemoteStorageLocation("/tmp", "x"),
+            file_size=1,
+            checksum="00",
+            record_count=1,
+        ),
+    )
+    unsafe = PersistProcessedDataRequest(
+        integration=_details(persisting_semantics=PersistingSemantics.UNSAFE),
+        task=safe.task,
+        data=safe.data,
+    )
+    assert safe.idempotent
+    assert not unsafe.idempotent
+    assert FetchProcessedDataRequest(integration=_details(), task=_task()).idempotent
+
+
+def test_schema_fingerprint_canonicalization():
+    a = '{"type":"record","name":"R","fields":[{"name":"x","type":"int"}]}'
+    b = '{ "fields": [ { "type": "int", "name": "x" } ], "name": "R", "type": "record" }'
+    assert compute_schema_fingerprint(a) == compute_schema_fingerprint(b)
+    s1 = IntegrationSchema(name="R", schema_json=a)
+    s2 = IntegrationSchema(name="R", schema_json=b)
+    assert s1.same_schema(s2)
+    s3 = IntegrationSchema(name="R", schema_json=a.replace('"int"', '"long"'))
+    assert not s1.same_schema(s3)
