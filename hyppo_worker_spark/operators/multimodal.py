@@ -1,0 +1,198 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media items are rows with an opaque ``binary`` payload plus typed
+metadata — the same "opaque bytes + manifest" stance the reference
+takes for raw data files (``RemoteDataFile.scala:13-18``), lifted to
+a first-class Spark schema. Decode / feature-extraction / resize /
+frame-sampling run as Arrow-batched ``mapInPandas`` stages so the
+bytes never leave the executor and the Python cost is amortized per
+batch, not per row.
+
+STUB NOTE: this container has no image/audio codecs (no PIL/ffmpeg),
+so the actual byte decoding is stubbed: ``decoder="fake"`` (default)
+derives deterministic pseudo-pixels/samples from the payload via
+md5 — the Spark-side plumbing (schemas, batch iteration, explode
+fan-out, partitioning) is real and tested. ``decoder="real"`` raises
+``NotImplementedError`` until a codec library is provisioned.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField(
+            "metadata",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def _fake_pixels(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic pseudo-decode: expand md5(payload) into n bytes."""
+    out = bytearray()
+    seed = hashlib.md5(payload).digest()
+    block = seed
+    while len(out) < n:
+        block = hashlib.md5(block).digest()
+        out.extend(block)
+    return np.frombuffer(bytes(out[:n]), dtype=np.uint8)
+
+
+def synth_media_df(spark: SparkSession, docs: DataFrame, kinds=("image", "audio", "video")) -> DataFrame:
+    """Deterministic media table derived from the documents table:
+    payload = text bytes, metadata derived from doc stats. Exists so
+    multimodal plumbing is exercised on driver-provided data only."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in kinds]),
+        (F.col("doc_id") % len(kinds) + 1).cast("int"),
+    )
+    meta = F.struct(
+        F.when(kind == "image", (F.col("n_chars") % 64 + 8).cast("int")).alias("width"),
+        F.when(kind == "image", (F.col("n_chars") % 48 + 8).cast("int")).alias("height"),
+        F.when(kind == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+        F.when(kind == "video", (F.col("n_chars") * 10).cast("long")).alias("duration_ms"),
+        F.upper(F.col("lang")).alias("format"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        meta.alias("metadata"),
+    )
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, mean_intensity double, std_intensity double"
+)
+
+
+def image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Per-image intensity features via Arrow-batched mapInPandas."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "real image decoding needs PIL/opencv — not in this container"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "image"]
+            if pdf.empty:
+                continue
+            rows = []
+            for _, r in pdf.iterrows():
+                w = int(r["metadata"]["width"] or 8)
+                h = int(r["metadata"]["height"] or 8)
+                px = _fake_pixels(bytes(r["content"]), w * h).astype(np.float64)
+                rows.append(
+                    (int(r["media_id"]), w, h, float(px.mean()), float(px.std()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "mean_intensity", "std_intensity"],
+            )
+
+    return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
+    """Resize stage: same schema out as in, payload replaced by the
+    resized pseudo-render, metadata updated. Plumbing-real: batched,
+    schema-preserving, composes with writes."""
+    if decoder == "real":
+        raise NotImplementedError("real resize needs PIL — not in this container")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                md = dict(r["metadata"])
+                content = bytes(r["content"])
+                if r["kind"] == "image":
+                    content = _fake_pixels(content, width * height).tobytes()
+                    md["width"], md["height"] = width, height
+                out.append((int(r["media_id"]), r["kind"], content, md))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "content", "metadata"])
+
+    return df.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_index int, ts_ms long, frame binary"
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, decoder: str = "fake") -> DataFrame:
+    """Video frame sampling: one output row per sampled frame — the
+    explode-style fan-out a real frame extractor would produce."""
+    if decoder == "real":
+        raise NotImplementedError("real frame extraction needs ffmpeg")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "video"]
+            if pdf.empty:
+                continue
+            rows = []
+            for _, r in pdf.iterrows():
+                duration = int(r["metadata"]["duration_ms"] or 0)
+                content = bytes(r["content"])
+                for i, ts in enumerate(range(0, duration, every_ms)):
+                    frame = hashlib.md5(content + ts.to_bytes(8, "big")).digest()
+                    rows.append((int(r["media_id"]), i, ts, frame))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "ts_ms", "frame"])
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = "media_id long, n_samples long, rms double, zero_crossings long"
+
+
+def audio_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Per-clip audio stats from pseudo-decoded samples."""
+    if decoder == "real":
+        raise NotImplementedError("real audio decoding needs soundfile/ffmpeg")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "audio"]
+            if pdf.empty:
+                continue
+            rows = []
+            for _, r in pdf.iterrows():
+                samples = (
+                    _fake_pixels(bytes(r["content"]), 2048).astype(np.float64) - 127.5
+                ) / 127.5
+                zc = int(((samples[:-1] * samples[1:]) < 0).sum())
+                rows.append(
+                    (
+                        int(r["media_id"]),
+                        len(samples),
+                        float(np.sqrt((samples**2).mean())),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "rms", "zero_crossings"]
+            )
+
+    return df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

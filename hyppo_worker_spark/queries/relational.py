@@ -802,3 +802,70 @@ def q20_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY orderstatus, orderpriority
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q21 — as-of join (operators/asof.py): each click gets the latest
+# prior-or-equal purchase by the same user. Union+window composition:
+# one shuffle on user_id, no range cross join.
+# --------------------------------------------------------------------------
+@register(
+    "q21_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, ts, value AS pvalue FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+        SELECT user_id, ts, 1 AS side, event_id, value,
+               NULL::DOUBLE AS pvalue, NULL::TIMESTAMP AS pts
+        FROM clicks
+        UNION ALL
+        SELECT user_id, ts, 0 AS side, NULL, NULL, pvalue, ts FROM purch
+    ),
+    c AS (
+        SELECT *,
+               last_value(pvalue IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_pvalue,
+               last_value(pts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_pts
+        FROM u
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           round(value, 3) AS click_value,
+           round(coalesce(last_pvalue, -1.0), 3) AS purchase_value,
+           coalesce(strftime(last_pts, '%Y-%m-%d %H:%M:%S'), 'never') AS purchase_ts
+    FROM c WHERE side = 1
+    ORDER BY event_id
+    """,
+    tags=("join", "asof", "events"),
+)
+def q21_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest purchase at-or-before each click, per user."""
+    from hyppo_worker_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pvalue"), F.col("ts").alias("pts")
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id",
+                       value_cols=["pvalue", "pts"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round("value", 3).alias("click_value"),
+        F.round(F.coalesce("pvalue_right", F.lit(-1.0)), 3).alias("purchase_value"),
+        F.coalesce(
+            F.date_format("pts_right", "yyyy-MM-dd HH:mm:ss"), F.lit("never")
+        ).alias("purchase_ts"),
+    ).orderBy("event_id")

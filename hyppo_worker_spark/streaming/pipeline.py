@@ -1,0 +1,99 @@
+"""Streaming pipelines over an event stream.
+
+Each builder takes a streaming DataFrame (``spark.readStream``) with
+the events schema (event_id long, ts timestamp, user_id long,
+event_type string, value double) and returns the transformed
+streaming DataFrame; sinks are attached by the caller (tests use the
+memory sink + ``processAllAvailable`` for deterministic drains).
+
+Scale notes: watermarks bound the state store; the windowed
+aggregates shuffle on (window, key) exactly like their batch
+equivalents (q19); ``foreach_batch_idempotent`` implements the
+at-most-once marker guard that the engine's unsafe-persist ack
+semantics require (``TaskFSM.scala:75-84`` analog: a batch that was
+started is never re-run even after restart).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with a watermark —
+    the streaming twin of q19_event_time_windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session-window aggregation (inactivity gap) per user — the
+    streaming twin of q18_sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "value",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Unbounded per-user running aggregates (update-mode state) —
+    the streaming twin of q08_user_running_state."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+class IdempotentBatchSink:
+    """foreachBatch sink with an at-most-once marker guard: each
+    (queryName, batchId) writes a marker file BEFORE the write runs;
+    a replayed batch whose marker exists is skipped, mirroring the
+    engine's unsafe-persist contract (ack-early, never re-run)."""
+
+    def __init__(self, marker_dir: str, write_fn):
+        self.marker_dir = marker_dir
+        self.write_fn = write_fn
+        self.skipped: list[int] = []
+        os.makedirs(marker_dir, exist_ok=True)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(self.marker_dir, f"batch-{batch_id}.started")
+        if os.path.exists(marker):
+            self.skipped.append(batch_id)
+            return
+        with open(marker, "w") as f:
+            f.write("started")
+        self.write_fn(batch_df, batch_id)
