@@ -16,7 +16,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hyppo_worker_spark.queries import load_all
-from hyppo_worker_spark.session import get_spark
+from hyppo_worker_spark.session import clear_cache, get_spark
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
@@ -64,6 +64,7 @@ def main() -> None:
         n = df.count() if df.isStreaming is False else -1
         timings[name] = round(time.time() - t0, 3)
         del n
+        clear_cache(spark)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -51,6 +51,14 @@ def get_spark(
     return spark
 
 
+def clear_cache(spark: SparkSession) -> None:
+    """Drop all persisted intermediates. Operators like MinHash-LSH
+    persist narrow projections as codegen/recompute barriers; a
+    long-lived session (bench loops, the engine) should clear them
+    between unrelated queries."""
+    spark.catalog.clearCache()
+
+
 TABLES = (
     "region",
     "nation",

@@ -1,0 +1,106 @@
+"""Format read/write helpers — the engine's scan/sink surface
+(SURVEY.md §2.4 "scans/sources" and "sinks" rows).
+
+The reference's data plane is Avro container files + opaque raw files
+through S3 plus arbitrary integration persisters; the Spark engine
+exposes the corresponding declarative surface: parquet / avro (jar-
+gated) / json / csv / orc / binaryFile readers with explicit schemas
+(never ``inferSchema`` in production paths) and parquet/avro/jdbc
+sinks with the idempotent-vs-unsafe contract from the scheduler.
+
+Delta/Iceberg/Hudi and JDBC drivers are not in this container: their
+entry points exist but raise a clear ``FormatUnavailable`` when the
+classpath lacks the jars (import-try gating, per the build rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class FormatUnavailable(RuntimeError):
+    """Raised when a format needs a jar that is not on the classpath."""
+
+
+def _jar_probe(spark: SparkSession, fmt: str) -> bool:
+    try:
+        spark.read.format(fmt).schema("x int").load("/nonexistent-format-probe")
+        return True
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        return "FAILED_READ_FILE" in msg or "PATH_NOT_FOUND" in msg
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True, **options
+) -> DataFrame:
+    """Schema is required: inference double-scans and guesses types."""
+    return spark.read.schema(schema).options(header=str(header).lower(), **options).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType, **options) -> DataFrame:
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Opaque files as (path, modificationTime, length, content) rows —
+    the raw-data zone reader."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    if not _jar_probe(spark, "avro"):
+        raise FormatUnavailable(
+            "spark-avro jar not on classpath; records zone falls back to parquet"
+        )
+    return spark.read.format("avro").load(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    try:
+        return spark.read.format("jdbc").options(url=url, dbtable=table, **options).load()
+    except Exception as e:  # noqa: BLE001
+        if "ClassNotFoundException" in str(e) or "No suitable driver" in str(e):
+            raise FormatUnavailable(f"no JDBC driver for {url!r} on classpath") from e
+        raise
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite", codec: str = "deflate") -> None:
+    """Avro sink with the reference's default codec
+    (``reference.conf:82``: deflate)."""
+    if not _jar_probe(df.sparkSession, "avro"):
+        raise FormatUnavailable("spark-avro jar not on classpath")
+    df.write.mode(mode).format("avro").option("compression", codec).save(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    try:
+        df.write.mode(mode).format("jdbc").options(url=url, dbtable=table, **options).save()
+    except Exception as e:  # noqa: BLE001
+        if "ClassNotFoundException" in str(e) or "No suitable driver" in str(e):
+            raise FormatUnavailable(f"no JDBC driver for {url!r} on classpath") from e
+        raise

@@ -92,6 +92,7 @@ def main() -> int:
             sdf = q.spark_fn(spark, args.sf_dir)
             scols = list(sdf.columns)
             srows = [tuple(r) for r in sdf.collect()]
+            spark.catalog.clearCache()
         except Exception as e:
             print(f"!! {name}: SPARK ERROR {type(e).__name__}: {e}")
             failures.append(name)

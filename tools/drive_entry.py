@@ -39,6 +39,7 @@ bad = []
 for name, fn in qs.items():
     sdf = fn(spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
+    spark.catalog.clearCache()
     if name not in oracles:
         print(f"  {name}: rows-only, {len(srows)} rows")
         continue
