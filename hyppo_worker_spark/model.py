@@ -482,3 +482,41 @@ def deserialize_work(raw: str) -> WorkInput:
         raise DisallowedTypeError(f"type not allowed: {tag!r}")
     payload = _decode_dt(envelope["payload"])
     return _build(cls, payload)
+
+
+# ---------------------------------------------------------------------------
+# Signed envelope (transport integrity)
+# ---------------------------------------------------------------------------
+#
+# The reference encrypts work items on the wire with AES-128-GCM using a
+# PBKDF2-derived key (worker/.../actor/amqp/AMQPEncryption.scala:12-60) —
+# authenticated encryption whose practical role in a trusted broker setup
+# is integrity + authenticity. The engine's in-driver queues don't cross a
+# network, but serialized work items may be persisted or relayed; the
+# envelope signs them with HMAC-SHA256 (stdlib-only; swap in Fernet/AES-GCM
+# where the cryptography package is available).
+
+
+class EnvelopeIntegrityError(ValueError):
+    """Signature check failed — payload tampered or wrong key."""
+
+
+def seal_work(item: WorkInput, key: bytes) -> str:
+    """Serialize + sign: returns ``<hex hmac>.<json>``."""
+    import hmac as _hmac
+
+    body = serialize_work(item)
+    sig = _hmac.new(key, body.encode(), hashlib.sha256).hexdigest()
+    return f"{sig}.{body}"
+
+
+def open_work(sealed: str, key: bytes) -> WorkInput:
+    """Verify the HMAC (constant-time) BEFORE deserializing, then
+    apply the type-allowlist gate."""
+    import hmac as _hmac
+
+    sig, _, body = sealed.partition(".")
+    expect = _hmac.new(key, body.encode(), hashlib.sha256).hexdigest()
+    if not _hmac.compare_digest(sig, expect):
+        raise EnvelopeIntegrityError("work envelope signature mismatch")
+    return deserialize_work(body)

@@ -262,10 +262,52 @@ def run_operation(
     registry: IntegrationRegistry,
     handler: DataFileHandler,
     item: WorkInput,
+    capture_logs: bool = True,
 ) -> WorkResponse:
     """Dispatch one work item; failures become ``FailureResponse`` with
-    the chained structured exception (never raises)."""
+    the chained structured exception (never raises).
+
+    Per-run log capture: everything the connector logs during the
+    operation is uploaded to the log zone and attached to the response
+    as ``log_file`` — the analog of the reference's per-task stdout
+    rotation + upload (``TaskSpecificLogging.java:34-48``,
+    ``CommanderActor.uploadLogFuture:292-315``).
+    """
+    import dataclasses
+    import io
+    import logging
+
+    buf = io.StringIO()
+    log_handler = None
+    if capture_logs:
+        log_handler = logging.StreamHandler(buf)
+        log_handler.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(name)s %(message)s")
+        )
+        logging.getLogger().addHandler(log_handler)
     try:
-        return _DISPATCH[item.operation](spark, registry, handler, item)
+        response = _DISPATCH[item.operation](spark, registry, handler, item)
     except Exception as e:  # noqa: BLE001
-        return FailureResponse(input=item, exception=IntegrationException.from_exception(e))
+        response = FailureResponse(
+            input=item, exception=IntegrationException.from_exception(e)
+        )
+        if capture_logs:
+            buf.write(
+                f"FAILURE {response.exception.exception_class}: "
+                f"{response.exception.message}\n"
+            )
+    finally:
+        if log_handler is not None:
+            logging.getLogger().removeHandler(log_handler)
+    if capture_logs and response.log_file is None:
+        job = getattr(item, "job", None)
+        task = getattr(item, "task", None)
+        if job is None and task is not None:
+            job = task.job
+        if job is not None:
+            try:
+                log_file = handler.upload_log(job, item.execution_id, buf.getvalue())
+                response = dataclasses.replace(response, log_file=log_file)
+            except OSError:
+                pass  # log upload must never fail the work item
+    return response

@@ -869,3 +869,124 @@ def q21_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("pts_right", "yyyy-MM-dd HH:mm:ss"), F.lit("never")
         ).alias("purchase_ts"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# q22 — full outer join: per-nation customer vs supplier presence.
+# Both sides are tiny post-agg; AQE plans a broadcast full-outer when
+# one side fits, else sort-merge — either survives scale because the
+# inputs are aggregates, not facts.
+# --------------------------------------------------------------------------
+@register(
+    "q22_nation_coverage_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT n.n_name AS nation_name,
+           coalesce(c.n_cust, 0) AS n_customers,
+           coalesce(s.n_supp, 0) AS n_suppliers,
+           CASE WHEN c.nk IS NULL THEN 'no_customers'
+                WHEN s.nk IS NULL THEN 'no_suppliers'
+                ELSE 'both' END AS coverage
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    JOIN nation n ON n.n_nationkey = coalesce(c.nk, s.nk)
+    ORDER BY nation_name
+    """,
+    tags=("join", "outer"),
+)
+def q22_nation_coverage_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of customer/supplier presence per nation."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier", "nation"))
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("c_nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("s_nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    joined = c.join(s, c.c_nk == s.s_nk, "full_outer")
+    coverage = (
+        F.when(F.col("c_nk").isNull(), "no_customers")
+        .when(F.col("s_nk").isNull(), "no_suppliers")
+        .otherwise("both")
+    )
+    return (
+        joined.join(
+            F.broadcast(t["nation"]),
+            F.col("n_nationkey") == F.coalesce("c_nk", "s_nk"),
+        )
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+            coverage.alias("coverage"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 — exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+# `quantile_cont` on doubles). At 100 TB exact percentile shuffles all
+# values per group — the approx_count_distinct/percentile_approx
+# sketch path is the scale alternative (rows-only checked in q24's
+# sibling; sketches differ across engines by design).
+# --------------------------------------------------------------------------
+@register(
+    "q23_price_percentiles",
+    oracle="""
+    SELECT l_returnflag AS l_returnflag,
+           round(quantile_cont(l_extendedprice::DOUBLE, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice::DOUBLE, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice::DOUBLE, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice::DOUBLE, 0.99), 4) AS p99
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    tags=("aggregation", "percentile"),
+)
+def q23_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact price percentiles per return flag."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(percentile(l_extendedprice, 0.25), 4) AS p25,
+               round(percentile(l_extendedprice, 0.50), 4) AS p50,
+               round(percentile(l_extendedprice, 0.75), 4) AS p75,
+               round(percentile(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — JSON extraction from the events props column (semi-structured
+# scalar functions; JVM-side json path evaluation).
+# --------------------------------------------------------------------------
+@register(
+    "q24_json_props",
+    oracle="""
+    SELECT event_type AS event_type,
+           count(*) AS n,
+           sum(json_extract_string(props, '$.k')::INT) AS sum_k,
+           round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
+           max(json_extract_string(props, '$.k')::INT) AS max_k
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("scalar", "json", "events"),
+)
+def q24_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate the JSON `k` property per event type."""
+    t = load_tables(spark, sf_dir, ("events",))
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -117,3 +117,19 @@ def test_schema_fingerprint_canonicalization():
     assert s1.same_schema(s2)
     s3 = IntegrationSchema(name="R", schema_json=a.replace('"int"', '"long"'))
     assert not s1.same_schema(s3)
+
+
+def test_sealed_envelope_round_trip():
+    from hyppo_worker_spark.model import EnvelopeIntegrityError, open_work, seal_work
+
+    item = FetchProcessedDataRequest(integration=_details(), task=_task())
+    key = b"secret-key"
+    sealed = seal_work(item, key)
+    assert open_work(sealed, key) == item
+
+    with pytest.raises(EnvelopeIntegrityError):
+        open_work(sealed, b"wrong-key")
+
+    tampered = sealed.replace("Test Source", "Evil Source", 1)
+    with pytest.raises(EnvelopeIntegrityError):
+        open_work(tampered, key)

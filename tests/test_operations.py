@@ -185,3 +185,58 @@ def test_job_source_mismatch_fails_validation(spark, storage):
     )
     assert isinstance(resp, FailureResponse)
     assert "ValidationError" in resp.exception.exception_class
+
+
+def test_run_operation_attaches_log_file(spark, storage):
+    import logging
+
+    class ChattyStub(ProcessedDataStub):
+        source_name = "Chatty"
+
+        def fetch_processed(self, spark, task):
+            logging.getLogger("connector").warning("fetching slice %s", task.task_number)
+            return super().fetch_processed(spark, task)
+
+    stub = ChattyStub()
+    registry = _setup(stub)
+    details = stub.details()
+    job = DataIngestionJob(source=IngestionSource(name=stub.source_name))
+    ct = run_operation(
+        spark, registry, storage, CreateIngestionTasksRequest(integration=details, job=job)
+    )
+    resp = run_operation(
+        spark,
+        registry,
+        storage,
+        FetchProcessedDataRequest(integration=details, task=ct.tasks[0]),
+    )
+    assert resp.log_file is not None
+    with open(resp.log_file.location.uri()) as f:
+        content = f.read()
+    assert "fetching slice 1" in content
+
+
+def test_failure_log_records_exception(spark, storage):
+    class Bad(ProcessedDataStub):
+        source_name = "BadLog"
+
+        def fetch_processed(self, spark, task):
+            raise RuntimeError("kaput")
+
+    stub = Bad()
+    registry = _setup(stub)
+    details = stub.details()
+    job = DataIngestionJob(source=IngestionSource(name=stub.source_name))
+    ct = run_operation(
+        spark, registry, storage, CreateIngestionTasksRequest(integration=details, job=job)
+    )
+    resp = run_operation(
+        spark,
+        registry,
+        storage,
+        FetchProcessedDataRequest(integration=details, task=ct.tasks[0]),
+    )
+    assert isinstance(resp, FailureResponse)
+    assert resp.log_file is not None
+    with open(resp.log_file.location.uri()) as f:
+        assert "RuntimeError: kaput" in f.read()
