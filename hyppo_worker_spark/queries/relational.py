@@ -990,3 +990,73 @@ def q24_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q25 — scalar subquery + anti join (TPC-H Q22 pattern): customers with
+# above-average balance who never bought. The scalar aggregate is a
+# one-row broadcast; the anti join shuffles only the key columns.
+# --------------------------------------------------------------------------
+@register(
+    "q25_global_sales_opportunity",
+    oracle="""
+    SELECT c.c_mktsegment AS c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("subquery", "anti", "aggregation"),
+)
+def q25_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich customers with no large orders (scalar subquery + anti join)."""
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               count(*) AS n_customers,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q26 — histogram binning (width_bucket semantics via floor division):
+# order-value distribution in 50k-wide bins.
+# --------------------------------------------------------------------------
+@register(
+    "q26_price_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("aggregation", "histogram"),
+)
+def q26_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order total-price histogram with fixed-width bins."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    b = F.floor(F.col("o_totalprice") / 50000.0).cast("bigint")
+    return (
+        t["orders"]
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )

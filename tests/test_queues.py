@@ -1,0 +1,112 @@
+"""Work-queue table semantics: naming, TTL dead-lettering, ack/requeue,
+redelivery flags, rate EMA, logical rollup (reference analogs:
+``QueueCreationTests`` / ``QueueNamingTests`` / queueing invariants)."""
+
+from hyppo_worker_spark.model import (
+    ConcurrencyWorkResource,
+    IntegrationDetails,
+    ValidateIntegrationRequest,
+)
+from hyppo_worker_spark.scheduler.queues import QueueNaming, WorkQueueTable
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+    def advance(self, s):
+        self.t += s
+
+
+def _item(source="Src A", version=1, resources=()):
+    return ValidateIntegrationRequest(
+        integration=IntegrationDetails(
+            source_name=source, version_number=version, is_raw_data_integration=False
+        ),
+        resources=tuple(resources),
+    )
+
+
+def test_naming_scheme():
+    n = QueueNaming(prefix="p")
+    assert n.general == "p.general"
+    assert n.results == "p.results"
+    assert n.expired == "p.expired"
+    assert n.integration("My Source.x", 3) == "p.integration.My_Source-x-v3"
+    r = ConcurrencyWorkResource(name="db", concurrency=1)
+    with_res = n.integration("S", 1, (r,))
+    assert with_res.startswith("p.integration.S-v1.")
+    suffix = with_res.rsplit(".", 1)[1]
+    assert len(suffix) == 8
+    # same resource set → same suffix (deterministic md5)
+    assert with_res == n.integration("S", 1, (r,))
+    assert n.belongs_to_integration("S", 1, with_res)
+    assert not n.belongs_to_integration("S", 2, with_res)
+
+
+def test_enqueue_routes_to_integration_queue():
+    q = WorkQueueTable()
+    name = q.enqueue(_item("Src A"))
+    assert name == "hyppo.integration.Src_A-v1"
+    assert q.details(name).ready == 1
+
+
+def test_basic_get_moves_to_unacked_and_ack_clears():
+    q = WorkQueueTable()
+    name = q.enqueue(_item())
+    d = q.basic_get(name)
+    assert d is not None and not d.redelivered
+    st = q.details(name)
+    assert st.ready == 0 and st.unacknowledged == 1 and st.size == 1
+    q.ack(d)
+    st = q.details(name)
+    assert st.size == 0
+
+
+def test_reject_requeue_sets_redelivered():
+    q = WorkQueueTable()
+    name = q.enqueue(_item())
+    d1 = q.basic_get(name)
+    q.reject_requeue(d1)
+    assert q.details(name).ready == 1
+    d2 = q.basic_get(name)
+    assert d2.redelivered
+
+
+def test_ttl_dead_letters_to_expired():
+    clock = FakeClock()
+    q = WorkQueueTable(clock=clock)
+    name = q.enqueue(_item(), ttl_s=10.0)
+    q.enqueue(_item(), ttl_s=100.0, queue=name)
+    clock.advance(11.0)
+    expired = q.sweep_expired()
+    assert len(expired) == 1
+    assert expired[0][0] == name
+    assert q.details(name).ready == 1  # the long-TTL item survives
+
+
+def test_rate_ema_updates_on_ack():
+    clock = FakeClock()
+    q = WorkQueueTable(clock=clock)
+    name = q.enqueue(_item())
+    q.enqueue(_item(), queue=name)
+    d = q.basic_get(name)
+    q.ack(d)
+    assert q.details(name).rate == 0.0  # first completion: no interval yet
+    clock.advance(2.0)
+    d = q.basic_get(name)
+    q.ack(d)
+    assert q.details(name).rate > 0.0  # EMA of 1 completion / 2s
+
+
+def test_logical_rollup_groups_resource_suffixes():
+    q = WorkQueueTable()
+    r = ConcurrencyWorkResource(name="db", concurrency=1)
+    base = q.enqueue(_item("S"))
+    suff = q.enqueue(_item("S", resources=(r,)))
+    assert base != suff
+    rollup = q.logical_rollup()
+    assert rollup[base].size == 2  # both queues folded into the base entry

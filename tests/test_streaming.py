@@ -98,3 +98,45 @@ def test_idempotent_batch_sink(spark, tmp_path):
     assert sink.skipped == [7]
     sink(df, 8)
     assert written == [7, 8]
+
+
+def test_stateful_running_totals(spark, event_source_dir):
+    """applyInPandasWithState: final per-user state must equal the
+    batch aggregate; per-batch emissions must accumulate monotonically."""
+    from hyppo_worker_spark.streaming.stateful import stateful_running_totals
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(event_source_dir)
+    )
+    out = stateful_running_totals(stream.select("user_id", "value"))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM state_out").collect()
+    assert rows
+    # final cumulative state per user = last emission (max n_events)
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(event_source_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    expected = {r.user_id: (r.n, r.v) for r in batch.collect()}
+    assert final == expected
+    # monotone accumulation across batches per user
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert all(ns == sorted(ns) for ns in per_user.values())
