@@ -33,15 +33,20 @@ def knn_bruteforce(
 
     Returns (q_id, neighbor_id, cos_sim, rank); self-matches excluded.
     """
+    # Norms are precomputed per vector BEFORE the join: O(n+q) fold
+    # evaluations instead of O(n*q), and the joined plan carries a
+    # single dot-product expression (fast codegen).
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cnorm", V.norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("q_id"), V.as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qnorm", V.norm(F.col("qv")))
+    denom = F.col("qnorm") * F.col("cnorm")
+    cos = F.when(denom > 0, V.dot(F.col("qv"), F.col("cv")) / denom).otherwise(F.lit(0.0))
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(V.cosine(F.col("qv"), F.col("cv")), round_to))
+        .withColumn("cos_sim", F.round(cos, round_to))
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
@@ -66,14 +71,20 @@ def knn_sign_bucket(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         V.as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", V.sign_bucket(F.col("cv"), bits))
+    ).withColumn("bucket", V.sign_bucket(F.col("cv"), bits)).withColumn(
+        "cnorm", V.norm(F.col("cv"))
+    )
     q = queries.select(
         F.col(id_col).alias("q_id"), V.as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", V.sign_bucket(F.col("qv"), bits))
+    ).withColumn("bucket", V.sign_bucket(F.col("qv"), bits)).withColumn(
+        "qnorm", V.norm(F.col("qv"))
+    )
+    denom = F.col("qnorm") * F.col("cnorm")
+    cos = F.when(denom > 0, V.dot(F.col("qv"), F.col("cv")) / denom).otherwise(F.lit(0.0))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(V.cosine(F.col("qv"), F.col("cv")), round_to))
+        .withColumn("cos_sim", F.round(cos, round_to))
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
@@ -96,11 +107,17 @@ def cosine_neardup_pairs(
     moderate corpora; the bucketed variant (``knn_sign_bucket``
     composition) is the scale path.
     """
-    a = df.select(F.col(id_col).alias("a_id"), V.as_double(F.col(vec_col)).alias("av"))
-    b = df.select(F.col(id_col).alias("b_id"), V.as_double(F.col(vec_col)).alias("bv"))
+    a = df.select(
+        F.col(id_col).alias("a_id"), V.as_double(F.col(vec_col)).alias("av")
+    ).withColumn("anorm", V.norm(F.col("av")))
+    b = df.select(
+        F.col(id_col).alias("b_id"), V.as_double(F.col(vec_col)).alias("bv")
+    ).withColumn("bnorm", V.norm(F.col("bv")))
+    denom = F.col("anorm") * F.col("bnorm")
+    cos = F.when(denom > 0, V.dot(F.col("av"), F.col("bv")) / denom).otherwise(F.lit(0.0))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cos_sim", F.round(V.cosine(F.col("av"), F.col("bv")), round_to))
+        .withColumn("cos_sim", F.round(cos, round_to))
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", "cos_sim")
     )

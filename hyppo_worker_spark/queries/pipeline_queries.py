@@ -78,7 +78,12 @@ class LineitemIntegration(ProcessedDataIntegration):
         )
 
     def persist(self, spark: SparkSession, task, records: DataFrame) -> None:
-        records.write.mode("append").parquet(f"{self.out_dir}/final")
+        # Per-task output directory: concurrent tasks never share a
+        # commit staging area (same per-task layout as the reference's
+        # records zone).
+        records.write.mode("overwrite").parquet(
+            f"{self.out_dir}/final/task-{task.task_number}"
+        )
 
 
 class DocumentsRawIntegration(RawDataIntegration):
@@ -132,7 +137,9 @@ class DocumentsRawIntegration(RawDataIntegration):
         )
 
     def persist(self, spark: SparkSession, task, records: DataFrame) -> None:
-        records.write.mode("append").parquet(f"{self.out_dir}/final")
+        records.write.mode("overwrite").parquet(
+            f"{self.out_dir}/final/task-{task.task_number}"
+        )
 
 
 def _run_job(spark: SparkSession, integration, request_cls_chain) -> None:
@@ -141,7 +148,11 @@ def _run_job(spark: SparkSession, integration, request_cls_chain) -> None:
     registry = IntegrationRegistry()
     registry.register(integration)
     layout = StorageLayout(bucket=tempfile.mkdtemp(prefix="hyppo-pipeline-"))
-    engine = HyppoEngine(spark, registry, DataFileHandler(spark, layout), EngineConfig())
+    # 4 worker slots: tasks execute concurrently (Spark schedules the
+    # jobs from multiple driver threads), as a real deployment would.
+    engine = HyppoEngine(
+        spark, registry, DataFileHandler(spark, layout), EngineConfig(worker_count=4)
+    )
     details = integration.details()
     job = DataIngestionJob(source=IngestionSource(name=integration.source_name))
     is_raw = details.is_raw_data_integration
@@ -201,7 +212,7 @@ def p01_ingestion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist) → aggregate of the persisted output."""
     out_dir = tempfile.mkdtemp(prefix="hyppo-out-")
     _run_job(spark, LineitemIntegration(sf_dir, out_dir), None)
-    final = spark.read.parquet(f"{out_dir}/final")
+    final = spark.read.parquet(f"{out_dir}/final/task-*")
     return (
         final.groupBy("l_returnflag")
         .agg(
@@ -229,7 +240,7 @@ def p02_raw_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse) → aggregate of the persisted output."""
     out_dir = tempfile.mkdtemp(prefix="hyppo-out-")
     _run_job(spark, DocumentsRawIntegration(sf_dir, out_dir), None)
-    final = spark.read.parquet(f"{out_dir}/final")
+    final = spark.read.parquet(f"{out_dir}/final/task-*")
     return (
         final.groupBy("lang")
         .agg(

@@ -55,13 +55,42 @@ def _sql_stop_count(lang: str) -> str:
     tags=("text", "language-id"),
 )
 def t01_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-heuristic language ID vs the labeled lang column."""
+    """Stopword-heuristic language ID vs the labeled lang column.
+
+    Row-oriented scoring: explode tokens once, broadcast-join the
+    (lang, stopword) dim, count hits per (doc, lang) in one hash
+    aggregate — instead of 4 inlined filter-lambdas per doc (the
+    expression form compiles pathologically large codegen; same
+    lesson as the MinHash operator). Argmax + alphabetical tie-break
+    mirror functions.text.predict_lang and the oracle exactly.
+    """
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return (
-        docs.select(
-            TX.predict_lang(TX.tokens("text")).alias("predicted_lang"),
-            F.col("lang").alias("actual_lang"),
+    stop_dim = spark.createDataFrame(
+        [(lang, w) for lang, ws in sorted(TX.STOPWORDS.items()) for w in ws],
+        "slang string, w string",
+    )
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+    counts = (
+        toks.join(F.broadcast(stop_dim), "w")
+        .groupBy("doc_id")
+        .pivot("slang", sorted(TX.STOPWORDS))
+        .count()
+    )
+    scored = docs.join(counts, "doc_id", "left")
+    cs = {lang: F.coalesce(F.col(lang), F.lit(0)) for lang in sorted(TX.STOPWORDS)}
+    pred = (
+        F.when(
+            (cs["de"] > 0)
+            & (cs["de"] >= cs["en"]) & (cs["de"] >= cs["es"]) & (cs["de"] >= cs["fr"]),
+            "de",
         )
+        .when((cs["en"] > 0) & (cs["en"] >= cs["es"]) & (cs["en"] >= cs["fr"]), "en")
+        .when((cs["es"] > 0) & (cs["es"] >= cs["fr"]), "es")
+        .when(cs["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    return (
+        scored.select(pred.alias("predicted_lang"), F.col("lang").alias("actual_lang"))
         .groupBy("predicted_lang", "actual_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("predicted_lang", "actual_lang")

@@ -251,16 +251,29 @@ class HyppoEngine:
 
         counter_lock = threading.Lock()
         counters = [0]
+        active = [0]
 
         def slot_loop(idx: int):
             while True:
                 with counter_lock:
                     if max_items is not None and counters[0] >= max_items:
                         return
-                if not self.run_once(idx):
-                    return
-                with counter_lock:
-                    counters[0] += 1
+                    active[0] += 1
+                try:
+                    ran = self.run_once(idx)
+                finally:
+                    with counter_lock:
+                        active[0] -= 1
+                        if ran:
+                            counters[0] += 1
+                if not ran:
+                    # Idle — but a busy slot may still submit follow-up
+                    # work (response-chained pipelines). Only exit when
+                    # nobody is executing.
+                    with counter_lock:
+                        if active[0] == 0:
+                            return
+                    time.sleep(0.01)
 
         threads = [
             threading.Thread(target=slot_loop, args=(i,), daemon=True)

@@ -156,3 +156,25 @@ def test_affinity_set_after_execution(engine):
     slot = engine._slots[0]
     assert slot.affinity_source == "Test Source"
     assert slot.affinity_version == 1
+
+
+def test_multi_slot_response_chained_pipeline(spark, storage):
+    """Multi-slot drain must not exit while a busy slot is about to
+    submit chained follow-up work."""
+    registry = IntegrationRegistry()
+    stub = ProcessedDataStub()
+    registry.register(stub)
+    eng = HyppoEngine(spark, registry, storage, EngineConfig(worker_count=4))
+    details = stub.details()
+    job = DataIngestionJob(source=IngestionSource(name=stub.source_name))
+
+    @eng.responses.on_completed
+    def chain(resp):
+        if resp.input.operation is Operation.CREATE_INGESTION_TASKS:
+            for t in resp.tasks:
+                eng.submit(FetchProcessedDataRequest(integration=details, task=t))
+
+    eng.submit(CreateIngestionTasksRequest(integration=details, job=job))
+    n = eng.run_until_idle()
+    assert n == 2  # create + 1 fetch (stub creates one task)
+    assert not any(isinstance(r, FailureResponse) for r in eng.results_log)
