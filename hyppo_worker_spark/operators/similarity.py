@@ -121,3 +121,71 @@ def cosine_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", "cos_sim")
     )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style approximate KNN: the corpus is inverted-file
+    partitioned by nearest centroid; a query only scores its own
+    centroid's cell (nprobe=1).
+
+    Centroids here are the first ``n_centroids`` corpus vectors
+    (deterministic; a production build would k-means them — the
+    partitioning/probing plumbing is identical). Plan shape: one
+    broadcast of the tiny centroid set for assignment, one shuffle on
+    cell id for the probe join — compute drops by ~n_centroids vs
+    brute force.
+    """
+    cents = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cent_id"), V.as_double(F.col(vec_col)).alias("cent"))
+        .withColumn("cent_norm", V.norm(F.col("cent")))
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        v = df.select(F.col(idc).alias("__id"), V.as_double(F.col(vecc)).alias("__v"))
+        v = v.withColumn("__vnorm", V.norm(F.col("__v")))
+        scored = v.join(F.broadcast(cents)).withColumn(
+            "__sim",
+            V.dot(F.col("__v"), F.col("cent")) / (F.col("__vnorm") * F.col("cent_norm")),
+        )
+        w = W.partitionBy("__id").orderBy(F.col("__sim").desc(), "cent_id")
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__id"), F.col("__v"), F.col("__vnorm"), F.col("cent_id").alias("cell"))
+        )
+
+    c = assign(corpus, id_col, vec_col).select(
+        F.col("__id").alias("neighbor_id"),
+        F.col("__v").alias("cv"),
+        F.col("__vnorm").alias("cnorm"),
+        "cell",
+    )
+    q = assign(queries, id_col, vec_col).select(
+        F.col("__id").alias("q_id"),
+        F.col("__v").alias("qv"),
+        F.col("__vnorm").alias("qnorm"),
+        "cell",
+    )
+    cos = F.round(
+        V.dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), round_to
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cos)
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -113,3 +113,38 @@ def s03_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: exact all-pairs cosine ≥ 0.42."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return S.cosine_neardup_pairs(emb, threshold=0.42).orderBy("a_id", "b_id")
+
+
+@register(
+    "s04_knn_ivf",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    cents AS (SELECT vec_id AS cent_id, v AS cent FROM vecs WHERE vec_id < 8),
+    assigned AS (
+        SELECT vec_id, v, cent_id AS cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY {_cos('vecs.v', 'cents.cent')} DESC, cent_id) AS rn
+        FROM vecs, cents
+    ),
+    cells AS (SELECT vec_id, v, cell FROM assigned WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, v AS qv, cell FROM cells WHERE vec_id < 20),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               round({_cos('q.qv', 'c.v')}, 6) AS cos_sim
+        FROM q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim, rank FROM ranked
+    WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    tags=("similarity", "knn", "ivf", "approximate"),
+)
+def s04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-5 neighbors (nprobe=1)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.knn_ivf(emb, queries, k=5, n_centroids=8).orderBy("q_id", "rank")

@@ -81,6 +81,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     """
     from pyspark.sql import functions as F
 
+    # The driver may invoke queries with ITS OWN session; pin the
+    # runtime-settable confs every oracle comparison depends on
+    # (timestamp→string formatting must agree with DuckDB's UTC-naive
+    # timestamps regardless of host timezone).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     dfs = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")

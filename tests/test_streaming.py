@@ -140,3 +140,35 @@ def test_stateful_running_totals(spark, event_source_dir):
     for r in rows:
         per_user.setdefault(r.user_id, []).append(r.n_events)
     assert all(ns == sorted(ns) for ns in per_user.values())
+
+
+def test_stream_stream_interval_join(spark, event_source_dir):
+    """Stream-stream join result must equal the equivalent batch join."""
+    from hyppo_worker_spark.streaming.pipeline import click_purchase_interval_join
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = split(spark.readStream.schema(EVENTS_SCHEMA).parquet(event_source_dir))
+    out = click_purchase_interval_join(sc, sp, within="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.click_id, r.purchase_ts) for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    bc, bp = split(spark.read.parquet(event_source_dir))
+    batch = click_purchase_interval_join(
+        bc.withColumnRenamed("x", "x"), bp
+    )  # same builder works on batch DFs (watermark is a no-op)
+    expected = {(r.click_id, r.purchase_ts) for r in batch.collect()}
+    assert got == expected
+    assert got  # non-trivial
