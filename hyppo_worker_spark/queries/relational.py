@@ -1060,3 +1060,37 @@ def q26_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# q27 — sketch-based approximate aggregates: HyperLogLog++ distinct
+# counts and quantile sketches. THE scale path for distincts and
+# percentiles at 100 TB (bounded memory, one pass, mergeable partial
+# sketches). No SQL oracle: sketch algorithms differ across engines by
+# design, so the driver records the weaker rows-only check; the exact
+# twins (q11, q23) carry the value-level correctness burden, and the
+# relative-error contract is asserted in tests/test_plans.py's sibling
+# suite.
+# --------------------------------------------------------------------------
+@register(
+    "q27_approx_aggregates",
+    oracle=None,
+    tags=("aggregation", "approximate", "sketch"),
+)
+def q27_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distincts (HLL++, rsd=0.02) and quantile sketches."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.75], 10000
+            ).alias("approx_iqr"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

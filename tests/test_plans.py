@@ -74,3 +74,31 @@ def test_asof_single_shuffle(spark, registry):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q27_approx_within_error_bounds(spark, registry):
+    """Sketches aren't oracle-comparable; pin their error contract
+    against the exact aggregates instead."""
+    rows = {
+        r.l_returnflag: r
+        for r in registry["q27_approx_aggregates"].spark_fn(spark, SF_DIR).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.l_returnflag: r
+        for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    for flag, r in rows.items():
+        e = exact[flag]
+        assert abs(r.approx_parts - e.parts) / e.parts < 0.1
+        assert abs(r.approx_orders - e.orders) / e.orders < 0.1
+        assert abs(r.approx_median - e.median) / abs(e.median) < 0.05
+        assert r.approx_iqr[0] <= r.approx_median <= r.approx_iqr[1]
