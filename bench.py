@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "q19_event_time_windows",
     "d01_exact_dedup_groups",
     "d03_minhash_lsh_pairs",
+    "d06_training_corpus_pipeline",
     "t01_language_id",
     "t02_quality_scores",
     "s01_knn_cosine_bruteforce",

@@ -224,3 +224,71 @@ def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).orderBy(
         "a_id", "b_id"
     )
+
+
+@register(
+    "d06_training_corpus_pipeline",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.a_id
+        JOIN sh b ON b.doc_id = c.b_id
+        WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+              / (len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.8
+    ),
+    quality AS (
+        SELECT t.doc_id, t.lang, t.source, d.n_chars, len(t.w) AS n_tokens
+        FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+        WHERE d.n_chars >= 120 AND len(t.w) >= 20
+          AND t.lang IN ('en', 'de', 'fr')
+    ),
+    kept AS (
+        SELECT q.* FROM quality q
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = q.doc_id)
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           sum(n_tokens) AS total_tokens
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    tags=("dedup", "pipeline", "training-data", "flagship"),
+)
+def d06_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation pipeline over documents:
+    quality filter (length + token count) → language allowlist →
+    near-duplicate removal (drop the higher doc_id of every verified
+    MinHash/LSH pair) → per-language corpus statistics.
+
+    The composition is the point: every stage is the same declarative
+    operator the suite tests individually, so Catalyst optimizes
+    across stage boundaries (the quality filter prunes the anti-join
+    probe side; the pair computation is shared CTE work at 100 TB).
+    """
+    from hyppo_worker_spark.functions import text as TX
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = TX.tokens("text")
+    quality = docs.withColumn("n_tokens", F.size(toks)).filter(
+        (F.col("n_chars") >= 120)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("lang").isin("en", "de", "fr"))
+    )
+    dup_ids = (
+        D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=12, bands=6, threshold=0.8)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    kept = quality.join(dup_ids, "doc_id", "left_anti")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
