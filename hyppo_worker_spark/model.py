@@ -520,3 +520,21 @@ def open_work(sealed: str, key: bytes) -> WorkInput:
     if not _hmac.compare_digest(sig, expect):
         raise EnvelopeIntegrityError("work envelope signature mismatch")
     return deserialize_work(body)
+
+
+# ---------------------------------------------------------------------------
+# Mid-operation status updates
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class StatusUpdate:
+    """Progress frame emitted while an operation runs — the analog of
+    the executor's ``StatusUpdate`` JSON frames
+    (``executor/.../proto/stat/*.java``, consumed by
+    ``worker/.../proc/SimpleCommander.scala:46-53``)."""
+
+    execution_id: str
+    operation: Operation
+    phase: str  # e.g. validated | fetched | wrote_records | persisted
+    detail: dict[str, Any] = field(default_factory=dict)

@@ -20,6 +20,7 @@ from pyspark.sql import SparkSession
 
 from hyppo_worker_spark.model import (
     CreateIngestionTasksRequest,
+    StatusUpdate,
     CreateIngestionTasksResponse,
     DataIngestionTask,
     FailureResponse,
@@ -263,6 +264,7 @@ def run_operation(
     handler: DataFileHandler,
     item: WorkInput,
     capture_logs: bool = True,
+    on_status: Callable[[StatusUpdate], None] | None = None,
 ) -> WorkResponse:
     """Dispatch one work item; failures become ``FailureResponse`` with
     the chained structured exception (never raises).
@@ -285,12 +287,33 @@ def run_operation(
             logging.Formatter("%(asctime)s %(levelname)s %(name)s %(message)s")
         )
         logging.getLogger().addHandler(log_handler)
+    def emit(phase: str, **detail) -> None:
+        if on_status is not None:
+            on_status(
+                StatusUpdate(
+                    execution_id=item.execution_id,
+                    operation=item.operation,
+                    phase=phase,
+                    detail=detail,
+                )
+            )
+
     try:
+        emit("started")
         response = _DISPATCH[item.operation](spark, registry, handler, item)
+        detail = {}
+        data = getattr(response, "data", None)
+        if data is not None:
+            if isinstance(data, tuple):
+                detail["n_files"] = len(data)
+            elif hasattr(data, "record_count"):
+                detail["record_count"] = data.record_count
+        emit("completed", **detail)
     except Exception as e:  # noqa: BLE001
         response = FailureResponse(
             input=item, exception=IntegrationException.from_exception(e)
         )
+        emit("failed", exception=type(e).__name__)
         if capture_logs:
             buf.write(
                 f"FAILURE {response.exception.exception_class}: "

@@ -34,6 +34,7 @@ from pyspark.sql import SparkSession
 from hyppo_worker_spark.model import (
     FailureResponse,
     Operation,
+    StatusUpdate,
     WorkInput,
     WorkResponse,
 )
@@ -73,6 +74,7 @@ class ResponseHandler:
         self._completed: dict[Operation | None, list[Callable[[WorkResponse], None]]] = {}
         self._failed: list[Callable[[FailureResponse], None]] = []
         self._expired: list[Callable[[WorkInput], None]] = []
+        self._status: list[Callable[[StatusUpdate], None]] = []
 
     def on_completed(self, fn: Callable[[WorkResponse], None], operation: Operation | None = None):
         self._completed.setdefault(operation, []).append(fn)
@@ -85,6 +87,15 @@ class ResponseHandler:
     def on_expired(self, fn: Callable[[WorkInput], None]):
         self._expired.append(fn)
         return fn
+
+    def on_status(self, fn: Callable[[StatusUpdate], None]):
+        """Mid-operation progress frames (StatusUpdate phases)."""
+        self._status.append(fn)
+        return fn
+
+    def dispatch_status(self, update: StatusUpdate) -> None:
+        for fn in self._status:
+            fn(update)
 
     def dispatch_response(self, response: WorkResponse) -> None:
         if isinstance(response, FailureResponse):
@@ -104,10 +115,21 @@ class ResponseHandler:
 
 @dataclass
 class _WorkerSlot:
+    """Worker slot with an explicit state machine — the in-process
+    analog of the reference's WorkerFSM lifecycle
+    Idle→LoadingCode→Running→Available (``WorkerFSM.scala:52-259``;
+    code loading collapses to registry resolution in-process)."""
+
     index: int
+    state: str = "idle"  # idle | running | publishing
     affinity_source: str | None = None
     affinity_version: int | None = None
     affinity_at: float = 0.0
+    transitions: list = field(default_factory=list)
+
+    def transition(self, state: str) -> None:
+        self.state = state
+        self.transitions.append(state)
 
 
 class HyppoEngine:
@@ -204,6 +226,7 @@ class HyppoEngine:
 
     def _execute(self, slot: _WorkerSlot, delivery, leases) -> None:
         item: WorkInput = delivery.item.input
+        slot.transition("running")
         acked_early = False
         if not item.idempotent:
             # Unsafe persist: ack BEFORE running (at-most-once).
@@ -211,10 +234,15 @@ class HyppoEngine:
             acked_early = True
         try:
             response = run_operation(
-                self.spark, self.registry, self.data_handler, item
+                self.spark,
+                self.registry,
+                self.data_handler,
+                item,
+                on_status=self.responses.dispatch_status,
             )
         finally:
             self.resources.release_all(leases)
+        slot.transition("publishing")
         if not acked_early:
             self.queues.ack(delivery)
         slot.affinity_source = item.integration.source_name
@@ -223,6 +251,7 @@ class HyppoEngine:
         with self._lock:
             self.results_log.append(response)
         self.responses.dispatch_response(response)
+        slot.transition("idle")
 
     def _sweep_expired(self) -> None:
         for _queue_name, qitem in self.queues.sweep_expired():

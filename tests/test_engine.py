@@ -178,3 +178,39 @@ def test_multi_slot_response_chained_pipeline(spark, storage):
     n = eng.run_until_idle()
     assert n == 2  # create + 1 fetch (stub creates one task)
     assert not any(isinstance(r, FailureResponse) for r in eng.results_log)
+
+
+def test_status_updates_and_slot_fsm(engine):
+    stub = ProcessedDataStub()
+    engine.registry.register(stub)
+    details = stub.details()
+    job = DataIngestionJob(source=IngestionSource(name=stub.source_name))
+    updates = []
+    engine.responses.on_status(updates.append)
+    engine.submit(CreateIngestionTasksRequest(integration=details, job=job))
+    engine.run_until_idle()
+    phases = [u.phase for u in updates]
+    assert phases == ["started", "completed"]
+    assert updates[0].operation is Operation.CREATE_INGESTION_TASKS
+    slot = engine._slots[0]
+    assert slot.state == "idle"
+    assert slot.transitions == ["running", "publishing", "idle"]
+
+
+def test_status_updates_on_failure(engine, spark, storage):
+    class Bad(ProcessedDataStub):
+        source_name = "StatusBad"
+
+        def create_tasks(self, job):
+            raise RuntimeError("planner died")
+
+    stub = Bad()
+    engine.registry.register(stub)
+    details = stub.details()
+    job = DataIngestionJob(source=IngestionSource(name=stub.source_name))
+    updates = []
+    engine.responses.on_status(updates.append)
+    engine.submit(CreateIngestionTasksRequest(integration=details, job=job))
+    engine.run_until_idle()
+    assert [u.phase for u in updates] == ["started", "failed"]
+    assert updates[-1].detail["exception"] == "RuntimeError"
