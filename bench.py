@@ -52,26 +52,26 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("bench")
 
-    # Warm-up pass at the smallest SF: identical plans → identical
-    # generated code, so the timed sf runs hit the codegen/JIT caches
-    # and measure execution, not janino compilation.
+    # Per-query warm-up at the smallest SF immediately before its
+    # timed run: identical plans → identical generated code, so the
+    # timed run hits the codegen/JIT caches and measures execution,
+    # not janino compilation. Interleaved (not a separate pass)
+    # because the codegen class cache is a bounded LRU — warming all
+    # queries first evicts the early entries before they're timed.
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in BENCH_QUERIES:
-            q = registry.get(name)
-            if q is None:
-                continue
-            try:
-                q.spark_fn(spark, warm_dir).count()
-            except Exception:  # noqa: BLE001
-                pass
-            clear_cache(spark)
+    warm = os.path.isdir(warm_dir)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = registry.get(name)
         if q is None:
             continue
+        if warm:
+            try:
+                q.spark_fn(spark, warm_dir).count()
+            except Exception:  # noqa: BLE001
+                pass
+            clear_cache(spark)
         t0 = time.time()
         df = q.spark_fn(spark, sf_dir)
         n = df.count() if df.isStreaming is False else -1
