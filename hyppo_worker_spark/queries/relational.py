@@ -1094,3 +1094,103 @@ def q27_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q28 — min-per-group join-back (TPC-H Q2 pattern): cheapest supplier
+# per nation, resolved via a per-group minimum joined back on the key
+# pair. At scale both sides co-partition on the group key; no window
+# over the full fact needed.
+# --------------------------------------------------------------------------
+@register(
+    "q28_cheapest_supplier_per_nation",
+    oracle="""
+    WITH mn AS (
+        SELECT s_nationkey, min(s_acctbal) AS min_bal FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n.n_name AS nation_name, s.s_name AS s_name,
+           round(s.s_acctbal, 2) AS acctbal
+    FROM supplier s
+    JOIN mn ON s.s_nationkey = mn.s_nationkey AND s.s_acctbal = mn.min_bal
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY nation_name, s_name
+    """,
+    tags=("join", "argmin", "aggregation"),
+)
+def q28_cheapest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers holding their nation's minimum account balance."""
+    t = load_tables(spark, sf_dir, ("supplier", "nation"))
+    mn = t["supplier"].groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        t["supplier"]
+        .join(
+            mn,
+            (F.col("s_nationkey") == F.col("nk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_name").alias("nation_name"),
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("nation_name", "s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q29 — extended window-function coverage: ntile, percent_rank,
+# first/last value frames, lead — one pass over orders per priority.
+# --------------------------------------------------------------------------
+@register(
+    "q29_order_window_suite",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               ntile(4)       OVER p AS price_quartile,
+               round(percent_rank() OVER p, 4) AS pct_rank,
+               round(first_value(o_totalprice) OVER (p ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND CURRENT ROW), 2) AS min_so_far,
+               round(coalesce(lead(o_totalprice) OVER p, -1.0), 2) AS next_price
+        FROM orders
+        WINDOW p AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT o_orderpriority AS o_orderpriority,
+           price_quartile,
+           count(*) AS n,
+           round(sum(pct_rank), 3) AS sum_pct_rank,
+           round(min(min_so_far), 2) AS min_price,
+           round(sum(next_price), 2) AS sum_next
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("window", "ntile", "rank"),
+)
+def q29_order_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/first_value/lead over orders, summarized."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    p = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    frame = p.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = (
+        t["orders"]
+        .select(
+            "o_orderpriority",
+            F.ntile(4).over(p).alias("price_quartile"),
+            F.round(F.percent_rank().over(p), 4).alias("pct_rank"),
+            F.round(F.first("o_totalprice").over(frame), 2).alias("min_so_far"),
+            F.round(
+                F.coalesce(F.lead("o_totalprice").over(p), F.lit(-1.0)), 2
+            ).alias("next_price"),
+        )
+    )
+    return (
+        w.groupBy("o_orderpriority", "price_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("pct_rank"), 3).alias("sum_pct_rank"),
+            F.round(F.min("min_so_far"), 2).alias("min_price"),
+            F.round(F.sum("next_price"), 2).alias("sum_next"),
+        )
+        .orderBy("o_orderpriority", "price_quartile")
+    )
