@@ -1194,3 +1194,68 @@ def q29_order_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "price_quartile")
     )
+
+
+# --------------------------------------------------------------------------
+# q30 — MERGE/upsert semantics (operators/merge.py): a deterministic
+# update batch (every 5th customer gets +100 balance; 10 synthetic new
+# customers) upserted into the customer dimension, last-writer-wins.
+# --------------------------------------------------------------------------
+@register(
+    "q30_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'new-' || c_custkey, c_nationkey,
+               0.0, 'MACHINERY'
+        FROM customer WHERE c_custkey < 10
+    ),
+    merged AS (
+        SELECT * FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+        UNION ALL
+        SELECT * FROM updates
+    )
+    SELECT c_mktsegment AS c_mktsegment,
+           count(*) AS n,
+           round(sum(c_acctbal), 2) AS total_bal,
+           sum(CASE WHEN c_custkey >= 1000000 THEN 1 ELSE 0 END) AS n_inserted
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+    tags=("merge", "upsert", "cdc"),
+)
+def q30_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a deterministic update batch into customer, then audit."""
+    from hyppo_worker_spark.operators.merge import merge_upsert
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    cust = t["customer"]
+    changed = cust.filter(F.col("c_custkey") % 5 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)
+    )
+    inserted = (
+        cust.filter(F.col("c_custkey") < 10)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("new-"), F.col("c_custkey")).alias("c_name"),
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("MACHINERY").alias("c_mktsegment"),
+        )
+    )
+    updates = changed.unionByName(inserted)
+    merged = merge_upsert(cust, updates, "c_custkey")
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.sum(
+                F.when(F.col("c_custkey") >= 1000000, 1).otherwise(0)
+            ).alias("n_inserted"),
+        )
+        .orderBy("c_mktsegment")
+    )
