@@ -234,3 +234,61 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id", max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list:
+    (node, component) where component = minimum node id reachable.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds. Each round is one shuffle on node
+    id — the standard large-graph pattern (a real 100 TB deployment
+    would use the large-star/small-star optimization; the fixpoint
+    loop and convergence check are the same).
+
+    Near-dup pairs from MinHash/LSH feed this to turn pairwise matches
+    into dedup clusters with a canonical (minimum) document per
+    cluster.
+    """
+    both = (
+        edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
+        .unionByName(edges.select(F.col(dst).alias("eu"), F.col(src).alias("ev")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        both.select(F.col("eu").alias("node")).distinct().withColumn(
+            "comp", F.col("node")
+        )
+    ).persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, F.col("ev") == F.col("node"), "inner")
+            .select(F.col("eu").alias("nnode"), F.col("comp"))
+            .groupBy("nnode")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, F.col("node") == F.col("nnode"), "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+        ).persist()
+        changed = (
+            new_labels.select(F.col("node").alias("n_node"), F.col("comp").alias("n_comp"))
+            .join(
+                labels.select(F.col("node").alias("o_node"), F.col("comp").alias("o_comp")),
+                F.col("n_node") == F.col("o_node"),
+            )
+            .filter(F.col("n_comp") != F.col("o_comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")

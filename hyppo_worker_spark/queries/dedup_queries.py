@@ -292,3 +292,58 @@ def d06_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "d07_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_SIG},
+    pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.a_id
+        JOIN sh b ON b.doc_id = c.b_id
+        WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+              / (len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.8
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION
+        SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    paths AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT p.u, e.v FROM paths p JOIN edges e ON p.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, least(u, min(v)) AS comp
+        FROM paths GROUP BY u
+    )
+    SELECT comp AS cluster_id,
+           count(*) AS n_docs,
+           min(node) AS min_doc,
+           max(node) AS max_doc
+    FROM comp GROUP BY comp ORDER BY cluster_id
+    """,
+    tags=("dedup", "graph", "connected-components"),
+)
+def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: MinHash pairs → connected components
+    (min-label propagation) → per-cluster membership stats."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=12, bands=6, threshold=0.8
+    )
+    comp = D.connected_components(pairs)
+    return (
+        comp.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("node").alias("min_doc"),
+            F.max("node").alias("max_doc"),
+        )
+        .orderBy("cluster_id")
+    )

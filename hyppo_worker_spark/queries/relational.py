@@ -1150,7 +1150,11 @@ def q28_cheapest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
     WITH w AS (
         SELECT o_orderkey, o_orderpriority, o_totalprice,
                ntile(4)       OVER p AS price_quartile,
-               round(percent_rank() OVER p, 4) AS pct_rank,
+               -- percent_rank * (n-1) is the exact integer rank-1:
+               -- float-boundary-safe for cross-engine hashing
+               CAST(round(percent_rank() OVER p *
+                    (count(*) OVER (PARTITION BY o_orderpriority) - 1)) AS BIGINT)
+                   AS rank0,
                round(first_value(o_totalprice) OVER (p ROWS BETWEEN UNBOUNDED PRECEDING
                                                      AND CURRENT ROW), 2) AS min_so_far,
                round(coalesce(lead(o_totalprice) OVER p, -1.0), 2) AS next_price
@@ -1160,7 +1164,7 @@ def q28_cheapest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
     SELECT o_orderpriority AS o_orderpriority,
            price_quartile,
            count(*) AS n,
-           round(sum(pct_rank), 3) AS sum_pct_rank,
+           sum(rank0) AS sum_rank0,
            round(min(min_so_far), 2) AS min_price,
            round(sum(next_price), 2) AS sum_next
     FROM w GROUP BY 1, 2 ORDER BY 1, 2
@@ -1172,12 +1176,16 @@ def q29_order_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders",))
     p = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     frame = p.rowsBetween(W.unboundedPreceding, W.currentRow)
+    whole = W.partitionBy("o_orderpriority")
+    rank0 = F.round(
+        F.percent_rank().over(p) * (F.count(F.lit(1)).over(whole) - 1)
+    ).cast("bigint")
     w = (
         t["orders"]
         .select(
             "o_orderpriority",
             F.ntile(4).over(p).alias("price_quartile"),
-            F.round(F.percent_rank().over(p), 4).alias("pct_rank"),
+            rank0.alias("rank0"),
             F.round(F.first("o_totalprice").over(frame), 2).alias("min_so_far"),
             F.round(
                 F.coalesce(F.lead("o_totalprice").over(p), F.lit(-1.0)), 2
@@ -1188,7 +1196,7 @@ def q29_order_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.groupBy("o_orderpriority", "price_quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("pct_rank"), 3).alias("sum_pct_rank"),
+            F.sum("rank0").alias("sum_rank0"),
             F.round(F.min("min_so_far"), 2).alias("min_price"),
             F.round(F.sum("next_price"), 2).alias("sum_next"),
         )
