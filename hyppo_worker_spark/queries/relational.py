@@ -1267,3 +1267,36 @@ def q30_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# q31 — multiset set operations (EXCEPT ALL / INTERSECT ALL preserve
+# duplicates, unlike the distinct set ops in q10).
+# --------------------------------------------------------------------------
+@register(
+    "q31_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'),
+         b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+    SELECT 'a_minus_b' AS op, count(*) AS n
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t
+    UNION ALL
+    SELECT 'a_intersect_b' AS op, count(*) AS n
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t
+    ORDER BY op
+    """,
+    tags=("setops", "multiset"),
+)
+def q31_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptAll/intersectAll cardinalities over supplier key bags."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    minus = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("a_minus_b").alias("op"), "n"
+    )
+    inter = a.intersectAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("a_intersect_b").alias("op"), "n"
+    )
+    return minus.union(inter).orderBy("op")
