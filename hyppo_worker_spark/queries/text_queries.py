@@ -217,3 +217,34 @@ def t04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "t05_token_frequencies",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    ex AS (SELECT unnest(w) AS token FROM tok)
+    SELECT token, count(*) AS freq
+    FROM ex
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+    tags=("text", "explode", "topk"),
+)
+def t05_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 token frequencies (explode → agg → top-k).
+
+    The canonical vocabulary-building pass: explode fans each doc into
+    token rows, the aggregation combines map-side, and the top-k is a
+    TakeOrderedAndProject — at 100 TB the exchange carries only
+    (token, partial count) pairs.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(20)
+    )
