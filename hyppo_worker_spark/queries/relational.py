@@ -1300,3 +1300,48 @@ def q31_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("a_intersect_b").alias("op"), "n"
     )
     return minus.union(inter).orderBy("op")
+
+
+# --------------------------------------------------------------------------
+# q32 — unpivot (stack): wide measure columns → (measure, value) rows,
+# then aggregate per measure. The columnar-to-long reshape costs one
+# narrow projection (no shuffle until the aggregate).
+# --------------------------------------------------------------------------
+@register(
+    "q32_unpivot_measures",
+    oracle="""
+    WITH long AS (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag AS l_returnflag, measure,
+           count(*) AS n,
+           round(sum(value), 2) AS total,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM long GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("unpivot", "reshape", "aggregation"),
+)
+def q32_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot three lineitem measures into long form and summarize."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    long = t["lineitem"].selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', l_quantity, "
+        "'extendedprice', l_extendedprice, "
+        "'discount', l_discount) AS (measure, value)",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
