@@ -1345,3 +1345,36 @@ def q32_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "measure")
     )
+
+
+# --------------------------------------------------------------------------
+# q33 — array aggregation: collect_set/array_agg folded to a sorted,
+# joined string so the result hashes identically across engines.
+# --------------------------------------------------------------------------
+@register(
+    "q33_array_agg",
+    oracle="""
+    SELECT o_orderpriority AS o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("aggregation", "array-agg"),
+)
+def q33_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct order statuses per priority as a sorted joined list."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+                "statuses"
+            ),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
