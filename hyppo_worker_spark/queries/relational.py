@@ -1378,3 +1378,42 @@ def q33_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q34 — date/time arithmetic and field extraction: order-to-ship
+# latency joined across fact tables, grouped by order year/quarter.
+# --------------------------------------------------------------------------
+@register(
+    "q34_ship_latency",
+    oracle="""
+    SELECT extract(year FROM o.o_orderdate) AS order_year,
+           extract(quarter FROM o.o_orderdate) AS order_quarter,
+           count(*) AS n_lineitems,
+           round(avg(date_diff('day', o.o_orderdate, l.l_shipdate)), 4) AS avg_ship_days,
+           min(date_diff('day', o.o_orderdate, l.l_shipdate)) AS min_ship_days,
+           max(date_diff('day', o.o_orderdate, l.l_shipdate)) AS max_ship_days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("scalar", "date", "join"),
+)
+def q34_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average days from order to line shipment by year/quarter."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.avg(days), 4).alias("avg_ship_days"),
+            F.min(days).alias("min_ship_days"),
+            F.max(days).alias("max_ship_days"),
+        )
+        .orderBy("order_year", "order_quarter")
+    )
