@@ -1417,3 +1417,38 @@ def q34_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year", "order_quarter")
     )
+
+
+# --------------------------------------------------------------------------
+# q35 — conditional/boolean aggregates: count_if, bool_and/bool_or,
+# sum(DISTINCT) — one pass per group.
+# --------------------------------------------------------------------------
+@register(
+    "q35_conditional_aggregates",
+    oracle="""
+    SELECT l_linestatus AS l_linestatus,
+           count_if(l_discount > 0.05) AS n_discounted,
+           count_if(l_quantity >= 25) AS n_bulk,
+           bool_and(l_extendedprice > 0) AS all_priced,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("aggregation", "conditional", "boolean"),
+)
+def q35_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or / sum(DISTINCT) per line status."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+            F.bool_and(F.col("l_extendedprice") > 0).alias("all_priced"),
+            F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+            F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
