@@ -51,6 +51,11 @@ def main() -> None:
 
     registry = load_all()
     spark = get_spark("bench")
+    # The bench artifact is parsed as signal: silence JVM ERROR/WARN
+    # stack traces (e.g. a failed warm-up's aborted-job log) for the
+    # duration of the run. Failures still surface via the one-line
+    # warmup note below and the process exit code.
+    spark.sparkContext.setLogLevel("FATAL")
 
     # Per-query warm-up at the smallest SF immediately before its
     # timed run: identical plans → identical generated code, so the
@@ -69,8 +74,14 @@ def main() -> None:
         if warm:
             try:
                 q.spark_fn(spark, warm_dir).count()
-            except Exception:  # noqa: BLE001
-                pass
+            except Exception as e:  # noqa: BLE001
+                # One line, no JVM stack trace: a failed warm-up only
+                # costs the codegen cache, and the trace would pollute
+                # the bench artifact the driver archives.
+                print(
+                    f"warmup {name} failed: {type(e).__name__}",
+                    file=sys.stderr,
+                )
             clear_cache(spark)
         t0 = time.time()
         df = q.spark_fn(spark, sf_dir)

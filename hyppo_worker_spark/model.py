@@ -335,9 +335,18 @@ class WorkResponse:
 
 @dataclass(frozen=True)
 class FailureResponse(WorkResponse):
-    """(``WorkerProtocol.scala:51-56``)"""
+    """(``WorkerProtocol.scala:51-56``)
+
+    ``attempt`` surfaces the delivery count the broker attached to the
+    in-flight item (the redelivery flag of ``QueueItemHeaders.scala:11-26``
+    generalized to a counter) so handlers can apply poison-message
+    policies. ``timed_out`` marks failures produced by the engine's
+    Running-state watchdog (``WorkerFSM.scala:125`` work-timeout), not
+    the connector itself."""
 
     exception: IntegrationException | None = None
+    attempt: int = 1
+    timed_out: bool = False
 
 
 @dataclass(frozen=True)
@@ -490,29 +499,84 @@ def deserialize_work(raw: str) -> WorkInput:
 #
 # The reference encrypts work items on the wire with AES-128-GCM using a
 # PBKDF2-derived key (worker/.../actor/amqp/AMQPEncryption.scala:12-60) —
-# authenticated encryption whose practical role in a trusted broker setup
-# is integrity + authenticity. The engine's in-driver queues don't cross a
-# network, but serialized work items may be persisted or relayed; the
-# envelope signs them with HMAC-SHA256 (stdlib-only; swap in Fernet/AES-GCM
-# where the cryptography package is available).
+# authenticated encryption: confidentiality (connector configs carry
+# credentials) plus integrity + authenticity. Where the ``cryptography``
+# package is importable the envelope uses the same AES-128-GCM +
+# PBKDF2-derived-key construction; in stdlib-only environments it falls
+# back to an HMAC-SHA256-signed plaintext envelope (integrity only —
+# documented divergence). ``open_work`` accepts both formats.
+
+try:  # pragma: no cover - availability depends on the environment
+    from cryptography.hazmat.primitives import hashes as _crypto_hashes
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM as _AESGCM
+    from cryptography.hazmat.primitives.kdf.pbkdf2 import PBKDF2HMAC as _PBKDF2HMAC
+
+    _HAVE_CRYPTO = True
+except ImportError:  # pragma: no cover
+    _HAVE_CRYPTO = False
+
+_GCM_PREFIX = "gcm1"
+_GCM_ITERATIONS = 65536  # PBKDF2 rounds, mirroring AMQPEncryption.scala:21
+_GCM_KEY_BYTES = 16  # AES-128
+_GCM_NONCE_BYTES = 12
 
 
 class EnvelopeIntegrityError(ValueError):
-    """Signature check failed — payload tampered or wrong key."""
+    """Authentication check failed — payload tampered or wrong key."""
+
+
+def _derive_key(key: bytes, salt: bytes) -> bytes:
+    kdf = _PBKDF2HMAC(
+        algorithm=_crypto_hashes.SHA256(),
+        length=_GCM_KEY_BYTES,
+        salt=salt,
+        iterations=_GCM_ITERATIONS,
+    )
+    return kdf.derive(key)
 
 
 def seal_work(item: WorkInput, key: bytes) -> str:
-    """Serialize + sign: returns ``<hex hmac>.<json>``."""
+    """Serialize + protect a work item for persistence/relay.
+
+    With ``cryptography`` available: AES-128-GCM under a per-message
+    PBKDF2(salt)-derived key — ``gcm1.<b64 salt>.<b64 nonce+ct>``.
+    Stdlib fallback: HMAC-SHA256-signed plaintext ``<hex hmac>.<json>``.
+    """
+    body = serialize_work(item)
+    if _HAVE_CRYPTO:
+        import base64
+        import os as _os
+
+        salt = _os.urandom(16)
+        nonce = _os.urandom(_GCM_NONCE_BYTES)
+        ct = _AESGCM(_derive_key(key, salt)).encrypt(nonce, body.encode(), None)
+        b64 = base64.urlsafe_b64encode
+        return f"{_GCM_PREFIX}.{b64(salt).decode()}.{b64(nonce + ct).decode()}"
     import hmac as _hmac
 
-    body = serialize_work(item)
     sig = _hmac.new(key, body.encode(), hashlib.sha256).hexdigest()
     return f"{sig}.{body}"
 
 
 def open_work(sealed: str, key: bytes) -> WorkInput:
-    """Verify the HMAC (constant-time) BEFORE deserializing, then
-    apply the type-allowlist gate."""
+    """Authenticate (and decrypt) BEFORE deserializing, then apply the
+    type-allowlist gate. Accepts both envelope formats."""
+    if sealed.startswith(_GCM_PREFIX + "."):
+        if not _HAVE_CRYPTO:
+            raise EnvelopeIntegrityError(
+                "encrypted envelope but cryptography package unavailable"
+            )
+        import base64
+
+        try:
+            _, salt_b64, blob_b64 = sealed.split(".", 2)
+            salt = base64.urlsafe_b64decode(salt_b64)
+            blob = base64.urlsafe_b64decode(blob_b64)
+            nonce, ct = blob[:_GCM_NONCE_BYTES], blob[_GCM_NONCE_BYTES:]
+            body = _AESGCM(_derive_key(key, salt)).decrypt(nonce, ct, None).decode()
+        except Exception as e:
+            raise EnvelopeIntegrityError(f"work envelope decrypt failed: {e}") from e
+        return deserialize_work(body)
     import hmac as _hmac
 
     sig, _, body = sealed.partition(".")

@@ -39,19 +39,35 @@ def asof_join(
     ]
     lcols = [c for c in left.columns]
 
+    # Carry ONE struct of all value columns per right row, not each
+    # column independently: with independent last(ignorenulls) a NULL
+    # in one value column of the matched right row would resurrect a
+    # stale value from an older right row (and mix columns from
+    # different right rows). A single struct is non-null exactly when
+    # the right ROW exists, so NULL fields propagate and every carried
+    # value comes from the same (latest) right row — true merge_asof
+    # semantics.
     tagged_left = left.select(
         F.col(by).alias("__by"),
         F.col(on).alias("__on"),
         F.lit(1).alias("__side"),  # left sorts after right on ties
         F.struct(*lcols).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+            )
+            + ">"
+        )
+        .alias("__vrow"),
     )
     tagged_right = right.select(
         F.col(by).alias("__by"),
         F.col(on).alias("__on"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(tagged_left.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vrow"),
     )
 
     unioned = tagged_left.unionByName(tagged_right)
@@ -63,12 +79,9 @@ def asof_join(
     carried = unioned.select(
         "__side",
         "__lrow",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in value_cols
-        ],
+        F.last("__vrow", ignorenulls=True).over(w).alias("__crow"),
     ).filter(F.col("__side") == 1)
     return carried.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in lcols],
-        *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col(f"__crow.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )

@@ -59,6 +59,49 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, df[id_col] == keep.keep_id, "left_semi")
 
 
+def _verify_pairs(docs: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs.
+
+    Row-oriented co-group: intersection sizes come from an equi-join of
+    exploded (doc, shingle) rows keyed (a_id, b_id, shingle), so the
+    shuffle carries narrow rows for CANDIDATE docs only — never both
+    full shingle arrays per pair (the array form ships every candidate
+    doc's whole set across the wire per pair and concentrates pair rows
+    in few tasks; rows spread evenly and AQE can split hot pairs).
+
+    Thresholding is on the UNROUNDED ratio — the oracles compare the
+    raw ratio >= threshold, and a pair with true Jaccard just below the
+    threshold would flip between engines if the filter saw the rounded
+    value. Round only the display column. Intersection/union sizes are
+    integers in both engines, so the final division is bit-identical.
+    """
+    ex = docs.select("did", F.explode("sh").alias("s"))
+    nsz = docs.select("did", F.size("sh").alias("n"))
+    ca = ex.join(cand, ex["did"] == cand["a_id"]).select("a_id", "b_id", "s")
+    cb = ex.join(cand, ex["did"] == cand["b_id"]).select(
+        F.col("a_id").alias("a2"), F.col("b_id").alias("b2"), "s"
+    )
+    inter = (
+        ca.join(
+            cb,
+            (F.col("a_id") == F.col("a2"))
+            & (F.col("b_id") == F.col("b2"))
+            & (ca["s"] == cb["s"]),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("icnt"))
+    )
+    na = nsz.select(F.col("did").alias("a_id"), F.col("n").alias("na"))
+    nb = nsz.select(F.col("did").alias("b_id"), F.col("n").alias("nb"))
+    raw = F.col("icnt") / (F.col("na") + F.col("nb") - F.col("icnt"))
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .filter(raw >= threshold)
+        .select("a_id", "b_id", F.round(raw, 3).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -151,15 +194,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sa = docs.select(F.col("did").alias("a_id"), F.col("sh").alias("sh_a"))
-    sb = docs.select(F.col("did").alias("b_id"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(sa, "a_id")
-        .join(sb, "b_id")
-        .withColumn("jaccard", F.round(TX.jaccard(F.col("sh_a"), F.col("sh_b")), 3))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    return _verify_pairs(docs, cand, threshold)
 
 
 def simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -225,14 +260,43 @@ def ngram_jaccard_pairs(
         .select(F.col("l.did").alias("a_id"), F.col("r.did").alias("b_id"))
         .distinct()
     )
-    sa = docs.select(F.col("did").alias("a_id"), F.col("sh").alias("sh_a"))
-    sb = docs.select(F.col("did").alias("b_id"), F.col("sh").alias("sh_b"))
+    return _verify_pairs(docs, cand, threshold)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node's LARGER neighbors re-attach to
+    the minimum of its neighborhood (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014 — public algorithm)."""
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
     return (
-        cand.join(sa, "a_id")
-        .join(sb, "b_id")
-        .withColumn("jaccard", F.round(TX.jaccard(F.col("sh_a"), F.col("sh_b")), 3))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
+        und.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient edges large→small, then each node's
+    SMALLER neighbors (and itself) attach to the minimum."""
+    directed = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("mn"))
+    attached = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("mn").alias("v"))
+    return (
+        attached.unionByName(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
     )
 
 
@@ -240,55 +304,50 @@ def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id",
     """Connected components over an undirected edge list:
     (node, component) where component = minimum node id reachable.
 
-    Iterative min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds. Each round is one shuffle on node
-    id — the standard large-graph pattern (a real 100 TB deployment
-    would use the large-star/small-star optimization; the fixpoint
-    loop and convergence check are the same).
+    Alternating large-star/small-star rounds (Kiveris et al., 2014):
+    converges in O(log n) rounds even on long chains — unlike plain
+    min-label propagation, whose O(diameter) rounds make chain graphs
+    pathological at scale. Each round is two shuffles (groupBy min +
+    re-attach join) over the EDGE set only; no node-labels frame is
+    carried between rounds. Lineage is truncated per round with an
+    eager ``localCheckpoint`` — without it the iterative plan nests
+    exponentially (a 13-round chain graph overflowed Spark's 2 GB plan
+    string before this). On a real cluster use ``checkpoint()`` to
+    reliable storage instead for fault tolerance.
 
     Near-dup pairs from MinHash/LSH feed this to turn pairwise matches
     into dedup clusters with a canonical (minimum) document per
     cluster.
     """
-    both = (
-        edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
-        .unionByName(edges.select(F.col(dst).alias("eu"), F.col(src).alias("ev")))
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        both.select(F.col("eu").alias("node")).distinct().withColumn(
-            "comp", F.col("node")
-        )
-    ).persist()
+    nodes = (
+        e.select("u")
+        .unionByName(e.select(F.col("v").alias("u")))
+        .distinct()
+        .withColumnRenamed("u", "node")
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
-        neighbor_min = (
-            both.join(labels, F.col("ev") == F.col("node"), "inner")
-            .select(F.col("eu").alias("nnode"), F.col("comp"))
-            .groupBy("nnode")
-            .agg(F.min("comp").alias("nmin"))
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        converged = (
+            new_e.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(new_e).limit(1).count() == 0
         )
-        new_labels = (
-            labels.join(neighbor_min, F.col("node") == F.col("nnode"), "left")
-            .select(
-                F.col("node"),
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
-                ).alias("comp"),
-            )
-        ).persist()
-        changed = (
-            new_labels.select(F.col("node").alias("n_node"), F.col("comp").alias("n_comp"))
-            .join(
-                labels.select(F.col("node").alias("o_node"), F.col("comp").alias("o_comp")),
-                F.col("n_node") == F.col("o_node"),
-            )
-            .filter(F.col("n_comp") != F.col("o_comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        e = new_e
+        if converged:
             break
-    return labels.select("node", "comp")
+    # At convergence the edges form star forests: every node's minimum
+    # neighbor IS the component minimum (roots see only larger members,
+    # least() keeps them labeled by themselves).
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    comp = und.groupBy("u").agg(F.min("v").alias("mn")).select(
+        F.col("u").alias("node"), F.least("u", "mn").alias("comp")
+    )
+    return nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )

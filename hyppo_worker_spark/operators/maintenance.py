@@ -43,9 +43,14 @@ def compact(
     """Rewrite a dataset into ~target-sized files.
 
     Partition count = ceil(current bytes / target); the rewrite goes
-    through a temp sibling directory then atomically replaces the
-    original (rename), so a concurrent reader sees old or new, never a
-    mix. Returns before/after file stats.
+    through a temp sibling directory then swaps it in via two
+    sequential renames. The swap is NOT atomic: a reader racing the
+    swap can observe a brief window with no dataset at the path, and
+    the rename scheme assumes a local POSIX filesystem (object stores
+    need a manifest/versioned-directory indirection instead — the
+    pattern table formats like Iceberg implement). Run compaction in a
+    maintenance window or behind a catalog pointer. Returns
+    before/after file stats.
     """
     before = dataset_file_stats(path)
     n_parts = max(1, -(-before["total_bytes"] // target_file_bytes))

@@ -18,12 +18,33 @@ touched buckets — the compaction operator handles the file hygiene).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
-    """Upsert source into target by key (source wins on match)."""
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Upsert source into target by key (source wins on match).
+
+    Last-writer-wins requires one writer per key in the batch: if the
+    source can carry duplicate keys, pass ``order_col`` (the
+    last-writer ordering, e.g. an update timestamp) and only the
+    highest-ordered source row per key survives — otherwise every
+    duplicate would pass the anti-join union and the merged dimension
+    would hold duplicate keys. Without ``order_col`` the source must
+    already be key-unique (the caller's contract).
+    """
+    if order_col is not None:
+        w = W.partitionBy(key).orderBy(F.col(order_col).desc())
+        source = (
+            source.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     kept = target.join(source.select(key), key, "left_anti")
     return kept.unionByName(source)
 

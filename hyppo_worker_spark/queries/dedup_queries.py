@@ -251,8 +251,8 @@ def d05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = q.doc_id)
     )
     SELECT lang, count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
-           sum(n_tokens) AS total_tokens
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM kept GROUP BY lang ORDER BY lang
     """,
     tags=("dedup", "pipeline", "training-data", "flagship"),

@@ -228,7 +228,8 @@ def p01_ingestion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p02_raw_pipeline",
     oracle="""
-    SELECT lang AS lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang AS lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     ORDER BY lang

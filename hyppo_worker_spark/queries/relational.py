@@ -967,7 +967,7 @@ def q23_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type AS event_type,
            count(*) AS n,
-           sum(json_extract_string(props, '$.k')::INT) AS sum_k,
+           CAST(sum(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
            round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
            max(json_extract_string(props, '$.k')::INT) AS max_k
     FROM events
@@ -1087,9 +1087,12 @@ def q27_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
             F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-            F.percentile_approx(
-                "l_extendedprice", [0.25, 0.75], 10000
-            ).alias("approx_iqr"),
+            # Scalar columns only: the driver's canonicalizer sorts the
+            # result frame by every column, and array/map/struct columns
+            # are unsortable there. Split the quartile sketch output into
+            # p25/p75 instead of one array<double>.
+            F.percentile_approx("l_extendedprice", 0.25, 10000).alias("approx_p25"),
+            F.percentile_approx("l_extendedprice", 0.75, 10000).alias("approx_p75"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("l_returnflag")
@@ -1164,7 +1167,7 @@ def q28_cheapest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
     SELECT o_orderpriority AS o_orderpriority,
            price_quartile,
            count(*) AS n,
-           sum(rank0) AS sum_rank0,
+           CAST(sum(rank0) AS BIGINT) AS sum_rank0,
            round(min(min_so_far), 2) AS min_price,
            round(sum(next_price), 2) AS sum_next
     FROM w GROUP BY 1, 2 ORDER BY 1, 2
@@ -1230,7 +1233,7 @@ def q29_order_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment AS c_mktsegment,
            count(*) AS n,
            round(sum(c_acctbal), 2) AS total_bal,
-           sum(CASE WHEN c_custkey >= 1000000 THEN 1 ELSE 0 END) AS n_inserted
+           CAST(sum(CASE WHEN c_custkey >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
     FROM merged GROUP BY 1 ORDER BY 1
     """,
     tags=("merge", "upsert", "cdc"),
@@ -1427,8 +1430,8 @@ def q34_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q35_conditional_aggregates",
     oracle="""
     SELECT l_linestatus AS l_linestatus,
-           count_if(l_discount > 0.05) AS n_discounted,
-           count_if(l_quantity >= 25) AS n_bulk,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+           CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_bulk,
            bool_and(l_extendedprice > 0) AS all_priced,
            bool_or(l_tax > 0.07) AS any_high_tax,
            round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty

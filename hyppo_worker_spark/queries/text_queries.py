@@ -142,8 +142,9 @@ def t02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_TOK}
     SELECT source,
            count(*) AS n_docs,
-           sum(len(w)) AS total_tokens,
-           sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS total_regex_tokens,
+           CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+               AS total_regex_tokens,
            round(avg(len(w)), 4) AS avg_tokens_per_doc,
            max(len(w)) AS max_tokens
     FROM tok

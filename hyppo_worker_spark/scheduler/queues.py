@@ -183,13 +183,47 @@ class WorkQueueTable:
             q.last_completion = now
             q.idle_since = datetime.now(timezone.utc)
 
-    def reject_requeue(self, delivery: Delivery) -> None:
+    def reject_requeue(
+        self, delivery: Delivery, max_deliveries: int | None = None
+    ) -> bool:
         """Return an unacked item to the front of its queue
-        (``basicReject(requeue=true)`` — ``TaskFSM.scala:135-140``)."""
+        (``basicReject(requeue=true)`` — ``TaskFSM.scala:135-140``).
+
+        With ``max_deliveries`` set, an item that has already been
+        delivered that many times is dead-lettered to the expired
+        collection instead of requeued (poison-message policy; the
+        reference exposes the redelivery flag for handlers to do this —
+        ``QueueItemHeaders.scala:11-26``). Returns True if the item was
+        requeued, False if dead-lettered or unknown.
+        """
         with self._lock:
             q = self._queues[delivery.queue_name]
-            if q.unacked.pop(delivery.tag, None) is not None:
-                q.items.appendleft(delivery.item)
+            if q.unacked.pop(delivery.tag, None) is None:
+                return False
+            if (
+                max_deliveries is not None
+                and delivery.item.delivery_count >= max_deliveries
+            ):
+                self._expired_items.append((q.name, delivery.item))
+                return False
+            q.items.appendleft(delivery.item)
+            return True
+
+    def requeue_all_unacked(self) -> int:
+        """Return every unacked in-flight item to its queue — the
+        worker-death path: a worker that dies (or is shut down) without
+        acking leaves its deliveries to be redelivered
+        (``IdempotentWorkQueueingTests.scala:38-64`` semantics). Unsafe
+        persists ack before execution, so they are never in the unacked
+        set mid-run and cannot be re-run by this. Returns the count."""
+        with self._lock:
+            n = 0
+            for q in self._queues.values():
+                for tag in list(q.unacked):
+                    d = q.unacked.pop(tag)
+                    q.items.appendleft(d.item)
+                    n += 1
+            return n
 
     # -- TTL expiry ----------------------------------------------------
 

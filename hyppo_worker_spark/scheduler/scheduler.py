@@ -55,6 +55,24 @@ from hyppo_worker_spark.scheduler.resources import (
 from hyppo_worker_spark.storage import DataFileHandler
 
 
+def _cancel_job_group(sc, group_id: str) -> None:
+    """Cancel a job group, including jobs not yet submitted when the
+    JVM supports it (``SparkContext.cancelJobGroupAndFutureJobs``,
+    Spark >= 4.0 — not yet surfaced in the Python API). Cancellation
+    races job submission: plain ``cancelJobGroup`` is a no-op when the
+    operation's job hasn't registered yet, so callers should re-issue
+    until the operation unwinds when future-jobs cancel is missing."""
+    try:
+        sc._jsc.sc().cancelJobGroupAndFutureJobs(group_id)  # noqa: SLF001
+        return
+    except Exception:  # noqa: BLE001 — older JVM or gateway hiccup
+        pass
+    try:
+        sc.cancelJobGroup(group_id)
+    except Exception:  # noqa: BLE001 — cancellation must never raise
+        pass
+
+
 @dataclass
 class EngineConfig:
     """Defaults mirror ``reference.conf``."""
@@ -64,6 +82,18 @@ class EngineConfig:
     task_polling_interval_s: float = 5.0  # reference.conf:72
     work_affinity_timeout_s: float = 600.0  # reference.conf:68
     backoff: BackoffConfig = field(default_factory=BackoffConfig)
+    # Running-state watchdog: bound the Running FSM state with the same
+    # work-timeout that bounds queue residency (``WorkerFSM.scala:125``,
+    # ``reference.conf:19``). None disables the watchdog.
+    run_timeout_s: float | None = 3600.0
+    # Poison-message policy: an item delivered this many times without
+    # an ack is dead-lettered to the expired handlers instead of
+    # requeued (the redelivery-flag surface of
+    # ``QueueItemHeaders.scala:11-26`` turned into a bound).
+    max_deliveries: int = 5
+    # Graceful-shutdown budget; running work gets 80% of it to finish
+    # before being cancelled (``HyppoConfig.scala:55-60``).
+    shutdown_timeout_s: float = 8.0
 
 
 class ResponseHandler:
@@ -126,6 +156,9 @@ class _WorkerSlot:
     affinity_version: int | None = None
     affinity_at: float = 0.0
     transitions: list = field(default_factory=list)
+    # In-flight tracking for the watchdog + graceful shutdown.
+    current_delivery: object | None = None
+    current_group: str | None = None
 
     def transition(self, state: str) -> None:
         self.state = state
@@ -163,6 +196,7 @@ class HyppoEngine:
         self._clock = clock
         self._lock = threading.Lock()
         self._slots = [_WorkerSlot(i) for i in range(self.config.worker_count)]
+        self._stop = threading.Event()
 
     # -- submission (WorkDispatcher.enqueue parity) --------------------
 
@@ -225,6 +259,8 @@ class HyppoEngine:
     # -- execution -----------------------------------------------------
 
     def _execute(self, slot: _WorkerSlot, delivery, leases) -> None:
+        import dataclasses
+
         item: WorkInput = delivery.item.input
         slot.transition("running")
         acked_early = False
@@ -232,6 +268,46 @@ class HyppoEngine:
             # Unsafe persist: ack BEFORE running (at-most-once).
             self.queues.ack(delivery)
             acked_early = True
+
+        # Running-state watchdog (``WorkerFSM.scala:125``): the
+        # operation runs under a per-execution Spark job group; if it
+        # exceeds the work-timeout, its Spark jobs are cancelled
+        # (cooperative — task threads are interrupted, the blocked
+        # action raises, and run_operation converts it to a
+        # FailureResponse). The slot is then freed, the idempotent item
+        # requeued (at-least-once) or the unsafe item failed-not-rerun
+        # (at-most-once) — ``TaskFSM.scala:75-84`` semantics.
+        # Group id is per-ATTEMPT, not per-execution: future-jobs
+        # cancellation marks the group id cancelled permanently, and a
+        # redelivered item keeps its execution_id — reusing the group
+        # would kill every retry at submission.
+        group_id = f"hyppo-exec-{item.execution_id}-a{delivery.item.delivery_count}"
+        sc = self.spark.sparkContext
+        timed_out = threading.Event()
+        op_done = threading.Event()
+
+        def _kill() -> None:
+            timed_out.set()
+            # Re-issue the cancel until the operation unwinds: the
+            # timeout can fire before the operation's job registers
+            # with the DAGScheduler (plain cancelJobGroup is then a
+            # no-op), and an operation may submit several sequential
+            # actions. The future-jobs variant short-circuits this
+            # where the JVM supports it.
+            while True:
+                _cancel_job_group(sc, group_id)
+                if op_done.wait(0.2):
+                    return
+
+        timer: threading.Timer | None = None
+        sc.setJobGroup(group_id, f"{item.operation.value} {item.execution_id}",
+                       interruptOnCancel=True)
+        slot.current_delivery = delivery
+        slot.current_group = group_id
+        if self.config.run_timeout_s is not None:
+            timer = threading.Timer(self.config.run_timeout_s, _kill)
+            timer.daemon = True
+            timer.start()
         try:
             response = run_operation(
                 self.spark,
@@ -241,8 +317,45 @@ class HyppoEngine:
                 on_status=self.responses.dispatch_status,
             )
         finally:
+            if timer is not None:
+                timer.cancel()
+            op_done.set()
+            try:
+                sc.clearJobGroup()
+            except Exception:  # noqa: BLE001
+                pass
+            slot.current_delivery = None
+            slot.current_group = None
             self.resources.release_all(leases)
+
         slot.transition("publishing")
+        # A failure while the watchdog fired OR a shutdown is in
+        # progress means the operation was cancelled, not that the
+        # connector failed: requeue idempotent work instead of acking,
+        # so it is redelivered (by this engine or the next one).
+        killed = (
+            timed_out.is_set() or self._stop.is_set()
+        ) and isinstance(response, FailureResponse)
+        if isinstance(response, FailureResponse):
+            response = dataclasses.replace(
+                response,
+                attempt=delivery.item.delivery_count,
+                timed_out=timed_out.is_set(),
+            )
+        if killed and not acked_early:
+            # Idempotent work killed by the watchdog: silent redelivery
+            # (the broker never saw an ack), bounded by the
+            # poison-message policy. Dispatch the failure only when the
+            # item will NOT run again (dead-lettered).
+            requeued = self.queues.reject_requeue(
+                delivery, max_deliveries=self.config.max_deliveries
+            )
+            if not requeued:
+                with self._lock:
+                    self.results_log.append(response)
+                self.responses.dispatch_response(response)
+            slot.transition("idle")
+            return
         if not acked_early:
             self.queues.ack(delivery)
         slot.affinity_source = item.integration.source_name
@@ -270,10 +383,15 @@ class HyppoEngine:
 
     def run_until_idle(self, max_items: int | None = None) -> int:
         """Synchronously drain all queues (single- or multi-slot).
-        Returns the number of items executed."""
+        Returns the number of items executed. A concurrent
+        ``shutdown()`` stops delegation of further items."""
         executed = 0
         if self.config.worker_count <= 1:
-            while (max_items is None or executed < max_items) and self.run_once(0):
+            while (
+                (max_items is None or executed < max_items)
+                and not self._stop.is_set()
+                and self.run_once(0)
+            ):
                 executed += 1
             self._sweep_expired()
             return executed
@@ -283,7 +401,7 @@ class HyppoEngine:
         active = [0]
 
         def slot_loop(idx: int):
-            while True:
+            while not self._stop.is_set():
                 with counter_lock:
                     if max_items is not None and counters[0] >= max_items:
                         return
@@ -314,3 +432,51 @@ class HyppoEngine:
             t.join()
         self._sweep_expired()
         return counters[0]
+
+    # -- graceful shutdown --------------------------------------------
+
+    def shutdown(self, timeout_s: float | None = None) -> dict:
+        """Graceful bounded-drain shutdown (``HyppoConfig.scala:55-60``:
+        workers get 80% of the shutdown window to finish before the
+        process exits).
+
+        1. Stop delegation — no new items are taken.
+        2. Wait up to 80% of the budget for running slots to finish.
+        3. Cancel the Spark job groups of any stragglers.
+        4. Requeue every still-unacked delivery so idempotent work is
+           redelivered on the next engine (worker-death semantics of
+           ``IdempotentWorkQueueingTests.scala:38-64``; unsafe persists
+           acked early and are never re-run).
+
+        Returns ``{"drained": bool, "cancelled": n, "requeued": n}``.
+        Call from any thread; safe when the engine is idle.
+        """
+        budget = self.config.shutdown_timeout_s if timeout_s is None else timeout_s
+        self._stop.set()
+        deadline = self._clock() + 0.8 * budget
+        while self._clock() < deadline and any(
+            s.current_delivery is not None for s in self._slots
+        ):
+            time.sleep(0.01)
+        cancelled = 0
+        sc = self.spark.sparkContext
+        for slot in self._slots:
+            group = slot.current_group
+            if group is not None:
+                _cancel_job_group(sc, group)
+                cancelled += 1
+        # Give cancelled slots a moment to unwind so their deliveries
+        # land in the unacked set handling below deterministically.
+        give_up_at = self._clock() + max(0.0, 0.2 * budget)
+        while self._clock() < give_up_at and any(
+            s.current_delivery is not None for s in self._slots
+        ):
+            time.sleep(0.01)
+        requeued = self.queues.requeue_all_unacked()
+        drained = cancelled == 0 and requeued == 0
+        return {"drained": drained, "cancelled": cancelled, "requeued": requeued}
+
+    def reset_for_restart(self) -> None:
+        """Clear the stop flag so a drained engine can resume — the
+        'next worker process' in tests."""
+        self._stop.clear()

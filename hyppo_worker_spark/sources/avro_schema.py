@@ -112,20 +112,33 @@ _TO_AVRO: dict[type, str] = {
 }
 
 
-def _to_avro(dt: T.DataType, nullable: bool) -> Any:
+def _to_avro(dt: T.DataType, nullable: bool, path: str = "record") -> Any:
     if isinstance(dt, T.StructType):
+        # Avro record names must be unique within a schema; derive each
+        # nested record's name from its field path (parent_field) so a
+        # struct with two struct fields doesn't emit two records both
+        # named "record" (which real Avro tooling rejects).
         out: Any = {
             "type": "record",
-            "name": "record",
+            "name": path,
             "fields": [
-                {"name": f.name, "type": _to_avro(f.dataType, f.nullable)}
+                {
+                    "name": f.name,
+                    "type": _to_avro(f.dataType, f.nullable, f"{path}_{f.name}"),
+                }
                 for f in dt.fields
             ],
         }
     elif isinstance(dt, T.ArrayType):
-        out = {"type": "array", "items": _to_avro(dt.elementType, dt.containsNull)}
+        out = {
+            "type": "array",
+            "items": _to_avro(dt.elementType, dt.containsNull, f"{path}_item"),
+        }
     elif isinstance(dt, T.MapType):
-        out = {"type": "map", "values": _to_avro(dt.valueType, dt.valueContainsNull)}
+        out = {
+            "type": "map",
+            "values": _to_avro(dt.valueType, dt.valueContainsNull, f"{path}_value"),
+        }
     elif isinstance(dt, T.TimestampType):
         out = {"type": "long", "logicalType": "timestamp-micros"}
     elif isinstance(dt, T.DateType):
@@ -148,7 +161,8 @@ def struct_to_avro(st: T.StructType, name: str = "record", namespace: str = "") 
     """StructType → Avro record schema JSON (fields nullable →
     ``[T, "null"]`` unions, matching the reference's TestRecord shape)."""
     fields = [
-        {"name": f.name, "type": _to_avro(f.dataType, f.nullable)} for f in st.fields
+        {"name": f.name, "type": _to_avro(f.dataType, f.nullable, f"{name}_{f.name}")}
+        for f in st.fields
     ]
     rec: dict[str, Any] = {"type": "record", "name": name, "fields": fields}
     if namespace:

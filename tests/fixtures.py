@@ -88,6 +88,36 @@ class RawDataStub(RawDataIntegration):
         self.persisted_rows.extend(records.collect())
 
 
+class SlowSparkStub(ProcessedDataStub):
+    """fetch_processed returns a plan whose execution blocks inside a
+    Spark task (UDF sleep) — the deliberately-hung integration for the
+    Running-state watchdog and graceful-shutdown tests (the analog of
+    ``BlockingProcessedDataStub.scala``'s latch)."""
+
+    source_name = "Slow Source"
+
+    def __init__(self, sleep_s: float = 30.0):
+        super().__init__()
+        self.sleep_s = sleep_s
+        self.fetch_attempts = 0
+
+    def fetch_processed(self, spark: SparkSession, task: DataIngestionTask) -> DataFrame:
+        self.fetch_attempts += 1
+        sleep_s = self.sleep_s
+
+        @F.udf(T.IntegerType())
+        def snooze(x):
+            import time as _time
+
+            _time.sleep(sleep_s)
+            return x
+
+        df = spark.createDataFrame([("Name Value", 1, 2)], TEST_RECORD_SCHEMA)
+        if sleep_s > 0:
+            df = df.withColumn("valueOne", snooze(F.col("valueOne")))
+        return df
+
+
 class UnsafePersistStub(ProcessedDataStub):
     """PersistingSemantics.Unsafe — at-most-once sink
     (``BlockingProcessedDataStub.scala:16-47`` analog, minus sleeps)."""

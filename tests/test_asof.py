@@ -26,6 +26,34 @@ def asof_case(draw):
     return left, right
 
 
+def test_asof_null_right_values_propagate(spark):
+    """A matched right row with NULL in one value column must yield
+    NULL — not resurrect a stale value from an older right row — and
+    all carried values must come from the SAME right row."""
+    left = spark.createDataFrame([(1, 10), (1, 20), (1, 30)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0, "a"), (1, 15, None, "b"), (1, 25, 300.0, None)],
+        "k int, t int, v double, s string",
+    )
+    got = {
+        r.t: (r.v_right, r.s_right)
+        for r in asof_join(
+            left, right, on="t", by="k", value_cols=["v", "s"]
+        ).collect()
+    }
+    # t=10 matches right@5 → (100.0, 'a'); t=20 matches right@15 whose v
+    # is NULL → (None, 'b'), NOT (100.0, 'b'); t=30 matches right@25
+    # whose s is NULL → (300.0, None), NOT (300.0, 'b').
+    assert got == {10: (100.0, "a"), 20: (None, "b"), 30: (300.0, None)}
+
+
+def test_asof_no_match_yields_all_null(spark):
+    left = spark.createDataFrame([(1, 1)], "k int, t int")
+    right = spark.createDataFrame([(1, 5, 9.0)], "k int, t int, v double")
+    row = asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()[0]
+    assert row.v_right is None
+
+
 @pytest.mark.slow
 @given(asof_case())
 @settings(

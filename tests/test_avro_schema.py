@@ -55,6 +55,38 @@ def test_round_trip_struct_avro_struct():
     assert avro_to_struct(struct_to_avro(st)) == st
 
 
+def test_nested_record_names_are_unique():
+    """Avro requires unique record names within a schema: two struct
+    fields must not both emit a record named "record"."""
+    st = T.StructType(
+        [
+            T.StructField(
+                "a", T.StructType([T.StructField("x", T.IntegerType(), True)]), True
+            ),
+            T.StructField(
+                "b", T.StructType([T.StructField("y", T.LongType(), True)]), True
+            ),
+        ]
+    )
+    schema = json.loads(struct_to_avro(st))
+
+    names = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if node.get("type") == "record":
+                names.append(node["name"])
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(schema)
+    assert len(names) == len(set(names)), f"duplicate record names: {names}"
+    assert avro_to_struct(json.dumps(schema)) == st
+
+
 def test_logical_types():
     schema = json.dumps(
         {

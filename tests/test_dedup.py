@@ -1,0 +1,68 @@
+"""Operator-level dedup tests, including the rounding-boundary case
+that distinguishes "filter on raw Jaccard" from "filter on rounded
+Jaccard" (the two diverge for pairs in [threshold-0.0005, threshold)).
+"""
+
+from pyspark.sql import functions as F
+
+from hyppo_worker_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+
+
+def _doc(words: list[str]) -> str:
+    return " ".join(words)
+
+
+def test_jaccard_threshold_uses_raw_not_rounded(spark):
+    """A pair with true Jaccard 799/999 ≈ 0.79980 rounds to 0.800 at 3
+    decimals. The filter must use the RAW ratio (exclude at threshold
+    0.8), matching the oracle SQL which compares the unrounded ratio —
+    otherwise the pair flips between engines."""
+    # A: 1001 distinct words -> 999 distinct 3-shingles s1..s999.
+    # B: the first 801 words of A -> shingles s1..s799, all shared.
+    # intersection = 799, union = 999.
+    words_a = [f"w{i:04d}" for i in range(1001)]
+    words_b = words_a[:801]
+    docs = spark.createDataFrame(
+        [(1, _doc(words_a)), (2, _doc(words_b))], "doc_id int, text string"
+    )
+
+    # Sanity: the candidate IS generated and displays as 0.8 after
+    # rounding (this is what makes the boundary case meaningful).
+    below = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=12, bands=6, threshold=0.79
+    ).collect()
+    assert len(below) == 1
+    assert abs(below[0].jaccard - 0.8) < 1e-9  # displayed (rounded) value
+
+    # At threshold 0.8 the raw ratio 0.7998 must be excluded even
+    # though the rounded display value equals the threshold.
+    at = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=12, bands=6, threshold=0.8
+    ).collect()
+    assert at == []
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    docs = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other")],
+        "doc_id int, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(docs, "doc_id", "text").collect())
+    assert kept == [1, 2]
+
+
+def test_connected_components_chain(spark):
+    """A long chain exercises multi-round label propagation."""
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)] + [(100, 101)], "a_id int, b_id int"
+    )
+    comp = {
+        r.node: r.comp for r in connected_components(edges).collect()
+    }
+    assert all(comp[i] == 0 for i in range(n + 1))
+    assert comp[100] == comp[101] == 100

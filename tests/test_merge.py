@@ -18,6 +18,22 @@ def test_merge_upsert_semantics(spark):
     assert out == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
 
 
+def test_merge_upsert_dedupes_source_with_order_col(spark):
+    """Duplicate keys in one source batch: order_col picks the last
+    writer; without it duplicates would both survive the anti-join."""
+    target = spark.createDataFrame(
+        [(1, "a", 10.0, 0)], "k int, name string, v double, updated_at int"
+    )
+    source = spark.createDataFrame(
+        [(1, "old", 11.0, 5), (1, "new", 12.0, 9), (2, "d", 40.0, 7)],
+        "k int, name string, v double, updated_at int",
+    )
+    out = merge_upsert(target, source, "k", order_col="updated_at")
+    rows = {r.k: (r.name, r.v) for r in out.collect()}
+    assert rows == {1: ("new", 12.0), 2: ("d", 40.0)}
+    assert out.count() == 2  # no duplicate keys survive
+
+
 def test_scd2_closes_and_appends(spark):
     current = spark.createDataFrame(
         [

@@ -120,16 +120,49 @@ def test_schema_fingerprint_canonicalization():
 
 
 def test_sealed_envelope_round_trip():
-    from hyppo_worker_spark.model import EnvelopeIntegrityError, open_work, seal_work
+    from hyppo_worker_spark import model as M
 
     item = FetchProcessedDataRequest(integration=_details(), task=_task())
     key = b"secret-key"
-    sealed = seal_work(item, key)
-    assert open_work(sealed, key) == item
+    sealed = M.seal_work(item, key)
+    assert M.open_work(sealed, key) == item
 
-    with pytest.raises(EnvelopeIntegrityError):
-        open_work(sealed, b"wrong-key")
+    with pytest.raises(M.EnvelopeIntegrityError):
+        M.open_work(sealed, b"wrong-key")
 
-    tampered = sealed.replace("Test Source", "Evil Source", 1)
-    with pytest.raises(EnvelopeIntegrityError):
-        open_work(tampered, key)
+    # Flip one character of the payload portion (ciphertext in GCM mode,
+    # JSON in HMAC mode) — authentication must fail either way.
+    head, _, body = sealed.rpartition(".")
+    pos = len(body) // 2
+    flipped = body[:pos] + ("A" if body[pos] != "A" else "B") + body[pos + 1 :]
+    with pytest.raises(M.EnvelopeIntegrityError):
+        M.open_work(f"{head}.{flipped}", key)
+
+
+def test_sealed_envelope_is_encrypted_when_crypto_available():
+    from hyppo_worker_spark import model as M
+
+    item = FetchProcessedDataRequest(integration=_details(), task=_task())
+    sealed = M.seal_work(item, b"secret-key")
+    if M._HAVE_CRYPTO:
+        # Confidentiality parity with AMQPEncryption.scala: no plaintext
+        # field values visible in the persisted envelope.
+        assert sealed.startswith("gcm1.")
+        assert "Test Source" not in sealed
+    else:
+        assert "." in sealed  # HMAC fallback: <hex sig>.<json>
+
+
+def test_hmac_fallback_envelope_still_opens():
+    """A stdlib-only producer's HMAC envelope opens under the same key
+    even when cryptography is available on the consumer."""
+    import hashlib
+    import hmac as _hmac
+
+    from hyppo_worker_spark import model as M
+
+    item = FetchProcessedDataRequest(integration=_details(), task=_task())
+    key = b"secret-key"
+    body = M.serialize_work(item)
+    sig = _hmac.new(key, body.encode(), hashlib.sha256).hexdigest()
+    assert M.open_work(f"{sig}.{body}", key) == item

@@ -101,4 +101,4 @@ def test_q27_approx_within_error_bounds(spark, registry):
         assert abs(r.approx_parts - e.parts) / e.parts < 0.1
         assert abs(r.approx_orders - e.orders) / e.orders < 0.1
         assert abs(r.approx_median - e.median) / abs(e.median) < 0.05
-        assert r.approx_iqr[0] <= r.approx_median <= r.approx_iqr[1]
+        assert r.approx_p25 <= r.approx_median <= r.approx_p75

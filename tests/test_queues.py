@@ -110,3 +110,37 @@ def test_logical_rollup_groups_resource_suffixes():
     assert base != suff
     rollup = q.logical_rollup()
     assert rollup[base].size == 2  # both queues folded into the base entry
+
+
+def test_reject_requeue_max_deliveries_dead_letters():
+    """Poison-message policy: the Nth redelivery dead-letters to the
+    expired collection instead of requeuing."""
+    q = WorkQueueTable()
+    name = q.enqueue(_item())
+    d1 = q.basic_get(name)
+    assert d1.item.delivery_count == 1 and not d1.redelivered
+    assert q.reject_requeue(d1, max_deliveries=2) is True
+    d2 = q.basic_get(name)
+    assert d2.item.delivery_count == 2 and d2.redelivered
+    assert q.reject_requeue(d2, max_deliveries=2) is False  # dead-lettered
+    assert q.details(name).ready == 0
+    expired = q.sweep_expired()
+    assert len(expired) == 1 and expired[0][0] == name
+
+
+def test_requeue_all_unacked_worker_death():
+    """Worker death: every unacked in-flight delivery returns to its
+    queue for redelivery (IdempotentWorkQueueingTests.scala:38-64)."""
+    q = WorkQueueTable()
+    name_a = q.enqueue(_item("A"))
+    name_b = q.enqueue(_item("B"))
+    da = q.basic_get(name_a)
+    q.basic_get(name_b)
+    assert q.details(name_a).unacknowledged == 1
+    assert q.requeue_all_unacked() == 2
+    assert q.details(name_a).ready == 1 and q.details(name_a).unacknowledged == 0
+    assert q.details(name_b).ready == 1
+    # the stale delivery handle is now inert
+    assert q.reject_requeue(da) is False
+    redelivered = q.basic_get(name_a)
+    assert redelivered.redelivered

@@ -91,6 +91,19 @@ def main() -> int:
         try:
             sdf = q.spark_fn(spark, args.sf_dir)
             scols = list(sdf.columns)
+            # The driver's canonicalizer sorts the pandas frame by every
+            # column — array/map/struct cells are unhashable there and
+            # crash the compare (q27, round 1). Reject them at source.
+            complex_cols = [
+                f.name for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                print(f"XX {name}: complex output columns {complex_cols} "
+                      "(driver canonicalizer cannot sort/hash these — "
+                      "flatten to scalars or strings)")
+                failures.append(name)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
             spark.catalog.clearCache()
         except Exception as e:
@@ -101,14 +114,29 @@ def main() -> int:
             print(f"ok {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s, no oracle)")
             continue
         try:
-            res = con.execute(q.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(q.oracle)
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             print(f"!! {name}: ORACLE ERROR {type(e).__name__}: {e}")
             failures.append(name)
             continue
         problems = []
+        # The driver compares value representations across engines;
+        # DuckDB types with no Spark analog (HUGEINT from sum(int),
+        # DECIMAL from literal arithmetic) render differently in its
+        # canonicalizer even when values are numerically equal. The
+        # local fetchall() path masks that, so flag declared types
+        # directly (round-1 root cause of 6 red rows).
+        bad_types = [
+            f"{c}:{t}" for c, t in zip(ocols, otypes)
+            if "HUGEINT" in t or t.startswith("DECIMAL")
+        ]
+        if bad_types:
+            problems.append(
+                f"oracle non-portable types {bad_types} (cast to BIGINT/DOUBLE)"
+            )
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
