@@ -1455,3 +1455,162 @@ def q35_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+# --------------------------------------------------------------------------
+# q36 — RANGE-frame (time-interval) window: rolling 7-day spend per
+# customer. The event-time sliding aggregate pattern; at scale one
+# shuffle on the partition key, frames evaluated in a single sorted
+# pass per partition. Rolling sums are rounded BEFORE the max so
+# engine-internal window-aggregation trees (DuckDB's segment tree vs
+# Spark's running frame) can't leak last-ulp differences into the
+# comparison.
+# --------------------------------------------------------------------------
+@register(
+    "q36_rolling_window_range_frame",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+               ), 2) AS roll
+        FROM orders
+    )
+    SELECT o_custkey AS o_custkey,
+           max(roll) AS max_7d_spend,
+           count(*) AS n_orders
+    FROM r GROUP BY 1
+    ORDER BY max_7d_spend DESC, o_custkey
+    LIMIT 10
+    """,
+    tags=("window", "range-frame", "time-series"),
+)
+def q36_rolling_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top customers by maximum rolling 7-day spend (RANGE frame)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("roll"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("roll").alias("max_7d_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("max_7d_spend"), "o_custkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q37 — edit-distance drift: levenshtein between consecutive document
+# heads per language (lag window + string-distance scalar). The
+# dedup-adjacent fuzzy-match primitive, exercised as a deterministic
+# aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q37_edit_distance_drift",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang, lower(substr(text, 1, 32)) AS head
+        FROM documents
+    ),
+    d AS (
+        SELECT lang,
+               levenshtein(head, lag(head) OVER (PARTITION BY lang
+                                                 ORDER BY doc_id)) AS dist
+        FROM s
+    )
+    SELECT lang AS lang,
+           count(dist) AS n_pairs,
+           CAST(sum(dist) AS BIGINT) AS total_dist,
+           round(avg(dist), 4) AS avg_dist,
+           max(dist) AS max_dist
+    FROM d WHERE dist IS NOT NULL
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("scalar", "string-distance", "window"),
+)
+def q37_edit_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between consecutive doc heads per language."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    w = W.partitionBy("lang").orderBy("doc_id")
+    head = F.lower(F.substring("text", 1, 32))
+    d = (
+        t["documents"]
+        .select("doc_id", "lang", head.alias("head"))
+        .withColumn("dist", F.levenshtein(F.col("head"), F.lag("head").over(w)))
+        .filter(F.col("dist").isNotNull())
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("dist").alias("n_pairs"),
+            F.sum("dist").alias("total_dist"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+            F.max("dist").alias("max_dist"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q38 — cume_dist + nth_value window coverage. cume_dist is a rational
+# (k/n); it is compared as its exact integer numerator
+# (cume_dist * n, integral because the window ordering is unique) so
+# engine-dependent rounding of the ratio can't flip the hash.
+# --------------------------------------------------------------------------
+@register(
+    "q38_distribution_windows",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderpriority,
+               CAST(round(cume_dist() OVER p *
+                          count(*) OVER (PARTITION BY o_orderpriority))
+                    AS BIGINT) AS cd_rank,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n,
+               round(nth_value(o_totalprice, 2) OVER (
+                   p ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ), 2) AS second_price
+        FROM orders
+        WINDOW p AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT o_orderpriority AS o_orderpriority,
+           max(n) AS n,
+           CAST(count_if(cd_rank * 4 <= n) AS BIGINT) AS bottom_quartile_n,
+           min(second_price) AS second_price
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+    tags=("window", "cume-dist", "nth-value"),
+)
+def q38_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist (as exact integer rank) and nth_value per priority."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    p = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    whole = W.partitionBy("o_orderpriority")
+    full = p.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    n = F.count(F.lit(1)).over(whole)
+    cd_rank = F.round(F.cume_dist().over(p) * n).cast("bigint")
+    w = t["orders"].select(
+        "o_orderpriority",
+        cd_rank.alias("cd_rank"),
+        n.alias("n"),
+        F.round(F.nth_value("o_totalprice", 2).over(full), 2).alias("second_price"),
+    )
+    return (
+        w.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n"),
+            F.count_if(F.col("cd_rank") * 4 <= F.col("n")).alias("bottom_quartile_n"),
+            F.min("second_price").alias("second_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
