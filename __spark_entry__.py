@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hyppo_worker_spark.queries import load_all  # noqa: E402
+from hyppo_worker_spark.queries import driver_registry, load_all  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -31,10 +31,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.spark_fn for name, q in load_all().items()}
+    """Curated driver-facing slice (≤50) of the full registry.
+
+    The driver checks only the alphabetically-first 50 entries, so this
+    returns the curated ``driver_registry()`` — every operator family
+    keeps a representative; redundant relational variants are retired
+    to ``DRIVER_RETIRED`` but remain registered and locally checked by
+    ``tools/check.py`` (which runs the FULL registry).
+    """
+    return {name: q.spark_fn for name, q in driver_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query (omitted → rows-only check)."""
-    return {name: q.oracle for name, q in load_all().items() if q.oracle is not None}
+    return {
+        name: q.oracle
+        for name, q in driver_registry().items()
+        if q.oracle is not None
+    }

@@ -29,6 +29,43 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# The driver's correctness harness checks only the alphabetically-first
+# 50 entries of ``__spark_entry__.queries()``. The registry is larger
+# than that, so the driver-facing dict is curated: redundant relational
+# variants (each family keeps at least one representative) are retired
+# from the DRIVER surface but stay registered, tested, and checked by
+# the local harness (``tools/check.py`` runs the FULL registry).
+DRIVER_RETIRED: frozenset[str] = frozenset(
+    {
+        "q05_customers_without_orders",  # anti-join — q25 covers anti-join richer
+        "q10_set_ops",  # set ops — q31 covers union/intersect/except + multiset
+        "q11_distinct_parts",  # distinct agg — q27 now carries exact+approx distincts
+        "q12_top_orders",  # top-k — q03 covers TakeOrderedAndProject
+        "q15_small_quantity_orders",  # scalar-subquery filter-agg — q14 covers filter-agg
+        "q26_price_histogram",  # binned percentile family — q23 covers percentiles
+    }
+)
+
+DRIVER_MAX = 50
+
+
+def driver_registry() -> dict[str, Query]:
+    """The curated, driver-facing slice of the registry (≤ DRIVER_MAX).
+
+    Every operator family from SURVEY.md §2 must keep a representative
+    here, because only these entries get driver CORRECTNESS rows.
+    """
+    full = load_all()
+    out = {n: q for n, q in sorted(full.items()) if n not in DRIVER_RETIRED}
+    if len(out) > DRIVER_MAX:
+        over = list(out)[DRIVER_MAX:]
+        raise RuntimeError(
+            f"driver-facing registry exceeds {DRIVER_MAX} queries; "
+            f"entries past the driver's check window: {over}. "
+            "Retire a redundant variant in DRIVER_RETIRED."
+        )
+    return out
+
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""

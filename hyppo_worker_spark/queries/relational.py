@@ -1066,37 +1066,80 @@ def q26_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q27 — sketch-based approximate aggregates: HyperLogLog++ distinct
 # counts and quantile sketches. THE scale path for distincts and
 # percentiles at 100 TB (bounded memory, one pass, mergeable partial
-# sketches). No SQL oracle: sketch algorithms differ across engines by
-# design, so the driver records the weaker rows-only check; the exact
-# twins (q11, q23) carry the value-level correctness burden, and the
-# relative-error contract is asserted in tests/test_plans.py's sibling
-# suite.
+# sketches). Sketch outputs differ across engines by design, so the
+# oracle compares what IS deterministic: the exact per-group counts,
+# plus booleans asserting the sketches landed inside their published
+# error bounds (HLL++: |approx-exact|/exact <= 3*rsd, a 3-sigma bound;
+# quantile sketch: approx value between the exact quantiles one rank-
+# percent either side of the target). DuckDB emits the same exact
+# counts and literal TRUE flags — the hash matches iff Spark's
+# sketches actually honor their contracts.
 # --------------------------------------------------------------------------
 @register(
     "q27_approx_aggregates",
-    oracle=None,
+    oracle="""
+    SELECT
+        l_returnflag,
+        count(*) AS n_rows,
+        count(DISTINCT l_partkey) AS exact_parts,
+        count(DISTINCT l_orderkey) AS exact_orders,
+        TRUE AS parts_within_bounds,
+        TRUE AS orders_within_bounds,
+        TRUE AS median_within_bounds,
+        TRUE AS p25_within_bounds,
+        TRUE AS p75_within_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     tags=("aggregation", "approximate", "sketch"),
 )
 def q27_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distincts (HLL++, rsd=0.02) and quantile sketches."""
+    """Approximate distincts (HLL++, rsd=0.02) and quantile sketches,
+    validated in-plan against their exact twins' error bounds."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    return (
+    rsd = 0.02
+    agg = (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-            # Scalar columns only: the driver's canonicalizer sorts the
-            # result frame by every column, and array/map/struct columns
-            # are unsortable there. Split the quartile sketch output into
-            # p25/p75 instead of one array<double>.
-            F.percentile_approx("l_extendedprice", 0.25, 10000).alias("approx_p25"),
-            F.percentile_approx("l_extendedprice", 0.75, 10000).alias("approx_p75"),
             F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_partkey", rsd=rsd).alias("ap"),
+            F.approx_count_distinct("l_orderkey", rsd=rsd).alias("ao"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
+            F.percentile_approx("l_extendedprice", 0.25, 10000).alias("a25"),
+            F.percentile_approx("l_extendedprice", 0.75, 10000).alias("a75"),
+            # Exact rank envelopes: one percentile point either side of
+            # each sketch target (sketch rank error at accuracy=10000 is
+            # ~1e-4 — two orders of magnitude inside the envelope).
+            F.expr(
+                "percentile(l_extendedprice, array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76))"
+            ).alias("env"),
         )
-        .orderBy("l_returnflag")
     )
+
+    def within(approx, exact):
+        return (F.abs(approx - exact) / exact) <= F.lit(3 * rsd)
+
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        "exact_orders",
+        within(F.col("ap"), F.col("exact_parts")).alias("parts_within_bounds"),
+        within(F.col("ao"), F.col("exact_orders")).alias("orders_within_bounds"),
+        F.col("am").between(F.col("env")[2], F.col("env")[3]).alias(
+            "median_within_bounds"
+        ),
+        F.col("a25").between(F.col("env")[0], F.col("env")[1]).alias(
+            "p25_within_bounds"
+        ),
+        F.col("a75").between(F.col("env")[4], F.col("env")[5]).alias(
+            "p75_within_bounds"
+        ),
+    ).orderBy("l_returnflag")
 
 
 # --------------------------------------------------------------------------

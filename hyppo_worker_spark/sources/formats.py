@@ -23,13 +23,30 @@ class FormatUnavailable(RuntimeError):
     """Raised when a format needs a jar that is not on the classpath."""
 
 
+_jar_probe_cache: dict[str, bool] = {}
+
+
 def _jar_probe(spark: SparkSession, fmt: str) -> bool:
+    """True when ``fmt`` resolves to a registered data source.
+
+    Uses Spark's own ``DataSource.lookupDataSource`` (the exact check
+    the analyzer performs) WITHOUT issuing a read, so a missing jar
+    never logs an analyzer ERROR through ExecutionListenerBus — that
+    was pure driver-log noise on every gated-format probe.
+    """
+    if fmt in _jar_probe_cache:
+        return _jar_probe_cache[fmt]
     try:
-        spark.read.format(fmt).schema("x int").load("/nonexistent-format-probe")
-        return True
-    except Exception as e:  # noqa: BLE001
-        msg = str(e)
-        return "FAILED_READ_FILE" in msg or "PATH_NOT_FOUND" in msg
+        jvm = spark._jvm  # noqa: SLF001
+        conf = jvm.org.apache.spark.sql.internal.SQLConf.get()
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            fmt, conf
+        )
+        ok = True
+    except Exception:  # noqa: BLE001
+        ok = False
+    _jar_probe_cache[fmt] = ok
+    return ok
 
 
 def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:

@@ -42,11 +42,9 @@ def md5_hex(data: bytes) -> str:
 
 
 def _avro_available(spark: SparkSession) -> bool:
-    try:
-        spark.read.format("avro").schema("x int").load("/nonexistent-path-probe")
-        return True
-    except Exception as e:  # noqa: BLE001
-        return "FAILED_READ_FILE" in str(e) or "PATH_NOT_FOUND" in str(e)
+    from hyppo_worker_spark.sources.formats import _jar_probe
+
+    return _jar_probe(spark, "avro")
 
 
 @dataclass

@@ -1,0 +1,61 @@
+"""Guards on the query registry and the curated driver-facing slice.
+
+The driver correctness harness checks only the alphabetically-first 50
+entries of ``__spark_entry__.queries()``; round 2 proved that adding
+queries silently evicts others from the checked window. These tests pin
+the contract: the driver-facing dict is exactly <= 50, every operator
+family keeps a representative, and retired names still exist in the
+full registry (so ``tools/check.py`` keeps checking them locally).
+"""
+
+from __future__ import annotations
+
+from hyppo_worker_spark.queries import (
+    DRIVER_MAX,
+    DRIVER_RETIRED,
+    driver_registry,
+    load_all,
+)
+
+# One prefix per family that must never lose driver coverage.
+FAMILY_PREFIXES = ("d0", "p0", "q0", "s0", "t0")
+
+
+def test_driver_registry_fits_check_window():
+    dr = driver_registry()
+    assert len(dr) <= DRIVER_MAX
+    # every entry is within the alphabetically-first-50 window by construction
+    assert list(dr) == sorted(dr)
+
+
+def test_driver_registry_covers_every_family():
+    names = set(driver_registry())
+    for prefix in FAMILY_PREFIXES:
+        assert any(n.startswith(prefix) for n in names), f"family {prefix} evicted"
+    # the specific queries round 2 lost must stay in the window
+    for must in (
+        "s04_knn_ivf",
+        "t01_language_id",
+        "t02_quality_scores",
+        "t03_token_stats",
+        "t04_fingerprints",
+        "t05_token_frequencies",
+    ):
+        assert must in names
+
+
+def test_retired_queries_stay_registered():
+    full = load_all()
+    for name in DRIVER_RETIRED:
+        assert name in full, f"retired query {name} vanished from registry"
+        assert full[name].oracle is not None, (
+            f"retired query {name} lost its oracle — local checks need it"
+        )
+
+
+def test_every_driver_query_is_oracle_checked_or_documented():
+    """Each driver-facing query either has an oracle, or is a documented
+    rows-only case (none expected after q27 gained an exact+bounds oracle)."""
+    dr = driver_registry()
+    missing = [n for n, q in dr.items() if q.oracle is None]
+    assert missing == [], f"driver-facing queries without oracle: {missing}"
