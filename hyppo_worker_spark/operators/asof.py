@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -52,13 +53,14 @@ def asof_join(
         F.col(on).alias("__on"),
         F.lit(1).alias("__side"),  # left sorts after right on ties
         F.struct(*lcols).alias("__lrow"),
+        # Build the null-struct type programmatically: a DDL string
+        # assembled from simpleString() breaks on column names needing
+        # backtick quoting (spaces, dots, colons).
         F.lit(None)
         .cast(
-            "struct<"
-            + ",".join(
-                f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+            T.StructType(
+                [T.StructField(c, right.schema[c].dataType) for c in value_cols]
             )
-            + ">"
         )
         .alias("__vrow"),
     )

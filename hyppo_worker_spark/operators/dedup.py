@@ -19,6 +19,8 @@ first-class operators.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -319,28 +321,45 @@ def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id",
     into dedup clusters with a canonical (minimum) document per
     cluster.
     """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Nodes come from the RAW edge list (before the self-loop filter):
+    # a node appearing only in self-loop edges is still a (singleton)
+    # component and must appear in the output.
     nodes = (
-        e.select("u")
-        .unionByName(e.select(F.col("v").alias("u")))
+        raw.select("u")
+        .unionByName(raw.select(F.col("v").alias("u")))
         .distinct()
         .withColumnRenamed("u", "node")
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Single-action convergence check: both sides are distinct edge
+        # sets, so equality ⟺ empty symmetric difference — one job
+        # per round instead of two.
         converged = (
-            new_e.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(new_e).limit(1).count() == 0
+            new_e.exceptAll(e).unionByName(e.exceptAll(new_e)).isEmpty()
         )
         e = new_e
         if converged:
             break
+    if not converged:
+        # The star-forest extraction below assumes convergence; on a
+        # max_iter exit that invariant may not hold and components can
+        # be silently wrong. O(log n) rounds suffice in theory, so this
+        # indicates max_iter is set far too low for the graph.
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} rounds; "
+            "component labels may be incorrect — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # At convergence the edges form star forests: every node's minimum
     # neighbor IS the component minimum (roots see only larger members,
     # least() keeps them labeled by themselves).

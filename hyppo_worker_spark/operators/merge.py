@@ -37,9 +37,16 @@ def merge_upsert(
     duplicate would pass the anti-join union and the merged dimension
     would hold duplicate keys. Without ``order_col`` the source must
     already be key-unique (the caller's contract).
+
+    Ties on ``order_col`` within a key are broken deterministically by
+    a stable hash of the full row — without this, ``row_number``'s
+    winner would depend on partition-scan order and could differ
+    across runs/engines, breaking the deterministic last-writer-wins
+    contract.
     """
     if order_col is not None:
-        w = W.partitionBy(key).orderBy(F.col(order_col).desc())
+        tiebreak = F.xxhash64(*[F.col(c) for c in source.columns])
+        w = W.partitionBy(key).orderBy(F.col(order_col).desc(), tiebreak.desc())
         source = (
             source.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

@@ -185,7 +185,7 @@ class WorkQueueTable:
 
     def reject_requeue(
         self, delivery: Delivery, max_deliveries: int | None = None
-    ) -> bool:
+    ) -> str:
         """Return an unacked item to the front of its queue
         (``basicReject(requeue=true)`` — ``TaskFSM.scala:135-140``).
 
@@ -193,21 +193,27 @@ class WorkQueueTable:
         delivered that many times is dead-lettered to the expired
         collection instead of requeued (poison-message policy; the
         reference exposes the redelivery flag for handlers to do this —
-        ``QueueItemHeaders.scala:11-26``). Returns True if the item was
-        requeued, False if dead-lettered or unknown.
+        ``QueueItemHeaders.scala:11-26``).
+
+        Returns a tri-state so callers can tell the outcomes apart:
+        ``"requeued"`` (will re-run), ``"dead_lettered"`` (terminal —
+        dispatch the failure), or ``"unknown"`` (tag not in the unacked
+        set — e.g. ``requeue_all_unacked`` already took it during a
+        shutdown race; the item WILL re-run elsewhere, so the caller
+        must NOT report a terminal failure).
         """
         with self._lock:
             q = self._queues[delivery.queue_name]
             if q.unacked.pop(delivery.tag, None) is None:
-                return False
+                return "unknown"
             if (
                 max_deliveries is not None
                 and delivery.item.delivery_count >= max_deliveries
             ):
                 self._expired_items.append((q.name, delivery.item))
-                return False
+                return "dead_lettered"
             q.items.appendleft(delivery.item)
-            return True
+            return "requeued"
 
     def requeue_all_unacked(self) -> int:
         """Return every unacked in-flight item to its queue — the

@@ -159,6 +159,10 @@ class _WorkerSlot:
     # In-flight tracking for the watchdog + graceful shutdown.
     current_delivery: object | None = None
     current_group: str | None = None
+    # Set by shutdown() when it cancels this slot's job group, so
+    # _execute can tell a cancellation-induced failure from a genuine
+    # connector failure that merely raced the stop flag.
+    cancelled: bool = False
 
     def transition(self, state: str) -> None:
         self.state = state
@@ -263,6 +267,7 @@ class HyppoEngine:
 
         item: WorkInput = delivery.item.input
         slot.transition("running")
+        slot.cancelled = False
         acked_early = False
         if not item.idempotent:
             # Unsafe persist: ack BEFORE running (at-most-once).
@@ -329,12 +334,13 @@ class HyppoEngine:
             self.resources.release_all(leases)
 
         slot.transition("publishing")
-        # A failure while the watchdog fired OR a shutdown is in
-        # progress means the operation was cancelled, not that the
-        # connector failed: requeue idempotent work instead of acking,
-        # so it is redelivered (by this engine or the next one).
+        # A failure counts as CANCELLED (not a connector failure) only
+        # when this slot was actually killed — by its watchdog timer or
+        # by shutdown() cancelling its job group. A genuine connector
+        # failure that merely races a concurrent shutdown (stop flag
+        # set, but this slot finished on its own) is reported normally.
         killed = (
-            timed_out.is_set() or self._stop.is_set()
+            timed_out.is_set() or slot.cancelled
         ) and isinstance(response, FailureResponse)
         if isinstance(response, FailureResponse):
             response = dataclasses.replace(
@@ -346,11 +352,15 @@ class HyppoEngine:
             # Idempotent work killed by the watchdog: silent redelivery
             # (the broker never saw an ack), bounded by the
             # poison-message policy. Dispatch the failure only when the
-            # item will NOT run again (dead-lettered).
-            requeued = self.queues.reject_requeue(
+            # item will NOT run again (dead-lettered); "unknown" means
+            # shutdown's requeue_all_unacked() already reclaimed the
+            # delivery and it WILL re-run — reporting a terminal
+            # failure then would precede a later success for the same
+            # execution.
+            outcome = self.queues.reject_requeue(
                 delivery, max_deliveries=self.config.max_deliveries
             )
-            if not requeued:
+            if outcome == "dead_lettered":
                 with self._lock:
                     self.results_log.append(response)
                 self.responses.dispatch_response(response)
@@ -463,6 +473,7 @@ class HyppoEngine:
         for slot in self._slots:
             group = slot.current_group
             if group is not None:
+                slot.cancelled = True
                 _cancel_job_group(sc, group)
                 cancelled += 1
         # Give cancelled slots a moment to unwind so their deliveries

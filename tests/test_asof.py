@@ -91,3 +91,15 @@ def test_asof_matches_pandas(spark, case):
             for r in merged.itertuples()
         }
     assert got == expected
+
+
+def test_asof_value_columns_needing_quoting(spark):
+    """Value column names with spaces/dots must survive the null-struct
+    cast (built programmatically, not via a DDL string)."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame([(1, 5, 2.5)], "k int, t int, v double")
+    right = right.select("k", "t", F.col("v").alias("price usd"))
+    out = asof_join(left, right, on="t", by="k").collect()
+    assert out[0]["price usd_right"] == 2.5

@@ -66,3 +66,25 @@ def test_connected_components_chain(spark):
     }
     assert all(comp[i] == 0 for i in range(n + 1))
     assert comp[100] == comp[101] == 100
+
+
+def test_connected_components_self_loop_only_node(spark):
+    """A node appearing only in self-loop edges is a singleton
+    component, not silently dropped."""
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7)], "a_id int, b_id int"
+    )
+    comp = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 7: 7}
+
+
+def test_connected_components_max_iter_warns(spark):
+    import warnings as w
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a_id int, b_id int"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        connected_components(edges, max_iter=1).collect()
+    assert any("not converged" in str(c.message) for c in caught)

@@ -65,3 +65,22 @@ def test_scd2_closes_and_appends(spark):
         out.filter(F.col("valid_to") == OPEN).groupBy("k").count().collect()
     )
     assert all(r['count'] == 1 for r in open_counts)
+
+
+def test_merge_upsert_tie_on_order_col_is_deterministic(spark):
+    """Equal order_col within a key: winner is a stable function of row
+    content, identical across repeated runs."""
+    from hyppo_worker_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "old", 0)], "k int, v string, ts int")
+    source = spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 5)], "k int, v string, ts int"
+    )
+    winners = {
+        merge_upsert(target, source, "k", order_col="ts")
+        .filter("k = 1")
+        .collect()[0]
+        .v
+        for _ in range(3)
+    }
+    assert len(winners) == 1

@@ -119,10 +119,10 @@ def test_reject_requeue_max_deliveries_dead_letters():
     name = q.enqueue(_item())
     d1 = q.basic_get(name)
     assert d1.item.delivery_count == 1 and not d1.redelivered
-    assert q.reject_requeue(d1, max_deliveries=2) is True
+    assert q.reject_requeue(d1, max_deliveries=2) == "requeued"
     d2 = q.basic_get(name)
     assert d2.item.delivery_count == 2 and d2.redelivered
-    assert q.reject_requeue(d2, max_deliveries=2) is False  # dead-lettered
+    assert q.reject_requeue(d2, max_deliveries=2) == "dead_lettered"
     assert q.details(name).ready == 0
     expired = q.sweep_expired()
     assert len(expired) == 1 and expired[0][0] == name
@@ -141,6 +141,6 @@ def test_requeue_all_unacked_worker_death():
     assert q.details(name_a).ready == 1 and q.details(name_a).unacknowledged == 0
     assert q.details(name_b).ready == 1
     # the stale delivery handle is now inert
-    assert q.reject_requeue(da) is False
+    assert q.reject_requeue(da) == "unknown"
     redelivered = q.basic_get(name_a)
     assert redelivered.redelivered
