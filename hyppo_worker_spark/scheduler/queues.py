@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import json
+import os
 import threading
 import time
 from collections import deque
@@ -82,6 +84,8 @@ class QueueItem:
     enqueued_at: float
     ttl_s: float
     delivery_count: int = 0
+    # Journal correlation id (0 = not journaled).
+    jid: int = 0
 
     def expired(self, now: float) -> bool:
         return (now - self.enqueued_at) >= self.ttl_s
@@ -110,17 +114,146 @@ class _Queue:
     EMA_ALPHA = 0.3
 
 
-class WorkQueueTable:
-    """The broker: thread-safe queue set + TTL sweep + stats."""
+class QueueJournal:
+    """Append-only JSON-lines journal of queue state transitions — the
+    durability analog of RabbitMQ message persistence: the reference's
+    queues survive worker death and redeliver unacked work
+    (``IdempotentWorkQueueingTests.scala:38-64``); without a journal,
+    the in-memory table loses pending + unacked items on a driver
+    crash.
 
-    def __init__(self, naming: QueueNaming | None = None, clock=time.monotonic):
+    Events (one JSON object per line, correlated by journal id ``i``):
+    ``enq`` (payload + queue + wall-clock ttl anchor + delivery count),
+    ``get`` (delivered), ``ack``/``dl`` (terminal), ``rq`` (back to
+    pending). Replay folds the log into the set of live items; a
+    compaction rewrite happens on recovery so the file stays bounded
+    by live-item count, not event count.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = open(path, "a", encoding="utf-8")  # noqa: SIM115
+
+    def log(self, ev: dict) -> None:
+        self._fh.write(json.dumps(ev, separators=(",", ":")) + "\n")
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+
+    def close(self) -> None:
+        try:
+            self._fh.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+    @staticmethod
+    def replay(path: str) -> tuple[list[dict], int]:
+        """Fold the journal into (live item records, max journal id).
+
+        A record is live when its last event is ``enq``/``rq``
+        (pending) or ``get`` (unacked at crash time — the engine never
+        acked it, so at-least-once semantics demand redelivery;
+        unsafe-persist work acks BEFORE running and therefore can
+        never be live here, preserving at-most-once).
+        """
+        state: dict[int, dict] = {}
+        max_id = 0
+        if not os.path.exists(path):
+            return [], 0
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn tail write from the crash
+                i = ev.get("i", 0)
+                max_id = max(max_id, i)
+                kind = ev.get("ev")
+                if kind == "enq":
+                    state[i] = {
+                        "queue": ev["q"],
+                        "work": ev["w"],
+                        "ttl_s": ev["ttl"],
+                        "wall": ev["wall"],
+                        "delivery_count": ev.get("n", 0),
+                    }
+                elif kind == "get" and i in state:
+                    state[i]["delivery_count"] += 1
+                elif kind in ("ack", "dl") and i in state:
+                    del state[i]
+                # "rq" leaves the record as-is: the item returns to
+                # pending with its delivery count intact.
+        return [state[i] | {"jid": i} for i in sorted(state)], max_id
+
+
+class WorkQueueTable:
+    """The broker: thread-safe queue set + TTL sweep + stats.
+
+    With ``journal_path`` set, every state transition is journaled and
+    a new table constructed over the same path recovers live work:
+    pending items re-enqueue with their remaining wall-clock TTL, and
+    items that were unacked at crash time are redelivered (their
+    delivery counts survive, so the poison-message bound still holds
+    across restarts).
+    """
+
+    def __init__(
+        self,
+        naming: QueueNaming | None = None,
+        clock=time.monotonic,
+        journal_path: str | None = None,
+    ):
         self.naming = naming or QueueNaming()
         self._clock = clock
         self._lock = threading.RLock()
         self._queues: dict[str, _Queue] = {}
         self._tags = itertools.count(1)
         self._expired_items: deque[tuple[str, QueueItem]] = deque()
+        self._journal: QueueJournal | None = None
+        self._jids = itertools.count(1)
         self.ensure(self.naming.general)
+        if journal_path is not None:
+            self._recover(journal_path)
+
+    # -- durability ----------------------------------------------------
+
+    def _recover(self, journal_path: str) -> None:
+        from hyppo_worker_spark.model import deserialize_work
+
+        live, _max_id = QueueJournal.replay(journal_path)
+        # Compact: rewrite the journal with only live items (re-logged
+        # as fresh enq events by the enqueue below), then log as
+        # normal. A crash during rewrite leaves the .tmp copy intact.
+        tmp = journal_path + ".tmp"
+        if os.path.exists(journal_path):
+            os.replace(journal_path, tmp)
+        self._journal = QueueJournal(journal_path)
+        now_wall = time.time()
+        for rec in live:
+            item = deserialize_work(rec["work"])
+            remaining = rec["ttl_s"] - (now_wall - rec["wall"])
+            # An already-expired item re-enqueues with ttl 0 so the
+            # next sweep dead-letters it to the expired handlers
+            # (rather than silently vanishing).
+            self.enqueue(
+                item,
+                ttl_s=max(remaining, 0.0),
+                queue=rec["queue"],
+                _delivery_count=rec["delivery_count"],
+            )
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+    def _log(self, ev: dict) -> None:
+        if self._journal is not None:
+            self._journal.log(ev)
+
+    def close_journal(self) -> None:
+        if self._journal is not None:
+            self._journal.close()
+            self._journal = None
 
     # -- queue management ---------------------------------------------
 
@@ -142,13 +275,38 @@ class WorkQueueTable:
 
     # -- enqueue / dequeue / ack --------------------------------------
 
-    def enqueue(self, item: WorkInput, ttl_s: float = 3600.0, queue: str | None = None) -> str:
+    def enqueue(
+        self,
+        item: WorkInput,
+        ttl_s: float = 3600.0,
+        queue: str | None = None,
+        _delivery_count: int = 0,
+    ) -> str:
         name = queue or self.queue_for(item)
         with self._lock:
             self.ensure(name, item.resources)
-            self._queues[name].items.append(
-                QueueItem(input=item, enqueued_at=self._clock(), ttl_s=ttl_s)
+            qitem = QueueItem(
+                input=item,
+                enqueued_at=self._clock(),
+                ttl_s=ttl_s,
+                delivery_count=_delivery_count,
+                jid=next(self._jids),
             )
+            self._queues[name].items.append(qitem)
+            if self._journal is not None:
+                from hyppo_worker_spark.model import serialize_work
+
+                self._log(
+                    {
+                        "ev": "enq",
+                        "i": qitem.jid,
+                        "q": name,
+                        "ttl": ttl_s,
+                        "wall": time.time(),
+                        "n": _delivery_count,
+                        "w": serialize_work(item),
+                    }
+                )
         return name
 
     def basic_get(self, name: str) -> Delivery | None:
@@ -170,12 +328,14 @@ class WorkQueueTable:
                 redelivered=item.delivery_count > 1,
             )
             q.unacked[tag] = d
+            self._log({"ev": "get", "i": item.jid})
             return d
 
     def ack(self, delivery: Delivery) -> None:
         with self._lock:
             q = self._queues[delivery.queue_name]
-            q.unacked.pop(delivery.tag, None)
+            if q.unacked.pop(delivery.tag, None) is not None:
+                self._log({"ev": "ack", "i": delivery.item.jid})
             now = self._clock()
             if q.last_completion is not None:
                 dt = max(now - q.last_completion, 1e-9)
@@ -211,8 +371,10 @@ class WorkQueueTable:
                 and delivery.item.delivery_count >= max_deliveries
             ):
                 self._expired_items.append((q.name, delivery.item))
+                self._log({"ev": "dl", "i": delivery.item.jid})
                 return "dead_lettered"
             q.items.appendleft(delivery.item)
+            self._log({"ev": "rq", "i": delivery.item.jid})
             return "requeued"
 
     def requeue_all_unacked(self) -> int:
@@ -228,6 +390,7 @@ class WorkQueueTable:
                 for tag in list(q.unacked):
                     d = q.unacked.pop(tag)
                     q.items.appendleft(d.item)
+                    self._log({"ev": "rq", "i": d.item.jid})
                     n += 1
             return n
 
@@ -239,6 +402,7 @@ class WorkQueueTable:
         for item in q.items:
             if item.expired(now):
                 self._expired_items.append((q.name, item))
+                self._log({"ev": "dl", "i": item.jid})
             else:
                 fresh.append(item)
         q.items = fresh

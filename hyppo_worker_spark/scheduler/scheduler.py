@@ -94,6 +94,12 @@ class EngineConfig:
     # Graceful-shutdown budget; running work gets 80% of it to finish
     # before being cancelled (``HyppoConfig.scala:55-60``).
     shutdown_timeout_s: float = 8.0
+    # Durable-queue journal path (None = in-memory only). With a path,
+    # pending + unacked work survives driver death: a new engine built
+    # over the same path redelivers it (RabbitMQ-persistence analog —
+    # ``IdempotentWorkQueueingTests.scala:38-64``). Unsafe persists ack
+    # before running, so they are never redelivered.
+    journal_path: str | None = None
 
 
 class ResponseHandler:
@@ -186,7 +192,11 @@ class HyppoEngine:
         self.registry = registry
         self.data_handler = handler
         self.config = config or EngineConfig()
-        self.queues = WorkQueueTable(naming or QueueNaming(), clock=clock)
+        self.queues = WorkQueueTable(
+            naming or QueueNaming(),
+            clock=clock,
+            journal_path=self.config.journal_path,
+        )
         self.resources = ResourcePool(clock=clock)
         self.contention = RecentResourceContention(
             self.config.backoff.max_wait_s, clock=clock
@@ -484,6 +494,7 @@ class HyppoEngine:
         ):
             time.sleep(0.01)
         requeued = self.queues.requeue_all_unacked()
+        self.queues.close_journal()
         drained = cancelled == 0 and requeued == 0
         return {"drained": drained, "cancelled": cancelled, "requeued": requeued}
 

@@ -1,0 +1,128 @@
+"""Durable-queue journal: pending + unacked work survives driver death
+and is redelivered to the next engine — the RabbitMQ-persistence analog
+of ``IdempotentWorkQueueingTests.scala:38-64``. Unsafe persists ack
+before running (at-most-once), so a crash mid-run never re-runs them.
+"""
+
+from hyppo_worker_spark.model import ValidateIntegrationRequest
+from hyppo_worker_spark.registry import IntegrationRegistry
+from hyppo_worker_spark.scheduler.queues import WorkQueueTable
+from hyppo_worker_spark.scheduler.scheduler import EngineConfig, HyppoEngine
+from tests.fixtures import ProcessedDataStub
+
+
+def _item(source="S"):
+    stub = ProcessedDataStub()
+    details = stub.details()
+    return ValidateIntegrationRequest(integration=details)
+
+
+def test_journal_recovers_pending_and_unacked(tmp_path):
+    path = str(tmp_path / "queue.journal")
+    q1 = WorkQueueTable(journal_path=path)
+    name = q1.enqueue(_item())  # stays pending
+    q1.enqueue(_item(), queue=name)  # delivered, acked (done)
+    q1.enqueue(_item(), queue=name)  # delivered, NEVER acked (in flight)
+    d_done = q1.basic_get(name)
+    q1.ack(d_done)
+    d_inflight = q1.basic_get(name)
+    assert d_inflight is not None
+    # crash: q1 simply abandoned, no shutdown, journal never closed
+
+    q2 = WorkQueueTable(journal_path=path)
+    st = q2.details(name)
+    # acked item gone; pending + in-flight both recovered as ready
+    assert st.ready == 2 and st.unacknowledged == 0
+
+    # pending item delivers as count 1; the crashed in-flight one as
+    # count 2 (its pre-crash delivery survived the restart)
+    counts = sorted(q2.basic_get(name).item.delivery_count for _ in range(2))
+    assert counts == [1, 2]
+
+
+def test_journal_redelivered_flag_after_restart(tmp_path):
+    path = str(tmp_path / "queue.journal")
+    q1 = WorkQueueTable(journal_path=path)
+    name = q1.enqueue(_item())
+    q1.basic_get(name)  # in flight at crash
+
+    q2 = WorkQueueTable(journal_path=path)
+    d = q2.basic_get(name)
+    assert d.redelivered  # delivery_count carried over the restart
+    assert d.item.delivery_count == 2
+
+
+def test_journal_acked_early_unsafe_never_redelivered(tmp_path):
+    """Unsafe-persist path: the engine acks BEFORE running. After a
+    crash mid-run, the journal shows the ack and must not redeliver."""
+    path = str(tmp_path / "queue.journal")
+    q1 = WorkQueueTable(journal_path=path)
+    name = q1.enqueue(_item())
+    d = q1.basic_get(name)
+    q1.ack(d)  # early ack, then crash mid-execution
+
+    q2 = WorkQueueTable(journal_path=path)
+    assert q2.basic_get(name) is None  # queue empty (not even recreated)
+
+
+def test_journal_compacts_on_recovery(tmp_path):
+    path = str(tmp_path / "queue.journal")
+    q1 = WorkQueueTable(journal_path=path)
+    name = q1.enqueue(_item())
+    for _ in range(5):  # churn: deliver + requeue repeatedly
+        d = q1.basic_get(name)
+        q1.reject_requeue(d)
+    lines_before = sum(1 for _ in open(path))
+    assert lines_before == 11  # 1 enq + 5*(get+rq)
+
+    WorkQueueTable(journal_path=path)
+    lines_after = sum(1 for _ in open(path))
+    assert lines_after == 1  # compacted to the single live item
+
+
+def test_journal_tolerates_torn_tail_write(tmp_path):
+    path = str(tmp_path / "queue.journal")
+    q1 = WorkQueueTable(journal_path=path)
+    name = q1.enqueue(_item())
+    q1.enqueue(_item(), queue=name)
+    with open(path, "a") as fh:
+        fh.write('{"ev":"ack","i"')  # crash mid-write
+
+    q2 = WorkQueueTable(journal_path=path)
+    assert q2.details(name).ready == 2
+
+
+def test_engine_restart_redelivers_idempotent_work(spark, storage, tmp_path):
+    """Kill an engine mid-run (simulated): the next engine constructed
+    over the same journal runs the abandoned work exactly once."""
+    path = str(tmp_path / "engine.journal")
+    stub = ProcessedDataStub()
+
+    reg1 = IntegrationRegistry()
+    reg1.register(stub)
+    eng1 = HyppoEngine(
+        spark, reg1, storage, EngineConfig(journal_path=path)
+    )
+    eng1.submit(ValidateIntegrationRequest(integration=stub.details()))
+    # simulate the crash: delegation leased the delivery but the driver
+    # died before the operation ran (no ack ever written)
+    got = eng1._next_delivery(eng1._slots[0])
+    assert got is not None
+    del eng1  # no shutdown — worker death
+
+    reg2 = IntegrationRegistry()
+    reg2.register(stub)
+    eng2 = HyppoEngine(
+        spark, reg2, storage, EngineConfig(journal_path=path)
+    )
+    completed = []
+    eng2.responses.on_completed(completed.append)
+    assert eng2.run_until_idle() == 1  # redelivered exactly once
+    assert len(completed) == 1
+    assert completed[0].input.operation.value == "ValidateIntegration"
+
+    # a third engine sees a fully-drained journal
+    eng3 = HyppoEngine(
+        spark, IntegrationRegistry(), storage, EngineConfig(journal_path=path)
+    )
+    assert eng3.run_until_idle() == 0
