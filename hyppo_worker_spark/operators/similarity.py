@@ -123,6 +123,98 @@ def cosine_neardup_pairs(
     )
 
 
+# Fixed-point grid for deterministic centroid updates: summing scaled
+# integers is order-independent, so the mean is bit-identical across
+# partition orders, runs, AND engines (float sums are none of those).
+FIXED_POINT_SCALE = 1_000_000
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Spherical k-means centroids via Lloyd iterations, entirely as
+    DataFrame ops — (cent_id, cent: array<double>).
+
+    - **Init**: the ``n_centroids`` lowest-id corpus vectors (a fixed
+      seed — deterministic, mirrorable in SQL).
+    - **Assign**: broadcast the tiny centroid set, argmax cosine per
+      vector (ties → lowest cent_id). One corpus scan, no shuffle.
+    - **Update**: per-cell component means computed on a fixed-point
+      integer grid — ``floor(x * 1e6)`` summed as longs, divided back
+      once. Integer addition commutes, so the result does not depend
+      on Spark's partition/merge order; a float ``avg`` would be
+      nondeterministic run-to-run and could flip downstream
+      assignments. Shuffle cost per iteration: one groupBy on
+      (cell, component) over exploded components — at 100 TB this is
+      the textbook distributed-Lloyd layout (each executor emits
+      partial integer sums map-side).
+    - An emptied cell keeps its previous centroid.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("__id"), V.as_double(F.col(vec_col)).alias("__v")
+    )
+    cents = (
+        vecs.filter(F.col("__id") < n_centroids)
+        .select(F.col("__id").alias("cent_id"), F.col("__v").alias("cent"))
+    )
+    for _ in range(n_iter):
+        cn = cents.withColumn("cent_norm", V.norm(F.col("cent")))
+        scored = (
+            vecs.withColumn("__vnorm", V.norm(F.col("__v")))
+            .join(F.broadcast(cn))
+            .withColumn(
+                "__sim",
+                V.dot(F.col("__v"), F.col("cent"))
+                / (F.col("__vnorm") * F.col("cent_norm")),
+            )
+        )
+        w = W.partitionBy("__id").orderBy(F.col("__sim").desc(), "cent_id")
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "__v", F.col("cent_id").alias("cell"))
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * FIXED_POINT_SCALE).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        # Reassemble the component means into an array ordered by pos
+        # (array_sort on (pos, s) structs is deterministic: pos is
+        # unique within a cell).
+        new_cents = (
+            sums.groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
+                F.max("n").alias("n"),
+            )
+            .select(
+                F.col("cell").alias("cent_id"),
+                F.transform(
+                    "ps",
+                    lambda t: t["s"]
+                    / (F.lit(float(FIXED_POINT_SCALE)) * F.col("n")),
+                ).alias("new_cent"),
+            )
+        )
+        cents = (
+            cents.join(new_cents, "cent_id", "left")
+            .select(
+                "cent_id", F.coalesce("new_cent", "cent").alias("cent")
+            )
+        )
+    return cents
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -130,26 +222,30 @@ def knn_ivf(
     vec_col: str = "embedding",
     k: int = 5,
     n_centroids: int = 8,
+    n_iter: int = 2,
+    nprobe: int = 1,
     round_to: int = 6,
 ) -> DataFrame:
     """IVF-style approximate KNN: the corpus is inverted-file
-    partitioned by nearest centroid; a query only scores its own
-    centroid's cell (nprobe=1).
+    partitioned by nearest centroid; a query scores only its
+    ``nprobe`` closest cells.
 
-    Centroids here are the first ``n_centroids`` corpus vectors
-    (deterministic; a production build would k-means them — the
-    partitioning/probing plumbing is identical). Plan shape: one
-    broadcast of the tiny centroid set for assignment, one shuffle on
-    cell id for the probe join — compute drops by ~n_centroids vs
-    brute force.
+    Centroids are spherical k-means (``kmeans_centroids``: lowest-id
+    init + ``n_iter`` Lloyd rounds on a deterministic fixed-point
+    grid); ``n_iter=0`` degenerates to the first-N variant. Plan
+    shape: one broadcast of the tiny centroid set for assignment, one
+    shuffle on cell id for the probe join — compute drops by
+    ~n_centroids/nprobe vs brute force. Raising ``nprobe`` trades
+    compute back for recall (the standard IVF knob); each corpus
+    vector still lives in exactly one cell, so probed pairs stay
+    unique and no dedup is needed.
     """
-    cents = (
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cent_id"), V.as_double(F.col(vec_col)).alias("cent"))
-        .withColumn("cent_norm", V.norm(F.col("cent")))
-    )
+    cents = kmeans_centroids(
+        corpus, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, n_iter=n_iter,
+    ).withColumn("cent_norm", V.norm(F.col("cent")))
 
-    def assign(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+    def assign(df: DataFrame, idc: str, vecc: str, probes: int = 1) -> DataFrame:
         v = df.select(F.col(idc).alias("__id"), V.as_double(F.col(vecc)).alias("__v"))
         v = v.withColumn("__vnorm", V.norm(F.col("__v")))
         scored = v.join(F.broadcast(cents)).withColumn(
@@ -159,7 +255,7 @@ def knn_ivf(
         w = W.partitionBy("__id").orderBy(F.col("__sim").desc(), "cent_id")
         return (
             scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            .filter(F.col("__rn") <= probes)
             .select(F.col("__id"), F.col("__v"), F.col("__vnorm"), F.col("cent_id").alias("cell"))
         )
 
@@ -169,7 +265,7 @@ def knn_ivf(
         F.col("__vnorm").alias("cnorm"),
         "cell",
     )
-    q = assign(queries, id_col, vec_col).select(
+    q = assign(queries, id_col, vec_col, probes=nprobe).select(
         F.col("__id").alias("q_id"),
         F.col("__v").alias("qv"),
         F.col("__vnorm").alias("qnorm"),

@@ -115,16 +115,46 @@ def s03_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(emb, threshold=0.42).orderBy("a_id", "b_id")
 
 
+# One Lloyd iteration (assignment → fixed-point mean update) as a SQL
+# CTE block, mirroring ``operators.similarity.kmeans_centroids``:
+# component sums run on a floor(x*1e6) integer grid, so the mean is
+# order-independent and bit-identical to Spark's.
+def _lloyd_round(i: int) -> str:
+    return f"""
+    a{i} AS (
+        SELECT vecs.vec_id, vecs.v, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY vecs.vec_id
+                                  ORDER BY {_cos('vecs.v', 'c.cent')} DESC, c.cent_id) AS rn
+        FROM vecs, cents{i} c
+    ),
+    m{i} AS (SELECT vec_id, v, cell FROM a{i} WHERE rn = 1),
+    g{i} AS (SELECT cell, list(v) AS ms, count(*) AS n FROM m{i} GROUP BY cell),
+    u{i} AS (
+        SELECT cell AS cent_id,
+               list_transform(range(1, len(ms[1]) + 1),
+                   i -> CAST(list_sum(list_transform(ms,
+                            m -> CAST(floor(m[i] * 1000000) AS BIGINT))) AS DOUBLE)
+                        / (1000000.0 * n)) AS cent
+        FROM g{i}
+    ),
+    cents{i + 1} AS (
+        SELECT c.cent_id, coalesce(u.cent, c.cent) AS cent
+        FROM cents{i} c LEFT JOIN u{i} u USING (cent_id)
+    )"""
+
+
 @register(
     "s04_knn_ivf",
     oracle=f"""
     WITH {_SQL_VECS},
-    cents AS (SELECT vec_id AS cent_id, v AS cent FROM vecs WHERE vec_id < 8),
+    cents0 AS (SELECT vec_id AS cent_id, v AS cent FROM vecs WHERE vec_id < 8),
+    {_lloyd_round(0)},
+    {_lloyd_round(1)},
     assigned AS (
-        SELECT vec_id, v, cent_id AS cell,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY {_cos('vecs.v', 'cents.cent')} DESC, cent_id) AS rn
-        FROM vecs, cents
+        SELECT vecs.vec_id, vecs.v, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY vecs.vec_id
+                                  ORDER BY {_cos('vecs.v', 'c.cent')} DESC, c.cent_id) AS rn
+        FROM vecs, cents2 c
     ),
     cells AS (SELECT vec_id, v, cell FROM assigned WHERE rn = 1),
     q AS (SELECT vec_id AS q_id, v AS qv, cell FROM cells WHERE vec_id < 20),
@@ -141,10 +171,13 @@ def s03_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q_id, neighbor_id, cos_sim, rank FROM ranked
     WHERE rank <= 5 ORDER BY q_id, rank
     """,
-    tags=("similarity", "knn", "ivf", "approximate"),
+    tags=("similarity", "knn", "ivf", "approximate", "kmeans"),
 )
 def s04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate top-5 neighbors (nprobe=1)."""
+    """IVF-partitioned approximate top-5 neighbors (nprobe=1) over
+    spherical-k-means cells (2 deterministic Lloyd rounds)."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = emb.filter(F.col("vec_id") < 20)
-    return S.knn_ivf(emb, queries, k=5, n_centroids=8).orderBy("q_id", "rank")
+    return S.knn_ivf(emb, queries, k=5, n_centroids=8, n_iter=2).orderBy(
+        "q_id", "rank"
+    )
