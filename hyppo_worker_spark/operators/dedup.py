@@ -61,6 +61,24 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, df[id_col] == keep.keep_id, "left_semi")
 
 
+# Multiply-mod-prime universal hash family for MinHash signatures.
+# The constants are a pure function of the seed index so the DuckDB
+# oracles (built as f-strings) interpolate the SAME values — the two
+# engines then agree bit-for-bit on every signature element.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, a_i != 0 mod p."""
+    return [
+        (
+            (i * 2654435761 + 1) % MINHASH_PRIME,
+            (i * 40503 + 9973) % MINHASH_PRIME,
+        )
+        for i in range(num_hashes)
+    ]
+
+
 def _verify_pairs(docs: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs.
 
@@ -120,11 +138,14 @@ def minhash_lsh_pairs(
     Plan shape (scale path — fully row-oriented so every md5 runs once
     inside whole-stage codegen, not inside nested array lambdas that
     Catalyst would inline per signature element):
-      1. explode shingles → (doc, shingle) rows; cross a tiny seed
-         range → vectorized md5 per (seed, shingle);
-      2. partial+final min per (doc, seed) — one shuffle on doc id;
-      3. conditional-agg the per-seed minima into band keys →
-         (doc, band_id, band_key);
+      1. explode shingles → (doc, shingle) rows;
+      2. ONE groupBy(doc) computing all ``num_hashes`` minima as
+         flat conditional aggregates (``min(md5(seed:shingle))`` per
+         seed — no seed cross-join multiplying rows, and map-side
+         partial aggregation collapses each doc to one 12-column row
+         per partition before the single shuffle);
+      3. assemble band keys from the minima columns and explode into
+         (doc, band_id, band_key) rows — narrow, no extra shuffle;
       4. self-join inside band buckets (id < id) → candidate pairs;
       5. join candidates back to the shingle arrays → exact Jaccard ≥
          threshold.
@@ -147,40 +168,43 @@ def minhash_lsh_pairs(
         "did", TX.shingles(F.col("w"), shingle_n).alias("sh")
     ).persist()
 
-    seeds = df.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
-    # Numeric 60-bit hash (top 15 hex digits of md5): min() over a
-    # fixed-width type keeps the aggregation in HashAggregate
-    # (min over strings falls back to SortAggregate).
-    minima = (
-        docs.select("did", F.explode("sh").alias("s"))
-        .join(F.broadcast(seeds))
-        .select(
-            "did",
-            "seed",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias("h"),
-        )
-        .groupBy("did", "seed")
-        .agg(F.min("h").alias("minh"))
+    # ONE md5 per shingle (28-bit numeric base hash), then the
+    # ``num_hashes`` signature elements via the multiply-mod-prime
+    # universal family h_i(x) = (a_i*x + b_i) mod p — integer mul/add
+    # instead of 12 md5+hex-parse per shingle (the md5 and conv() were
+    # ~90% of the signature stage's CPU). Both engines evaluate the
+    # same int64 arithmetic, so oracles stay bit-identical. min() over
+    # a fixed-width type keeps the aggregation in HashAggregate.
+    base = F.conv(F.substring(F.md5(F.col("s")), 1, 7), 16, 10).cast("bigint")
+    ex = docs.select("did", F.explode("sh").alias("s")).select(
+        "did", base.alias("h0")
     )
-    band_cols = [
-        F.max(F.when(F.col("seed") % rows_per_band == r, F.col("minh")))
-        for r in range(rows_per_band)
-    ]
+    params = minhash_params(num_hashes)
+    per_doc = ex.groupBy("did").agg(
+        *[
+            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
     # Persisted: the candidate self-join consumes it twice.
     banded = (
-        minima.withColumn("band_id", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("did", "band_id")
-        .agg(F.concat_ws("|", *band_cols).alias("band_key"))
+        per_doc.select("did", F.explode(band_structs).alias("bb"))
+        .select("did", "bb.band_id", "bb.band_key")
     ).persist()
 
     left = banded.alias("l")

@@ -103,18 +103,28 @@ def d02_exact_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# MinHash signature SQL: seed i ∈ [0,12), element = min md5('{i}:'||s),
-# 'z' sentinel for empty shingle sets; 6 bands × 2 rows.
-_SQL_SIG = """
-    sigs AS (
+# MinHash signature SQL mirroring operators/dedup.py exactly: one
+# 28-bit md5 base hash per shingle, signature element i = min over
+# shingles of (a_i*h + b_i) mod p with the SAME (a_i, b_i) constants
+# interpolated from minhash_params — bit-identical int64 arithmetic in
+# both engines. 6 bands × 2 rows.
+_MINHASH_ELEMS = ",\n                ".join(
+    f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {D.MINHASH_PRIME}),"
+    f" 'min')"
+    for a, b in D.minhash_params(12)
+)
+
+_SQL_SIG = f"""
+    hashed AS (
         SELECT doc_id, sh,
-               list_transform(range(0, 12),
-                   i -> list_aggregate(
-                            list_transform(sh, s ->
-                                ('0x' || substr(md5(concat(i, ':', s)), 1, 15))::BIGINT),
-                            'min')) AS sig
+               list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
         FROM sh
         WHERE len(sh) > 0
+    ),
+    sigs AS (
+        SELECT doc_id, sh,
+               [{_MINHASH_ELEMS}] AS sig
+        FROM hashed
     ),
     banded AS (
         SELECT doc_id, b AS band_id,
