@@ -39,6 +39,15 @@ BENCH_QUERIES = [
     "t02_quality_scores",
     "s01_knn_cosine_bruteforce",
     "p01_ingestion_pipeline",
+    # Round-3 additions (keep the original 20 above untouched for
+    # cross-round comparability).
+    "q36_rolling_window_range_frame",
+    "q37_edit_distance_drift",
+    "q38_distribution_windows",
+    "t03_token_stats",
+    "t04_fingerprints",
+    "t05_token_frequencies",
+    "s04_knn_ivf",
 ]
 
 

@@ -377,6 +377,18 @@ class WorkQueueTable:
             self._log({"ev": "rq", "i": delivery.item.jid})
             return "requeued"
 
+    def dead_letter(self, delivery: Delivery) -> None:
+        """Terminally remove an unacked delivery to the expired
+        collection — the poison-message outcome for an item whose
+        redelivery budget is exhausted (e.g. it crash-looped through
+        engine restarts and came back with delivery_count > max)."""
+        with self._lock:
+            q = self._queues[delivery.queue_name]
+            if q.unacked.pop(delivery.tag, None) is None:
+                return
+            self._expired_items.append((q.name, delivery.item))
+            self._log({"ev": "dl", "i": delivery.item.jid})
+
     def requeue_all_unacked(self) -> int:
         """Return every unacked in-flight item to its queue — the
         worker-death path: a worker that dies (or is shut down) without

@@ -276,6 +276,19 @@ class HyppoEngine:
         import dataclasses
 
         item: WorkInput = delivery.item.input
+        # Poison bound across engine restarts: an item that crash-loops
+        # through journal recoveries arrives with a growing delivery
+        # count but never passes through reject_requeue (the in-process
+        # dead-letter point). Enforce the budget before running so a
+        # poison message can't execute unboundedly across workers.
+        if (
+            self.config.max_deliveries is not None
+            and delivery.item.delivery_count > self.config.max_deliveries
+        ):
+            self.queues.dead_letter(delivery)
+            self.resources.release_all(leases)
+            self._sweep_expired()
+            return
         slot.transition("running")
         slot.cancelled = False
         acked_early = False

@@ -126,3 +126,46 @@ def test_engine_restart_redelivers_idempotent_work(spark, storage, tmp_path):
         spark, IntegrationRegistry(), storage, EngineConfig(journal_path=path)
     )
     assert eng3.run_until_idle() == 0
+
+
+def test_poison_crash_loop_dead_letters_after_max(spark, storage, tmp_path):
+    """End-to-end poison policy across engine restarts: work that is
+    in flight at every crash keeps its delivery count through the
+    journal; once the count exceeds max_deliveries the next engine
+    dead-letters it to the expired callback instead of running it."""
+    path = str(tmp_path / "poison.journal")
+    stub = ProcessedDataStub()
+    max_deliveries = 3
+
+    for _ in range(max_deliveries):  # each loop: deliver, then "crash"
+        reg = IntegrationRegistry()
+        reg.register(stub)
+        eng = HyppoEngine(
+            spark, reg, storage,
+            EngineConfig(journal_path=path, max_deliveries=max_deliveries),
+        )
+        if not any(d.size for d in eng.queues.all_details()):
+            eng.submit(ValidateIntegrationRequest(integration=stub.details()))
+        got = eng.queues.basic_get("hyppo.integration.Test_Source-v1")
+        assert got is not None  # leased, engine dies before acking
+        del eng
+
+    reg = IntegrationRegistry()
+    reg.register(stub)
+    eng = HyppoEngine(
+        spark, reg, storage,
+        EngineConfig(journal_path=path, max_deliveries=max_deliveries),
+    )
+    expired, completed = [], []
+    eng.responses.on_expired(expired.append)
+    eng.responses.on_completed(completed.append)
+    eng.run_until_idle()  # one delegation cycle: dead-letter, no execution
+    assert completed == []
+    assert len(expired) == 1
+    assert expired[0].operation.value == "ValidateIntegration"
+    # nothing left anywhere; the journal is terminal for the item
+    eng2 = HyppoEngine(
+        spark, IntegrationRegistry(), storage,
+        EngineConfig(journal_path=path, max_deliveries=max_deliveries),
+    )
+    assert eng2.run_until_idle() == 0
