@@ -240,10 +240,18 @@ def knn_ivf(
     vector still lives in exactly one cell, so probed pairs stay
     unique and no dedup is needed.
     """
-    cents = kmeans_centroids(
-        corpus, id_col=id_col, vec_col=vec_col,
-        n_centroids=n_centroids, n_iter=n_iter,
-    ).withColumn("cent_norm", V.norm(F.col("cent")))
+    # Materialize the tiny centroid frame once: it feeds BOTH the
+    # corpus and the query assignment branches, and each Lloyd round is
+    # itself a multi-stage plan — without the barrier the whole k-means
+    # lineage re-executes per branch.
+    cents = (
+        kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col,
+            n_centroids=n_centroids, n_iter=n_iter,
+        )
+        .withColumn("cent_norm", V.norm(F.col("cent")))
+        .localCheckpoint(eager=True)
+    )
 
     def assign(df: DataFrame, idc: str, vecc: str, probes: int = 1) -> DataFrame:
         v = df.select(F.col(idc).alias("__id"), V.as_double(F.col(vecc)).alias("__v"))

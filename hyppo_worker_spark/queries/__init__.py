@@ -37,6 +37,7 @@ REGISTRY: dict[str, Query] = {}
 # the local harness (``tools/check.py`` runs the FULL registry).
 DRIVER_RETIRED: frozenset[str] = frozenset(
     {
+        "q02_customer_by_region",  # join-agg — q03/q07/q28 cover join+agg shapes
         "q05_customers_without_orders",  # anti-join — q25 covers anti-join richer
         "q10_set_ops",  # set ops — q31 covers union/intersect/except + multiset
         "q11_distinct_parts",  # distinct agg — q27 now carries exact+approx distincts
@@ -83,6 +84,7 @@ def load_all() -> dict[str, Query]:
     """Import all query modules (side effect: registry population)."""
     from hyppo_worker_spark.queries import (  # noqa: F401
         dedup_queries,
+        multimodal_queries,
         pipeline_queries,
         relational,
         similarity_queries,

@@ -18,7 +18,7 @@ from hyppo_worker_spark.queries import (
 )
 
 # One prefix per family that must never lose driver coverage.
-FAMILY_PREFIXES = ("d0", "p0", "q0", "s0", "t0")
+FAMILY_PREFIXES = ("d0", "m0", "p0", "q0", "s0", "t0")
 
 
 def test_driver_registry_fits_check_window():
@@ -34,6 +34,7 @@ def test_driver_registry_covers_every_family():
         assert any(n.startswith(prefix) for n in names), f"family {prefix} evicted"
     # the specific queries round 2 lost must stay in the window
     for must in (
+        "m01_media_manifest",
         "s04_knn_ivf",
         "t01_language_id",
         "t02_quality_scores",
