@@ -46,6 +46,29 @@ def windowed_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication — the continuous-ingestion twin of
+    the batch exact-dedup operator (``operators/dedup.py``): the first
+    arrival of each key passes, replays and late duplicates are
+    dropped.
+
+    ``dropDuplicatesWithinWatermark`` keeps ONE state row per key and
+    evicts it once the watermark passes, so state is bounded by the
+    key arrival rate × watermark horizon — a plain ``dropDuplicates``
+    on a stream would grow state forever. At 100 TB/day this is the
+    dedup-at-the-door stage that keeps at-least-once upstream delivery
+    (e.g. the engine's requeue-on-crash semantics) from double-feeding
+    the corpus.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -172,3 +172,23 @@ def test_stream_stream_interval_join(spark, event_source_dir):
     expected = {(r.click_id, r.purchase_ts) for r in batch.collect()}
     assert got == expected
     assert got  # non-trivial
+
+
+def test_streaming_dedup_drops_replayed_events(spark, event_source_dir, tmp_path):
+    """Replayed (at-least-once) events are dropped by the watermarked
+    dedup: output matches batch-distinct on event_id, with bounded
+    per-key state."""
+    from hyppo_worker_spark.streaming.pipeline import streaming_dedup
+
+    # double-land the source: every file delivered twice
+    src = str(tmp_path / "replayed")
+    ev = spark.read.parquet(event_source_dir)
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    _drain(streaming_dedup(stream), "dedup_out", "append")
+    got = spark.sql("SELECT event_id, count(*) AS n FROM dedup_out GROUP BY event_id")
+    dupes = got.filter("n > 1").count()
+    assert dupes == 0
+    assert got.count() == ev.select("event_id").distinct().count()
