@@ -168,23 +168,34 @@ def minhash_lsh_pairs(
         "did", TX.shingles(F.col("w"), shingle_n).alias("sh")
     ).persist()
 
-    # ONE md5 per shingle (28-bit numeric base hash), then the
-    # ``num_hashes`` signature elements via the multiply-mod-prime
-    # universal family h_i(x) = (a_i*x + b_i) mod p — integer mul/add
-    # instead of 12 md5+hex-parse per shingle (the md5 and conv() were
-    # ~90% of the signature stage's CPU). Both engines evaluate the
-    # same int64 arithmetic, so oracles stay bit-identical. min() over
-    # a fixed-width type keeps the aggregation in HashAggregate.
-    base = F.conv(F.substring(F.md5(F.col("s")), 1, 7), 16, 10).cast("bigint")
+    # ONE md5 per shingle, parsed into TWO 28-bit base fields (hex
+    # digits 1-7 and 8-14), then the ``num_hashes`` signature elements
+    # via independent multiply-mod-prime universal hashes of each field
+    # combined into a ~62-bit key: element_i = g_i(lo)*2^31 + g'_i(hi).
+    # Integer mul/add instead of 12 md5+hex-parse per shingle (the md5
+    # and conv() were ~90% of the signature stage's CPU), and the
+    # 62-bit space keeps spurious cross-doc minima collisions
+    # negligible at corpus scale (a single 28-bit field would collide
+    # at ~1e-3/pair for thousand-shingle docs and inflate LSH buckets).
+    # Both engines evaluate the same int64 arithmetic (max value < 2^62
+    # — no overflow), so oracles stay bit-identical. min() over a
+    # fixed-width type keeps the aggregation in HashAggregate.
+    lo = F.conv(F.substring(F.md5(F.col("s")), 1, 7), 16, 10).cast("bigint")
+    hi = F.conv(F.substring(F.md5(F.col("s")), 8, 7), 16, 10).cast("bigint")
     ex = docs.select("did", F.explode("sh").alias("s")).select(
-        "did", base.alias("h0")
+        "did", lo.alias("hl"), hi.alias("hh")
     )
-    params = minhash_params(num_hashes)
+    params = minhash_params(2 * num_hashes)
+
+    def elem(i: int):
+        a, b = params[i]
+        c, d = params[num_hashes + i]
+        g_lo = (F.lit(a) * F.col("hl") + F.lit(b)) % MINHASH_PRIME
+        g_hi = (F.lit(c) * F.col("hh") + F.lit(d)) % MINHASH_PRIME
+        return g_lo * F.lit(2147483648) + g_hi
+
     per_doc = ex.groupBy("did").agg(
-        *[
-            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
-            for i, (a, b) in enumerate(params)
-        ]
+        *[F.min(elem(i)).alias(f"m{i}") for i in range(num_hashes)]
     )
     band_structs = F.array(
         *[

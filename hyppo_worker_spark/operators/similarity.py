@@ -206,11 +206,19 @@ def kmeans_centroids(
                 ).alias("new_cent"),
             )
         )
+        # Per-round lineage truncation: each round references the
+        # previous centroids in TWO branches (assignment + the
+        # empty-cell coalesce), so without a barrier the plan doubles
+        # per iteration — the same pathology connected_components hit
+        # on chains. The frame is n_centroids rows; the checkpoint is
+        # trivially cheap and values are unchanged (deterministic
+        # fixed-point arithmetic).
         cents = (
             cents.join(new_cents, "cent_id", "left")
             .select(
                 "cent_id", F.coalesce("new_cent", "cent").alias("cent")
             )
+            .localCheckpoint(eager=True)
         )
     return cents
 

@@ -103,21 +103,24 @@ def d02_exact_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# MinHash signature SQL mirroring operators/dedup.py exactly: one
-# 28-bit md5 base hash per shingle, signature element i = min over
-# shingles of (a_i*h + b_i) mod p with the SAME (a_i, b_i) constants
-# interpolated from minhash_params — bit-identical int64 arithmetic in
-# both engines. 6 bands × 2 rows.
+# MinHash signature SQL mirroring operators/dedup.py exactly: one md5
+# per shingle parsed into two 28-bit fields, signature element i =
+# min over shingles of ((a_i*lo + b_i) mod p)*2^31 + ((c_i*hi + d_i)
+# mod p) with the SAME constants interpolated from minhash_params —
+# bit-identical int64 arithmetic in both engines. 6 bands × 2 rows.
+_MH_PARAMS = D.minhash_params(24)
 _MINHASH_ELEMS = ",\n                ".join(
-    f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {D.MINHASH_PRIME}),"
-    f" 'min')"
-    for a, b in D.minhash_params(12)
+    "list_aggregate(list_transform(range(1, len(hl) + 1), "
+    f"j -> (({a} * hl[j] + {b}) % {D.MINHASH_PRIME}) * 2147483648"
+    f" + (({c} * hh[j] + {d}) % {D.MINHASH_PRIME})), 'min')"
+    for (a, b), (c, d) in zip(_MH_PARAMS[:12], _MH_PARAMS[12:])
 )
 
 _SQL_SIG = f"""
     hashed AS (
         SELECT doc_id, sh,
-               list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
+               list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hl,
+               list_transform(sh, s -> ('0x' || substr(md5(s), 8, 7))::BIGINT) AS hh
         FROM sh
         WHERE len(sh) > 0
     ),

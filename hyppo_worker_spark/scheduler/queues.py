@@ -181,6 +181,10 @@ class QueueJournal:
                     }
                 elif kind == "get" and i in state:
                     state[i]["delivery_count"] += 1
+                elif kind == "ret" and i in state:
+                    state[i]["delivery_count"] = max(
+                        0, state[i]["delivery_count"] - 1
+                    )
                 elif kind in ("ack", "dl") and i in state:
                     del state[i]
                 # "rq" leaves the record as-is: the item returns to
@@ -212,6 +216,7 @@ class WorkQueueTable:
         self._tags = itertools.count(1)
         self._expired_items: deque[tuple[str, QueueItem]] = deque()
         self._journal: QueueJournal | None = None
+        self._journal_path = journal_path
         self._jids = itertools.count(1)
         self.ensure(self.naming.general)
         if journal_path is not None:
@@ -222,11 +227,23 @@ class WorkQueueTable:
     def _recover(self, journal_path: str) -> None:
         from hyppo_worker_spark.model import deserialize_work
 
+        tmp = journal_path + ".tmp"
+        # Crash-during-compaction recovery: the .tmp is the authoritative
+        # pre-compaction state. It exists only if a previous _recover
+        # died between its rename and its final unlink — at that point
+        # the "new" journal holds at most a PARTIAL re-enqueue of the
+        # same live set (no engine ran against it, _recover happens
+        # during construction), so the partial file is discarded and the
+        # .tmp replayed instead. Without this, work not yet re-enqueued
+        # at the crash would be silently lost.
+        if os.path.exists(tmp):
+            if os.path.exists(journal_path):
+                os.remove(journal_path)
+            os.replace(tmp, journal_path)
         live, _max_id = QueueJournal.replay(journal_path)
         # Compact: rewrite the journal with only live items (re-logged
         # as fresh enq events by the enqueue below), then log as
-        # normal. A crash during rewrite leaves the .tmp copy intact.
-        tmp = journal_path + ".tmp"
+        # normal.
         if os.path.exists(journal_path):
             os.replace(journal_path, tmp)
         self._journal = QueueJournal(journal_path)
@@ -254,6 +271,14 @@ class WorkQueueTable:
         if self._journal is not None:
             self._journal.close()
             self._journal = None
+
+    def reopen_journal(self) -> None:
+        """Resume journaling after ``close_journal`` (the engine-restart
+        path): appends to the existing file — in-memory state and the
+        on-disk log are already consistent at shutdown (requeues were
+        logged before close), so no replay is needed."""
+        if self._journal_path is not None and self._journal is None:
+            self._journal = QueueJournal(self._journal_path)
 
     # -- queue management ---------------------------------------------
 
@@ -376,6 +401,21 @@ class WorkQueueTable:
             q.items.appendleft(delivery.item)
             self._log({"ev": "rq", "i": delivery.item.jid})
             return "requeued"
+
+    def return_uncounted(self, delivery: Delivery) -> None:
+        """Return a delivery whose item never reached execution (e.g.
+        the delegation loop popped it but failed to lease resources).
+        The delivery count is rolled back so contention bounces — which
+        can happen hundreds of times while a resource is held — never
+        eat into the poison-message budget; that budget bounds
+        EXECUTION attempts, not queue pops."""
+        with self._lock:
+            q = self._queues[delivery.queue_name]
+            if q.unacked.pop(delivery.tag, None) is None:
+                return
+            delivery.item.delivery_count = max(0, delivery.item.delivery_count - 1)
+            q.items.appendleft(delivery.item)
+            self._log({"ev": "ret", "i": delivery.item.jid})
 
     def dead_letter(self, delivery: Delivery) -> None:
         """Terminally remove an unacked delivery to the expired

@@ -264,7 +264,9 @@ class HyppoEngine:
                 leases = self.resources.acquire_all(res)
             except ResourceUnavailable as e:
                 self.contention.failed_to_acquire(e.resource)
-                self.queues.reject_requeue(delivery)
+                # Never ran: roll the delivery count back so contention
+                # bounces don't consume the poison-message budget.
+                self.queues.return_uncounted(delivery)
                 continue
             self.contention.successfully_acquired(res)
             return delivery, leases
@@ -513,5 +515,10 @@ class HyppoEngine:
 
     def reset_for_restart(self) -> None:
         """Clear the stop flag so a drained engine can resume — the
-        'next worker process' in tests."""
+        'next worker process' in tests. Journaling resumes too:
+        shutdown closed the journal after logging its requeues, so the
+        file and the in-memory state are consistent to append to."""
         self._stop.clear()
+        for slot in self._slots:
+            slot.cancelled = False
+        self.queues.reopen_journal()

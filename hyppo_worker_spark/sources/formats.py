@@ -42,11 +42,16 @@ def _jar_probe(spark: SparkSession, fmt: str) -> bool:
         jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
             fmt, conf
         )
-        ok = True
-    except Exception:  # noqa: BLE001
-        ok = False
-    _jar_probe_cache[fmt] = ok
-    return ok
+        _jar_probe_cache[fmt] = True
+        return True
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        # Cache only the definitive "no such data source" verdict; a
+        # transient gateway/JVM hiccup must not poison the cache into
+        # a permanent FormatUnavailable for the rest of the process.
+        if "FAILED_TO_FIND_DATA_SOURCE" in msg or "Failed to find" in msg:
+            _jar_probe_cache[fmt] = False
+        return False
 
 
 def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:

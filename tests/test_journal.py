@@ -169,3 +169,50 @@ def test_poison_crash_loop_dead_letters_after_max(spark, storage, tmp_path):
         EngineConfig(journal_path=path, max_deliveries=max_deliveries),
     )
     assert eng2.run_until_idle() == 0
+
+
+def test_recovery_crash_mid_compaction_loses_nothing(tmp_path):
+    """A crash between _recover's rename and its final unlink leaves
+    journal.tmp holding the authoritative state and a partial rewrite
+    in the journal; the next recovery must replay the .tmp, not the
+    partial file."""
+    import os
+
+    path = str(tmp_path / "queue.journal")
+    q1 = WorkQueueTable(journal_path=path)
+    name = q1.enqueue(_item())
+    q1.enqueue(_item(), queue=name)
+    q1.close_journal()
+
+    # simulate the crashed compaction: rename to .tmp, write a partial
+    # rewrite containing only the first live item's line
+    os.replace(path, path + ".tmp")
+    with open(path + ".tmp") as fh:
+        first_line = fh.readline()
+    with open(path, "w") as fh:
+        fh.write(first_line)
+
+    q2 = WorkQueueTable(journal_path=path)
+    assert q2.details(name).ready == 2  # nothing lost
+    assert not os.path.exists(path + ".tmp")  # compaction completed
+
+
+def test_contention_bounce_does_not_consume_poison_budget(tmp_path):
+    """A delivery returned via return_uncounted (resource contention —
+    the item never ran) rolls its delivery count back, in memory and
+    through the journal."""
+    path = str(tmp_path / "queue.journal")
+    q1 = WorkQueueTable(journal_path=path)
+    name = q1.enqueue(_item())
+    for _ in range(50):  # starvation: bounced 50 times without running
+        d = q1.basic_get(name)
+        q1.return_uncounted(d)
+
+    d = q1.basic_get(name)
+    assert d.item.delivery_count == 1  # bounces never counted
+    q1.return_uncounted(d)
+
+    # and the rollback survives a restart
+    q2 = WorkQueueTable(journal_path=path)
+    d2 = q2.basic_get(name)
+    assert d2.item.delivery_count == 1
