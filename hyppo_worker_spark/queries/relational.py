@@ -1657,3 +1657,52 @@ def q38_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q39 — skew-safe two-phase aggregation (operators/skew.py): the
+# explicit salting path for KNOWN hot keys. l_returnflag has 3 values
+# over the whole fact table — exactly the shape where a single-phase
+# groupBy funnels everything through 3 reducers at 100 TB. The oracle
+# is the plain GROUP BY: salting must be lossless, so results are
+# value-identical (sums quantized to integers so two-phase summation
+# order cannot produce float epsilons vs DuckDB's single pass).
+# --------------------------------------------------------------------------
+@register(
+    "q39_salted_hot_keys",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "skew", "salting"),
+)
+def q39_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the two-phase salted path."""
+    from hyppo_worker_spark.operators.skew import salted_agg
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    prepared = t["lineitem"].select(
+        "l_returnflag",
+        F.lit(1).alias("one"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+        "l_orderkey",
+    )
+    return salted_agg(
+        prepared,
+        "l_returnflag",
+        [
+            ("count", "one", "n_rows"),
+            ("sum", "qty_int", "sum_qty"),
+            ("sum", "price_cents", "sum_price_cents"),
+            ("max", "l_orderkey", "max_orderkey"),
+        ],
+        salt=8,
+    ).orderBy("l_returnflag")
