@@ -99,14 +99,14 @@ def _verify_pairs(docs: DataFrame, cand: DataFrame, threshold: float) -> DataFra
     nsz = docs.select("did", F.size("sh").alias("n"))
     ca = ex.join(cand, ex["did"] == cand["a_id"]).select("a_id", "b_id", "s")
     cb = ex.join(cand, ex["did"] == cand["b_id"]).select(
-        F.col("a_id").alias("a2"), F.col("b_id").alias("b2"), "s"
+        F.col("a_id").alias("a2"), F.col("b_id").alias("b2"), F.col("s").alias("s2")
     )
     inter = (
         ca.join(
             cb,
             (F.col("a_id") == F.col("a2"))
             & (F.col("b_id") == F.col("b2"))
-            & (ca["s"] == cb["s"]),
+            & (F.col("s") == F.col("s2")),
         )
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("icnt"))
