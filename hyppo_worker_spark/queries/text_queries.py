@@ -249,3 +249,71 @@ def t05_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "token")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# t06 — deterministic stratified sampling: the corpus-downsampling
+# stage of a training pipeline. The gate is a pure function of the
+# row key (md5(doc_id) mod 100 < per-language rate), so the sample is
+# reproducible across engines, runs, AND partitionings — unlike
+# rand()-based sampling — and at 100 TB it is a scan-local filter
+# (no shuffle, prunes before any downstream stage). Rates stratify by
+# language: downsample the dominant language hard, keep the tail.
+# --------------------------------------------------------------------------
+_SAMPLE_RATES = {"en": 40, "de": 70, "fr": 70}  # percent kept, default 100
+
+
+def _sample_gate_spark():
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lg, F.lit(pct))
+            for lg, pct in _SAMPLE_RATES.items()
+        ],
+        F.lit(100),
+    )
+    return bucket < rate
+
+
+_SAMPLE_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lg}' THEN {pct}" for lg, pct in _SAMPLE_RATES.items())
+    + " ELSE 100 END"
+)
+
+
+@register(
+    "t06_stratified_sample",
+    oracle=f"""
+    WITH gated AS (
+        SELECT lang,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100)
+                   < ({_SAMPLE_RATE_SQL}) AS keep
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE keep) AS n_sampled
+    FROM gated
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "sampling", "training-data"),
+)
+def t06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc counts before/after the deterministic
+    hash-gated stratified sample."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.withColumn("keep", _sample_gate_spark())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("keep")).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
