@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "t04_fingerprints",
     "t05_token_frequencies",
     "s04_knn_ivf",
+    "m01_media_manifest",
+    "q39_salted_hot_keys",
+    "t06_stratified_sample",
 ]
 
 

@@ -216,3 +216,59 @@ def test_contention_bounce_does_not_consume_poison_budget(tmp_path):
     q2 = WorkQueueTable(journal_path=path)
     d2 = q2.basic_get(name)
     assert d2.item.delivery_count == 1
+
+
+def test_journal_replay_matches_model_random_ops(tmp_path):
+    """Property: after ANY op sequence, recovery reconstructs exactly
+    the model's live set with the model's delivery counts."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(st.integers(0, 4), min_size=1, max_size=40))
+    def run(ops):
+        path = str(tmp_path / f"prop-{abs(hash(tuple(ops)))}.journal")
+        q = WorkQueueTable(journal_path=path)
+        name = q.enqueue(_item())
+        model = {q._queues[name].items[0].jid: 0}  # jid -> delivery_count
+        in_flight = {}  # tag -> (jid, delivery)
+        for op in ops:
+            if op == 0:  # enqueue
+                q.enqueue(_item(), queue=name)
+                model[q._queues[name].items[-1].jid] = 0
+            elif op == 1:  # deliver
+                d = q.basic_get(name)
+                if d is not None:
+                    model[d.item.jid] += 1
+                    in_flight[d.tag] = (d.item.jid, d)
+            elif op == 2 and in_flight:  # ack
+                tag, (jid, d) = next(iter(in_flight.items()))
+                q.ack(d)
+                del in_flight[tag]
+                del model[jid]
+            elif op == 3 and in_flight:  # requeue (counted)
+                tag, (jid, d) = next(iter(in_flight.items()))
+                q.reject_requeue(d)
+                del in_flight[tag]
+            elif op == 4 and in_flight:  # contention return (uncounted)
+                tag, (jid, d) = next(iter(in_flight.items()))
+                q.return_uncounted(d)
+                del in_flight[tag]
+                model[jid] -= 1
+        q.close_journal()
+
+        q2 = WorkQueueTable(journal_path=path)
+        recovered = {}
+        while True:
+            d = q2.basic_get(name) if name in q2._queues else None
+            if d is None:
+                break
+            recovered[d.item.jid] = d.item.delivery_count - 1  # undo the get
+        # jids differ across tables; compare as multisets of counts
+        assert sorted(recovered.values()) == sorted(model.values())
+
+    run()
