@@ -101,3 +101,45 @@ def test_q27_approx_within_error_bounds(spark, registry):
         assert r.exact_orders == exact[flag].orders
         assert r.parts_within_bounds and r.orders_within_bounds
         assert r.median_within_bounds and r.p25_within_bounds and r.p75_within_bounds
+
+
+def test_t06_and_q39_column_pruning(spark, registry):
+    """The round-3 sampling/salting queries must stay scan-local with
+    pruned reads: t06 reads only (doc_id, lang); q39 only the four
+    aggregated lineitem columns."""
+    t06 = registry["t06_stratified_sample"].spark_fn(spark, SF_DIR)
+    assert scan_reads_only(t06, "documents", {"doc_id", "lang"})
+    q39 = registry["q39_salted_hot_keys"].spark_fn(spark, SF_DIR)
+    assert scan_reads_only(
+        q39, "lineitem",
+        {"l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"},
+    )
+
+
+def test_d03_signature_stage_single_shuffle(spark, registry):
+    """The MinHash signature path is one groupBy(doc) — the banded
+    frame's plan must contain exactly one Exchange (plus the final
+    band-key explode, which is narrow)."""
+    from hyppo_worker_spark.operators.dedup import minhash_lsh_pairs
+    from hyppo_worker_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    # full d03 plan has joins downstream; assert the signature segment
+    # by rebuilding just the banded frame shape: explode+group = 1 exch
+    from pyspark.sql import functions as F
+    from hyppo_worker_spark.functions import text as TX
+    from hyppo_worker_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    words = docs.select(F.col("doc_id").alias("did"), TX.tokens("text").alias("w"))
+    sh = words.select("did", TX.shingles(F.col("w"), 3).alias("sh"))
+    lo = F.conv(F.substring(F.md5(F.col("s")), 1, 7), 16, 10).cast("bigint")
+    ex = sh.select("did", F.explode("sh").alias("s")).select("did", lo.alias("hl"))
+    params = minhash_params(24)
+    per_doc = ex.groupBy("did").agg(
+        *[
+            F.min((F.lit(a) * F.col("hl") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+            for i, (a, b) in enumerate(params[:12])
+        ]
+    )
+    assert count_exchanges(per_doc) == 1
