@@ -145,25 +145,40 @@ def t02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(len(w)) AS BIGINT) AS total_tokens,
            CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
                AS total_regex_tokens,
+           CAST(sum(len(regexp_extract_all(text,
+               '''(?:s|t|ll|ve|re|d|m)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+')))
+               AS BIGINT) AS total_bpe_tokens,
            round(avg(len(w)), 4) AS avg_tokens_per_doc,
            max(len(w)) AS max_tokens
     FROM tok
     GROUP BY source ORDER BY source
     """,
-    tags=("text", "token-count"),
+    tags=("text", "token-count", "bpe"),
 )
 def t03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-count statistics per source (whitespace + regex tokenizers)."""
+    """Token-count statistics per source: whitespace tokens, a simple
+    regex tokenizer, and a GPT-2-style BPE pre-tokenizer (contraction
+    suffixes | space-prefixed letter runs | digit runs | punctuation
+    runs — the standard pre-split whose piece count upper-bounds BPE
+    token count; no lookahead so Java regex and RE2 agree)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     toks = TX.tokens("text")
     regex_toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    bpe_pattern = r"'(?:s|t|ll|ve|re|d|m)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    bpe_toks = F.regexp_extract_all("text", F.lit(bpe_pattern), 0)
     return (
-        docs.select("source", F.size(toks).alias("nt"), F.size(regex_toks).alias("nr"))
+        docs.select(
+            "source",
+            F.size(toks).alias("nt"),
+            F.size(regex_toks).alias("nr"),
+            F.size(bpe_toks).alias("nb"),
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("nt").alias("total_tokens"),
             F.sum("nr").alias("total_regex_tokens"),
+            F.sum("nb").alias("total_bpe_tokens"),
             F.round(F.avg("nt"), 4).alias("avg_tokens_per_doc"),
             F.max("nt").alias("max_tokens"),
         )
