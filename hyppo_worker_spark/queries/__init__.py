@@ -42,6 +42,7 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q10_set_ops",  # set ops — q31 covers union/intersect/except + multiset
         "q11_distinct_parts",  # distinct agg — q27 now carries exact+approx distincts
         "q12_top_orders",  # top-k — q03 covers TakeOrderedAndProject
+        "q08_user_running_state",  # running windows — q29/q36 cover frames/running
         "q13_scalar_functions",  # scalar funcs — q24/q33/q34/q37 each keep a scalar family
         "q14_promo_revenue",  # conditional agg — q35 covers count_if/sum-when richer
         "q15_small_quantity_orders",  # scalar-subquery filter-agg — q14 covers filter-agg

@@ -332,3 +332,59 @@ def t06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# t07 — weighted document sampling via a deterministic priority race:
+# each doc draws u = 52-bit md5 uniform and races with key = u / w
+# (w = n_chars); the k smallest keys per language win, so selection
+# probability increases with weight. This is the Efraimidis–Spirakis
+# reservoir shape with the exponential race (-ln(u)/w) replaced by a
+# uniform race: ln/pow are NOT bit-reproducible across engines (IEEE
+# guarantees only +,-,*,/,sqrt), while division is exact — so the
+# sample is identical in Spark and DuckDB, across runs, and across
+# partitionings. At 100 TB: scan-local key computation + per-group
+# top-k (partial top-k map-side), no global sort.
+# --------------------------------------------------------------------------
+@register(
+    "t07_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS DOUBLE)
+                   / n_chars AS race_key
+        FROM documents
+        WHERE n_chars > 0
+    ),
+    ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY race_key, doc_id) AS rank
+        FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY lang, rank
+    """,
+    tags=("text", "sampling", "weighted", "training-data"),
+)
+def t07_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 weight-biased sample per language (deterministic race)."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        .cast("double")
+    )
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "lang", "doc_id", "n_chars", (u / F.col("n_chars")).alias("race_key")
+    )
+    w = W.partitionBy("lang").orderBy("race_key", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "doc_id", "n_chars", "rank")
+        .orderBy("lang", "rank")
+    )
