@@ -272,3 +272,57 @@ def test_journal_replay_matches_model_random_ops(tmp_path):
         assert sorted(recovered.values()) == sorted(model.values())
 
     run()
+
+
+def test_multislot_journaled_engine_drains_concurrently(spark, storage, tmp_path):
+    """4 worker slots against one journaled broker: every item executes
+    exactly once, and a fresh engine over the journal finds nothing."""
+    path = str(tmp_path / "multi.journal")
+    stub = ProcessedDataStub()
+    reg = IntegrationRegistry()
+    reg.register(stub)
+    eng = HyppoEngine(
+        spark, reg, storage,
+        EngineConfig(worker_count=4, journal_path=path),
+    )
+    completed = []
+    eng.responses.on_completed(lambda r: completed.append(r.input.execution_id))
+    n_items = 12
+    for _ in range(n_items):
+        eng.submit(ValidateIntegrationRequest(integration=stub.details()))
+    assert eng.run_until_idle() == n_items
+    assert len(completed) == n_items
+    assert len(set(completed)) == n_items  # every execution exactly once
+
+    eng2 = HyppoEngine(
+        spark, IntegrationRegistry(), storage, EngineConfig(journal_path=path)
+    )
+    assert eng2.run_until_idle() == 0  # journal fully drained
+
+
+def test_recovery_dispatches_work_expired_during_downtime(spark, storage, tmp_path):
+    """An item whose wall-clock TTL elapsed while no engine was running
+    dead-letters to the expired handlers on the next engine instead of
+    silently vanishing or running stale."""
+    import time as _time
+
+    path = str(tmp_path / "exp.journal")
+    stub = ProcessedDataStub()
+    reg = IntegrationRegistry()
+    reg.register(stub)
+    eng1 = HyppoEngine(spark, reg, storage, EngineConfig(journal_path=path))
+    eng1.submit(
+        ValidateIntegrationRequest(integration=stub.details()), ttl_s=0.05
+    )
+    del eng1  # crash with the item pending
+    _time.sleep(0.1)  # downtime exceeds the TTL
+
+    reg2 = IntegrationRegistry()
+    reg2.register(stub)
+    eng2 = HyppoEngine(spark, reg2, storage, EngineConfig(journal_path=path))
+    expired, completed = [], []
+    eng2.responses.on_expired(expired.append)
+    eng2.responses.on_completed(completed.append)
+    eng2.run_until_idle()
+    assert completed == []
+    assert len(expired) == 1
