@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "m01_media_manifest",
     "q39_salted_hot_keys",
     "t06_stratified_sample",
+    "d08_embedding_neardup_dedup",
 ]
 
 

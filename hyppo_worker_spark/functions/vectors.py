@@ -44,3 +44,23 @@ def sign_bucket(a: Column, bits: int = 8) -> Column:
             F.lit(0)
         )
     return acc.cast("int")
+
+
+def banded_sign_buckets(a: Column, bands: int = 4, bits: int = 8) -> Column:
+    """Banded sign-LSH: array of (band_id, bucket) structs where band
+    ``t``'s bucket packs the signs of components [t*bits, (t+1)*bits).
+
+    The MinHash-banding trick applied to sign hashes: two vectors are
+    near-dup candidates if ANY band matches entirely, so recall decays
+    per-band (p^bits) but recovers across bands (1-(1-p^bits)^bands).
+    Near-identical vectors disagree only on components near zero, so
+    unperturbed bands match exactly."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band_id"),
+                sign_bucket(F.slice(a, t * bits + 1, bits), bits).alias("bucket"),
+            )
+            for t in range(bands)
+        ]
+    )

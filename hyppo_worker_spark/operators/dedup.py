@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hyppo_worker_spark.functions import text as TX
+from hyppo_worker_spark.functions import vectors as V
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -94,12 +95,21 @@ def _verify_pairs(docs: DataFrame, cand: DataFrame, threshold: float) -> DataFra
     threshold would flip between engines if the filter saw the rounded
     value. Round only the display column. Intersection/union sizes are
     integers in both engines, so the final division is bit-identical.
+
+    Set sizes ride along on the exploded rows (one extra int on rows
+    the intersection join shuffles anyway) and surface via ``first()``
+    inside the existing aggregate — cheaper at scale than two extra
+    joins against a per-doc size table after the aggregate.
     """
-    ex = docs.select("did", F.explode("sh").alias("s"))
-    nsz = docs.select("did", F.size("sh").alias("n"))
-    ca = ex.join(cand, ex["did"] == cand["a_id"]).select("a_id", "b_id", "s")
+    ex = docs.select("did", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    ca = ex.join(cand, ex["did"] == cand["a_id"]).select(
+        "a_id", "b_id", F.col("n").alias("na"), "s"
+    )
     cb = ex.join(cand, ex["did"] == cand["b_id"]).select(
-        F.col("a_id").alias("a2"), F.col("b_id").alias("b2"), F.col("s").alias("s2")
+        F.col("a_id").alias("a2"),
+        F.col("b_id").alias("b2"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("s2"),
     )
     inter = (
         ca.join(
@@ -109,16 +119,15 @@ def _verify_pairs(docs: DataFrame, cand: DataFrame, threshold: float) -> DataFra
             & (F.col("s") == F.col("s2")),
         )
         .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("icnt"))
+        .agg(
+            F.count(F.lit(1)).alias("icnt"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
     )
-    na = nsz.select(F.col("did").alias("a_id"), F.col("n").alias("na"))
-    nb = nsz.select(F.col("did").alias("b_id"), F.col("n").alias("nb"))
     raw = F.col("icnt") / (F.col("na") + F.col("nb") - F.col("icnt"))
-    return (
-        inter.join(na, "a_id")
-        .join(nb, "b_id")
-        .filter(raw >= threshold)
-        .select("a_id", "b_id", F.round(raw, 3).alias("jaccard"))
+    return inter.filter(raw >= threshold).select(
+        "a_id", "b_id", F.round(raw, 3).alias("jaccard")
     )
 
 
@@ -298,6 +307,74 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return _verify_pairs(docs, cand, threshold)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.9,
+    bands: int = 4,
+    bits: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the scale path for
+    vector dedup (``similarity.cosine_neardup_pairs`` is the all-pairs
+    oracle; this is what runs at 100 TB).
+
+    Plan shape mirrors ``minhash_lsh_pairs``:
+      1. one corpus scan computes per-vector norm + ``bands`` sign-LSH
+         bucket ids (pure Catalyst expressions);
+      2. explode into (vec, band, bucket) rows → self-join inside
+         (band, bucket) → candidate pairs. The all-pairs product never
+         materializes; cost is Σ bucket² per band (~n²/2^bits for
+         spread data);
+      3. candidates join back to the vectors (two shuffles keyed by
+         id — narrow: id + one embedding per row) → exact cosine ≥
+         threshold.
+    Near-identical vectors can only disagree on sign bits whose
+    components sit near zero, so any unperturbed band yields the
+    candidate; raising ``bands`` (with proportionally fewer bits) is
+    the recall knob, exactly like MinHash banding.
+    """
+    v = (
+        df.select(F.col(id_col).alias("did"), V.as_double(F.col(vec_col)).alias("vv"))
+        .withColumn("nrm", V.norm(F.col("vv")))
+        .persist()
+    )
+    banded = v.select(
+        "did", F.explode(V.banded_sign_buckets(F.col("vv"), bands, bits)).alias("bb")
+    ).select("did", "bb.band_id", "bb.bucket")
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.did") < F.col("r.did")),
+        )
+        .select(F.col("l.did").alias("a_id"), F.col("r.did").alias("b_id"))
+        .distinct()
+    )
+    a = v.select(
+        F.col("did").alias("a_id"), F.col("vv").alias("av"), F.col("nrm").alias("anrm")
+    )
+    b = v.select(
+        F.col("did").alias("b_id"), F.col("vv").alias("bv"), F.col("nrm").alias("bnrm")
+    )
+    denom = F.col("anrm") * F.col("bnrm")
+    cos = F.round(
+        F.when(denom > 0, V.dot(F.col("av"), F.col("bv")) / denom).otherwise(F.lit(0.0)),
+        round_to,
+    )
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id", "cos_sim")
+    )
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -47,6 +47,9 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q14_promo_revenue",  # conditional agg — q35 covers count_if/sum-when richer
         "q15_small_quantity_orders",  # scalar-subquery filter-agg — q14 covers filter-agg
         "q26_price_histogram",  # binned percentile family — q23 covers percentiles
+        "s03_cosine_neardup_pairs",  # all-pairs cosine (documented quadratic
+        # oracle) — d08 carries the same near-dup semantics via the scale path
+        # (banded sign-LSH + CC); s01/s02/s04 keep the similarity family
     }
 )
 

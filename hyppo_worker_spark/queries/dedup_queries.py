@@ -307,6 +307,135 @@ def d06_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequential-fold cosine (DuckDB side), identical to the one in
+# similarity_queries.py: Spark's F.aggregate left fold ≡ list_reduce,
+# bit-identical doubles.
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+@register(
+    "d08_embedding_neardup_dedup",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(range(1, len(embedding) + 1),
+                   i -> CASE WHEN i = 1 THEN embedding[1]::DOUBLE + 0.0625
+                             ELSE embedding[i]::DOUBLE END) AS v,
+               label
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    banded AS (
+        SELECT vec_id, t AS band_id,
+               CAST(list_sum(list_transform(range(0, 8),
+                   j -> CASE WHEN v[t * 8 + j + 1] >= 0
+                             THEN (1 << j) ELSE 0 END)) AS INT) AS bucket
+        FROM corpus, range(0, 4) r(t)
+    ),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+        FROM banded l JOIN banded r
+          ON l.band_id = r.band_id AND l.bucket = r.bucket
+         AND l.vec_id < r.vec_id
+    ),
+    pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN corpus a ON a.vec_id = c.a_id
+        JOIN corpus b ON b.vec_id = c.b_id
+        WHERE round({_cos('a.v', 'b.v')}, 6) >= 0.9
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION
+        SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    paths AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT p.u, e.v FROM paths p JOIN edges e ON p.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, least(u, min(v)) AS comp
+        FROM paths GROUP BY u
+    ),
+    dropped AS (SELECT node FROM comp WHERE node <> comp)
+    SELECT corpus.label AS label,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN d.node IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN d.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM corpus LEFT JOIN dropped d ON d.node = corpus.vec_id
+    GROUP BY corpus.label ORDER BY label
+    """,
+    tags=("dedup", "embedding", "cosine", "lsh", "connected-components"),
+)
+def d08_embedding_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate removal, end to end: the corpus
+    is augmented deterministically (every vec_id % 5 == 0 vector
+    re-appears with id+1,000,000 and +0.0625 on component 1 — a
+    near-identical copy, cosine ≈ 0.998), then banded sign-LSH
+    candidates → exact cosine ≥ 0.9 verification → connected
+    components → keep the minimum id per cluster → per-label corpus
+    composition.
+
+    The perturbation touches only band 1's components, so bands 2-4
+    match exactly and LSH provably surfaces every planted pair — the
+    pipeline's removal counts are deterministic, not recall-dependent.
+    ``s03_cosine_neardup_pairs`` is the all-pairs oracle for the same
+    semantics; this is the form that scales (no cross product).
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    from hyppo_worker_spark.functions import vectors as V
+
+    base = emb.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v"), "label"
+    )
+    planted = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x)
+        ).alias("v"),
+        "label",
+    )
+    corpus = base.unionByName(planted)
+    pairs = D.embedding_neardup_pairs(
+        corpus, "vec_id", "v", threshold=0.9, bands=4, bits=8
+    )
+    comp = D.connected_components(pairs)
+    dropped = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("vec_id")
+    )
+    flag = corpus.join(
+        dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left"
+    )
+    return (
+        flag.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(F.when(F.col("is_dropped").isNotNull(), 1).otherwise(0)).alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
 @register(
     "d07_dedup_clusters",
     oracle=f"""

@@ -88,3 +88,43 @@ def test_connected_components_max_iter_warns(spark):
         w.simplefilter("always")
         connected_components(edges, max_iter=1).collect()
     assert any("not converged" in str(c.message) for c in caught)
+
+
+def test_embedding_neardup_pairs_banded_recall(spark):
+    """A near-identical copy perturbed only inside band 1 must be
+    caught (bands 2-4 still match); an unrelated vector must not pair
+    with anything at a 0.9 threshold."""
+    from hyppo_worker_spark.operators.dedup import embedding_neardup_pairs
+
+    base = [0.1] * 32
+    copy = list(base)
+    copy[0] = -0.01  # flips a band-1 sign bit; bands 2-4 untouched
+    opposite = [-0.1] * 32
+    vecs = spark.createDataFrame(
+        [(1, base), (2, copy), (3, opposite)],
+        "vec_id int, embedding array<double>",
+    )
+    pairs = embedding_neardup_pairs(
+        vecs, "vec_id", "embedding", threshold=0.9, bands=4, bits=8
+    ).collect()
+    assert [(p.a_id, p.b_id) for p in pairs] == [(1, 2)]
+    assert pairs[0].cos_sim > 0.9
+
+
+def test_embedding_neardup_pairs_no_cross_band_match(spark):
+    """Vectors agreeing on no complete band produce no candidates even
+    when their cosine exceeds the threshold — documents the recall
+    contract (any-band match) of the banded LSH candidate stage."""
+    from hyppo_worker_spark.operators.dedup import embedding_neardup_pairs
+
+    a = [0.1] * 32
+    b = [0.1] * 32
+    for start in (0, 8, 16, 24):  # flip one sign inside every band
+        b[start] = -0.001  # cosine stays ≈ 0.93 — above the threshold
+    vecs = spark.createDataFrame(
+        [(1, a), (2, b)], "vec_id int, embedding array<double>"
+    )
+    pairs = embedding_neardup_pairs(
+        vecs, "vec_id", "embedding", threshold=0.9, bands=4, bits=8
+    ).collect()
+    assert pairs == []
