@@ -423,21 +423,28 @@ def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id",
     min-label propagation, whose O(diameter) rounds make chain graphs
     pathological at scale. Each round is two shuffles (groupBy min +
     re-attach join) over the EDGE set only; no node-labels frame is
-    carried between rounds. Lineage is truncated per round with an
-    eager ``localCheckpoint`` — without it the iterative plan nests
-    exponentially (a 13-round chain graph overflowed Spark's 2 GB plan
-    string before this). On a real cluster use ``checkpoint()`` to
-    reliable storage instead for fault tolerance.
+    carried between rounds. Lineage is truncated per round with a lazy
+    ``localCheckpoint`` that the round's convergence-fingerprint action
+    materializes — one Spark job per round total. Without truncation
+    the iterative plan nests exponentially (a 13-round chain graph
+    overflowed Spark's 2 GB plan string before this). On a real cluster
+    use ``checkpoint()`` to reliable storage instead for fault
+    tolerance.
 
     Near-dup pairs from MinHash/LSH feed this to turn pairwise matches
     into dedup clusters with a canonical (minimum) document per
     cluster.
     """
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Checkpoint the raw edge list once: both `e` and `nodes` derive
+    # from it, and without truncation each would recompute the caller's
+    # full upstream pipeline (e.g. the LSH candidate+verify joins).
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=False
+    )
     e = (
         raw.filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Nodes come from the RAW edge list (before the self-loop filter):
     # a node appearing only in self-loop edges is still a (singleton)
@@ -449,18 +456,39 @@ def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id",
         .withColumnRenamed("u", "node")
         .localCheckpoint(eager=True)
     )
+
+    # Convergence = consecutive rounds produce the same (distinct) edge
+    # set. Comparing sets directly (exceptAll both ways) costs two full
+    # shuffles of the edge set per round ON TOP of the round's own work;
+    # instead each round's single action aggregates an order-insensitive
+    # fingerprint (count + sum of xxhash64) — an O(edges) map + tiny agg
+    # with no extra shuffle — and the same action materializes the lazy
+    # localCheckpoint, so one Spark job per round does everything. Two
+    # distinct sets collide on the fingerprint with probability ~2^-64
+    # per round; a collision would stop iteration one round early on a
+    # set that differs, which the post-loop star-forest extraction would
+    # surface as wrong labels — acceptable at those odds.
+    def _fingerprint(frame: DataFrame):
+        row = frame.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # decimal(38,0) accumulator: summing raw int64 hashes would
+            # overflow under ANSI mode.
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("hsum"),
+        ).first()
+        return (row["cnt"], row["hsum"])
+
+    prev = _fingerprint(e)
     converged = False
     for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # Single-action convergence check: both sides are distinct edge
-        # sets, so equality ⟺ empty symmetric difference — one job
-        # per round instead of two.
-        converged = (
-            new_e.exceptAll(e).unionByName(e.exceptAll(new_e)).isEmpty()
-        )
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        cur = _fingerprint(new_e)
         e = new_e
-        if converged:
+        if cur == prev:
+            converged = True
             break
+        prev = cur
     if not converged:
         # The star-forest extraction below assumes convergence; on a
         # max_iter exit that invariant may not hold and components can
