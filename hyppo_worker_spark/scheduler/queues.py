@@ -25,6 +25,7 @@ Parity targets:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import itertools
 import json
@@ -128,18 +129,73 @@ class QueueJournal:
     pending). Replay folds the log into the set of live items; a
     compaction rewrite happens on recovery so the file stays bounded
     by live-item count, not event count.
+
+    Writes are group-committed: ``append`` buffers a line (and flushes
+    it to the OS) under a short mutex and returns a sequence number;
+    ``commit(seq)`` blocks until that sequence is fsync-durable, with a
+    leader/follower protocol so one ``fsync`` covers every append that
+    landed before it — concurrent committers and multi-event state
+    transitions share a single disk flush instead of paying one each.
+    The durability contract is unchanged: a broker method returns only
+    after its events are on disk.
     """
 
     def __init__(self, path: str):
         self.path = path
         self._fh = open(path, "a", encoding="utf-8")  # noqa: SIM115
+        self._append_mutex = threading.Lock()
+        self._cv = threading.Condition()
+        self._appended = 0  # last seq written+flushed to the OS
+        self._durable = 0  # last seq known fsync'd
+        self._fsync_leader = False
+
+    def append(self, ev: dict) -> int:
+        """Buffer one event line; returns its commit sequence number."""
+        with self._append_mutex:
+            self._fh.write(json.dumps(ev, separators=(",", ":")) + "\n")
+            self._fh.flush()
+            self._appended += 1
+            return self._appended
+
+    def commit(self, seq: int) -> None:
+        """Block until event ``seq`` is fsync-durable (group commit):
+        the first committer becomes the fsync leader and flushes
+        everything appended so far; followers just wait for the leader
+        to advance the durable watermark past their sequence."""
+        while True:
+            with self._cv:
+                if self._durable >= seq:
+                    return
+                if self._fsync_leader:
+                    self._cv.wait(timeout=1.0)
+                    continue
+                self._fsync_leader = True
+            try:
+                with self._append_mutex:
+                    target = self._appended
+                    fd = self._fh.fileno()
+                os.fsync(fd)
+            except BaseException:
+                with self._cv:
+                    self._fsync_leader = False
+                    self._cv.notify_all()
+                raise
+            with self._cv:
+                self._durable = max(self._durable, target)
+                self._fsync_leader = False
+                self._cv.notify_all()
 
     def log(self, ev: dict) -> None:
-        self._fh.write(json.dumps(ev, separators=(",", ":")) + "\n")
-        self._fh.flush()
-        os.fsync(self._fh.fileno())
+        """Append + commit one event (single-event convenience path)."""
+        self.commit(self.append(ev))
 
     def close(self) -> None:
+        try:
+            with self._append_mutex:
+                self._fh.flush()
+                os.fsync(self._fh.fileno())
+        except Exception:  # noqa: BLE001
+            pass
         try:
             self._fh.close()
         except Exception:  # noqa: BLE001
@@ -192,6 +248,21 @@ class QueueJournal:
         return [state[i] | {"jid": i} for i in sorted(state)], max_id
 
 
+def _committed(fn):
+    """Method decorator: after the wrapped broker method returns (and
+    has released the broker lock), fsync every journal event it staged
+    — the group-commit half of the durability contract."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        try:
+            return fn(self, *args, **kwargs)
+        finally:
+            self._commit_staged()
+
+    return wrapper
+
+
 class WorkQueueTable:
     """The broker: thread-safe queue set + TTL sweep + stats.
 
@@ -218,6 +289,13 @@ class WorkQueueTable:
         self._journal: QueueJournal | None = None
         self._journal_path = journal_path
         self._jids = itertools.count(1)
+        # Per-thread high-water mark of journal sequences appended but
+        # not yet committed (fsync'd). Events are appended inside the
+        # broker lock (so disk order == state-transition order) and
+        # committed AFTER the lock is released, so a slow fsync never
+        # serializes the broker and one fsync covers a whole
+        # multi-event transition (group commit).
+        self._staged = threading.local()
         self.ensure(self.naming.general)
         if journal_path is not None:
             self._recover(journal_path)
@@ -264,8 +342,25 @@ class WorkQueueTable:
             os.remove(tmp)
 
     def _log(self, ev: dict) -> None:
+        """Append an event to the journal (no fsync yet) and stage its
+        sequence for ``_commit_staged``. Called with the broker lock
+        held so journal order matches state order."""
         if self._journal is not None:
-            self._journal.log(ev)
+            seq = self._journal.append(ev)
+            self._staged.seq = max(getattr(self._staged, "seq", 0), seq)
+
+    def _commit_staged(self) -> None:
+        """Fsync everything this thread staged via ``_log``. Called
+        after the broker lock is released; a no-op when nothing was
+        staged. Public methods return only after this, preserving the
+        durable-before-return contract."""
+        j = self._journal
+        if j is None:
+            return
+        seq = getattr(self._staged, "seq", 0)
+        if seq:
+            self._staged.seq = 0
+            j.commit(seq)
 
     def close_journal(self) -> None:
         if self._journal is not None:
@@ -300,6 +395,7 @@ class WorkQueueTable:
 
     # -- enqueue / dequeue / ack --------------------------------------
 
+    @_committed
     def enqueue(
         self,
         item: WorkInput,
@@ -334,6 +430,7 @@ class WorkQueueTable:
                 )
         return name
 
+    @_committed
     def basic_get(self, name: str) -> Delivery | None:
         """Pop without auto-ack: item moves to the unacked set."""
         with self._lock:
@@ -356,6 +453,7 @@ class WorkQueueTable:
             self._log({"ev": "get", "i": item.jid})
             return d
 
+    @_committed
     def ack(self, delivery: Delivery) -> None:
         with self._lock:
             q = self._queues[delivery.queue_name]
@@ -368,6 +466,7 @@ class WorkQueueTable:
             q.last_completion = now
             q.idle_since = datetime.now(timezone.utc)
 
+    @_committed
     def reject_requeue(
         self, delivery: Delivery, max_deliveries: int | None = None
     ) -> str:
@@ -402,6 +501,7 @@ class WorkQueueTable:
             self._log({"ev": "rq", "i": delivery.item.jid})
             return "requeued"
 
+    @_committed
     def return_uncounted(self, delivery: Delivery) -> None:
         """Return a delivery whose item never reached execution (e.g.
         the delegation loop popped it but failed to lease resources).
@@ -417,6 +517,7 @@ class WorkQueueTable:
             q.items.appendleft(delivery.item)
             self._log({"ev": "ret", "i": delivery.item.jid})
 
+    @_committed
     def dead_letter(self, delivery: Delivery) -> None:
         """Terminally remove an unacked delivery to the expired
         collection — the poison-message outcome for an item whose
@@ -429,6 +530,7 @@ class WorkQueueTable:
             self._expired_items.append((q.name, delivery.item))
             self._log({"ev": "dl", "i": delivery.item.jid})
 
+    @_committed
     def requeue_all_unacked(self) -> int:
         """Return every unacked in-flight item to its queue — the
         worker-death path: a worker that dies (or is shut down) without
@@ -459,6 +561,7 @@ class WorkQueueTable:
                 fresh.append(item)
         q.items = fresh
 
+    @_committed
     def sweep_expired(self) -> list[tuple[str, QueueItem]]:
         """Run the TTL sweep over all queues and drain the expired
         (dead-letter) collection."""

@@ -326,3 +326,66 @@ def test_recovery_dispatches_work_expired_during_downtime(spark, storage, tmp_pa
     eng2.run_until_idle()
     assert completed == []
     assert len(expired) == 1
+
+
+def test_group_commit_one_fsync_per_transition(tmp_path, monkeypatch):
+    """A broker method that journals N events (a sweep dead-lettering
+    several expired items at once) pays ONE fsync, not N — the staged
+    events commit together after the lock is released."""
+    import os as _os
+
+    table = WorkQueueTable(journal_path=str(tmp_path / "gc.journal"))
+    for _ in range(5):
+        table.enqueue(_item(), ttl_s=0.0)  # expire immediately
+
+    calls = []
+    real_fsync = _os.fsync
+    monkeypatch.setattr(
+        "hyppo_worker_spark.scheduler.queues.os.fsync",
+        lambda fd: (calls.append(fd), real_fsync(fd))[1],
+    )
+    expired = table.sweep_expired()
+    assert len(expired) == 5  # five dl events journaled...
+    assert len(calls) == 1  # ...one fsync
+
+    # Recovery agrees the items are gone (dead-lettered, not live).
+    table.close_journal()
+    table2 = WorkQueueTable(journal_path=str(tmp_path / "gc.journal"))
+    assert table2.basic_get(table2.naming.general) is None
+
+
+def test_group_commit_concurrent_writers_consistent(tmp_path):
+    """Hammer one journaled broker from several threads; every item is
+    durable (a fresh table recovers exactly the un-acked survivors)."""
+    import threading as _threading
+
+    path = str(tmp_path / "cc.journal")
+    table = WorkQueueTable(journal_path=path)
+    n_threads, per_thread = 6, 20
+
+    def worker(k):
+        for i in range(per_thread):
+            q = table.enqueue(_item(source=f"S{k}"))
+            if i % 2 == 0:  # ack half, leave half pending
+                d = table.basic_get(q)
+                if d is not None:
+                    table.ack(d)
+
+    threads = [
+        _threading.Thread(target=worker, args=(k,)) for k in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    table.close_journal()
+
+    # Count live items in memory vs what a recovery replays.
+    live_mem = sum(
+        len(q.items) + len(q.unacked) for q in table._queues.values()
+    )
+    table2 = WorkQueueTable(journal_path=path)
+    live_rec = sum(
+        len(q.items) + len(q.unacked) for q in table2._queues.values()
+    )
+    assert live_rec == live_mem
