@@ -50,6 +50,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "s03_cosine_neardup_pairs",  # all-pairs cosine (documented quadratic
         # oracle) — d08 carries the same near-dup semantics via the scale path
         # (banded sign-LSH + CC); s01/s02/s04 keep the similarity family
+        # Window-full additions: the text family keeps seven in-window
+        # representatives (t01-t07); these newer members are registered,
+        # tested, and locally oracle-checked only.
+        "t08_token_chunks",
+        "t09_bigram_collocations",
+        "t10_normalize_redact",
     }
 )
 

@@ -388,3 +388,265 @@ def t07_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", "rank")
         .orderBy("lang", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# t08 — fixed-size token-window chunking with overlap: the stage that
+# turns documents into training sequences. Chunk k covers tokens
+# [k*stride+1, k*stride+chunk]; stride = chunk - overlap, and the
+# chunk count ceil((n-overlap)/stride) guarantees every chunk past the
+# first contributes at least one new token (no fully-contained tail).
+# Row-oriented on purpose: explode the chunk INDEX first, then slice
+# once per row — a per-doc transform() building all slices inside one
+# nested lambda is the codegen trap (janino compile dominates). At
+# 100 TB this is scan-local (explode + slice, no shuffle); the output
+# exchange carries chunk fingerprints, not chunk text.
+# --------------------------------------------------------------------------
+_CHUNK, _OVERLAP = 16, 4
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@register(
+    "t08_token_chunks",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    sized AS (
+        SELECT doc_id, w,
+               greatest(CAST(ceil((len(w) - {_OVERLAP}) / {_STRIDE}.0) AS BIGINT),
+                        1) AS n_chunks
+        FROM tok WHERE len(w) > 0
+    ),
+    ks AS (
+        SELECT doc_id, w, unnest(range(0, n_chunks)) AS k
+        FROM sized
+    ),
+    ch AS (
+        SELECT doc_id, k AS chunk_id,
+               list_slice(w, k * {_STRIDE} + 1,
+                          k * {_STRIDE} + {_CHUNK}) AS piece
+        FROM ks
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(piece) AS BIGINT) AS n_tokens,
+           md5(array_to_string(piece, ' ')) AS chunk_fp
+    FROM ch
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("text", "chunking", "training-data"),
+)
+def t08_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunks per document (16-token windows,
+    4-token overlap): chunk id, token count, md5 fingerprint."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = docs.select("doc_id", TX.tokens("text").alias("w")).filter(
+        F.size("w") > 0
+    )
+    n_chunks = F.greatest(
+        F.ceil((F.size("w") - F.lit(_OVERLAP)) / F.lit(float(_STRIDE))).cast(
+            "bigint"
+        ),
+        F.lit(1).cast("bigint"),
+    )
+    rows = base.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("k"),
+    )
+    piece = F.slice("w", (F.col("k") * _STRIDE + 1).cast("int"), _CHUNK)
+    return rows.select(
+        "doc_id",
+        F.col("k").alias("chunk_id"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+# --------------------------------------------------------------------------
+# t09 — bigram collocations by lift (the PMI exponent): observed bigram
+# frequency vs the unigram-independence expectation. The score is kept
+# as an exact integer ratio (lift_num = c_ab * N, lift_den = c_a * c_b)
+# — logs/floats never enter the comparison, so ordering is bit-exact
+# across engines; the ORDER BY ratio is one int64/int64 division, which
+# IEEE 754 rounds identically everywhere. At 100 TB: tokens explode
+# scan-local, both count aggregations combine map-side, and the unigram
+# count table (vocabulary-sized) broadcast-joins onto the bigram table.
+# --------------------------------------------------------------------------
+@register(
+    "t09_bigram_collocations",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    bg AS (
+        SELECT w[i] AS a, w[i + 1] AS b
+        FROM (
+            SELECT w, unnest(range(1, len(w))) AS i
+            FROM tok WHERE len(w) >= 2
+        )
+    ),
+    bc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+    uc AS (
+        SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM tok)
+        GROUP BY t
+    ),
+    tot AS (SELECT count(*) AS n FROM bg)
+    SELECT a || ' ' || b AS bigram,
+           c_ab,
+           uc1.c AS c_a,
+           uc2.c AS c_b,
+           c_ab * n AS lift_num,
+           uc1.c * uc2.c AS lift_den
+    FROM bc, tot
+    JOIN uc uc1 ON bc.a = uc1.t
+    JOIN uc uc2 ON bc.b = uc2.t
+    WHERE c_ab >= 5
+    ORDER BY CAST(c_ab * n AS DOUBLE) / CAST(uc1.c * uc2.c AS DOUBLE) DESC,
+             bigram
+    LIMIT 20
+    """,
+    tags=("text", "collocation", "pmi", "topk"),
+)
+def t09_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams by lift = P(ab) / (P(a)P(b)), exact-integer
+    scored (c_ab*N vs c_a*c_b)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(TX.tokens("text").alias("w")).filter(F.size("w") >= 2)
+    bg = toks.select(
+        F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"), "w"
+    ).select(
+        F.element_at("w", F.col("i")).alias("a"),
+        F.element_at("w", (F.col("i") + 1).cast("int")).alias("b"),
+    )
+    bc = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uc = (
+        docs.select(F.explode(TX.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = bg.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(n))
+        .join(F.broadcast(uc.withColumnRenamed("t", "a").withColumnRenamed("c", "c_a")), "a")
+        .join(F.broadcast(uc.withColumnRenamed("t", "b").withColumnRenamed("c", "c_b")), "b")
+    )
+    return (
+        scored.select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            (F.col("c_ab") * F.col("n")).alias("lift_num"),
+            (F.col("c_a") * F.col("c_b")).alias("lift_den"),
+        )
+        .orderBy(
+            (
+                F.col("lift_num").cast("double") / F.col("lift_den").cast("double")
+            ).desc(),
+            "bigram",
+        )
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# t10 — normalization + PII redaction: lowercase, URL/email masking,
+# whitespace collapse — the standard cleaning pass before training.
+# The raw corpus contains no PII, so the query PLANTS it
+# deterministically (doc_id % 7 gets an email, % 11 a URL — same
+# augmentation in both engines), making the redaction counts exact and
+# nonzero rather than a vacuously-passing zero. Scan-local at 100 TB:
+# regexp_replace/regexp_count are per-row codegen expressions; the only
+# exchange carries per-source counters.
+# --------------------------------------------------------------------------
+_URL_RE = r"https?://[^ ]+"
+_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.]+"
+
+
+@register(
+    "t10_normalize_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, source,
+               lower(text)
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' see https://example.com/d/'
+                            || CAST(doc_id AS VARCHAR) || ' ok'
+                       ELSE '' END AS t
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id, source, t,
+               len(regexp_extract_all(t, '{_URL_RE}')) AS n_url,
+               len(regexp_extract_all(
+                   regexp_replace(t, '{_URL_RE}', '<url>', 'g'),
+                   '{_EMAIL_RE}')) AS n_email,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(t, '{_URL_RE}', '<url>', 'g'),
+                       '{_EMAIL_RE}', '<email>', 'g'),
+                   '\\s+', ' ', 'g')) AS rt
+        FROM aug
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_url) AS BIGINT) AS urls_redacted,
+           CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+           CAST(sum(len(t)) AS BIGINT) AS chars_before,
+           CAST(sum(len(rt)) AS BIGINT) AS chars_after,
+           count(DISTINCT md5(rt)) AS n_distinct_docs
+    FROM red
+    GROUP BY source ORDER BY source
+    """,
+    tags=("text", "cleaning", "redaction", "training-data"),
+)
+def t10_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source redaction counters + normalized-corpus checksums for
+    the lowercase → mask URLs/emails → collapse-whitespace pass."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = F.concat(
+        F.lower("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" see https://example.com/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" ok"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    no_url = F.regexp_replace(t, _URL_RE, "<url>")
+    rt = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(no_url, _EMAIL_RE, "<email>"), r"\s+", " "
+        )
+    )
+    aug = docs.select(
+        "source",
+        t.alias("t"),
+        F.regexp_count(t, F.lit(_URL_RE)).alias("n_url"),
+        F.regexp_count(no_url, F.lit(_EMAIL_RE)).alias("n_email"),
+        rt.alias("rt"),
+    )
+    return (
+        aug.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_url").alias("urls_redacted"),
+            F.sum("n_email").alias("emails_redacted"),
+            F.sum(F.length("t")).alias("chars_before"),
+            F.sum(F.length("rt")).alias("chars_after"),
+            F.countDistinct(F.md5("rt")).alias("n_distinct_docs"),
+        )
+        .orderBy("source")
+    )
