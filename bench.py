@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "q39_salted_hot_keys",
     "t06_stratified_sample",
     "d08_embedding_neardup_dedup",
+    "t08_token_chunks",
+    "t09_bigram_collocations",
+    "t10_normalize_redact",
 ]
 
 

@@ -53,6 +53,7 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # Window-full additions: the text family keeps seven in-window
         # representatives (t01-t07); these newer members are registered,
         # tested, and locally oracle-checked only.
+        "s05_knn_ivf_multiprobe",  # same IVF index as in-window s04, nprobe=2
         "t08_token_chunks",
         "t09_bigram_collocations",
         "t10_normalize_redact",
