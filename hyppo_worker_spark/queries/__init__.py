@@ -53,6 +53,9 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # Window-full additions: the text family keeps seven in-window
         # representatives (t01-t07); these newer members are registered,
         # tested, and locally oracle-checked only.
+        "q06_forecast_revenue",  # single filter-agg — q01 (richer agg) and
+        # q35 (conditional agg) keep the shape; retired to give the
+        # recursive-CTE surface (q40) a driver row
         "s05_knn_ivf_multiprobe",  # same IVF index as in-window s04, nprobe=2
         "t08_token_chunks",
         "t09_bigram_collocations",

@@ -1706,3 +1706,66 @@ def q39_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         salt=8,
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q40_recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT date_trunc('month', min(o_orderdate)) AS lo,
+               date_trunc('month', max(o_orderdate)) AS hi
+        FROM orders
+    ),
+    months AS (
+        SELECT lo AS m, hi FROM bounds
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+    ),
+    agg AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(months.m, '%Y-%m') AS month,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(total, 0.0) AS total
+    FROM months LEFT JOIN agg ON months.m = agg.m
+    ORDER BY month
+    """,
+    tags=("relational", "recursive-cte", "gap-fill", "calendar"),
+)
+def q40_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled monthly order counts over a recursive-CTE date spine
+    (Spark 4 ``WITH RECURSIVE``): the spine generates every month
+    between the corpus min and max order date, so months with zero
+    orders still appear — the canonical calendar/gap-fill pattern that
+    plain GROUP BY cannot express. The recursion is driver-side tiny
+    (one row per month); the per-month aggregate shuffles partial
+    counts only, so the pattern is unchanged at 100 TB."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT date_trunc('MONTH', min(o_orderdate)) AS lo,
+                   date_trunc('MONTH', max(o_orderdate)) AS hi
+            FROM orders
+        ),
+        months AS (
+            SELECT lo AS m, hi FROM bounds
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
+        ),
+        agg AS (
+            SELECT date_trunc('MONTH', o_orderdate) AS m,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(total, 0.0) AS total
+        FROM months LEFT JOIN agg ON months.m = agg.m
+        ORDER BY month
+        """
+    )
