@@ -192,3 +192,99 @@ def test_streaming_dedup_drops_replayed_events(spark, event_source_dir, tmp_path
     dupes = got.filter("n > 1").count()
     assert dupes == 0
     assert got.count() == ev.select("event_id").distinct().count()
+
+
+def test_transform_with_state_user_profiles(spark, event_source_dir):
+    """Spark 4 transformWithStateInPandas with composite state: runs
+    end-to-end when protobuf is available; otherwise asserts the
+    environment gate raises the documented NotImplementedError."""
+    from hyppo_worker_spark.streaming.stateful import (
+        _has_protobuf,
+        user_event_profiles,
+    )
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_source_dir)
+    if not _has_protobuf():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            user_event_profiles(stream)
+        return
+    _drain(user_event_profiles(stream), "profile_out", "append")
+    rows = spark.sql(
+        """
+        SELECT user_id, n_events, total_value, n_types, top_type
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC
+            ) AS rn
+            FROM profile_out
+        ) WHERE rn = 1
+        """
+    ).collect()
+    assert rows
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return k in self._m
+
+    def getValue(self, k):
+        return self._m[k]
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def iterator(self):
+        return iter(self._m.items())
+
+
+class _FakeHandle:
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return _FakeValueState()
+
+    def getMapState(self, name, ks, vs, ttlDurationMs=None):
+        return _FakeMapState()
+
+
+def test_user_profile_processor_logic_jvm_free():
+    """Drive UserProfileProcessor directly with fake state handles:
+    composite state accumulates across batches and the dominant type
+    breaks ties deterministically (lexicographically last)."""
+    import pandas as pd
+
+    from hyppo_worker_spark.streaming.stateful import UserProfileProcessor
+
+    p = UserProfileProcessor()
+    p.init(_FakeHandle())
+    b1 = pd.DataFrame(
+        {"event_type": ["click", "view", "view"], "value": [1.0, 2.0, 3.0]}
+    )
+    out1 = list(p.handleInputRows((7,), iter([b1]), None))[0]
+    assert out1.iloc[0].tolist() == [7, 3, 6.0, 2, "view"]
+
+    # Second batch: clicks catch up to views -> tie -> "view" still
+    # wins (lexicographically last); totals accumulate across batches.
+    b2 = pd.DataFrame({"event_type": ["click"], "value": [4.0]})
+    out2 = list(p.handleInputRows((7,), iter([b2]), None))[0]
+    assert out2.iloc[0].tolist() == [7, 4, 10.0, 2, "view"]
+
+    # Third batch: clicks pull ahead.
+    b3 = pd.DataFrame({"event_type": ["click"], "value": [0.5]})
+    out3 = list(p.handleInputRows((7,), iter([b3]), None))[0]
+    assert out3.iloc[0].tolist() == [7, 5, 10.5, 2, "click"]
