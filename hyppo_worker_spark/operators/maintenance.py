@@ -70,3 +70,73 @@ def compact(
     shutil.rmtree(old)
     after = dataset_file_stats(path)
     return {"before": before, "after": after, "target_partitions": n_parts}
+
+
+def zorder_key(cols: list, bits_per_col: int, bounds: dict):
+    """Morton (Z-order) interleave key over linearly-quantized columns.
+
+    Each column is quantized to ``bits_per_col`` bits against its
+    [min, max] bounds, then the bit planes are interleaved so that
+    rows close in EVERY dimension get close keys. The expression is a
+    flat chain of shift/and/or Catalyst ops (no lambdas, no UDF) —
+    whole-stage-codegen friendly.
+
+    ``bounds`` maps column name -> (min, max) as Python scalars,
+    computed by the caller in one aggregate pass; with equal bounds a
+    column contributes a constant 0 plane.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n * bits_per_col > 63:
+        raise ValueError("interleaved key must fit in a signed 64-bit int")
+    planes = []
+    for i, c in enumerate(cols):
+        lo, hi = bounds[c]
+        span = float(hi) - float(lo) if hi > lo else 1.0
+        scale = (2**bits_per_col - 1) / span
+        q = F.least(
+            F.greatest(
+                F.floor((F.col(c).cast("double") - F.lit(float(lo))) * scale),
+                F.lit(0),
+            ),
+            F.lit(2**bits_per_col - 1),
+        ).cast("long")
+        for j in range(bits_per_col):
+            planes.append(
+                F.shiftleft(F.shiftright(q, j).bitwiseAND(F.lit(1)), j * n + i)
+            )
+    key = planes[0]
+    for p in planes[1:]:
+        key = key.bitwiseOR(p)
+    return key
+
+
+def zorder_by(df, cols: list, n_partitions: int, bits_per_col: int = 16):
+    """Cluster a DataFrame by Z-order over ``cols`` into
+    ``n_partitions`` range partitions: the write-layout operator for
+    multi-dimensional data skipping.
+
+    A sort by (a, b) gives perfect file pruning on ``a`` and none on
+    ``b``; the Morton interleave gives every listed column tight
+    per-file min/max ranges, so parquet footer stats (or a manifest
+    zonemap) prune files for predicates on ANY participating column.
+    Plan: one aggregate for bounds (tiny, broadcast as literals), one
+    range-partitioning shuffle on the key, an in-partition sort — the
+    same cost as a plain sorted rewrite at 100 TB, but skippable in
+    every dimension. Quantization is linear; heavily skewed columns
+    should be pre-transformed (log/rank) by the caller."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    row = df.agg(*aggs).first()
+    bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
+    key = zorder_key(cols, bits_per_col, bounds)
+    return (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n_partitions, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
