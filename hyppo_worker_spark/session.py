@@ -103,6 +103,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
                 )
         else:
             df = spark.read.parquet(path)
+        # Newer driver-generated parquet marks timestamps as
+        # isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ.
+        # NTZ forbids casts to numeric (breaks epoch arithmetic in
+        # sessionization/as-of queries), so normalize to TIMESTAMP_LTZ —
+        # an identity conversion under the pinned UTC session timezone.
+        ntz_cols = [c for c, d in df.dtypes if d == "timestamp_ntz"]
+        for c in ntz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
         df.createOrReplaceTempView(name)
         dfs[name] = df
     return dfs
