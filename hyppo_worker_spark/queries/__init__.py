@@ -60,6 +60,7 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t08_token_chunks",
         "t09_bigram_collocations",
         "t10_normalize_redact",
+        "t11_decontamination",
     }
 )
 

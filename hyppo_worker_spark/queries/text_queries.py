@@ -650,3 +650,86 @@ def t10_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# t11 — train/eval decontamination: flag training documents whose word
+# 5-grams overlap a deterministically held-out eval split (md5 bucket
+# < 10%). The standard benchmark-contamination check run before
+# training-data release. Exact integer threshold (overlap*10 >= total)
+# keeps the verdict bit-identical across engines. At 100 TB: the eval
+# gram set is tiny relative to the corpus, so the membership probe is
+# a BROADCAST semi-join — the training corpus never shuffles; the only
+# exchange is the per-doc overlap count (narrow (doc_id, n_grams)
+# rows) with map-side partial aggregation.
+# --------------------------------------------------------------------------
+_DECON_N = 5  # word n-gram order
+_DECON_EVAL_PCT = 10  # held-out split size (md5 bucket %)
+
+
+@register(
+    "t11_decontamination",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    g AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100)
+                   < {_DECON_EVAL_PCT} AS is_eval,
+               list_distinct(list_transform(range(1, len(w) - {_DECON_N - 2}),
+                             i -> array_to_string(
+                                      list_slice(w, i, i + {_DECON_N - 1}),
+                                      ' '))) AS grams
+        FROM tok
+    ),
+    ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_eval),
+    tr AS (
+        SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+        FROM g WHERE NOT is_eval
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           count(*) AS n_overlap,
+           count(*) * 10 >= n_grams AS contaminated
+    FROM tr JOIN ev USING (gram)
+    GROUP BY doc_id, n_grams
+    ORDER BY doc_id
+    """,
+    tags=("text", "decontamination", "training-data"),
+)
+def t11_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing word 5-grams with the held-out eval split:
+    per-doc distinct-gram total, overlap count, and a ≥10% contamination
+    flag (exact integer compare)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    base = docs.select(
+        "doc_id",
+        (bucket < _DECON_EVAL_PCT).alias("is_eval"),
+        TX.shingles(TX.tokens("text"), _DECON_N).alias("grams"),
+    )
+    eval_grams = (
+        base.filter(F.col("is_eval"))
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = base.filter(~F.col("is_eval")).select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            (F.col("n_overlap") * 10 >= F.col("n_grams")).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
