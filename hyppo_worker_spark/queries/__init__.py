@@ -61,6 +61,7 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t09_bigram_collocations",
         "t10_normalize_redact",
         "t11_decontamination",
+        "t12_repetition_signals",
     }
 )
 

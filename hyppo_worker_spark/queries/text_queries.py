@@ -733,3 +733,108 @@ def t11_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t12 — repetition quality signals (the Gopher-rules shape): per-doc
+# fraction of tokens taken by the single most frequent word, and the
+# fraction of trigram occurrences that are duplicates. Both thresholds
+# are exact integer compares (top*5 > n ⇔ top/n > 20%; dup*10 > 3*tri
+# ⇔ dup/tri > 30%) so the verdict is bit-identical across engines.
+# Row-oriented on purpose (explode → two keyed hash aggregates with
+# map-side partials) — per-doc nested list lambdas are the codegen
+# trap. At 100 TB: explodes are scan-local; the shuffles carry narrow
+# (doc_id, token/gram, count) rows, never document text.
+# --------------------------------------------------------------------------
+@register(
+    "t12_repetition_signals",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    uni AS (SELECT doc_id, unnest(w) AS t FROM tok),
+    ucnt AS (SELECT doc_id, t, count(*) AS c FROM uni GROUP BY 1, 2),
+    ustat AS (
+        SELECT doc_id, max(c) AS top_word_cnt,
+               CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM ucnt GROUP BY 1
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g
+        FROM tok WHERE len(w) >= 3
+    ),
+    tcnt AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+    tstat AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_trigrams,
+               CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+                   AS dup_tri_occ
+        FROM tcnt GROUP BY 1
+    )
+    SELECT u.doc_id,
+           n_tokens,
+           top_word_cnt,
+           coalesce(n_trigrams, 0) AS n_trigrams,
+           coalesce(dup_tri_occ, 0) AS dup_tri_occ,
+           (top_word_cnt * 5 > n_tokens)
+               OR (coalesce(dup_tri_occ, 0) * 10 > coalesce(n_trigrams, 0) * 3)
+               AS low_quality
+    FROM ustat u LEFT JOIN tstat t ON u.doc_id = t.doc_id
+    ORDER BY u.doc_id
+    """,
+    tags=("text", "quality", "repetition", "training-data"),
+)
+def t12_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals: most-frequent-word share, duplicate
+    trigram share, and a low-quality flag (>20% top-word or >30%
+    duplicated trigram occurrences; exact integer thresholds)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = docs.select("doc_id", TX.tokens("text").alias("w"))
+
+    ustat = (
+        base.select("doc_id", F.explode("w").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_word_cnt"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )
+    idx = F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i")
+    gram = F.concat_ws(
+        " ",
+        F.element_at("w", F.col("i")),
+        F.element_at("w", F.col("i") + 1),
+        F.element_at("w", F.col("i") + 2),
+    )
+    tstat = (
+        base.filter(F.size("w") >= 3)
+        .select("doc_id", "w")
+        .select("doc_id", idx, "w")
+        .select("doc_id", gram.alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_trigrams"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            ).alias("dup_tri_occ"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    joined = ustat.join(tstat, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "top_word_cnt",
+        F.coalesce("n_trigrams", z).alias("n_trigrams"),
+        F.coalesce("dup_tri_occ", z).alias("dup_tri_occ"),
+    )
+    return joined.select(
+        "*",
+        (
+            (F.col("top_word_cnt") * 5 > F.col("n_tokens"))
+            | (F.col("dup_tri_occ") * 10 > F.col("n_trigrams") * 3)
+        ).alias("low_quality"),
+    ).orderBy("doc_id")
