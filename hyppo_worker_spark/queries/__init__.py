@@ -62,6 +62,7 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t10_normalize_redact",
         "t11_decontamination",
         "t12_repetition_signals",
+        "t13_shard_manifest",
     }
 )
 

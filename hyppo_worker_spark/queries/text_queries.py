@@ -838,3 +838,54 @@ def t12_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("dup_tri_occ") * 10 > F.col("n_trigrams") * 3)
         ).alias("low_quality"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# t13 — shard manifest for the training-data writer
+# (operators/sharding.py): the deterministic md5-bucket placement
+# function evaluated as a query, aggregated to a per-shard manifest
+# (doc count, char volume, key range). The manifest IS the writer's
+# contract — the same expression DuckDB evaluates here decides which
+# ``shard=K`` directory every row of a 100 TB export lands in; a
+# cross-engine hash match proves placement is a pure function of the
+# key, independent of partitioning and engine. One narrow exchange
+# (shard, partial aggregates); document text never shuffles.
+# --------------------------------------------------------------------------
+_N_SHARDS = 16
+
+
+@register(
+    "t13_shard_manifest",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                    % {_N_SHARDS} AS INTEGER) AS shard,
+               doc_id, n_chars
+        FROM documents
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=("sharding", "training-data", "sink-plan"),
+)
+def t13_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest (docs, chars, key range) of the deterministic
+    16-way training-data shard plan."""
+    from hyppo_worker_spark.operators.sharding import assign_shards
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        assign_shards(docs, "doc_id", _N_SHARDS)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
