@@ -63,6 +63,7 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t11_decontamination",
         "t12_repetition_signals",
         "t13_shard_manifest",
+        "t14_sequence_packing",
     }
 )
 

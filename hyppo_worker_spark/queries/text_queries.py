@@ -889,3 +889,53 @@ def t13_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# t14 — concat-and-chunk sequence packing (operators/packing.py): map
+# every document to the range of fixed-length training sequences its
+# tokens occupy when the corpus token stream is concatenated in doc_id
+# order and sliced every 512 tokens. The Spark side computes the
+# global exclusive prefix sum with the two-pass distributed scan
+# (per-range partials + broadcast offsets — no single-partition
+# window); the oracle is the naive global window, so the hash match
+# proves the distributed scan equals the sequential semantics.
+# Integer division on both sides (DuckDB CAST(double) ROUNDS — the
+# // operator is the truncating one).
+# --------------------------------------------------------------------------
+_SEQ_LEN = 512
+
+
+@register(
+    "t14_sequence_packing",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    counted AS (SELECT doc_id, len(w) AS n_tokens FROM tok),
+    run AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS offset_before
+        FROM counted
+    )
+    SELECT doc_id, n_tokens, offset_before,
+           offset_before // {_SEQ_LEN} AS seq_first,
+           (offset_before + greatest(n_tokens, 1) - 1) // {_SEQ_LEN} AS seq_last
+    FROM run ORDER BY doc_id
+    """,
+    tags=("text", "packing", "prefix-sum", "training-data"),
+)
+def t14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token offsets and packed 512-token sequence ranges per
+    document (distributed two-pass prefix sum)."""
+    from hyppo_worker_spark.operators.packing import pack_sequences
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counted = docs.select(
+        "doc_id", F.size(TX.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        pack_sequences(counted, "doc_id", "n_tokens", _SEQ_LEN)
+        .select("doc_id", "n_tokens", "offset_before", "seq_first", "seq_last")
+        .orderBy("doc_id")
+    )

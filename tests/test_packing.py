@@ -1,0 +1,71 @@
+"""Distributed prefix sum + sequence packing vs the naive sequential
+definition."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hyppo_worker_spark.operators.packing import (
+    exclusive_prefix_sum,
+    pack_sequences,
+)
+
+
+@pytest.fixture(scope="module")
+def counts(spark):
+    # irregular keys (gaps, unsorted input) and irregular values
+    return spark.createDataFrame(
+        [(k, (k * 7) % 13) for k in [3, 100, 7, 42, 999, 0, 55, 256, 12, 77]],
+        "k long, v long",
+    )
+
+
+def naive(df):
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    return df.withColumn(
+        "offset_before", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("bigint")
+    )
+
+
+def test_matches_naive_global_window(spark, counts):
+    got = exclusive_prefix_sum(counts, "k", "v", n_buckets=4)
+    want = naive(counts)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_partitioning_independent(spark, counts):
+    a = exclusive_prefix_sum(counts, "k", "v", n_buckets=4)
+    b = exclusive_prefix_sum(counts.repartition(7), "k", "v", n_buckets=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "k long, v long")
+    assert exclusive_prefix_sum(empty, "k", "v").count() == 0
+    one = spark.createDataFrame([(5, 9)], "k long, v long")
+    [row] = exclusive_prefix_sum(one, "k", "v").collect()
+    assert row["offset_before"] == 0
+
+
+def test_no_single_partition_window(spark, counts):
+    """The plan must not contain a window over an unpartitioned
+    full-data exchange (SinglePartition) for the big side — only the
+    tiny per-bucket offset frame may do a global sort."""
+    plan = exclusive_prefix_sum(counts, "k", "v", n_buckets=4)._jdf.queryExecution().executedPlan().toString()
+    # the in-bucket window must be hash-partitioned by the bucket
+    assert "hashpartitioning(_psum_bucket" in plan
+
+
+def test_pack_sequences_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 25), (4, 7)], "doc long, n long"
+    )
+    rows = {
+        r["doc"]: (r["offset_before"], r["seq_first"], r["seq_last"])
+        for r in pack_sequences(df, "doc", "n", seq_len=16).collect()
+    }
+    # stream: doc1 tokens [0,10) ; doc2 empty at 10 ; doc3 [10,35) ; doc4 [35,42)
+    assert rows[1] == (0, 0, 0)
+    assert rows[2] == (10, 0, 0)  # empty doc occupies its boundary seq
+    assert rows[3] == (10, 0, 2)  # spans sequences 0..2 (tokens 10..34)
+    assert rows[4] == (35, 2, 2)
