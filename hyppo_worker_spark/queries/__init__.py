@@ -64,6 +64,7 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t12_repetition_signals",
         "t13_shard_manifest",
         "t14_sequence_packing",
+        "t15_source_mix",
     }
 )
 

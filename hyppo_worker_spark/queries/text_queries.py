@@ -939,3 +939,78 @@ def t14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "offset_before", "seq_first", "seq_last")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t15 — data-mixture rebalancing: downsample each language to hit a
+# target mix (en 40 / de,es,fr,zh 15 each). The achievable corpus size
+# is bounded by the scarcest stratum (min over n*100 div pct); each
+# stratum keeps its quota via the deterministic md5 race (same device
+# as t07), so the selected subset is a pure function of doc ids —
+# identical across engines, runs, and partitionings. At 100 TB: the
+# quota table is rows-per-language (broadcast); the race rank is a
+# per-language window over narrow (lang, doc_id, race) rows; document
+# text never shuffles. Integer `div` arithmetic end-to-end.
+# --------------------------------------------------------------------------
+_MIX_TARGET = (("en", 40), ("de", 15), ("es", 15), ("fr", 15), ("zh", 15))
+
+
+@register(
+    "t15_source_mix",
+    oracle=f"""
+    WITH target(lang, pct) AS (VALUES {", ".join(f"('{lg}', {p})" for lg, p in _MIX_TARGET)}),
+    counts AS (SELECT lang, count(*) AS n_available FROM documents GROUP BY 1),
+    j AS (SELECT lang, n_available, pct FROM counts JOIN target USING (lang)),
+    tot AS (SELECT min(n_available * 100 // pct) AS total_max FROM j),
+    ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk
+        FROM documents
+    ),
+    kept AS (
+        SELECT r.lang, count(*) AS n_kept
+        FROM ranked r JOIN j USING (lang) CROSS JOIN tot
+        WHERE rnk <= pct * total_max // 100
+        GROUP BY r.lang
+    )
+    SELECT j.lang, j.n_available, j.pct AS target_pct, kept.n_kept
+    FROM j JOIN kept USING (lang)
+    ORDER BY j.lang
+    """,
+    tags=("text", "mixing", "sampling", "training-data"),
+)
+def t15_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling to a target mix: available docs,
+    target percent, and the deterministically kept count."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    target = spark.createDataFrame(list(_MIX_TARGET), "lang string, pct int")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_available"))
+    j = counts.join(F.broadcast(target), "lang")
+    total_max = j.agg(
+        F.min(F.expr("n_available * 100 div pct")).alias("m")
+    ).first()["m"]
+    quota = j.select(
+        "lang",
+        "n_available",
+        "pct",
+        F.expr(f"pct * {total_max} div 100").alias("quota"),
+    )
+    from pyspark.sql import Window as W
+
+    race = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    kept = (
+        docs.select("lang", "doc_id")
+        .withColumn("rnk", F.row_number().over(race))
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("rnk") <= F.col("quota"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        quota.join(kept, "lang")
+        .select("lang", "n_available", F.col("pct").alias("target_pct"), "n_kept")
+        .orderBy("lang")
+    )
