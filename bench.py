@@ -55,6 +55,13 @@ BENCH_QUERIES = [
     "t08_token_chunks",
     "t09_bigram_collocations",
     "t10_normalize_redact",
+    "q40_recursive_month_spine",
+    "s05_knn_ivf_multiprobe",
+    "t11_decontamination",
+    "t12_repetition_signals",
+    "t13_shard_manifest",
+    "t14_sequence_packing",
+    "t15_source_mix",
 ]
 
 
@@ -99,12 +106,20 @@ def main() -> None:
                     file=sys.stderr,
                 )
             clear_cache(spark)
-        t0 = time.time()
-        df = q.spark_fn(spark, sf_dir)
-        n = df.count() if df.isStreaming is False else -1
-        timings[name] = round(time.time() - t0, 3)
-        del n
-        clear_cache(spark)
+        # Min of two timed runs: single-run numbers at local[32] swing
+        # up to 8x on identical plans (JIT recompilation + GC pauses
+        # land on whichever query is executing); the minimum is the
+        # steady-state latency and is stable run-to-run.
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = q.spark_fn(spark, sf_dir)
+            n = df.count() if df.isStreaming is False else -1
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            del n
+            clear_cache(spark)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -115,6 +130,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": 2,
+                "agg": "min",
             }
         )
     )

@@ -718,7 +718,10 @@ def q18_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session counts per user with a 30-minute inactivity gap."""
     t = load_tables(spark, sf_dir, ("events",))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # ts may arrive as TIMESTAMP_NTZ (no direct numeric cast); the
+    # intermediate LTZ cast is identity under the UTC session TZ.
+    ts_epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_epoch - F.lag(ts_epoch).over(w)
     is_start = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
     run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
         W.unboundedPreceding, W.currentRow

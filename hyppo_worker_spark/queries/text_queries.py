@@ -706,25 +706,47 @@ def t11_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         % 100
     )
-    base = docs.select(
-        "doc_id",
-        (bucket < _DECON_EVAL_PCT).alias("is_eval"),
-        TX.shingles(TX.tokens("text"), _DECON_N).alias("grams"),
+    # Two-level persist (same rationale as operators/dedup.py
+    # minhash_lsh_pairs): the gram array is referenced by two plan
+    # branches; without the barrier Catalyst inlines the whole
+    # tokenize/shingle expression into each, recomputing it per
+    # exploded row (measured 18x slower). The repartition spreads the
+    # single-file documents scan across cores before the CPU-heavy
+    # shingle stage.
+    par = spark.sparkContext.defaultParallelism
+    words = (
+        docs.repartition(par)
+        .select(
+            "doc_id",
+            (bucket < _DECON_EVAL_PCT).alias("is_eval"),
+            TX.tokens("text").alias("w"),
+        )
+        .persist()
     )
+    grams = words.select(
+        "doc_id",
+        "is_eval",
+        TX.shingles(F.col("w"), _DECON_N).alias("grams"),
+    ).persist()
     eval_grams = (
-        base.filter(F.col("is_eval"))
+        grams.filter(F.col("is_eval"))
         .select(F.explode("grams").alias("gram"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    train = base.filter(~F.col("is_eval")).select(
-        "doc_id",
-        F.size("grams").cast("bigint").alias("n_grams"),
-        F.explode("grams").alias("gram"),
+    # grams arrays are distinct per doc, so n_grams == exploded row
+    # count — one aggregate computes total and overlap together.
+    train = grams.filter(~F.col("is_eval")).select(
+        "doc_id", F.explode("grams").alias("gram")
     )
     return (
-        train.join(F.broadcast(eval_grams), "gram", "left_semi")
-        .groupBy("doc_id", "n_grams")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        train.join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
         .select(
             "doc_id",
             "n_grams",
