@@ -60,11 +60,14 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t08_token_chunks",
         "t09_bigram_collocations",
         "t10_normalize_redact",
-        "t11_decontamination",
-        "t12_repetition_signals",
+        "t12_repetition_signals",  # repetition family: t11/t02 carry the
+        # quality-signal driver rows; t12 is registered + locally checked
         "t13_shard_manifest",
-        "t14_sequence_packing",
         "t15_source_mix",
+        # Retired to give the NEW operator families driver rows
+        # (decontamination t11, distributed prefix-sum packing t14):
+        "q09_rollup_qty",  # rollup — q20 grouping-sets keeps the category
+        "q16_pivot_status",  # pivot — q32 unpivot keeps the category
     }
 )
 
