@@ -69,3 +69,36 @@ def test_pack_sequences_ranges(spark):
     assert rows[2] == (10, 0, 0)  # empty doc occupies its boundary seq
     assert rows[3] == (10, 0, 2)  # spans sequences 0..2 (tokens 10..34)
     assert rows[4] == (35, 2, 2)
+
+
+def test_prefix_sum_property(spark):
+    """Random value tables: distributed scan == sequential definition."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-(10**6), max_value=10**6),
+                st.integers(min_value=0, max_value=10**6),
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(min_value=1, max_value=8),
+    )
+    def check(rows, n_buckets):
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {
+            r["k"]: r["offset_before"]
+            for r in exclusive_prefix_sum(
+                df, "k", "v", n_buckets=n_buckets
+            ).collect()
+        }
+        acc = 0
+        for k, v in sorted(rows):
+            assert got[k] == acc
+            acc += v
+
+    check()

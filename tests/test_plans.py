@@ -143,3 +143,26 @@ def test_d03_signature_stage_single_shuffle(spark, registry):
         ]
     )
     assert count_exchanges(per_doc) == 1
+
+
+def test_t11_eval_probe_broadcasts(spark, registry):
+    """Decontamination's membership probe must broadcast the eval gram
+    set — the training corpus side never shuffles for the join."""
+    df = registry["t11_decontamination"].spark_fn(spark, SF_DIR)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert "SortMergeJoin" not in join_strategies(df)
+
+
+def test_t13_shard_manifest_single_exchange(spark, registry):
+    """Shard placement is scan-local (md5 of the key); the only
+    exchange carries the per-shard partial aggregates."""
+    df = registry["t13_shard_manifest"].spark_fn(spark, SF_DIR)
+    assert count_exchanges(df) <= 2  # agg exchange + final orderBy
+
+
+def test_t14_no_corpus_wide_window(spark, registry):
+    """The prefix sum must window within hash-partitioned buckets; the
+    only unpartitioned window runs over the one-row-per-bucket frame."""
+    df = registry["t14_sequence_packing"].spark_fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(_psum_bucket" in plan
