@@ -67,6 +67,7 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # Retired to give the NEW operator families driver rows
         # (decontamination t11, distributed prefix-sum packing t14):
         "q09_rollup_qty",  # rollup — q20 grouping-sets keeps the category
+        "d09_corpus_export_manifest",  # composes d06+t13+t14 (each in-window)
         "q16_pivot_status",  # pivot — q32 unpivot keeps the category
     }
 )

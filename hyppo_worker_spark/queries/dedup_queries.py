@@ -489,3 +489,86 @@ def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "d09_corpus_export_manifest",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.a_id
+        JOIN sh b ON b.doc_id = c.b_id
+        WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+              / (len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.8
+    ),
+    quality AS (
+        SELECT t.doc_id, t.lang, d.n_chars, len(t.w) AS n_tokens
+        FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+        WHERE d.n_chars >= 120 AND len(t.w) >= 20
+          AND t.lang IN ('en', 'de', 'fr')
+    ),
+    kept AS (
+        SELECT q.* FROM quality q
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = q.doc_id)
+    ),
+    sharded AS (
+        SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 8 AS INTEGER) AS shard,
+               doc_id, n_tokens
+        FROM kept
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           (CAST(sum(n_tokens) AS BIGINT) + 511) // 512 AS n_sequences,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM sharded GROUP BY shard ORDER BY shard
+    """,
+    tags=("dedup", "sharding", "packing", "pipeline", "training-data"),
+)
+def d09_corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data export manifest: curate (quality +
+    language + near-dup removal, exactly d06's corpus) → deterministic
+    8-way shard assignment (operators/sharding.py) → per-shard doc,
+    token, and packed-512-token-sequence counts.
+
+    One call answers "what would the export write": the same manifest
+    write_shards produces, plus the packing arithmetic of
+    operators/packing.py applied shard-locally (each shard's token
+    stream packs independently, so sequence counts are sums of
+    per-shard ceil-divisions — no global prefix sum needed for the
+    manifest).
+    """
+    from hyppo_worker_spark.functions import text as TX
+    from hyppo_worker_spark.operators.sharding import assign_shards
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = TX.tokens("text")
+    quality = docs.withColumn("n_tokens", F.size(toks).cast("bigint")).filter(
+        (F.col("n_chars") >= 120)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("lang").isin("en", "de", "fr"))
+    )
+    dup_ids = (
+        D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=12, bands=6, threshold=0.8)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    kept = quality.join(dup_ids, "doc_id", "left_anti")
+    return (
+        assign_shards(kept, "doc_id", 8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr("(sum(n_tokens) + 511) div 512").alias("n_sequences"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
