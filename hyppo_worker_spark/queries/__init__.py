@@ -57,6 +57,7 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # q35 (conditional agg) keep the shape; retired to give the
         # recursive-CTE surface (q40) a driver row
         "s05_knn_ivf_multiprobe",  # same IVF index as in-window s04, nprobe=2
+        "s06_int8_quantization",  # vector compression stats; s-family keeps s01/s02/s04 in-window
         "t08_token_chunks",
         "t09_bigram_collocations",
         "t10_normalize_redact",

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hyppo_worker_spark.functions import vectors as V
 from hyppo_worker_spark.operators import similarity as S
 from hyppo_worker_spark.queries import register
 from hyppo_worker_spark.session import load_tables
@@ -226,4 +227,80 @@ def s05_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20)
     return S.knn_ivf(emb, queries, k=5, n_centroids=8, n_iter=2, nprobe=2).orderBy(
         "q_id", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# s06 — symmetric int8 embedding quantization, the standard vector-
+# index compression (4x memory; what a 100 TB embedding store actually
+# serves). Per-vector scale = max|x|/127; rounding is the explicit
+# floor(x+0.5) form because both engines define floor identically
+# while round() half-rule conventions differ. Reports per-label
+# reconstruction-error and clipping stats — the quality gate before
+# swapping an index to int8. Scan-local map work + one narrow
+# aggregation exchange.
+# --------------------------------------------------------------------------
+@register(
+    "s06_int8_quantization",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v, label,
+               list_max(list_transform(v, x -> abs(x))) AS mx
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, label, mx, v,
+               list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5)
+                                           AS BIGINT)) AS qv
+        FROM s WHERE mx > 0
+    ),
+    err AS (
+        SELECT vec_id, label,
+               list_max(list_transform(range(1, len(v) + 1),
+                        i -> abs(v[i] - qv[i] * mx / 127.0))) AS max_abs_err,
+               len(list_filter(qv, x -> x > 127 OR x < -127)) AS n_clipped
+        FROM q
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(avg(max_abs_err), 4) AS avg_max_err,
+           CAST(sum(n_clipped) AS BIGINT) AS clipped
+    FROM err GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "quantization", "compression", "vectors"),
+)
+def s06_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label int8 quantization quality: reconstruction max-error
+    average and clip counts under symmetric per-vector scaling."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = emb.select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
+    ).withColumn("mx", F.array_max(F.transform("v", lambda x: F.abs(x))))
+    q = v.filter(F.col("mx") > 0).withColumn(
+        "qv",
+        F.transform(
+            "v", lambda x: F.floor(x * 127.0 / F.col("mx") + 0.5).cast("bigint")
+        ),
+    )
+    err = q.select(
+        "label",
+        F.array_max(
+            F.zip_with(
+                "v", "qv", lambda x, qi: F.abs(x - qi * F.col("mx") / 127.0)
+            )
+        ).alias("max_abs_err"),
+        F.size(
+            F.filter("qv", lambda x: (x > 127) | (x < -127))
+        ).cast("bigint").alias("n_clipped"),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("max_abs_err"), 4).alias("avg_max_err"),
+            F.sum("n_clipped").alias("clipped"),
+        )
+        .orderBy("label")
     )
