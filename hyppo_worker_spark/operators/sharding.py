@@ -45,9 +45,10 @@ def assign_shards(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    bucket = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
+    # NULL keys hash as the empty string (deterministic shard), not a
+    # NULL shard value that would silently land in its own partition.
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    bucket = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
     return df.withColumn(SHARD_COL, (bucket % n_shards).cast("int"))
 
 

@@ -83,3 +83,12 @@ def test_write_is_deterministic_across_runs(spark, corpus, tmp_path):
         r1 = spark.read.parquet(os.path.join(p1, f"{SHARD_COL}={k}"))
         r2 = spark.read.parquet(os.path.join(p2, f"{SHARD_COL}={k}"))
         assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+
+
+def test_null_keys_get_deterministic_shard(spark):
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (7, "c")], "doc_id long, text string"
+    )
+    rows = assign_shards(df, "doc_id", 4).collect()
+    shards = {r["text"]: r[SHARD_COL] for r in rows}
+    assert shards["a"] is not None and shards["a"] == shards["b"]
