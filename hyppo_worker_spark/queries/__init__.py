@@ -64,6 +64,7 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t12_repetition_signals",  # repetition family: t11/t02 carry the
         # quality-signal driver rows; t12 is registered + locally checked
         "t13_shard_manifest",
+        "t16_bpe_merges",
         "t15_source_mix",
         # Retired to give the NEW operator families driver rows
         # (decontamination t11, distributed prefix-sum packing t14):

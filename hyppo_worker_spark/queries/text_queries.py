@@ -1036,3 +1036,123 @@ def t15_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_available", F.col("pct").alias("target_pct"), "n_kept")
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# t16 — distributed BPE vocabulary induction (the GPT-2 tokenizer
+# training step): 3 merge rounds learned over the corpus. The corpus
+# contributes ONE shuffle (word-frequency aggregation); every round
+# after that runs on the vocabulary table (tiny at any corpus size —
+# BPE state is vocab-sized, not corpus-sized). The merge rewrite is a
+# plain string replace over '~'-wrapped symbol strings ('~o~~w~'):
+# both engines define replace as leftmost non-overlapping, which IS
+# BPE's merge order, and the wrapper guarantees symbol-boundary
+# alignment (no false submatches, no boundary consumption between
+# adjacent occurrences). The per-round argmax (count desc, pair asc)
+# is a 1-row broadcast; the whole 3-round chain is one lazy DAG — no
+# driver loops over data.
+# --------------------------------------------------------------------------
+def _bpe_round_sql(i: int) -> str:
+    return f"""
+    pairs{i} AS (
+        SELECT s[k] || '~~' || s[k+1] AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT string_split(substr(w, 2, len(w) - 2), '~~') AS s, freq
+              FROM vocab{i}) t,
+             unnest(range(1, len(s))) AS u(k)
+        GROUP BY 1
+    ),
+    best{i} AS (
+        SELECT pair, cnt, {i + 1} AS rank FROM pairs{i}
+        ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    vocab{i + 1} AS (
+        SELECT replace(w, '~' || pair || '~',
+                       '~' || replace(pair, '~~', '') || '~') AS w, freq
+        FROM vocab{i} CROSS JOIN best{i}
+    )"""
+
+
+_BPE_ROUNDS = 3
+
+
+@register(
+    "t16_bpe_merges",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '')) AS word
+        FROM documents
+    ),
+    wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+    vocab0 AS (
+        SELECT '~' || array_to_string(list_transform(range(1, len(word) + 1),
+                     i -> substr(word, i, 1)), '~~') || '~' AS w, freq
+        FROM wf
+    ),"""
+    + ",".join(_bpe_round_sql(i) for i in range(_BPE_ROUNDS))
+    + """
+    SELECT rank, replace(pair, '~~', '+') AS merge_pair, cnt
+    FROM ("""
+    + " UNION ALL ".join(f"SELECT * FROM best{i}" for i in range(_BPE_ROUNDS))
+    + """)
+    ORDER BY rank
+    """,
+    tags=("text", "bpe", "tokenizer", "training-data", "iterative"),
+)
+def t16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merges learned from the corpus (pair, corpus
+    count): one corpus-scale word-count shuffle, then vocab-table-only
+    iterations with 1-row broadcast argmax per round."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    wf = (
+        docs.select(F.explode(TX.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = wf.select(
+        F.expr(
+            "concat('~', array_join(transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1)), '~~'), '~')"
+        ).alias("w"),
+        "freq",
+    )
+    bests = []
+    for i in range(_BPE_ROUNDS):
+        syms = vocab.select(
+            F.split(F.expr("substr(w, 2, length(w) - 2)"), "~~").alias("s"),
+            "freq",
+        )
+        # guard: Spark's sequence(1, 0) is DESCENDING, not empty
+        pair_arr = F.when(
+            F.size("s") >= 2,
+            F.expr(
+                "transform(sequence(1, size(s) - 1), "
+                "k -> concat(element_at(s, k), '~~', element_at(s, k + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pairs = (
+            syms.select(F.explode(pair_arr).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .withColumn("rank", F.lit(i + 1))
+        )
+        bests.append(best)
+        vocab = vocab.crossJoin(F.broadcast(best.select("pair"))).select(
+            F.expr(
+                "replace(w, concat('~', pair, '~'), "
+                "concat('~', replace(pair, '~~', ''), '~'))"
+            ).alias("w"),
+            "freq",
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "rank",
+        F.expr("replace(pair, '~~', '+')").alias("merge_pair"),
+        "cnt",
+    ).orderBy("rank")
