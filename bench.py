@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "t13_shard_manifest",
     "t14_sequence_packing",
     "t15_source_mix",
+    "t16_bpe_merges",
+    "d09_corpus_export_manifest",
+    "s06_int8_quantization",
 ]
 
 
