@@ -193,3 +193,19 @@ def quality_metrics(text: Column, toks: Column) -> dict[str, Column]:
         "stopword_ratio": F.when(n_toks > 0, stop_hits / n_toks).otherwise(F.lit(0.0)),
         "mean_token_len": mean_tok_len,
     }
+
+
+def md5_bucket(key: Column | str, mod: int, chars: int = 7) -> Column:
+    """Deterministic integer bucket in [0, mod): the first ``chars``
+    hex digits of md5(key) as an int64, modulo ``mod``.
+
+    The shared placement/gating primitive (sampling gates, held-out
+    splits, shard assignment): a pure function of the key, identical
+    in Spark and DuckDB (``('0x' || substr(md5(k::VARCHAR), 1, chars))
+    ::BIGINT % mod``), independent of partitioning and engine. NULL
+    keys hash as the empty string. ``chars`` ≤ 15 keeps the value
+    inside int64.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    k = F.coalesce(c.cast("string"), F.lit(""))
+    return F.conv(F.substring(F.md5(k), 1, chars), 16, 10).cast("bigint") % mod

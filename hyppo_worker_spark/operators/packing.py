@@ -49,6 +49,8 @@ def exclusive_prefix_sum(
     plus ``out_col`` = sum of ``value_col`` over all rows strictly
     before this one.
     """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     lo, hi = df.agg(
         F.min(order_col).cast("double"), F.max(order_col).cast("double")
     ).first()
@@ -114,6 +116,8 @@ def pack_sequences(
     and ``{prefix}_last`` (inclusive sequence-id range; empty docs
     occupy their boundary sequence).
     """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
     with_off = exclusive_prefix_sum(df, order_col, tokens_col)
     # `div` is exact int64 division — double division would lose
     # exactness past 2^53 total tokens, which a 100 TB corpus exceeds.

@@ -45,11 +45,13 @@ def assign_shards(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    # NULL keys hash as the empty string (deterministic shard), not a
-    # NULL shard value that would silently land in its own partition.
-    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
-    bucket = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
-    return df.withColumn(SHARD_COL, (bucket % n_shards).cast("int"))
+    from hyppo_worker_spark.functions.text import md5_bucket
+
+    # 15 hex chars (vs the gates' 7) so bucket skew stays negligible
+    # even at shard counts in the tens of thousands.
+    return df.withColumn(
+        SHARD_COL, md5_bucket(key_col, n_shards, chars=15).cast("int")
+    )
 
 
 def plan_shards(

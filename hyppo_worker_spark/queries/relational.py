@@ -720,9 +720,12 @@ def q18_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # ts may arrive as TIMESTAMP_NTZ (no direct numeric cast); the
     # intermediate LTZ cast is identity under the UTC session TZ.
-    ts_epoch = F.col("ts").cast("timestamp").cast("long")
+    # Double epoch keeps sub-second precision exactly (micros <
+    # 2^53), matching the oracle's exact INTERVAL compare if the
+    # generated data ever gains fractional seconds.
+    ts_epoch = F.col("ts").cast("timestamp").cast("double")
     gap = ts_epoch - F.lag(ts_epoch).over(w)
-    is_start = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    is_start = F.when(gap.isNull() | (gap > F.lit(30 * 60.0)), 1).otherwise(0)
     run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )

@@ -279,11 +279,7 @@ _SAMPLE_RATES = {"en": 40, "de": 70, "fr": 70}  # percent kept, default 100
 
 
 def _sample_gate_spark():
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = TX.md5_bucket("doc_id", 100)
     rate = F.coalesce(
         *[
             F.when(F.col("lang") == lg, F.lit(pct))
@@ -701,11 +697,7 @@ def t11_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc distinct-gram total, overlap count, and a ≥10% contamination
     flag (exact integer compare)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = TX.md5_bucket("doc_id", 100)
     # Two-level persist (same rationale as operators/dedup.py
     # minhash_lsh_pairs): the gram array is referenced by two plan
     # branches; without the barrier Catalyst inlines the whole
@@ -1012,6 +1004,10 @@ def t15_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_max = j.agg(
         F.min(F.expr("n_available * 100 div pct")).alias("m")
     ).first()["m"]
+    if total_max is None:
+        # no stratum present at all — empty result, stable schema
+        # (interpolating None below would produce unparseable SQL)
+        total_max = 0
     quota = j.select(
         "lang",
         "n_available",
