@@ -161,6 +161,37 @@ def minhash_lsh_pairs(
     Hot buckets (identical band shared by many docs) are the classic
     LSH skew; AQE skew-join splitting handles moderate cases.
     """
+    docs, banded = _minhash_banded(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.did") < F.col("r.did")),
+        )
+        .select(F.col("l.did").alias("a_id"), F.col("r.did").alias("b_id"))
+        .distinct()
+    )
+
+    return _verify_pairs(docs, cand, threshold)
+
+
+def _minhash_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash stage: returns (persisted (did, sh) shingle
+    frame, persisted (did, band_id, band_key) banding frame)."""
     rows_per_band = num_hashes // bands
     toks = TX.tokens(text_col)
     # Persist the narrow (id, shingles) projection: it is referenced by
@@ -226,21 +257,52 @@ def minhash_lsh_pairs(
         per_doc.select("did", F.explode(band_structs).alias("bb"))
         .select("did", "bb.band_id", "bb.band_key")
     ).persist()
+    return docs, banded
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+
+def minhash_lsh_pairs_against(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental near-dup check: (corpus_id, new_id, jaccard) pairs
+    where an incoming document near-duplicates one already in the
+    corpus — the ingestion-time shape (dedup a batch BEFORE appending
+    it, without re-pairing the corpus against itself).
+
+    Ids must be disjoint across the two frames. The corpus side runs
+    the same signature/banding stage as ``minhash_lsh_pairs``; the new
+    batch — small relative to a 100 TB corpus — has its banding frame
+    BROADCAST, so the corpus never shuffles for the candidate join
+    (set ``broadcast_new=False`` for a shuffle join when the batch is
+    genuinely large). Verification reuses the exploded co-group, whose
+    shuffle carries candidate docs only.
+    """
+    docs_c, band_c = _minhash_banded(
+        corpus, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    docs_n, band_n = _minhash_banded(
+        new, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    bn = F.broadcast(band_n) if broadcast_new else band_n
     cand = (
-        left.join(
-            right,
+        band_c.alias("l")
+        .join(
+            bn.alias("r"),
             (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.did") < F.col("r.did")),
+            & (F.col("l.band_key") == F.col("r.band_key")),
         )
         .select(F.col("l.did").alias("a_id"), F.col("r.did").alias("b_id"))
         .distinct()
     )
-
-    return _verify_pairs(docs, cand, threshold)
+    return _verify_pairs(docs_c.unionByName(docs_n), cand, threshold)
 
 
 def simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
