@@ -10,6 +10,9 @@ amortized over every subsequent join/aggregation on that key.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -21,7 +24,18 @@ def write_bucketed(
     sort_col: str | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Persist as a bucketed (optionally sorted) managed table."""
+    """Persist as a bucketed (optionally sorted) managed table.
+
+    A fresh session's in-memory catalog does not know about managed
+    table locations left in the warehouse dir by a previous session,
+    and ``saveAsTable`` refuses to reuse the location — drop the table
+    AND clear a stale local location before writing.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if warehouse:
+        shutil.rmtree(f"{warehouse.rstrip('/')}/{table}", ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)

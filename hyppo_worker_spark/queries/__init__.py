@@ -60,17 +60,24 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "s06_int8_quantization",  # vector compression stats; s-family keeps s01/s02/s04 in-window
         "t08_token_chunks",
         "t09_bigram_collocations",
-        "t10_normalize_redact",
         "t12_repetition_signals",  # repetition family: t11/t02 carry the
         # quality-signal driver rows; t12 is registered + locally checked
-        "t13_shard_manifest",
-        "t16_bpe_merges",
         "t15_source_mix",
         # Retired to give the NEW operator families driver rows
         # (decontamination t11, distributed prefix-sum packing t14):
         "q09_rollup_qty",  # rollup — q20 grouping-sets keeps the category
         "d09_corpus_export_manifest",  # composes d06+t13+t14 (each in-window)
         "q16_pivot_status",  # pivot — q32 unpivot keeps the category
+        # Round-4 re-curation (VERDICT r3 item 1): retire three redundant
+        # relational variants so the sharding/export (t13), tokenizer-
+        # training (t16) and normalization/PII (t10) families each get a
+        # driver CORRECTNESS row, plus one more (q28) for the bucketed
+        # zero-exchange join (q41). Each retiree's family keeps an
+        # in-window representative:
+        "q19_event_time_windows",  # time-window family — q18 sessionize keeps it
+        "q38_distribution_windows",  # percentile/window — q23/q29 keep it
+        "q34_ship_latency",  # scalar/date family — q24/q37 keep it
+        "q28_cheapest_supplier_per_nation",  # per-group extreme — q07 keeps it
     }
 )
 

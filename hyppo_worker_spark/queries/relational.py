@@ -1775,3 +1775,67 @@ def q40_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY month
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q41 — bucketed (co-located) fact-to-fact join: both sides written
+# bucketed by the join key, so the SortMergeJoin plans with ZERO
+# Exchange operators on either input (tests/test_plans.py asserts it).
+# At 100 TB this is THE repeated-join strategy: the shuffle of both
+# fact tables is paid once at write time and amortized over every
+# subsequent join/aggregation on that key. The only exchange left in
+# the whole plan is the tiny post-join re-agg on o_orderpriority.
+# --------------------------------------------------------------------------
+@register(
+    "q41_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "bucketed", "zero-exchange", "storage-layout"),
+)
+def q41_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders⋈lineitem through same-bucketed managed tables: the join
+    itself is exchange-free (bucket-local SMJ); result re-aggregated
+    by order priority. The ``merge`` hint pins SMJ so the bucket
+    co-location (not a broadcast) is what eliminates the shuffle —
+    that is the property the plan test asserts."""
+    from hyppo_worker_spark.operators.bucketing import write_bucketed
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        "q41_orders_b",
+        "o_orderkey",
+        n_buckets=8,
+        sort_col="o_orderkey",
+    )
+    write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "q41_lineitem_b",
+        "l_orderkey",
+        n_buckets=8,
+        sort_col="l_orderkey",
+    )
+    joined = (
+        spark.table("q41_orders_b")
+        .hint("merge")
+        .join(
+            spark.table("q41_lineitem_b").hint("merge"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

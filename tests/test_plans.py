@@ -160,6 +160,20 @@ def test_t13_shard_manifest_single_exchange(spark, registry):
     assert count_exchanges(df) <= 2  # agg exchange + final orderBy
 
 
+def test_q41_bucketed_join_zero_exchange_on_join(spark, registry):
+    """The bucketed fact-to-fact join must be exchange-free: both scans
+    are bucketed on the join key, so the ONLY exchange in the whole
+    plan is the tiny post-join re-agg on o_orderpriority (+ its
+    orderBy). An exchange feeding the SortMergeJoin means bucket
+    co-location was lost — the 100 TB amortized-shuffle story breaks."""
+    df = registry["q41_bucketed_colocated_join"].spark_fn(spark, SF_DIR)
+    assert "SortMergeJoin" in join_strategies(df)
+    assert count_exchanges(df) <= 2  # agg exchange + final orderBy only
+    plan = formatted_plan(df)
+    # the join inputs read the bucketed tables directly (Bucketed: true)
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
 def test_t14_no_corpus_wide_window(spark, registry):
     """The prefix sum must window within hash-partitioned buckets; the
     only unpartitioned window runs over the one-row-per-bucket frame."""

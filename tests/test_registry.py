@@ -41,6 +41,12 @@ def test_driver_registry_covers_every_family():
         "t03_token_stats",
         "t04_fingerprints",
         "t05_token_frequencies",
+        # round-4 promotions: every SURVEY §2.5 family now holds a
+        # driver row (VERDICT r3 item 1) plus the bucketed-join plan demo
+        "t10_normalize_redact",
+        "t13_shard_manifest",
+        "t16_bpe_merges",
+        "q41_bucketed_colocated_join",
     ):
         assert must in names
 
