@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "t16_bpe_merges",
     "d09_corpus_export_manifest",
     "s06_int8_quantization",
+    # Round-4 additions:
+    "q41_bucketed_colocated_join",
+    "d10_incremental_neardup",
+    "p03_integration_connector",
 ]
 
 
@@ -92,7 +96,20 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     warm = os.path.isdir(warm_dir)
 
+    # Fixed-work probe: min-of-3 wall of a trivial one-stage job. This
+    # is the per-job scheduling/driver floor of THIS host+JVM right
+    # now — recorded so a round-over-round drift in sub-second query
+    # times can be attributed (or not) to harness/host overhead rather
+    # than plan changes (r3's uniform ~+0.15 s/query drift was exactly
+    # that pattern, with byte-identical plans).
+    probe = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        probe = min(probe or 9e9, time.time() - t0)
+
     timings: dict[str, float] = {}
+    plan_times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = registry.get(name)
         if q is None:
@@ -109,12 +126,20 @@ def main() -> None:
                     file=sys.stderr,
                 )
             clear_cache(spark)
-        # Min of two timed runs: single-run numbers at local[32] swing
-        # up to 8x on identical plans (JIT recompilation + GC pauses
-        # land on whichever query is executing); the minimum is the
-        # steady-state latency and is stable run-to-run.
+        # Driver-side share: build + analyze only (no jobs run). The
+        # timed runs below include this; reporting it separately splits
+        # "query got slower" from "planning/py4j got slower".
+        t0 = time.time()
+        df = q.spark_fn(spark, sf_dir)
+        _ = df.schema
+        plan_times[name] = round(time.time() - t0, 3)
+        clear_cache(spark)
+        # Min of three timed runs: single-run numbers at local[32]
+        # swing up to 8x on identical plans (JIT recompilation + GC
+        # pauses land on whichever query is executing); the minimum is
+        # the steady-state latency and is stable run-to-run.
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = q.spark_fn(spark, sf_dir)
             n = df.count() if df.isStreaming is False else -1
@@ -133,8 +158,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "runs_per_query": 2,
+                "runs_per_query": 3,
                 "agg": "min",
+                "overhead_probe_s": round(probe, 3),
+                "plan_s": plan_times,
             }
         )
     )

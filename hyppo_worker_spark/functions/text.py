@@ -200,12 +200,24 @@ def md5_bucket(key: Column | str, mod: int, chars: int = 7) -> Column:
     hex digits of md5(key) as an int64, modulo ``mod``.
 
     The shared placement/gating primitive (sampling gates, held-out
-    splits, shard assignment): a pure function of the key, identical
-    in Spark and DuckDB (``('0x' || substr(md5(k::VARCHAR), 1, chars))
-    ::BIGINT % mod``), independent of partitioning and engine. NULL
-    keys hash as the empty string. ``chars`` ≤ 15 keeps the value
-    inside int64.
+    splits, shard assignment): a pure function of the key, independent
+    of partitioning and engine. NULL keys hash as the empty string ON
+    BOTH SIDES — the DuckDB identity is ``md5_bucket_sql()``'s
+    ``('0x' || substr(md5(coalesce(k::VARCHAR, '')), 1, chars))::BIGINT
+    % mod`` (a bare ``md5(k::VARCHAR)`` would return NULL for NULL keys
+    and silently diverge). ``chars`` ≤ 15 keeps the value inside int64.
     """
     c = F.col(key) if isinstance(key, str) else key
     k = F.coalesce(c.cast("string"), F.lit(""))
     return F.conv(F.substring(F.md5(k), 1, chars), 16, 10).cast("bigint") % mod
+
+
+def md5_bucket_sql(key_sql: str, mod: int, chars: int = 7) -> str:
+    """The DuckDB oracle expression identical to :func:`md5_bucket` —
+    including the NULL-keys-hash-as-empty-string coalesce. Oracle SQL
+    strings should embed this instead of hand-writing the expression so
+    the cross-engine identity holds for nullable key columns too."""
+    return (
+        f"(('0x' || substr(md5(coalesce(({key_sql})::VARCHAR, '')), "
+        f"1, {chars}))::BIGINT % {mod})"
+    )

@@ -277,13 +277,21 @@ def minhash_lsh_pairs_against(
     corpus — the ingestion-time shape (dedup a batch BEFORE appending
     it, without re-pairing the corpus against itself).
 
-    Ids must be disjoint across the two frames. The corpus side runs
-    the same signature/banding stage as ``minhash_lsh_pairs``; the new
-    batch — small relative to a 100 TB corpus — has its banding frame
-    BROADCAST, so the corpus never shuffles for the candidate join
-    (set ``broadcast_new=False`` for a shuffle join when the batch is
-    genuinely large). Verification reuses the exploded co-group, whose
-    shuffle carries candidate docs only.
+    Ids SHOULD be disjoint across the two frames (an id can't
+    meaningfully be both "already in the corpus" and "incoming").
+    Overlap is tolerated defensively rather than silently corrupting
+    counts: the verify side dedups shingle rows by id (an id present
+    on both sides contributes its shingles once, not twice — doubled
+    rows would double every Jaccard numerator it touches) and
+    self-pairs (a_id == b_id) are dropped from the candidates.
+
+    The corpus side runs the same signature/banding stage as
+    ``minhash_lsh_pairs``; the new batch — small relative to a 100 TB
+    corpus — has its banding frame BROADCAST, so the corpus never
+    shuffles for the candidate join (set ``broadcast_new=False`` for a
+    shuffle join when the batch is genuinely large). Verification
+    reuses the exploded co-group, whose shuffle carries candidate docs
+    only.
     """
     docs_c, band_c = _minhash_banded(
         corpus, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
@@ -297,12 +305,14 @@ def minhash_lsh_pairs_against(
         .join(
             bn.alias("r"),
             (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_key") == F.col("r.band_key")),
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.did") != F.col("r.did")),
         )
         .select(F.col("l.did").alias("a_id"), F.col("r.did").alias("b_id"))
         .distinct()
     )
-    return _verify_pairs(docs_c.unionByName(docs_n), cand, threshold)
+    docs_all = docs_c.unionByName(docs_n).dropDuplicates(["did"])
+    return _verify_pairs(docs_all, cand, threshold)
 
 
 def simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

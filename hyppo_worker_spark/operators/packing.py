@@ -21,17 +21,41 @@ window, one broadcast of the offset table. No stage ever sees more
 than one bucket of rows in a single task.
 
 The bucket boundaries must be a pure function of the key (not ntile /
-repartitionByRange samples, which are nondeterministic): callers pass
-``n_buckets`` and a key-ranging expression is derived from min/max —
-uniform ranges are fine because the offsets correct any imbalance in
-*values*; only row-count balance matters for task sizing, and AQE
-splits oversized in-bucket windows' input partitions upstream.
+repartitionByRange samples, which are nondeterministic): a key-ranging
+expression is derived from min/max — uniform ranges are fine because
+the offsets correct any imbalance in *values*; only row-count balance
+matters for task sizing. A window partition CANNOT be split by AQE
+(each bucket's full row set is sorted by one task), so the bucket
+count must GROW with the data: by default it is derived from the row
+count so a bucket holds ~``TARGET_ROWS_PER_BUCKET`` rows regardless of
+corpus size (a fixed default like 32 would put corpus/32 rows in one
+task — ~3 TB each at 100 TB). Near-uniform key spacing (sequential or
+hashed ids) keeps actual bucket sizes near the target; heavily skewed
+keys concentrate rows and would need quantile boundaries instead.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: rows a single in-bucket window task should sort (window partitions
+#: are un-splittable, so this bounds per-task input; narrow rows at
+#: ~100 B each make this ~400 MB of task input).
+TARGET_ROWS_PER_BUCKET = 4_000_000
+
+
+def derive_n_buckets(
+    n_rows: int, target_rows_per_bucket: int, parallelism: int
+) -> int:
+    """Bucket count for a prefix-sum pass: enough buckets that no
+    single (un-splittable) window task sorts more than roughly
+    ``target_rows_per_bucket`` rows, and never fewer than the
+    session's shuffle parallelism (so small inputs still use every
+    core). Grows linearly with the data — the scale invariant."""
+    return max(math.ceil(n_rows / target_rows_per_bucket), parallelism, 1)
 
 
 def exclusive_prefix_sum(
@@ -39,7 +63,8 @@ def exclusive_prefix_sum(
     order_col: str,
     value_col: str,
     out_col: str = "offset_before",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
+    target_rows_per_bucket: int = TARGET_ROWS_PER_BUCKET,
 ) -> DataFrame:
     """Global exclusive prefix sum of ``value_col`` in ``order_col``
     order, without a single-partition window.
@@ -48,14 +73,33 @@ def exclusive_prefix_sum(
     (ties would make "global order" ill-defined). Returns the input
     plus ``out_col`` = sum of ``value_col`` over all rows strictly
     before this one.
+
+    ``n_buckets=None`` (default) sizes the bucket count from the row
+    count — ``ceil(rows / target_rows_per_bucket)``, at least the
+    session's shuffle parallelism — so no single window task sorts
+    more than ~``target_rows_per_bucket`` rows at ANY input size.
+    Pass an explicit ``n_buckets`` only to pin plans in tests.
     """
-    if n_buckets <= 0:
+    if n_buckets is not None and n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-    lo, hi = df.agg(
-        F.min(order_col).cast("double"), F.max(order_col).cast("double")
+    if target_rows_per_bucket <= 0:
+        raise ValueError(
+            f"target_rows_per_bucket must be positive, got {target_rows_per_bucket}"
+        )
+    # One pass gathers everything the plan derivation needs: key range
+    # AND row count (the count rides the same scan — no extra job).
+    lo, hi, n_rows = df.agg(
+        F.min(order_col).cast("double"),
+        F.max(order_col).cast("double"),
+        F.count(F.lit(1)),
     ).first()
     if lo is None:
         return df.withColumn(out_col, F.lit(0).cast("bigint"))
+    if n_buckets is None:
+        parallelism = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        n_buckets = derive_n_buckets(n_rows, target_rows_per_bucket, parallelism)
     span = max(hi - lo, 1.0)
     bucket = F.least(
         F.lit(n_buckets - 1),
@@ -106,6 +150,7 @@ def pack_sequences(
     tokens_col: str,
     seq_len: int,
     out_prefix: str = "seq",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: assign each document the
     range of fixed-length training sequences its tokens land in when
@@ -118,7 +163,7 @@ def pack_sequences(
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    with_off = exclusive_prefix_sum(df, order_col, tokens_col)
+    with_off = exclusive_prefix_sum(df, order_col, tokens_col, n_buckets=n_buckets)
     # `div` is exact int64 division — double division would lose
     # exactness past 2^53 total tokens, which a 100 TB corpus exceeds.
     first = F.expr(f"offset_before div {seq_len}")

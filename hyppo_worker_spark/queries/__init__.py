@@ -78,6 +78,11 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q38_distribution_windows",  # percentile/window — q23/q29 keep it
         "q34_ship_latency",  # scalar/date family — q24/q37 keep it
         "q28_cheapest_supplier_per_nation",  # per-group extreme — q07 keeps it
+        "d10_incremental_neardup",  # incremental LSH — d03 keeps the
+        # minhash family in-window; d10 is registered + locally checked
+        "q36_rolling_window_range_frame",  # window frames — q29's window
+        # suite keeps the family; retired so the Python DataSource
+        # connector (p03) gets a driver row
     }
 )
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hyppo_worker_spark.functions import text as TX
 from hyppo_worker_spark.operators import dedup as D
 from hyppo_worker_spark.queries import register
 from hyppo_worker_spark.session import load_tables
@@ -516,8 +517,8 @@ def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = q.doc_id)
     ),
     sharded AS (
-        SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-                    % 8 AS INTEGER) AS shard,
+        SELECT CAST({TX.md5_bucket_sql('doc_id', 8, chars=15)}
+                    AS INTEGER) AS shard,
                doc_id, n_tokens
         FROM kept
     )
@@ -572,3 +573,76 @@ def d09_corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# d10 — incremental (ingestion-time) near-dup check: dedup an incoming
+# batch AGAINST the standing corpus without re-pairing the corpus with
+# itself (operators/dedup.py::minhash_lsh_pairs_against). The batch —
+# tiny next to a 100 TB corpus — has its banding frame broadcast, so
+# the corpus never shuffles for the candidate join; verification
+# shuffles candidate docs only. The deterministic md5 gate splits the
+# documents table 70/30 into corpus/batch so both engines see the same
+# split; the oracle computes the same signatures over all docs and
+# keeps only cross pairs.
+# --------------------------------------------------------------------------
+_D10_BATCH_PCT = 30
+
+
+@register(
+    "d10_incremental_neardup",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    split AS (
+        SELECT doc_id, sh,
+               {TX.md5_bucket_sql('doc_id', 100)} < {_D10_BATCH_PCT} AS is_new
+        FROM sh
+    ),
+    hashed AS (
+        SELECT doc_id, is_new, sh,
+               list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hl,
+               list_transform(sh, s -> ('0x' || substr(md5(s), 8, 7))::BIGINT) AS hh
+        FROM split
+        WHERE len(sh) > 0
+    ),
+    sigs AS (
+        SELECT doc_id, is_new, sh,
+               [{_MINHASH_ELEMS}] AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, is_new, b AS band_id,
+               sig[2*b + 1] || '|' || sig[2*b + 2] AS band_key
+        FROM sigs, range(0, 6) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        FROM banded l JOIN banded r
+          ON l.band_id = r.band_id AND l.band_key = r.band_key
+         AND NOT l.is_new AND r.is_new
+    )
+    SELECT c.a_id AS a_id, c.b_id AS b_id,
+           round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+                 / (len(a.sh) + len(b.sh)
+                    - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+                 3) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.a_id
+    JOIN sh b ON b.doc_id = c.b_id
+    WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+          / (len(a.sh) + len(b.sh)
+             - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.8
+    ORDER BY a_id, b_id
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental", "ingestion"),
+)
+def d10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming-batch near-dups against the standing corpus (30% md5
+    gate = the batch): (corpus_id, batch_id, jaccard) pairs ≥ 0.8."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    is_new = TX.md5_bucket("doc_id", 100) < _D10_BATCH_PCT
+    corpus = docs.filter(~is_new)
+    batch = docs.filter(is_new)
+    return D.minhash_lsh_pairs_against(
+        corpus, batch, "doc_id", "text", threshold=0.8
+    ).orderBy("a_id", "b_id")

@@ -250,3 +250,80 @@ def p02_raw_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# p03 — the custom Python DataSource connector
+# (sources/integration_source.py): the reference's per-task integration
+# fetch surfaced as spark.read.format("hyppo_integration"). The task
+# list is the partition plan — each task's fetch runs on an executor —
+# and the oracle regenerates the same deterministic rows in SQL, so a
+# mismatch catches a connector that drops/duplicates/corrupts rows or
+# partitions. sf_dir is unused: the connector is its own source.
+# --------------------------------------------------------------------------
+_P03_TASKS = [
+    {"task_id": t, "day": f"2024-01-{(t % 3) + 1:02d}", "n_rows": 40 + 10 * t}
+    for t in range(1, 7)
+]
+
+_P03_TASKS_SQL = ", ".join(
+    f"({t['task_id']}, '{t['day']}', {t['n_rows']})" for t in _P03_TASKS
+)
+
+
+@register(
+    "p03_integration_connector",
+    oracle=f"""
+    WITH tasks(task_id, day, n_rows) AS (VALUES {_P03_TASKS_SQL}),
+    expanded AS (
+        SELECT task_id, day, unnest(range(0, n_rows)) AS seq
+        FROM tasks
+    ),
+    rows AS (
+        SELECT task_id, day, seq,
+               'evt-' || task_id || '-' || seq AS name,
+               (seq * 7 + task_id) % 100 AS score
+        FROM expanded
+    )
+    SELECT day,
+           count(*) AS n_events,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           count(DISTINCT name) AS n_names
+    FROM rows GROUP BY day ORDER BY day
+    """,
+    tags=("pipeline", "connector", "datasource", "pushdown"),
+)
+def p03_integration_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six ingestion tasks fetched through the Python DataSource (one
+    input partition each), aggregated per day."""
+    import json
+
+    from hyppo_worker_spark.sources.integration_source import (
+        FORMAT_NAME,
+        IntegrationDataSource,
+    )
+
+    spark.dataSource.register(IntegrationDataSource)
+    # runtime-settable; the driver's own session won't have the
+    # builder-time default from session.get_spark
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .schema("task_id int, day string, seq int, name string, score int")
+        .option(
+            "fetcher",
+            "hyppo_worker_spark.sources.integration_source:"
+            "synthetic_events_fetcher",
+        )
+        .option("tasks", json.dumps(_P03_TASKS))
+        .load()
+    )
+    return (
+        df.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("score").alias("sum_score"),
+            F.countDistinct("name").alias("n_names"),
+        )
+        .orderBy("day")
+    )

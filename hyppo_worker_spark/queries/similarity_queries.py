@@ -238,7 +238,12 @@ def s05_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # while round() half-rule conventions differ. Reports per-label
 # reconstruction-error and clipping stats — the quality gate before
 # swapping an index to int8. Scan-local map work + one narrow
-# aggregation exchange.
+# aggregation exchange. The error statistic is summed as a PER-ROW
+# scaled integer (floor(err*1e6+0.5)): each row's value is a pure
+# function of its vector (bit-identical across engines), and integer
+# summation is order-independent — unlike round(avg(double)), which
+# can flip at a rounding boundary with partitioning/engine summation
+# order.
 # --------------------------------------------------------------------------
 @register(
     "s06_int8_quantization",
@@ -259,21 +264,23 @@ def s05_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     err AS (
         SELECT vec_id, label,
-               list_max(list_transform(range(1, len(v) + 1),
-                        i -> abs(v[i] - qv[i] * mx / 127.0))) AS max_abs_err,
+               CAST(floor(list_max(list_transform(range(1, len(v) + 1),
+                        i -> abs(v[i] - qv[i] * mx / 127.0))) * 1000000
+                    + 0.5) AS BIGINT) AS max_abs_err_u6,
                len(list_filter(qv, x -> x > 127 OR x < -127)) AS n_clipped
         FROM q
     )
     SELECT label, count(*) AS n_vecs,
-           round(avg(max_abs_err), 4) AS avg_max_err,
+           CAST(sum(max_abs_err_u6) AS BIGINT) AS sum_max_err_u6,
            CAST(sum(n_clipped) AS BIGINT) AS clipped
     FROM err GROUP BY label ORDER BY label
     """,
     tags=("similarity", "quantization", "compression", "vectors"),
 )
 def s06_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label int8 quantization quality: reconstruction max-error
-    average and clip counts under symmetric per-vector scaling."""
+    """Per-label int8 quantization quality: summed per-vector max
+    reconstruction error (micro-units, exact integers) and clip counts
+    under symmetric per-vector scaling."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     v = emb.select(
         "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
@@ -286,11 +293,17 @@ def s06_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     err = q.select(
         "label",
-        F.array_max(
-            F.zip_with(
-                "v", "qv", lambda x, qi: F.abs(x - qi * F.col("mx") / 127.0)
+        F.floor(
+            F.array_max(
+                F.zip_with(
+                    "v", "qv", lambda x, qi: F.abs(x - qi * F.col("mx") / 127.0)
+                )
             )
-        ).alias("max_abs_err"),
+            * 1_000_000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("max_abs_err_u6"),
         F.size(
             F.filter("qv", lambda x: (x > 127) | (x < -127))
         ).cast("bigint").alias("n_clipped"),
@@ -299,7 +312,7 @@ def s06_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         err.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("max_abs_err"), 4).alias("avg_max_err"),
+            F.sum("max_abs_err_u6").alias("sum_max_err_u6"),
             F.sum("n_clipped").alias("clipped"),
         )
         .orderBy("label")

@@ -302,7 +302,7 @@ _SAMPLE_RATE_SQL = (
     oracle=f"""
     WITH gated AS (
         SELECT lang,
-               (('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100)
+               {TX.md5_bucket_sql('doc_id', 100)}
                    < ({_SAMPLE_RATE_SQL}) AS keep
         FROM documents
     )
@@ -653,11 +653,13 @@ def t10_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 5-grams overlap a deterministically held-out eval split (md5 bucket
 # < 10%). The standard benchmark-contamination check run before
 # training-data release. Exact integer threshold (overlap*10 >= total)
-# keeps the verdict bit-identical across engines. At 100 TB: the eval
-# gram set is tiny relative to the corpus, so the membership probe is
-# a BROADCAST semi-join — the training corpus never shuffles; the only
-# exchange is the per-doc overlap count (narrow (doc_id, n_grams)
-# rows) with map-side partial aggregation.
+# keeps the verdict bit-identical across engines. Probe strategy comes
+# from operators/decontamination.py: the real contract takes the eval
+# side as a parameter (a fixed benchmark suite → broadcast probe, the
+# corpus never shuffles); when the eval gram set is corpus-proportional
+# — as this query's 10% held-out split genuinely is — ``auto`` falls
+# back to a shuffled inner join above the broadcast row threshold
+# (tests/test_plans.py asserts both behaviors).
 # --------------------------------------------------------------------------
 _DECON_N = 5  # word n-gram order
 _DECON_EVAL_PCT = 10  # held-out split size (md5 bucket %)
@@ -669,7 +671,7 @@ _DECON_EVAL_PCT = 10  # held-out split size (md5 bucket %)
     WITH {_SQL_TOK},
     g AS (
         SELECT doc_id,
-               (('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100)
+               {TX.md5_bucket_sql('doc_id', 100)}
                    < {_DECON_EVAL_PCT} AS is_eval,
                list_distinct(list_transform(range(1, len(w) - {_DECON_N - 2}),
                              i -> array_to_string(
@@ -692,10 +694,14 @@ _DECON_EVAL_PCT = 10  # held-out split size (md5 bucket %)
     """,
     tags=("text", "decontamination", "training-data"),
 )
-def t11_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t11_decontamination(
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+) -> DataFrame:
     """Training docs sharing word 5-grams with the held-out eval split:
     per-doc distinct-gram total, overlap count, and a ≥10% contamination
     flag (exact integer compare)."""
+    from hyppo_worker_spark.operators.decontamination import decontaminate
+
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     bucket = TX.md5_bucket("doc_id", 100)
     # Two-level persist (same rationale as operators/dedup.py
@@ -720,33 +726,15 @@ def t11_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_eval",
         TX.shingles(F.col("w"), _DECON_N).alias("grams"),
     ).persist()
-    eval_grams = (
-        grams.filter(F.col("is_eval"))
-        .select(F.explode("grams").alias("gram"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
+    eval_grams = grams.filter(F.col("is_eval")).select(
+        F.explode("grams").alias("gram")
     )
     # grams arrays are distinct per doc, so n_grams == exploded row
-    # count — one aggregate computes total and overlap together.
+    # count — the operator counts totals and overlaps accordingly.
     train = grams.filter(~F.col("is_eval")).select(
         "doc_id", F.explode("grams").alias("gram")
     )
-    return (
-        train.join(F.broadcast(eval_grams), "gram", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("hit").alias("n_overlap"),
-        )
-        .filter(F.col("n_overlap") > 0)
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_overlap",
-            (F.col("n_overlap") * 10 >= F.col("n_grams")).alias("contaminated"),
-        )
-        .orderBy("doc_id")
-    )
+    return decontaminate(train, eval_grams, strategy=strategy).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -872,8 +860,8 @@ _N_SHARDS = 16
     "t13_shard_manifest",
     oracle=f"""
     WITH s AS (
-        SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-                    % {_N_SHARDS} AS INTEGER) AS shard,
+        SELECT CAST({TX.md5_bucket_sql('doc_id', _N_SHARDS, chars=15)}
+                    AS INTEGER) AS shard,
                doc_id, n_chars
         FROM documents
     )

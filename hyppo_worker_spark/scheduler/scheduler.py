@@ -493,21 +493,46 @@ class HyppoEngine:
             s.current_delivery is not None for s in self._slots
         ):
             time.sleep(0.01)
-        cancelled = 0
         sc = self.spark.sparkContext
-        for slot in self._slots:
-            group = slot.current_group
-            if group is not None:
-                slot.cancelled = True
-                _cancel_job_group(sc, group)
-                cancelled += 1
-        # Give cancelled slots a moment to unwind so their deliveries
-        # land in the unacked set handling below deterministically.
+        stragglers = [s for s in self._slots if s.current_delivery is not None]
+        cancelled = len(stragglers)
+        for slot in stragglers:
+            slot.cancelled = True
+        # Cancel stragglers and wait for them to unwind. The cancel is
+        # RE-ISSUED until the slot clears (same reason as the watchdog's
+        # _kill loop): under load the straggler's Spark job may not have
+        # registered with the DAGScheduler yet — a one-shot cancel is
+        # then a no-op and the slot would sleep out its full action.
+        # Also covers the instant where current_delivery is set but
+        # current_group isn't yet: the loop picks the group up on a
+        # later pass.
         give_up_at = self._clock() + max(0.0, 0.2 * budget)
-        while self._clock() < give_up_at and any(
-            s.current_delivery is not None for s in self._slots
-        ):
-            time.sleep(0.01)
+        while any(s.current_delivery is not None for s in stragglers):
+            for s in stragglers:
+                group = s.current_group
+                if s.current_delivery is not None and group is not None:
+                    _cancel_job_group(sc, group)
+            if self._clock() >= give_up_at:
+                break
+            time.sleep(0.05)
+        # Budget exhausted with a slot still busy: in the reference the
+        # process exits here regardless. In-process, keep re-issuing the
+        # cancel from a daemon so the stuck action is still torn down
+        # and the drain loop can exit — its delivery was already
+        # reclaimed below, and reject_requeue resolves to "unknown".
+        for s in stragglers:
+            if s.current_delivery is not None:
+                # Pin to THIS delivery: once the stuck attempt unwinds
+                # the reaper must die, never touching work a restarted
+                # engine later runs on the same slot.
+                def _reap(slot=s, delivery=s.current_delivery):
+                    while slot.current_delivery is delivery:
+                        group = slot.current_group
+                        if group is not None:
+                            _cancel_job_group(sc, group)
+                        time.sleep(0.2)
+
+                threading.Thread(target=_reap, daemon=True).start()
         requeued = self.queues.requeue_all_unacked()
         self.queues.close_journal()
         drained = cancelled == 0 and requeued == 0

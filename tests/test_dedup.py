@@ -128,3 +128,86 @@ def test_embedding_neardup_pairs_no_cross_band_match(spark):
         vecs, "vec_id", "embedding", threshold=0.9, bands=4, bits=8
     ).collect()
     assert pairs == []
+
+
+def test_incremental_lsh_matches_self_join_ground_truth(spark):
+    """minhash_lsh_pairs_against(corpus, new) must find exactly the
+    cross pairs that the full self-join finds on corpus ∪ new — the
+    incremental path is an optimization, not a different semantics."""
+    from hyppo_worker_spark.operators.dedup import minhash_lsh_pairs_against
+
+    words = [f"w{i:03d}" for i in range(120)]
+    corpus_rows = [
+        (1, _doc(words[:100])),
+        (2, _doc(words[10:110])),
+        (3, _doc(["x%d" % i for i in range(100)])),
+    ]
+    new_rows = [
+        (10, _doc(words[:95] + words[110:115])),  # near-dup of doc 1
+        (11, _doc(["y%d" % i for i in range(100)])),  # unrelated
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id int, text string")
+    new = spark.createDataFrame(new_rows, "doc_id int, text string")
+
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_lsh_pairs_against(
+            corpus, new, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_lsh_pairs(
+            corpus.unionByName(new), "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    corpus_ids = {r[0] for r in corpus_rows}
+    # cross pairs: exactly one endpoint in the corpus. Normalize the
+    # incremental output's (corpus_id, new_id) orientation to the
+    # self-join's (min, max) before comparing.
+    cross = {
+        pair: j
+        for pair, j in full.items()
+        if (pair[0] in corpus_ids) != (pair[1] in corpus_ids)
+    }
+    got_normalized = {(min(a, b), max(a, b)): j for (a, b), j in got.items()}
+    assert got, "incremental check found no pairs — expected (1, 10)"
+    assert got_normalized == cross
+
+
+def test_incremental_lsh_tolerates_overlapping_ids(spark):
+    """An id present on both sides (a re-ingested doc) must not double
+    its shingles in the verify union: Jaccard values for pairs touching
+    it stay identical to the disjoint-id run, and no self-pair
+    appears."""
+    from hyppo_worker_spark.operators.dedup import minhash_lsh_pairs_against
+
+    words = [f"w{i:03d}" for i in range(120)]
+    corpus = spark.createDataFrame(
+        [(1, _doc(words[:100])), (2, _doc(["x%d" % i for i in range(80)]))],
+        "doc_id int, text string",
+    )
+    batch_doc = (10, _doc(words[:95] + words[110:115]))
+    clean = spark.createDataFrame([batch_doc], "doc_id int, text string")
+    # same batch plus doc 1 re-ingested verbatim
+    overlapping = spark.createDataFrame(
+        [batch_doc, (1, _doc(words[:100]))], "doc_id int, text string"
+    )
+
+    base = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_lsh_pairs_against(
+            corpus, clean, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    with_overlap = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_lsh_pairs_against(
+            corpus, overlapping, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert base  # (1, 10) found
+    assert all(a != b for a, b in with_overlap)
+    # every disjoint-run pair keeps its exact Jaccard under overlap
+    for pair, j in base.items():
+        assert with_overlap.get(pair) == j

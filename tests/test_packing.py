@@ -6,6 +6,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hyppo_worker_spark.operators.packing import (
+    derive_n_buckets,
     exclusive_prefix_sum,
     pack_sequences,
 )
@@ -54,6 +55,28 @@ def test_no_single_partition_window(spark, counts):
     plan = exclusive_prefix_sum(counts, "k", "v", n_buckets=4)._jdf.queryExecution().executedPlan().toString()
     # the in-bucket window must be hash-partitioned by the bucket
     assert "hashpartitioning(_psum_bucket" in plan
+
+
+def test_bucket_count_scales_with_input():
+    """Window partitions cannot be split by AQE, so the per-bucket row
+    bound must hold at ANY input size: buckets grow linearly with rows
+    and a bucket never holds more than ~target rows."""
+    target = 4_000_000
+    for n_rows in (0, 1, 10**6, 10**9, 10**12):
+        nb = derive_n_buckets(n_rows, target, parallelism=32)
+        assert nb >= 32
+        # the invariant: expected rows per bucket bounded by the target
+        assert n_rows / nb <= target
+    # 100 TB ~ 1e11 docs: ~25k buckets, each ~4M rows — not corpus/32
+    assert derive_n_buckets(10**11, target, 32) == 25_000
+
+
+def test_auto_buckets_used_and_correct(spark, counts):
+    """Default call (no explicit n_buckets) derives the count and still
+    matches the sequential definition."""
+    got = exclusive_prefix_sum(counts, "k", "v")
+    want = naive(counts)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
 def test_pack_sequences_ranges(spark):

@@ -146,11 +146,43 @@ def test_d03_signature_stage_single_shuffle(spark, registry):
 
 
 def test_t11_eval_probe_broadcasts(spark, registry):
-    """Decontamination's membership probe must broadcast the eval gram
-    set — the training corpus side never shuffles for the join."""
+    """With a broadcastable eval gram set (the benchmark-suite case,
+    and what auto picks at this SF) the membership probe broadcasts —
+    the training corpus side never shuffles for the join."""
     df = registry["t11_decontamination"].spark_fn(spark, SF_DIR)
     assert "BroadcastHashJoin" in join_strategies(df)
     assert "SortMergeJoin" not in join_strategies(df)
+
+
+def test_t11_corpus_proportional_eval_does_not_broadcast(spark, registry):
+    """When the eval side is corpus-proportional (too big to ship to
+    every executor), the probe must fall back to a shuffled join on the
+    gram key — broadcasting it is the 100 TB OOM. The gram-key join is
+    the SMJ; the tiny post-agg doc_id join may still broadcast."""
+    import re
+
+    df = registry["t11_decontamination"].spark_fn(spark, SF_DIR, strategy="shuffle")
+    plan = formatted_plan(df)
+    joins = {
+        m.group(1): m.group(2)
+        for m in re.finditer(
+            r"\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)[^\n]*\n"
+            r"Left keys \[\d+\]: \[(\w+)",
+            plan,
+        )
+    }
+    # the gram probe is the shuffled join; only doc_id (post-agg tiny
+    # sides) may broadcast
+    assert joins.get("SortMergeJoin", "").startswith("gram")
+    assert not joins.get("BroadcastHashJoin", "").startswith("gram")
+
+
+def test_t11_shuffle_strategy_matches_broadcast(spark, registry):
+    """Both probe strategies are the same operator contract — identical
+    rows out."""
+    a = registry["t11_decontamination"].spark_fn(spark, SF_DIR, strategy="broadcast")
+    b = registry["t11_decontamination"].spark_fn(spark, SF_DIR, strategy="shuffle")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
 def test_t13_shard_manifest_single_exchange(spark, registry):

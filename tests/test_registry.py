@@ -47,6 +47,7 @@ def test_driver_registry_covers_every_family():
         "t13_shard_manifest",
         "t16_bpe_merges",
         "q41_bucketed_colocated_join",
+        "p03_integration_connector",
     ):
         assert must in names
 
