@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q41_bucketed_colocated_join",
     "d10_incremental_neardup",
     "p03_integration_connector",
+    "t17_bpe_encoding",
 ]
 
 

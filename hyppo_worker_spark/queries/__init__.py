@@ -83,6 +83,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q36_rolling_window_range_frame",  # window frames — q29's window
         # suite keeps the family; retired so the Python DataSource
         # connector (p03) gets a driver row
+        "t17_bpe_encoding",  # tokenizer family — t16 keeps the driver
+        # row; t17 (encode with learned merges) is locally checked
     }
 )
 

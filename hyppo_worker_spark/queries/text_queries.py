@@ -1088,6 +1088,23 @@ def t16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     count): one corpus-scale word-count shuffle, then vocab-table-only
     iterations with 1-row broadcast argmax per round."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    _, bests = _bpe_learn(docs, _BPE_ROUNDS)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "rank",
+        F.expr("replace(pair, '~~', '+')").alias("merge_pair"),
+        "cnt",
+    ).orderBy("rank")
+
+
+def _bpe_learn(docs: DataFrame, rounds: int) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared BPE induction loop: returns (final symbol vocab after
+    ``rounds`` merges, the per-round 1-row best-pair frames). One
+    corpus-scale word-count shuffle; every iteration then works on the
+    distinct-word vocab table only (the classic scale trick: encode
+    distinct words weighted by frequency, never re-scan the corpus)."""
     wf = (
         docs.select(F.explode(TX.tokens("text")).alias("word"))
         .groupBy("word")
@@ -1101,7 +1118,7 @@ def t16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
     )
     bests = []
-    for i in range(_BPE_ROUNDS):
+    for i in range(rounds):
         syms = vocab.select(
             F.split(F.expr("substr(w, 2, length(w) - 2)"), "~~").alias("s"),
             "freq",
@@ -1132,11 +1149,59 @@ def t16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
             "freq",
         )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.select(
-        "rank",
-        F.expr("replace(pair, '~~', '+')").alias("merge_pair"),
-        "cnt",
-    ).orderBy("rank")
+    return vocab, bests
+
+
+# --------------------------------------------------------------------------
+# t17 — BPE ENCODING with the learned merges: the tokenizer-family
+# round trip (t16 trains; t17 applies). The corpus is never re-scanned
+# for encoding: distinct words are encoded once on the vocab table and
+# weighted by corpus frequency — the output is the post-merge subword
+# distribution (top-20 by corpus count, ties broken by token), i.e.
+# what the token stream feeding t14's packer would be made of. At
+# 100 TB the vocab table is |distinct words| (millions), so every
+# round after the one word-count shuffle is metadata-scale.
+# --------------------------------------------------------------------------
+@register(
+    "t17_bpe_encoding",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '')) AS word
+        FROM documents
+    ),
+    wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+    vocab0 AS (
+        SELECT '~' || array_to_string(list_transform(range(1, len(word) + 1),
+                     i -> substr(word, i, 1)), '~~') || '~' AS w, freq
+        FROM wf
+    ),"""
+    + ",".join(_bpe_round_sql(i) for i in range(_BPE_ROUNDS))
+    + f"""
+    SELECT token, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(substr(w, 2, len(w) - 2), '~~')) AS token,
+                 freq
+          FROM vocab{_BPE_ROUNDS}) t
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+    tags=("text", "bpe", "tokenizer", "training-data", "iterative"),
+)
+def t17_bpe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 subword tokens (by corpus occurrence) after encoding the
+    corpus with the 3 learned BPE merges."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    vocab, _ = _bpe_learn(docs, _BPE_ROUNDS)
+    return (
+        vocab.select(
+            F.explode(
+                F.split(F.expr("substr(w, 2, length(w) - 2)"), "~~")
+            ).alias("token"),
+            "freq",
+        )
+        .groupBy("token")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )

@@ -494,24 +494,40 @@ class HyppoEngine:
         ):
             time.sleep(0.01)
         sc = self.spark.sparkContext
-        stragglers = [s for s in self._slots if s.current_delivery is not None]
+        # Snapshot (slot, delivery) pairs and DERIVE each straggler's
+        # job-group id from its delivery (the same formula _execute
+        # uses). Never re-read slot.current_group in a cancel loop: the
+        # slot can unwind and start a redelivered attempt between a
+        # liveness check and the group read, and the stale loop would
+        # then kill the NEW attempt (observed as a restart-phase
+        # failure in the shutdown test).
+        def _group_of(delivery) -> str:
+            item = delivery.item.input
+            return (
+                f"hyppo-exec-{item.execution_id}-a{delivery.item.delivery_count}"
+            )
+
+        # Group ids are computed ONCE here: a racing requeue increments
+        # the delivery count in place, and a later recompute would name
+        # the NEXT attempt's group.
+        stragglers = [
+            (s, s.current_delivery, _group_of(s.current_delivery))
+            for s in self._slots
+            if s.current_delivery is not None
+        ]
         cancelled = len(stragglers)
-        for slot in stragglers:
+        for slot, _, _ in stragglers:
             slot.cancelled = True
         # Cancel stragglers and wait for them to unwind. The cancel is
         # RE-ISSUED until the slot clears (same reason as the watchdog's
         # _kill loop): under load the straggler's Spark job may not have
         # registered with the DAGScheduler yet — a one-shot cancel is
         # then a no-op and the slot would sleep out its full action.
-        # Also covers the instant where current_delivery is set but
-        # current_group isn't yet: the loop picks the group up on a
-        # later pass.
         give_up_at = self._clock() + max(0.0, 0.2 * budget)
-        while any(s.current_delivery is not None for s in stragglers):
-            for s in stragglers:
-                group = s.current_group
-                if s.current_delivery is not None and group is not None:
-                    _cancel_job_group(sc, group)
+        while any(s.current_delivery is d for s, d, _ in stragglers):
+            for s, d, g in stragglers:
+                if s.current_delivery is d:
+                    _cancel_job_group(sc, g)
             if self._clock() >= give_up_at:
                 break
             time.sleep(0.05)
@@ -520,16 +536,15 @@ class HyppoEngine:
         # cancel from a daemon so the stuck action is still torn down
         # and the drain loop can exit — its delivery was already
         # reclaimed below, and reject_requeue resolves to "unknown".
-        for s in stragglers:
-            if s.current_delivery is not None:
-                # Pin to THIS delivery: once the stuck attempt unwinds
-                # the reaper must die, never touching work a restarted
-                # engine later runs on the same slot.
-                def _reap(slot=s, delivery=s.current_delivery):
+        # The group id is pinned to the stuck delivery, so once that
+        # attempt unwinds the reaper dies without ever touching work a
+        # restarted engine runs on the same slot.
+        for s, d, g in stragglers:
+            if s.current_delivery is d:
+
+                def _reap(slot=s, delivery=d, group=g):
                     while slot.current_delivery is delivery:
-                        group = slot.current_group
-                        if group is not None:
-                            _cancel_job_group(sc, group)
+                        _cancel_job_group(sc, group)
                         time.sleep(0.2)
 
                 threading.Thread(target=_reap, daemon=True).start()

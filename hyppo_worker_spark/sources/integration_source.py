@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -154,9 +155,60 @@ class IntegrationReader(DataSourceReader):
             yield row
 
 
+class IntegrationStreamReader(SimpleDataSourceStreamReader):
+    """The reference's worker POLLING loop (SURVEY §3.2:
+    ``WorkerFSM``/requeue poll → execute) as a Structured Streaming
+    source: the coordinator appends ingestion tasks to a JSON-lines
+    ``task_log``; every microbatch ingests exactly the newly-appended
+    tasks. Offsets are consumed line counts, so retry replays the same
+    task slice (``readBetweenOffsets``) — at-least-once end-to-end,
+    exactly-once into transactional sinks, the streaming twin of the
+    batch reader's at-least-once requeue semantics.
+
+    The task log must be append-only: rewriting consumed lines breaks
+    replay determinism (same rule as any replayable source).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._fetcher_path = options.get("fetcher")
+        self._task_log = options.get("task_log")
+        if not self._fetcher_path or not self._task_log:
+            raise ValueError(
+                "streaming hyppo_integration requires 'fetcher' and 'task_log'"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def _tasks(self) -> list[dict]:
+        try:
+            with open(self._task_log, encoding="utf-8") as fh:
+                return [json.loads(line) for line in fh if line.strip()]
+        except FileNotFoundError:
+            return []
+
+    def _rows(self, tasks: list[dict]) -> list[tuple]:
+        # materialized (not a generator): Spark's prefetch cache copies
+        # the returned iterable when a replay overlaps the cache, and a
+        # generator can't be copied. Microbatch task slices are small
+        # by contract (the polling loop drains a queue, not a corpus).
+        fetcher = resolve_fetcher(self._fetcher_path)
+        return [row for t in tasks for row in fetcher(t, self._schema)]
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        tasks = self._tasks()
+        return iter(self._rows(tasks[start["index"]:])), {"index": len(tasks)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(self._rows(self._tasks()[start["index"]:end["index"]]))
+
+
 class IntegrationDataSource(DataSource):
     """``spark.dataSource.register(IntegrationDataSource)`` then
-    ``spark.read.format("hyppo_integration").schema(...).options(...)``."""
+    ``spark.read.format("hyppo_integration").schema(...).options(...)``
+    for batch, ``spark.readStream`` with a ``task_log`` option for the
+    polling-loop stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -170,6 +222,9 @@ class IntegrationDataSource(DataSource):
 
     def reader(self, schema: StructType) -> IntegrationReader:
         return IntegrationReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> IntegrationStreamReader:
+        return IntegrationStreamReader(schema, dict(self.options))
 
 
 # -- demo fetcher (used by tests; deterministic, no I/O) ----------------

@@ -91,3 +91,50 @@ def test_reader_option_validation():
         resolve_fetcher("hyppo_worker_spark.sources.integration_source:nope")
     with pytest.raises(ValueError, match="module.path:callable"):
         resolve_fetcher("no_colon_here")
+
+
+def test_streaming_polling_loop(registered, tmp_path):
+    """Appended tasks are ingested incrementally: a resumed stream (same
+    checkpoint) processes ONLY the tasks appended after its last
+    offset — the reference's worker polling loop, with replayable
+    offsets."""
+    import json as _json
+
+    log = tmp_path / "tasks.jsonl"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t1 = {"task_id": 1, "day": "2024-01-01", "n_rows": 3}
+    t2 = {"task_id": 2, "day": "2024-01-02", "n_rows": 4}
+    log.write_text(_json.dumps(t1) + "\n" + _json.dumps(t2) + "\n")
+
+    def run_once():
+        q = (
+            registered.readStream.format("hyppo_integration")
+            .schema(SCHEMA)
+            .option("fetcher", FETCHER)
+            .option("task_log", str(log))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(60)
+
+    run_once()
+    first = registered.read.parquet(out)
+    assert first.count() == 7  # 3 + 4
+
+    # coordinator appends one more task; the resumed stream ingests
+    # exactly that task's rows (offsets from the checkpoint)
+    t3 = {"task_id": 3, "day": "2024-01-03", "n_rows": 5}
+    with open(log, "a", encoding="utf-8") as fh:
+        fh.write(_json.dumps(t3) + "\n")
+    run_once()
+    rows = registered.read.parquet(out).collect()
+    assert len(rows) == 12
+    by_task = {}
+    for r in rows:
+        by_task[r.task_id] = by_task.get(r.task_id, 0) + 1
+    assert by_task == {1: 3, 2: 4, 3: 5}  # no re-ingestion of 1/2

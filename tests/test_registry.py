@@ -52,6 +52,17 @@ def test_driver_registry_covers_every_family():
         assert must in names
 
 
+def test_registered_fn_names_match_keys():
+    """A @register decorator must sit directly above its query fn — a
+    helper def slipped between them silently registers the WRONG
+    callable (caught live: t16 briefly registered its _bpe_learn
+    helper). Name equality pins decorator placement."""
+    for name, q in load_all().items():
+        assert q.spark_fn.__name__ == name, (
+            f"{name} registered callable {q.spark_fn.__name__}"
+        )
+
+
 def test_retired_queries_stay_registered():
     full = load_all()
     for name in DRIVER_RETIRED:

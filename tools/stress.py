@@ -1,0 +1,156 @@
+"""Scale-direction stress harness (VERDICT r3 item 8).
+
+No sf1 testdata exists in the container, so this builds a
+DETERMINISTIC 10x amplification of sf0.1's ``documents`` table under
+/tmp (doc_id remapped per replica; text suffixed per replica so exact
+dedup doesn't collapse the copies), runs the headline training-data
+queries at 1x and 10x, and reports per-query:
+
+- wall seconds (first run, cold caches cleared between queries);
+- max single-task input bytes and max single-task shuffle-read bytes,
+  parsed from the Spark event log — the direct evidence for "does any
+  task's working set grow superlinearly with the corpus".
+
+Usage: python tools/stress.py [d06_training_corpus_pipeline t14... ]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+X10_DIR = "/tmp/hyppo-stress-x10"
+EVENT_DIR = "/tmp/hyppo-stress-events"
+DEFAULT_QUERIES = (
+    "d06_training_corpus_pipeline",
+    "t14_sequence_packing",
+    "t13_shard_manifest",
+    "t11_decontamination",
+)
+REPLICAS = 10
+
+
+def build_x10(spark) -> None:
+    """10 deterministic variants of every sf0.1 document."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(X10_DIR, "documents.parquet", "_SUCCESS")):
+        return
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("rep"))
+    amplified = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") * REPLICAS + F.col("rep"))
+        # vary the tail so replicas are near-dups, not exact dups —
+        # keeps the LSH verify stage honestly loaded
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" variant "), F.col("rep").cast("string")),
+        )
+        .drop("rep")
+    )
+    amplified.write.mode("overwrite").parquet(f"{X10_DIR}/documents.parquet")
+    # t14/t13 read only documents; copy nothing else.
+
+
+def parse_event_log(app_dir: str) -> dict[str, float]:
+    """Max per-task input / shuffle-read bytes across the app's tasks."""
+    max_input = 0
+    max_sread = 0
+    n_tasks = 0
+    paths = [p for p in glob.glob(app_dir) if os.path.isfile(p)]
+    for path in paths:
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                if '"Event":"SparkListenerTaskEnd"' not in line.replace(" ", ""):
+                    continue
+                ev = json.loads(line)
+                tm = ev.get("Task Metrics") or {}
+                n_tasks += 1
+                max_input = max(
+                    max_input, (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
+                )
+                sr = tm.get("Shuffle Read Metrics") or {}
+                max_sread = max(
+                    max_sread,
+                    sr.get("Local Bytes Read", 0) + sr.get("Remote Bytes Read", 0),
+                )
+    return {
+        "tasks": n_tasks,
+        "max_task_input_mb": round(max_input / 1e6, 2),
+        "max_task_shuffle_read_mb": round(max_sread / 1e6, 2),
+    }
+
+
+def _fresh_session():
+    from hyppo_worker_spark.session import get_spark
+
+    spark = get_spark(
+        "stress",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": EVENT_DIR,
+            # single plain-JSON file per app (Spark 4 defaults to
+            # zstd-compressed rolling dirs, which the parser below
+            # would need a zstd codec for)
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(DEFAULT_QUERIES)
+    os.makedirs(EVENT_DIR, exist_ok=True)
+
+    from hyppo_worker_spark.queries import load_all
+
+    registry = load_all()
+
+    spark = _fresh_session()
+    build_x10(spark)
+    spark.stop()
+
+    # ONE app per (query, scale): each gets its own event log, so the
+    # per-task maxima compare x1 vs x10 for that query alone. The JVM
+    # restart cost is irrelevant to the measured walls (timed around
+    # the query only, on a warm session).
+    results: dict[str, dict] = {}
+    for name in names:
+        q = registry[name]
+        row: dict[str, dict] = {}
+        for label, d in (("x1", SF_DIR), ("x10", X10_DIR)):
+            spark = _fresh_session()
+            q.spark_fn(spark, d).count()  # warm-up: codegen/JIT
+            from hyppo_worker_spark.session import clear_cache
+
+            clear_cache(spark)
+            # min-of-2: single-run walls swing with JIT/GC (bench.py
+            # rationale); task maxima still cover every run in the app.
+            wall = 9e9
+            for _ in range(2):
+                t0 = time.time()
+                q.spark_fn(spark, d).count()
+                wall = min(wall, round(time.time() - t0, 2))
+                clear_cache(spark)
+            app_id = spark.sparkContext.applicationId
+            spark.stop()
+            time.sleep(0.5)
+            m = parse_event_log(os.path.join(EVENT_DIR, "*" + app_id + "*"))
+            row[label] = {"wall_s": wall, **m}
+        results[name] = row
+        print(f"{name}: {json.dumps(row)}", file=sys.stderr)
+
+    print(json.dumps({"queries": results}))
+
+
+if __name__ == "__main__":
+    main()
