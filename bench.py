@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "d10_incremental_neardup",
     "p03_integration_connector",
     "t17_bpe_encoding",
+    "q42_retention_cohorts",
+    "q43_conversion_funnel",
 ]
 
 

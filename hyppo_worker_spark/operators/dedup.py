@@ -280,9 +280,10 @@ def minhash_lsh_pairs_against(
     Ids SHOULD be disjoint across the two frames (an id can't
     meaningfully be both "already in the corpus" and "incoming").
     Overlap is tolerated defensively rather than silently corrupting
-    counts: the verify side dedups shingle rows by id (an id present
-    on both sides contributes its shingles once, not twice — doubled
-    rows would double every Jaccard numerator it touches) and
+    counts: an id present on both sides contributes its INCOMING
+    shingles once (corpus copy anti-joined away on the narrow id set —
+    deterministic, and the corpus side still never shuffles; doubled
+    rows would double every Jaccard numerator they touch), and
     self-pairs (a_id == b_id) are dropped from the candidates.
 
     The corpus side runs the same signature/banding stage as
@@ -311,7 +312,11 @@ def minhash_lsh_pairs_against(
         .select(F.col("l.did").alias("a_id"), F.col("r.did").alias("b_id"))
         .distinct()
     )
-    docs_all = docs_c.unionByName(docs_n).dropDuplicates(["did"])
+    ids_n = docs_n.select("did")
+    keep_c = docs_c.join(
+        F.broadcast(ids_n) if broadcast_new else ids_n, "did", "left_anti"
+    )
+    docs_all = keep_c.unionByName(docs_n)
     return _verify_pairs(docs_all, cand, threshold)
 
 

@@ -85,6 +85,10 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # connector (p03) gets a driver row
         "t17_bpe_encoding",  # tokenizer family — t16 keeps the driver
         # row; t17 (encode with learned merges) is locally checked
+        "q42_retention_cohorts",  # events analytics — q18/q40 keep the
+        # time-series families in-window; q42 is locally checked
+        "q43_conversion_funnel",  # sequential-pattern funnel — locally
+        # checked; q18 sessionize keeps the events family in-window
     }
 )
 

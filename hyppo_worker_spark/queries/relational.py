@@ -1839,3 +1839,132 @@ def q41_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q42 — retention cohort analysis over the events stream: cohort = a
+# user's first active day; retention = distinct users active k days
+# after their cohort day. The canonical product-analytics query shape
+# (distinct-activity → per-user min → self-join back). At 100 TB every
+# stage carries narrow (user_id, day) rows: one distinct shuffle, one
+# per-user aggregate, one user-keyed join (both sides already hashed
+# on user_id), one final (cohort_day, days_since) aggregate. The
+# cohort table is |users|-sized — joined by key, never broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "q42_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY 1
+    ),
+    joined AS (
+        SELECT c.cohort_day, a.user_id,
+               date_diff('day', c.cohort_day, a.day) AS days_since
+        FROM activity a JOIN cohort c USING (user_id)
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(days_since AS BIGINT) AS days_since,
+           count(DISTINCT user_id) AS n_active
+    FROM joined
+    WHERE days_since <= 7
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("relational", "window", "cohort", "retention", "events"),
+)
+def q42_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention triangle (first 7 offsets) for event-stream
+    user cohorts."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    activity = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = (
+        activity.join(cohort, "user_id")
+        .withColumn("days_since", F.datediff("day", "cohort_day"))
+        .filter(F.col("days_since") <= 7)
+    )
+    return (
+        joined.groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("days_since").cast("bigint").alias("days_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "days_since")
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — ordered conversion funnel (signup → view → click → purchase):
+# a user converts stage k only via an event strictly AFTER their
+# stage-k-1 conversion time — the existential ordered-subsequence
+# semantic, computed as a chain of conditional MINs (4 narrow per-user
+# aggregates + key joins). Deliberately NOT collect_list-per-user: a
+# hot user with 10^7 events would blow a task; the chained form only
+# ever shuffles (user_id, ts) rows. The match_recognize gap in Spark,
+# expressed in plain relational algebra.
+# --------------------------------------------------------------------------
+_FUNNEL = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "q43_conversion_funnel",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t GROUP BY 1
+    ),
+    s4 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+        WHERE e.event_type = '{_FUNNEL[3]}' AND e.ts > s3.t GROUP BY 1
+    )
+    SELECT stage, n_users FROM (
+        SELECT 1 AS stage, count(*) AS n_users FROM s1
+        UNION ALL SELECT 2, count(*) FROM s2
+        UNION ALL SELECT 3, count(*) FROM s3
+        UNION ALL SELECT 4, count(*) FROM s4
+    ) ORDER BY stage
+    """,
+    tags=("relational", "funnel", "sequence", "events"),
+)
+def q43_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users completing each funnel prefix in strict timestamp order.
+    Fully lazy — one plan, no driver-side stage counts."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    stage = events.filter(F.col("event_type") == _FUNNEL[0]).groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("t"))
+    stage_counts = [
+        stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("stage"), "n_users"
+        )
+    ]
+    for k, ev in enumerate(_FUNNEL[1:], start=2):
+        stage = (
+            events.filter(F.col("event_type") == ev)
+            .join(stage.select("user_id", F.col("t").alias("prev_t")), "user_id")
+            .filter(F.col("ts") > F.col("prev_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        stage_counts.append(
+            stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(k).alias("stage"), "n_users"
+            )
+        )
+    out = stage_counts[0]
+    for frame in stage_counts[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("stage")

@@ -989,18 +989,17 @@ def t15_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = spark.createDataFrame(list(_MIX_TARGET), "lang string, pct int")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_available"))
     j = counts.join(F.broadcast(target), "lang")
-    total_max = j.agg(
-        F.min(F.expr("n_available * 100 div pct")).alias("m")
-    ).first()["m"]
-    if total_max is None:
-        # no stratum present at all — empty result, stable schema
-        # (interpolating None below would produce unparseable SQL)
-        total_max = 0
-    quota = j.select(
+    # The binding stratum (min over langs of n_available*100/pct) is a
+    # 1-row aggregate joined back as a broadcast scalar — NOT a
+    # driver-side .first(): the whole query stays one lazy plan (no
+    # build-time Spark job), and coalesce(0) covers the no-strata case
+    # with a stable schema.
+    tm = j.agg(F.min(F.expr("n_available * 100 div pct")).alias("_total_max"))
+    quota = j.crossJoin(F.broadcast(tm)).select(
         "lang",
         "n_available",
         "pct",
-        F.expr(f"pct * {total_max} div 100").alias("quota"),
+        F.expr("pct * coalesce(_total_max, 0) div 100").alias("quota"),
     )
     from pyspark.sql import Window as W
 
