@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "t17_bpe_encoding",
     "q42_retention_cohorts",
     "q43_conversion_funnel",
+    "m02_media_header_decode",
 ]
 
 

@@ -89,6 +89,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # time-series families in-window; q42 is locally checked
         "q43_conversion_funnel",  # sequential-pattern funnel — locally
         # checked; q18 sessionize keeps the events family in-window
+        "m02_media_header_decode",  # real header decode — m01 keeps the
+        # multimodal driver row; m02 is locally checked
     }
 )
 

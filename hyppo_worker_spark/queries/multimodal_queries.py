@@ -72,3 +72,74 @@ def m01_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(batches, _MANIFEST_SCHEMA).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# m02 — REAL binary decode of image container headers. The payloads
+# are valid PNG/GIF/BMP header bytes CONSTRUCTED JVM-SIDE (Spark SQL
+# unhex/concat with dims derived from doc_id), then parsed back
+# Python-side by struct.unpack over Arrow batches
+# (operators/multimodal.py::parse_image_headers). The oracle computes
+# the expected dimensions from the same doc_id formula — so a parser
+# reading the wrong offsets/endianness, or any corruption in the
+# binary column's Arrow transfer, breaks the hash. This is the
+# un-gated first stage of a production media pipeline (magic sniff +
+# header decode); pixel codecs stay env-gated.
+# --------------------------------------------------------------------------
+
+
+def _le16(col: str) -> str:
+    return (
+        f"unhex(concat(substr(lpad(hex({col}), 4, '0'), 3, 2), "
+        f"substr(lpad(hex({col}), 4, '0'), 1, 2)))"
+    )
+
+
+def _le32(col: str) -> str:
+    h = f"lpad(hex({col}), 8, '0')"
+    return (
+        f"unhex(concat(substr({h}, 7, 2), substr({h}, 5, 2), "
+        f"substr({h}, 3, 2), substr({h}, 1, 2)))"
+    )
+
+
+def _be32(col: str) -> str:
+    return f"unhex(lpad(hex({col}), 8, '0'))"
+
+
+@register(
+    "m02_media_header_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                ELSE 'bmp' END AS fmt,
+           CAST(16 + doc_id % 1000 AS INTEGER) AS width,
+           CAST(16 + (doc_id * 7) % 1000 AS INTEGER) AS height,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 13
+                ELSE 26 END AS BIGINT) AS n_bytes
+    FROM documents
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "binary", "decode", "mapInPandas"),
+)
+def m02_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse width/height/format out of raw PNG/GIF/BMP header bytes."""
+    from hyppo_worker_spark.operators.multimodal import parse_image_headers
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w, h = "(16 + doc_id % 1000)", "(16 + (doc_id * 7) % 1000)"
+    png = (
+        "concat(unhex('89504E470D0A1A0A'), unhex('0000000D'), "
+        f"unhex('49484452'), {_be32(w)}, {_be32(h)}, unhex('0806000000'))"
+    )
+    gif = f"concat(unhex('474946383961'), {_le16(w)}, {_le16(h)}, unhex('F70000'))"
+    bmp = (
+        f"concat(unhex('424D'), {_le32('62')}, unhex('00000000'), "
+        f"{_le32('54')}, {_le32('40')}, {_le32(w)}, {_le32(h)})"
+    )
+    media = docs.selectExpr(
+        "doc_id AS media_id",
+        f"CASE doc_id % 3 WHEN 0 THEN {png} WHEN 1 THEN {gif} "
+        f"ELSE {bmp} END AS content",
+    )
+    return parse_image_headers(media).orderBy("media_id")

@@ -87,3 +87,43 @@ def test_real_decoder_is_stubbed(media):
             fn(media, decoder="real")
     with pytest.raises(NotImplementedError):
         resize_images(media, 8, 8, decoder="real")
+
+
+def test_parse_image_headers_fail_soft(spark):
+    """Truncated/garbage payloads yield fmt='unknown' with NULL dims —
+    the manifest row survives (n_bytes recorded), nothing raises."""
+    from hyppo_worker_spark.operators.multimodal import parse_image_headers
+
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\x0aonly"),      # PNG magic, truncated IHDR
+        (2, b"GIF89a\x05"),                     # GIF magic, truncated dims
+        (3, b"not an image at all"),
+        (4, b""),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in parse_image_headers(df).collect()}
+    assert all(got[i].fmt == "unknown" for i in (1, 2, 3, 4))
+    assert all(got[i].width is None and got[i].height is None for i in (1, 2, 3, 4))
+    assert got[4].n_bytes == 0 and got[3].n_bytes == len(rows[2][1])
+
+
+def test_parse_image_headers_real_bytes(spark):
+    """Hand-built headers with known dims decode exactly."""
+    import struct
+
+    from hyppo_worker_spark.operators.multimodal import parse_image_headers
+
+    png = (
+        b"\x89PNG\r\n\x1a\x0a" + b"\x00\x00\x00\x0d" + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+    )
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    bmp = (
+        b"BM" + struct.pack("<i", 62) + b"\x00\x00\x00\x00"
+        + struct.pack("<ii", 54, 40) + struct.pack("<ii", 1920, 1080)
+    )
+    df = spark.createDataFrame(
+        [(1, png), (2, gif), (3, bmp)], "media_id long, content binary"
+    )
+    got = {r.media_id: (r.fmt, r.width, r.height) for r in parse_image_headers(df).collect()}
+    assert got == {1: ("png", 640, 480), 2: ("gif", 320, 200), 3: ("bmp", 1920, 1080)}
