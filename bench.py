@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q42_retention_cohorts",
     "q43_conversion_funnel",
     "m02_media_header_decode",
+    "q44_hll_shard_rollup",
 ]
 
 

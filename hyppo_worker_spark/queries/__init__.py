@@ -91,6 +91,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # checked; q18 sessionize keeps the events family in-window
         "m02_media_header_decode",  # real header decode — m01 keeps the
         # multimodal driver row; m02 is locally checked
+        "q44_hll_shard_rollup",  # mergeable-sketch rollup — q27 keeps
+        # the approx-agg driver row; q44 is locally checked
     }
 )
 

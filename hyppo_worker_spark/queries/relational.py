@@ -1968,3 +1968,74 @@ def q43_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in stage_counts[1:]:
         out = out.unionByName(frame)
     return out.orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# q44 — mergeable-sketch rollup (Apache DataSketches HLL via Spark 4's
+# hll_sketch_agg / hll_union_agg): the incremental-analytics pattern a
+# 100 TB store actually runs — materialize one small binary sketch per
+# shard/day at ingest, answer "distinct users over any day range" by
+# UNIONING sketches (bytes-sized work) instead of re-scanning raw
+# events. Sketch estimates aren't bit-portable across engines, so the
+# oracle uses the q27 contract: exact twins computed relationally on
+# both sides + the sketch accuracy assertions evaluated IN-PLAN as
+# booleans the oracle states as literal TRUE — a drifting estimate or
+# a broken union breaks the hash.
+# --------------------------------------------------------------------------
+@register(
+    "q44_hll_shard_rollup",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               count(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY 1
+    ),
+    total AS (
+        SELECT 'TOTAL' AS day, count(DISTINCT user_id) AS exact_users
+        FROM events
+    )
+    SELECT day, exact_users, TRUE AS estimate_within_5pct
+    FROM (SELECT * FROM daily UNION ALL SELECT * FROM total)
+    ORDER BY day
+    """,
+    tags=("aggregation", "sketch", "hll", "mergeable", "rollup"),
+)
+def q44_hll_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HLL sketches of distinct users + a union-of-sketches
+    total, each checked in-plan against the exact count (±5%)."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    base = events.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    daily = base.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_agg("user_id").alias("sketch"),
+    )
+    per_day = daily.select(
+        "day",
+        "exact_users",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sketch") - F.col("exact_users")
+            )
+            * 20
+            <= F.col("exact_users")
+        ).alias("estimate_within_5pct"),
+    )
+    # the rollup: distinct-over-all-days answered by sketch UNION only
+    total_exact = base.agg(F.countDistinct("user_id").alias("exact_users"))
+    total_union = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    )
+    total = (
+        total_exact.crossJoin(F.broadcast(total_union))
+        .select(
+            F.lit("TOTAL").alias("day"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users")) * 20
+                <= F.col("exact_users")
+            ).alias("estimate_within_5pct"),
+        )
+    )
+    return per_day.unionByName(total).orderBy("day")
