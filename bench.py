@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "q43_conversion_funnel",
     "m02_media_header_decode",
     "q44_hll_shard_rollup",
+    "q45_variant_ingestion",
 ]
 
 

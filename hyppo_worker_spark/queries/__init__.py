@@ -93,6 +93,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # multimodal driver row; m02 is locally checked
         "q44_hll_shard_rollup",  # mergeable-sketch rollup — q27 keeps
         # the approx-agg driver row; q44 is locally checked
+        "q45_variant_ingestion",  # VARIANT semi-structured — q24 keeps
+        # the JSON driver row; q45 is locally checked
     }
 )
 

@@ -2039,3 +2039,51 @@ def q44_hll_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_day.unionByName(total).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# q45 — VARIANT ingestion (Spark 4's open semi-structured type): props
+# parsed ONCE into a variant column, then typed paths extracted with
+# variant_get — the engine-native successor to per-path
+# get_json_object re-parsing (q24 keeps the classic path for parity).
+# At 100 TB the difference is real: one parse per row feeding N path
+# extractions instead of N string re-parses, and variant's binary
+# encoding pushes through shuffles compactly. Output is fully typed
+# (the variant never leaves the plan), so the DuckDB oracle is plain
+# JSON extraction.
+# --------------------------------------------------------------------------
+@register(
+    "q45_variant_ingestion",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
+           CAST(count(CASE WHEN json_extract_string(props, '$.missing')
+                           IS NULL THEN 1 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("relational", "variant", "semistructured", "json"),
+)
+def q45_variant_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed aggregates over variant_get paths of a parse_json column;
+    absent paths surface as NULLs (counted) rather than errors."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    v = events.select(
+        "event_type", F.try_parse_json("props").alias("vprops")
+    )
+    return (
+        v.select(
+            "event_type",
+            F.variant_get("vprops", "$.k", "int").alias("k"),
+            F.variant_get("vprops", "$.missing", "string").alias("missing"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("missing").isNull(), 1)).alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
