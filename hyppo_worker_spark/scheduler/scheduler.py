@@ -55,6 +55,35 @@ from hyppo_worker_spark.scheduler.resources import (
 from hyppo_worker_spark.storage import DataFileHandler
 
 
+def flush_python_worker_pools(spark) -> None:
+    """Absorb python workers left half-dead by interrupt-kills.
+
+    Spark pools python workers keyed by (exec, module, env): plain RDD
+    jobs and SQL Python-UDF jobs draw from DIFFERENT pools, so both
+    are cycled — a worker killed mid-UDF would otherwise fail the next
+    UDF job scheduled onto it (java.nio CancelledKeyException) while
+    RDD flushes never touch it. Each absorb pass schedules one task
+    per core; a broken worker fails its task (maxFailures=1 locally),
+    the pool replaces it, and a clean pass means the pool is healthy.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    sc = spark.sparkContext
+    n = max(sc.defaultParallelism, 1)
+    ident = F.udf(lambda x: x, T.LongType())
+    for job in (
+        lambda: sc.parallelize(range(n * 2), n).count(),
+        lambda: spark.range(n * 2).repartition(n).select(ident("id")).count(),
+    ):
+        for _ in range(2):
+            try:
+                job()
+                break  # clean pass — this pool is healthy
+            except Exception:  # noqa: BLE001 — broken worker absorbed
+                continue
+
+
 def _cancel_job_group(sc, group_id: str) -> None:
     """Cancel a job group, including jobs not yet submitted when the
     JVM supports it (``SparkContext.cancelJobGroupAndFutureJobs``,
@@ -553,12 +582,24 @@ class HyppoEngine:
         drained = cancelled == 0 and requeued == 0
         return {"drained": drained, "cancelled": cancelled, "requeued": requeued}
 
-    def reset_for_restart(self) -> None:
+    def reset_for_restart(self, flush_python_workers: bool = True) -> None:
         """Clear the stop flag so a drained engine can resume — the
         'next worker process' in tests. Journaling resumes too:
         shutdown closed the journal after logging its requeues, so the
-        file and the in-memory state are consistent to append to."""
+        file and the in-memory state are consistent to append to.
+
+        The reference RESTARTS its executor process after killing work
+        (worker-death semantics); in a shared-JVM session the closest
+        hazard is Spark's python-worker REUSE pool: an interrupt-kill
+        can leave a half-dead python worker behind, and the next job
+        scheduled onto it fails spuriously (CancelledKeyException) —
+        which the engine would report as a terminal connector failure.
+        ``flush_python_workers`` absorbs those with throwaway
+        python-side jobs whose failures replace the broken workers.
+        """
         self._stop.clear()
         for slot in self._slots:
             slot.cancelled = False
         self.queues.reopen_journal()
+        if flush_python_workers:
+            flush_python_worker_pools(self.spark)

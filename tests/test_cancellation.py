@@ -21,6 +21,20 @@ from hyppo_worker_spark.scheduler.scheduler import EngineConfig, HyppoEngine
 from tests.fixtures import SlowSparkStub
 
 
+@pytest.fixture(autouse=True)
+def _flush_poisoned_python_workers(spark):
+    """Every test here interrupt-kills running attempts, which can
+    leave half-dead python workers in the shared session's reuse pool;
+    the NEXT python-side job scheduled onto one dies spuriously
+    (CancelledKeyException) — observed as a later test's fetch failing
+    terminally the instant it starts. Absorb after EVERY test, same as
+    HyppoEngine.reset_for_restart does between engine generations."""
+    yield
+    from hyppo_worker_spark.scheduler.scheduler import flush_python_worker_pools
+
+    flush_python_worker_pools(spark)
+
+
 def _engine(spark, storage, stub, **cfg):
     registry = IntegrationRegistry()
     registry.register(stub)
@@ -120,3 +134,47 @@ def test_shutdown_when_idle_is_clean(spark, storage):
     engine = _engine(spark, storage, stub, shutdown_timeout_s=1.0)
     summary = engine.shutdown()
     assert summary == {"drained": True, "cancelled": 0, "requeued": 0}
+
+
+@pytest.mark.slow
+def test_multislot_shutdown_requeues_every_straggler(spark, storage):
+    """Three busy slots at shutdown: every stuck attempt is cancelled
+    via its own delivery-derived job group, all three items are
+    requeued un-acked, and a restarted engine completes all of them —
+    no straggler's cancel may leak onto another slot's redelivery."""
+    stub = SlowSparkStub(sleep_s=60.0)
+    engine = _engine(
+        spark, storage, stub,
+        worker_count=3, run_timeout_s=None, shutdown_timeout_s=3.0,
+    )
+    details = stub.details()
+    task = _make_task(engine, details, stub)
+
+    for _ in range(3):
+        engine.submit(FetchProcessedDataRequest(integration=details, task=task))
+    drain = threading.Thread(target=engine.run_until_idle, daemon=True)
+    drain.start()
+    deadline = time.monotonic() + 15.0
+    while sum(s.current_delivery is not None for s in engine._slots) < 3:
+        assert time.monotonic() < deadline, "slots never picked up all items"
+        time.sleep(0.01)
+
+    summary = engine.shutdown()
+    drain.join(timeout=45.0)
+    assert not drain.is_alive(), "drain loop did not stop after shutdown"
+    assert summary["cancelled"] == 3
+    assert not summary["drained"]
+
+    qname = engine.queues.queue_for(
+        FetchProcessedDataRequest(integration=details, task=task)
+    )
+    d = engine.queues.details(qname)
+    assert d.ready == 3 and d.unacknowledged == 0
+    assert stub.fetch_attempts == 3
+
+    stub.sleep_s = 0.0
+    engine.reset_for_restart()
+    n = engine.run_until_idle()
+    assert n == 3
+    assert stub.fetch_attempts == 6
+    assert all(s.state == "idle" for s in engine._slots)

@@ -19,6 +19,17 @@ def test_strategies_equivalent_property(spark):
 
     gram = st.integers(min_value=0, max_value=30).map(lambda i: f"g{i}")
 
+    def rows(df):
+        # one retry: a transient JVM/python-worker hiccup inside a
+        # shared long-lived test session would otherwise surface as a
+        # hypothesis Flaky error unrelated to the property under test
+        for attempt in (1, 2):
+            try:
+                return sorted(map(tuple, df.collect()))
+            except Exception:  # noqa: BLE001
+                if attempt == 2:
+                    raise
+
     @settings(max_examples=5, deadline=None)
     @given(
         st.lists(
@@ -31,9 +42,9 @@ def test_strategies_equivalent_property(spark):
     )
     def check(train_rows, eval_rows):
         train, ev = _frames(spark, train_rows, eval_rows)
-        a = decontaminate(train, ev, strategy="broadcast").collect()
-        b = decontaminate(train, ev, strategy="shuffle").collect()
-        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        a = rows(decontaminate(train, ev, strategy="broadcast"))
+        b = rows(decontaminate(train, ev, strategy="shuffle"))
+        assert a == b
 
     check()
 
