@@ -56,6 +56,16 @@ def test_task_pruning_via_filter_pushdown(registered):
     assert n_parts == 1
 
 
+def test_in_filter_prunes_multiple_tasks(registered):
+    """IN-list pushdown keeps exactly the matching tasks' partitions."""
+    df = _read(registered).filter(F.col("day").isin("2024-01-02", "2099-12-31"))
+    rows = df.collect()
+    assert {r.task_id for r in rows} == {2, 3}  # both 2024-01-02 tasks
+    assert len(rows) == 8  # 3 + 5; task 1's fetch never ran
+    n_parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts == 2
+
+
 def test_non_param_filters_still_apply(registered):
     """Filters the source can't take (seq is not constant-per-task)
     must be evaluated by Spark above the scan — results stay exact."""
