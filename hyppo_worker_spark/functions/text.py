@@ -39,6 +39,23 @@ def shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """ALL word n-grams (space-joined, duplicates kept) of a token
+    array — the bag-of-features view a linear text classifier scores,
+    unlike :func:`shingles` which deduplicates for set-similarity.
+
+    Same ``size < n`` guard as shingles (Spark's ``sequence(1, 0)`` is
+    descending, not empty).
+    """
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k) for k in range(n)]
+    )
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def minhash_signature(shingle_arr: Column, k: int = 12) -> Column:
     """MinHash signature: for seed i, min md5 hex of ``'{i}:{shingle}'``.
 

@@ -95,6 +95,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the approx-agg driver row; q44 is locally checked
         "q45_variant_ingestion",  # VARIANT semi-structured — q24 keeps
         # the JSON driver row; q45 is locally checked
+        "t18_quality_classifier",  # learned-model scoring — t02 keeps
+        # the quality driver row; t18 is locally checked
     }
 )
 

@@ -1204,3 +1204,92 @@ def t17_bpe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "token")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# t18 — hashing-trick linear quality classifier (fastText-shaped
+# scoring: Joulin et al. 2016, "Bag of Tricks for Efficient Text
+# Classification" — public paper). The heuristic signals (t02) rank
+# documents by surface ratios; real pipelines (CCNet, RefinedWeb,
+# FineWeb) score with a LEARNED linear model over hashed word n-gram
+# features. This query is that scoring pass with a deterministic
+# frozen weight table so both engines agree bit-for-bit:
+#   feature = 'u:'+token and 'b:'+bigram (all occurrences, not
+#   distinct — bag of features), hashed into _CLF_BUCKETS buckets via
+#   the shared md5_bucket primitive; weight(bucket) is a fixed integer
+#   in [-100, 100] derived from the bucket id (stand-in for trained
+#   weights, which would load as a table the same way).
+# Scale shape: the model is a BROADCAST dim (bucket, wt) — model size
+# is independent of corpus size; the only corpus-scale shuffle is the
+# per-doc score aggregation (map-side partials collapse each
+# partition's feature rows first). The hashing trick bounds executor
+# memory regardless of vocabulary size — no vocab build pass at all.
+# All-integer score arithmetic (sum / count), so keep-decisions can't
+# drift across engines; score_milli is floor(raw*1000/n) on an
+# IEEE-exact double both engines compute identically.
+# --------------------------------------------------------------------------
+_CLF_BUCKETS = 4096
+_CLF_WT_SQL = "((i * 2654435761 + 40503) % 1000003) % 201 - 100"
+_CLF_KEEP_NUM = 5  # keep iff raw * 5 > n_feats  (mean weight > 0.2)
+
+
+@register(
+    "t18_quality_classifier",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    feats AS (
+        SELECT doc_id, 'u:' || unnest(w) AS f FROM tok
+        UNION ALL
+        SELECT doc_id, 'b:' || w[i] || ' ' || w[i + 1] AS f
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok)
+    ),
+    wts AS (
+        SELECT i AS bucket, {_CLF_WT_SQL} AS wt
+        FROM range({_CLF_BUCKETS}) t(i)
+    ),
+    scored AS (
+        SELECT doc_id, count(*) AS n, CAST(sum(wt) AS BIGINT) AS raw
+        FROM (SELECT doc_id,
+                     {TX.md5_bucket_sql('f', _CLF_BUCKETS)} AS bucket
+              FROM feats)
+        JOIN wts USING (bucket)
+        GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_feats,
+           CAST(floor(raw * 1000.0 / n) AS BIGINT) AS score_milli,
+           (raw * {_CLF_KEEP_NUM} > n) AS keep
+    FROM scored ORDER BY doc_id
+    """,
+    tags=("text", "quality", "classifier", "hashing-trick", "training-data"),
+)
+def t18_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document linear-classifier quality score over hashed
+    unigram+bigram features with a broadcast frozen weight table;
+    keep iff mean feature weight exceeds 0.2 (exact integer compare)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = docs.select("doc_id", TX.tokens("text").alias("w"))
+    uni = words.select(
+        "doc_id", F.explode("w").alias("t")
+    ).select("doc_id", F.concat(F.lit("u:"), F.col("t")).alias("f"))
+    bi = words.select(
+        "doc_id", F.explode(TX.word_ngrams(F.col("w"), 2)).alias("t")
+    ).select("doc_id", F.concat(F.lit("b:"), F.col("t")).alias("f"))
+    wts = spark.range(_CLF_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") * F.lit(2654435761) + F.lit(40503)) % F.lit(1000003))
+         % F.lit(201) - F.lit(100)).alias("wt"),
+    )
+    scored = (
+        uni.unionByName(bi)
+        .select("doc_id", TX.md5_bucket(F.col("f"), _CLF_BUCKETS).alias("bucket"))
+        .join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("wt").alias("raw"))
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n").alias("n_feats"),
+        F.floor(F.col("raw") * 1000.0 / F.col("n")).cast("long").alias("score_milli"),
+        (F.col("raw") * _CLF_KEEP_NUM > F.col("n")).alias("keep"),
+    ).orderBy("doc_id")
