@@ -97,6 +97,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the JSON driver row; q45 is locally checked
         "t18_quality_classifier",  # learned-model scoring — t02 keeps
         # the quality driver row; t18 is locally checked
+        "q46_cms_heavy_hitters",  # frequency-sketch rollup — q44 keeps
+        # the mergeable-sketch driver row; q46 is locally checked
     }
 )
 

@@ -2087,3 +2087,112 @@ def q45_variant_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q46 — count-min-sketch heavy hitters over the documents token stream
+# (operators/sketches.py). q44 covers the distinct-count sketch; this
+# covers the FREQUENCY sketch: a depth*width relational counter table
+# that merges across shards by addition and answers point queries with
+# a broadcast join + min — no opaque binary, no UDF. Hashing is the
+# shared md5_bucket primitive, so estimates are deterministic and the
+# DuckDB oracle reproduces counters AND estimates exactly (including
+# the CMS one-sided error: est >= exact always, asserted in-plan via
+# the overestimate column being non-negative by construction on both
+# engines). Scale shape: one corpus shuffle (token counts); the
+# counter build and probe run on the distinct-token table only, and
+# the finished sketch (<= depth*width rows) broadcasts anywhere.
+# Mergeability is exercised for real: per-source sketches are built
+# independently and merged, and the merged table must equal the
+# global-build (sum is associative) — that equality is what the
+# estimates silently verify.
+# --------------------------------------------------------------------------
+_CMS_DEPTH, _CMS_WIDTH = 4, 512
+
+
+def _cms_bucket_sql(width: int) -> str:
+    from hyppo_worker_spark.functions.text import md5_bucket_sql
+
+    return md5_bucket_sql("d::VARCHAR || ':' || token", width)
+
+
+@register(
+    "q46_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '')) AS token
+        FROM documents
+    ),
+    tc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+    pairs AS (
+        SELECT token, cnt, d, {_cms_bucket_sql(_CMS_WIDTH)} AS bucket
+        FROM tc, range({_CMS_DEPTH}) r(d)
+    ),
+    counters AS (
+        SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS c
+        FROM pairs GROUP BY 1, 2
+    ),
+    top20 AS (SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT 20),
+    probe AS (
+        SELECT p.token, p.cnt, min(c.c) AS est
+        FROM pairs p JOIN counters c USING (d, bucket)
+        WHERE p.token IN (SELECT token FROM top20)
+        GROUP BY 1, 2
+    )
+    SELECT token,
+           CAST(cnt AS BIGINT) AS exact_n,
+           est AS est_n,
+           est - cnt AS overest
+    FROM probe ORDER BY exact_n DESC, token
+    """,
+    tags=("aggregation", "sketch", "cms", "mergeable", "heavy-hitters"),
+)
+def q46_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens with exact counts and their count-min estimates
+    from per-source sketches merged into one — overest = est - exact
+    is the sketch's (non-negative, deterministic) collision error."""
+    from hyppo_worker_spark.operators.sketches import (
+        cms_bucket_pairs,
+        cms_estimate,
+    )
+    from hyppo_worker_spark.functions import text as TX
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "source", F.explode(TX.tokens("text")).alias("token")
+    )
+    # Per-(source, token) counts: ONE corpus-scale shuffle; everything
+    # after runs on distinct tokens. Persisted — the exact top-k and
+    # the probe both read it.
+    tc_src = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()
+    tc = tc_src.groupBy("token").agg(F.sum("cnt").cast("long").alias("cnt")).persist()
+
+    # Shard-wise sketches (one per source) merged by addition, all in
+    # ONE lazy plan: the per-source counter table is the shard sketch,
+    # and the merge is the second-level sum — the incremental-ingest
+    # contract (shards never re-read each other; counts just add).
+    shard = (
+        cms_bucket_pairs(
+            tc_src, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH
+        )
+        .groupBy("source", "d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+    counters = shard.groupBy("d", "bucket").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+    top20 = tc.orderBy(F.col("cnt").desc(), "token").limit(20)
+    est = cms_estimate(
+        counters, top20, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return est.select(
+        "token",
+        F.col("cnt").alias("exact_n"),
+        F.col("est").alias("est_n"),
+        (F.col("est") - F.col("cnt")).alias("overest"),
+    ).orderBy(F.col("exact_n").desc(), "token")
