@@ -1,0 +1,161 @@
+"""Streaming funnel: the pure update function must survive
+out-of-order delivery (a late earlier signup revises every downstream
+stage), compaction must bound state without changing answers, and the
+end-to-end stream must agree with the batch chained-min funnel."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyppo_worker_spark.session import load_tables
+from hyppo_worker_spark.streaming.funnel import (
+    FUNNEL_STAGES,
+    funnel_step,
+    streaming_funnel,
+)
+from hyppo_worker_spark.streaming.pipeline import EVENTS_SCHEMA
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EMPTY = [[], [], [], []]
+
+
+def test_in_order_funnel_advances():
+    st, reached, done = funnel_step(EMPTY, [[100], [200], [300], [400]], 0)
+    assert (reached, done) == (4, 400)
+    # every threshold final under a high watermark -> one ts per stage
+    st2, reached2, done2 = funnel_step(st, EMPTY, 10_000)
+    assert (reached2, done2) == (4, 400)
+    assert st2 == [[100], [200], [300], [400]]
+
+
+def test_strictly_after_semantics():
+    # view at the SAME time as signup does not qualify (ts > prev)
+    _, reached, _ = funnel_step(EMPTY, [[100], [100], [], []], 0)
+    assert reached == 1
+    _, reached2, done2 = funnel_step(EMPTY, [[100], [101], [], []], 0)
+    assert (reached2, done2) == (2, 101)
+
+
+def test_late_signup_revises_downstream_stages():
+    """Batch 1: signup@100, view@150. Batch 2 delivers a LATE signup@50
+    and a view@60 — the funnel must re-resolve to t1=50, t2=60."""
+    st, reached, done = funnel_step(EMPTY, [[100], [150], [], []], 0)
+    assert (reached, done) == (2, 150)
+    st, reached, done = funnel_step(st, [[50], [60], [], []], 0)
+    assert (reached, done) == (2, 60)
+
+
+def test_compaction_drops_dead_candidates_only():
+    """With watermark 70 and a provisional t1=100, a view@40 is dead
+    (future t1 cannot drop below the watermark) but a view@75 must be
+    kept (a late signup@72 would make it the stage-2 answer)."""
+    st, _, _ = funnel_step(EMPTY, [[100], [40, 75, 120], [], []], 70)
+    assert st[0] == [100]
+    assert st[1] == [75, 120]  # 40 pruned, 75 retained
+    # the predicted late signup arrives: 75 becomes the answer
+    st, reached, done = funnel_step(st, [[72], [], [], []], 70)
+    assert (reached, done) == (2, 75)
+
+
+def test_final_thresholds_collapse_to_single_value():
+    # everything below the watermark: each stage holds exactly one ts
+    st, reached, done = funnel_step(
+        EMPTY, [[10, 20], [15, 30, 11], [40, 35], [50]], 1_000
+    )
+    assert (reached, done) == (4, 50)
+    assert st == [[10], [11], [35], [50]]
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Drain events (3 files -> multiple micro-batches, arbitrary
+    inter-batch order) and compare each user's FINAL emission against
+    the batch chained-min funnel computed relationally."""
+    src = str(tmp_path / "funnel-src")
+    ev = load_tables(spark, SF_DIR, ("events",))["events"]
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # repartition(3) scatters events with UNBOUNDED disorder across the
+    # micro-batches, so exact batch parity needs a watermark delay wider
+    # than the whole span — otherwise genuinely-late events are dropped
+    # by the watermark contract before the operator sees them (that
+    # dropping is exercised implicitly: a small delay here loses events
+    # and fails this very assertion). Compaction under a tight watermark
+    # is covered by the pure funnel_step tests above.
+    q = (
+        streaming_funnel(stream, delay="365 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM funnel_out").collect()
+    assert rows
+    final = {}
+    for r in rows:
+        # stage_reached is monotone nondecreasing per user, and at a
+        # fixed stage revisions only ever LOWER completed_ts — so the
+        # final state is (max stage, min ts at that stage)
+        cur = final.get(r.user_id)
+        if (
+            cur is None
+            or r.stage_reached > cur[0]
+            or (r.stage_reached == cur[0] and r.completed_ts is not None
+                and (cur[1] is None or r.completed_ts < cur[1]))
+        ):
+            final[r.user_id] = (r.stage_reached, r.completed_ts, r.state_ts)
+
+    # batch chained-min recurrence (same shape as q43)
+    batch = spark.read.parquet(src)
+    stage = (
+        batch.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    expected = {r.user_id: (1, r.t) for r in stage.collect()}
+    for k, et in enumerate(FUNNEL_STAGES[1:], start=2):
+        stage = (
+            batch.filter(F.col("event_type") == et)
+            .join(stage.select("user_id", F.col("t").alias("pt")), "user_id")
+            .filter(F.col("ts") > F.col("pt"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        for r in stage.collect():
+            expected[r.user_id] = (k, r.t)
+
+    got = {u: (s, t) for u, (s, t, _) in final.items() if s > 0}
+    assert got == expected
+
+    # bounded state: never more than one ts per finalized stage plus
+    # the events inside the disorder horizon — far below per-user
+    # event counts for completed users; sanity-bound it loosely
+    per_user_events = {
+        r.user_id: r.n
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for u, (_, _, state_ts) in final.items():
+        assert state_ts <= per_user_events[u] + len(FUNNEL_STAGES)
+
+
+@pytest.mark.parametrize("wm", [0, 55, 1_000])
+def test_compaction_never_changes_answers(wm):
+    """Property: for a fixed event set delivered in two arbitrary
+    chunks, the (stage, ts) answer equals the single-batch answer
+    regardless of watermark-driven compaction."""
+    events = [[30, 80], [10, 40, 90], [50, 95], [60, 100]]
+    whole, reached_w, done_w = funnel_step(EMPTY, events, wm)
+    del whole
+    first = [[30], [40, 90], [95], [100]]
+    second = [[80], [10], [50], [60]]
+    st, _, _ = funnel_step(EMPTY, first, wm)
+    _, reached_i, done_i = funnel_step(st, second, wm)
+    assert (reached_i, done_i) == (reached_w, done_w)
