@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "m02_media_header_decode",
     "q44_hll_shard_rollup",
     "q45_variant_ingestion",
+    "t18_quality_classifier",
+    "q46_cms_heavy_hitters",
 ]
 
 
