@@ -300,6 +300,30 @@ def minhash_lsh_pairs_against(
     docs_n, band_n = _minhash_banded(
         new, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
     )
+    return minhash_pairs_against_banded(
+        docs_c, band_c, docs_n, band_n,
+        threshold=threshold, broadcast_new=broadcast_new,
+    )
+
+
+def minhash_pairs_against_banded(
+    docs_c: DataFrame,
+    band_c: DataFrame,
+    docs_n: DataFrame,
+    band_n: DataFrame,
+    *,
+    threshold: float = 0.8,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """The candidate+verify half of :func:`minhash_lsh_pairs_against`,
+    taking PRECOMPUTED (did, sh) shingle frames and (did, band_id,
+    band_key) banding frames for both sides.
+
+    This is the incremental-ingest interface: a persisted LSH index
+    (see ``operators/lsh_index.py``) stores exactly these two frames,
+    so checking a new batch against a 100 TB corpus touches the INDEX
+    — narrow banding rows + candidate shingle rows — and never
+    re-reads or re-hashes the corpus text."""
     bn = F.broadcast(band_n) if broadcast_new else band_n
     cand = (
         band_c.alias("l")
