@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q45_variant_ingestion",
     "t18_quality_classifier",
     "q46_cms_heavy_hitters",
+    "q47_quantile_sketch",
 ]
 
 

@@ -99,6 +99,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the quality driver row; t18 is locally checked
         "q46_cms_heavy_hitters",  # frequency-sketch rollup — q44 keeps
         # the mergeable-sketch driver row; q46 is locally checked
+        "q47_quantile_sketch",  # quantile-sketch rollup — q44 keeps
+        # the mergeable-sketch driver row; q47 is locally checked
     }
 )
 

@@ -2196,3 +2196,139 @@ def q46_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").alias("est_n"),
         (F.col("est") - F.col("cnt")).alias("overest"),
     ).orderBy(F.col("exact_n").desc(), "token")
+
+
+# --------------------------------------------------------------------------
+# q47 — mergeable quantile sketch (the third sketch family: q44 =
+# distinct/HLL, q46 = frequency/CMS, q47 = quantiles). A DDSketch-
+# shaped log2 histogram over INTEGER buckets: bucket(v) = (k, s) where
+# k = bit-length(v) and s = (v*8 div 2^(k-1)) - 8 — eight linear
+# subdivisions per octave, so the bucket's lower bound est8/8 =
+# (8+s)*2^(k-1)/8 under-estimates the true value by < 1/8 relative
+# (est8 <= 8v < 9/8 * est8). Everything is integer arithmetic
+# (bit-length via base-2 conv, integer div, shifts) — no log(), so
+# bucket placement, merge, and estimates are bit-identical across
+# engines and the oracle reproduces the ESTIMATES, not just bounds.
+# Scale shape mirrors q46: per-source histograms (the shard sketches)
+# merge by addition inside one lazy plan; the merged sketch is <= 64*8
+# rows regardless of corpus size; quantile extraction is a cumulative
+# sum over that tiny table (the only window, over dozens of rows).
+# The exact twin runs on the distinct-VALUE count table (not the row
+# stream) — the cumsum window sees one row per distinct length.
+# --------------------------------------------------------------------------
+@register(
+    "q47_quantile_sketch",
+    oracle="""
+    WITH vals AS (
+        SELECT source, length(text)::BIGINT AS v FROM documents
+        WHERE length(text) >= 1
+    ),
+    bucketed AS (
+        SELECT source,
+               length(bin(v)) AS k,
+               (v * 8) // (1::BIGINT << (length(bin(v)) - 1)) - 8 AS s
+        FROM vals
+    ),
+    shard_hist AS (
+        SELECT source, k, s, count(*) AS cnt FROM bucketed GROUP BY 1, 2, 3
+    ),
+    hist AS (
+        SELECT k, s, CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM shard_hist GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+    cum AS (
+        SELECT k, s, (8 + s) * (1::BIGINT << (k - 1)) AS est8,
+               CAST(sum(cnt) OVER (ORDER BY k, s) AS BIGINT) AS c
+        FROM hist
+    ),
+    stats(p) AS (VALUES (50), (90), (99)),
+    est AS (
+        SELECT p, min(est8) AS est8
+        FROM stats, cum, n WHERE c * 100 >= p * n GROUP BY p
+    ),
+    vc AS (
+        SELECT v, count(*) AS cnt FROM vals GROUP BY 1
+    ),
+    vcum AS (
+        SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS c FROM vc
+    ),
+    exact AS (
+        SELECT p, min(v) AS exact_chars
+        FROM stats, vcum, n WHERE c * 100 >= p * n GROUP BY p
+    )
+    SELECT 'p' || p::VARCHAR AS stat,
+           exact_chars,
+           est8,
+           est8 <= 8 * exact_chars AS lower_ok,
+           64 * exact_chars < 9 * est8 AS upper_ok
+    FROM exact JOIN est USING (p)
+    ORDER BY stat
+    """,
+    tags=("aggregation", "sketch", "quantile", "mergeable"),
+)
+def q47_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of document length from a merged per-source log2
+    histogram sketch, with the exact disc-percentile twin and the
+    sketch's deterministic error bounds checked in-plan."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    vals = docs.select(
+        "source", F.length("text").cast("long").alias("v")
+    ).filter(F.col("v") >= 1)
+    k = F.length(F.conv(F.col("v"), 10, 2))
+    p2 = F.expr("shiftleft(1L, cast(length(conv(v, 10, 2)) as int) - 1)")
+    bucketed = vals.select(
+        "source", k.alias("k"), ((F.col("v") * 8) / p2).cast("long").alias("q8")
+    ).select("source", "k", (F.col("q8") - 8).alias("s"))
+    shard_hist = bucketed.groupBy("source", "k", "s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    hist = shard_hist.groupBy("k", "s").agg(F.sum("cnt").cast("long").alias("cnt"))
+    n = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    cum = hist.select(
+        "k",
+        "s",
+        ((F.col("s") + 8) * F.expr("shiftleft(1L, cast(k as int) - 1)")).alias(
+            "est8"
+        ),
+        F.sum("cnt")
+        .over(W.orderBy("k", "s").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("c"),
+    )
+    stats = spark.createDataFrame([(50,), (90,), (99,)], "p int")
+    est = (
+        F.broadcast(stats)
+        .crossJoin(cum)
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("c") * 100 >= F.col("p") * F.col("n"))
+        .groupBy("p")
+        .agg(F.min("est8").alias("est8"))
+    )
+    vc = vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    vcum = vc.select(
+        "v",
+        F.sum("cnt")
+        .over(W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("c"),
+    )
+    exact = (
+        F.broadcast(stats)
+        .crossJoin(vcum)
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("c") * 100 >= F.col("p") * F.col("n"))
+        .groupBy("p")
+        .agg(F.min("v").alias("exact_chars"))
+    )
+    return (
+        exact.join(est, "p")
+        .select(
+            F.concat(F.lit("p"), F.col("p").cast("string")).alias("stat"),
+            "exact_chars",
+            "est8",
+            (F.col("est8") <= 8 * F.col("exact_chars")).alias("lower_ok"),
+            (64 * F.col("exact_chars") < 9 * F.col("est8")).alias("upper_ok"),
+        )
+        .orderBy("stat")
+    )
