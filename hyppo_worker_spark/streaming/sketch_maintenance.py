@@ -1,0 +1,128 @@
+"""Incremental sketch maintenance: keep a tiny per-day HLL sketch
+table continuously up to date as events stream in, so "distinct users
+over any day range" is answered by unioning a handful of sketch blobs
+— never by re-scanning raw events.
+
+This is the streaming realization of the q44 rollup: q44 builds the
+per-day sketches in one batch pass; this sink MAINTAINS them across
+micro-batches. Per batch (foreachBatch):
+
+1. aggregate the batch into per-day sketches (one small shuffle over
+   the batch only);
+2. merge into the persisted table with a full-outer join on day +
+   ``hll_union`` — day cardinality rows, bytes-sized work;
+3. rewrite the table (it is sketch-count sized, not event-count
+   sized; the rewrite is O(days), object-store friendly).
+
+Batch replays are absorbed ack-early with the marker guard. NOTE the
+idempotency contract this chooses (and the test pins): a replayed
+batch must NOT be re-unioned — HLL union is idempotent for identical
+inputs, but the count column alongside it is not.
+
+At 100 TB the same shape holds: the raw events append to their own
+sink; this side table stays kilobytes per day, and dashboards union
+sketches instead of scanning events.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SketchRollupSink:
+    """foreachBatch callable maintaining (day, sketch, n_events)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str) -> None:
+        self.spark = spark
+        self.table_dir = os.path.join(base_dir, "day_sketches")
+        self.marker_dir = os.path.join(base_dir, "markers")
+        os.makedirs(self.marker_dir, exist_ok=True)
+
+    def _batch_sketches(self, batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.select(
+                F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+                "user_id",
+            )
+            .groupBy("day")
+            .agg(
+                F.hll_sketch_agg("user_id").alias("sketch"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(self.marker_dir, f"batch-{batch_id}.started")
+        if os.path.exists(marker):
+            return
+        with open(marker, "w") as f:
+            f.write("started")
+        new = self._batch_sketches(batch_df)
+        if os.path.isdir(self.table_dir):
+            old = self.spark.read.parquet(self.table_dir)
+            merged = (
+                old.select(
+                    "day",
+                    F.col("sketch").alias("o_sketch"),
+                    F.col("n_events").alias("o_n"),
+                )
+                .join(
+                    new.select(
+                        "day",
+                        F.col("sketch").alias("n_sketch"),
+                        F.col("n_events").alias("n_n"),
+                    ),
+                    "day",
+                    "full_outer",
+                )
+                .select(
+                    "day",
+                    F.when(
+                        F.col("o_sketch").isNotNull()
+                        & F.col("n_sketch").isNotNull(),
+                        F.hll_union("o_sketch", "n_sketch"),
+                    )
+                    .otherwise(F.coalesce("o_sketch", "n_sketch"))
+                    .alias("sketch"),
+                    (
+                        F.coalesce("o_n", F.lit(0)) + F.coalesce("n_n", F.lit(0))
+                    ).alias("n_events"),
+                )
+            )
+        else:
+            merged = new
+        # Pin rows before overwriting the directory they were read from
+        # (a lazy plan would re-read mid-rewrite).
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self.table_dir)
+
+    # -- query side ---------------------------------------------------------
+
+    def estimates(self) -> DataFrame:
+        """Per-day distinct-user estimates + the union-of-sketches
+        TOTAL row — no event scan anywhere."""
+        t = self.spark.read.parquet(self.table_dir)
+        per_day = t.select(
+            "day",
+            F.hll_sketch_estimate("sketch").alias("est_users"),
+            "n_events",
+        )
+        total = t.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+            F.sum("n_events").alias("n_events"),
+        ).select(F.lit("TOTAL").alias("day"), "est_users", "n_events")
+        return per_day.unionByName(total)
+
+
+def maintain_sketches(
+    events: DataFrame, sink: SketchRollupSink, checkpoint_dir: str
+):
+    return (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
