@@ -39,17 +39,21 @@ from __future__ import annotations
 
 import importlib
 import json
+import os
 from dataclasses import dataclass
 from typing import Any, Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -204,11 +208,198 @@ class IntegrationStreamReader(SimpleDataSourceStreamReader):
         return iter(self._rows(self._tasks()[start["index"]:end["index"]]))
 
 
+# -- write path ----------------------------------------------------------
+#
+# The reference's PersistProcessedData contract
+# (``PersistProcessedDataOperation``, upload + md5-verified manifest —
+# see storage.py:95-177 for the layout port) as a Python DataSource
+# WRITER: every task stages its own file, the DRIVER commits by
+# publishing a manifest listing exactly the files of successful tasks,
+# and readers trust the manifest only. A failed job aborts by deleting
+# the staging area — partial task output is never visible. This is the
+# object-store-safe commit protocol (no rename-directory atomicity
+# assumed; the manifest IS the atomic pointer flip).
+
+
+@dataclass
+class TaskCommit(WriterCommitMessage):
+    file: str
+    rows: int
+    md5: str
+
+
+def _write_task_file(staging: str, names: list[str], iterator) -> TaskCommit:
+    import hashlib
+    import uuid
+
+    os.makedirs(staging, exist_ok=True)
+    fname = f"task-{uuid.uuid4().hex}.jsonl"
+    fpath = os.path.join(staging, fname)
+    h = hashlib.md5()
+    rows = 0
+    with open(fpath, "w", encoding="utf-8") as fh:
+        for row in iterator:
+            line = json.dumps(dict(zip(names, row)), sort_keys=True)
+            fh.write(line + "\n")
+            h.update(line.encode())
+            rows += 1
+    return TaskCommit(file=fname, rows=rows, md5=h.hexdigest())
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "_MANIFEST.json")
+
+
+def _publish_manifest(path: str, manifest: dict) -> None:
+    """Atomic pointer flip: write sidecar, then os.replace."""
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(path))
+
+
+class IntegrationWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._names = [f.name for f in schema.fields]
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("hyppo_integration write requires a 'path' option")
+        self._staging = os.path.join(self._path, "_staging")
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> TaskCommit:
+        return _write_task_file(self._staging, self._names, iterator)
+
+    def commit(self, messages) -> None:
+        committed = [m for m in messages if m is not None]
+        old: list[dict] = []
+        if not self._overwrite and os.path.exists(_manifest_path(self._path)):
+            with open(_manifest_path(self._path), encoding="utf-8") as fh:
+                old = json.load(fh)["files"]
+        for m in committed:
+            os.replace(
+                os.path.join(self._staging, m.file),
+                os.path.join(self._path, m.file),
+            )
+        files = old + [
+            {"file": m.file, "rows": m.rows, "md5": m.md5} for m in committed
+        ]
+        _publish_manifest(
+            self._path,
+            {"files": files, "total_rows": sum(f["rows"] for f in files)},
+        )
+        self._clean_staging()
+        if self._overwrite:
+            keep = {f["file"] for f in files} | {"_MANIFEST.json", "_staging"}
+            for name in os.listdir(self._path):
+                if name not in keep and not name.endswith(".tmp"):
+                    os.remove(os.path.join(self._path, name))
+
+    def abort(self, messages) -> None:
+        # Best-effort: tasks still in flight when the driver aborts can
+        # stage files AFTER this runs. That's fine — staged files are
+        # invisible (readers trust the manifest only) and the next
+        # successful commit's _clean_staging reaps them. The manifest
+        # gate, not this cleanup, is the correctness mechanism.
+        self._clean_staging()
+
+    def _clean_staging(self) -> None:
+        if os.path.isdir(self._staging):
+            for name in os.listdir(self._staging):
+                os.remove(os.path.join(self._staging, name))
+
+
+class IntegrationStreamWriter(DataSourceStreamWriter):
+    """Streaming sink twin: one manifest PER EPOCH
+    (``_MANIFEST-{epoch}.json``). A replayed epoch rewrites its own
+    manifest and re-stages its own files — idempotent by epoch id, so
+    at-least-once delivery becomes exactly-once visibility: readers
+    union the epoch manifests, each of which points to exactly one
+    successful attempt's files."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._names = [f.name for f in schema.fields]
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("hyppo_integration write requires a 'path' option")
+        self._staging = os.path.join(self._path, "_staging")
+
+    def write(self, iterator) -> TaskCommit:
+        return _write_task_file(self._staging, self._names, iterator)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        committed = [m for m in messages if m is not None]
+        for m in committed:
+            os.replace(
+                os.path.join(self._staging, m.file),
+                os.path.join(self._path, m.file),
+            )
+        files = [
+            {"file": m.file, "rows": m.rows, "md5": m.md5} for m in committed
+        ]
+        tmp = os.path.join(self._path, f"_MANIFEST-{batchId}.json.tmp")
+        final = os.path.join(self._path, f"_MANIFEST-{batchId}.json")
+        replaced = None
+        if os.path.exists(final):  # epoch replay: supersede, don't append
+            with open(final, encoding="utf-8") as fh:
+                replaced = {f["file"] for f in json.load(fh)["files"]}
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(
+                {"epoch": batchId, "files": files,
+                 "total_rows": sum(f["rows"] for f in files)},
+                fh, indent=1, sort_keys=True,
+            )
+        os.replace(tmp, final)
+        if replaced:
+            for name in replaced - {f["file"] for f in files}:
+                p = os.path.join(self._path, name)
+                if os.path.exists(p):
+                    os.remove(p)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        if os.path.isdir(self._staging):
+            for name in os.listdir(self._staging):
+                os.remove(os.path.join(self._staging, name))
+
+
+def read_committed(spark, path: str, schema: str):
+    """Read back ONLY manifest-listed files (batch + epoch manifests),
+    verifying each file's md5 against its manifest entry first — the
+    checksum-verified read of the reference's persist contract."""
+    import hashlib
+
+    entries: list[dict] = []
+    for name in sorted(os.listdir(path)):
+        if name == "_MANIFEST.json" or (
+            name.startswith("_MANIFEST-") and name.endswith(".json")
+        ):
+            with open(os.path.join(path, name), encoding="utf-8") as fh:
+                entries.extend(json.load(fh)["files"])
+    files = []
+    for e in entries:
+        fpath = os.path.join(path, e["file"])
+        h = hashlib.md5()
+        with open(fpath, encoding="utf-8") as fh:
+            for line in fh:
+                h.update(line.rstrip("\n").encode())
+        if h.hexdigest() != e["md5"]:
+            raise IOError(
+                f"checksum mismatch for {e['file']}: manifest {e['md5']}, "
+                f"file {h.hexdigest()}"
+            )
+        files.append(fpath)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
 class IntegrationDataSource(DataSource):
     """``spark.dataSource.register(IntegrationDataSource)`` then
     ``spark.read.format("hyppo_integration").schema(...).options(...)``
     for batch, ``spark.readStream`` with a ``task_log`` option for the
-    polling-loop stream."""
+    polling-loop stream, ``df.write.format("hyppo_integration")`` for
+    the manifest-committed sink (``df.writeStream`` for the per-epoch
+    variant)."""
 
     @classmethod
     def name(cls) -> str:
@@ -225,6 +416,14 @@ class IntegrationDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> IntegrationStreamReader:
         return IntegrationStreamReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> IntegrationWriter:
+        return IntegrationWriter(schema, dict(self.options), overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> IntegrationStreamWriter:
+        return IntegrationStreamWriter(schema, dict(self.options))
 
 
 # -- demo fetcher (used by tests; deterministic, no I/O) ----------------
