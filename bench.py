@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "t18_quality_classifier",
     "q46_cms_heavy_hitters",
     "q47_quantile_sketch",
+    "p04_integration_sink_roundtrip",
 ]
 
 

@@ -101,6 +101,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the mergeable-sketch driver row; q46 is locally checked
         "q47_quantile_sketch",  # quantile-sketch rollup — q44 keeps
         # the mergeable-sketch driver row; q47 is locally checked
+        "p04_integration_sink_roundtrip",  # connector WRITE path —
+        # p01/p03 keep the pipeline driver rows; p04 is locally checked
     }
 )
 

@@ -327,3 +327,70 @@ def p03_integration_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "p04_integration_sink_roundtrip",
+    oracle=f"""
+    WITH tasks(task_id, day, n_rows) AS (VALUES {_P03_TASKS_SQL}),
+    expanded AS (
+        SELECT task_id, day, unnest(range(0, n_rows)) AS seq
+        FROM tasks
+    ),
+    rows AS (
+        SELECT task_id, day, seq,
+               'evt-' || task_id || '-' || seq AS name,
+               (seq * 7 + task_id) % 100 AS score
+        FROM expanded
+    )
+    SELECT CAST(task_id AS BIGINT) AS task_id,
+           count(*) AS n_rows,
+           CAST(sum(score) AS BIGINT) AS sum_score
+    FROM rows GROUP BY task_id ORDER BY task_id
+    """,
+    tags=("pipeline", "connector", "datasource", "sink", "manifest"),
+)
+def p04_integration_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector's WRITE path round-tripped: fetch the six tasks
+    through the Python DataSource reader, persist them through the
+    manifest-committed sink (one staged file per task, atomic manifest
+    flip — the reference's PersistProcessedData contract), then read
+    back ONLY manifest-listed files with checksum verification and
+    aggregate per task. Values must equal the never-persisted oracle
+    regeneration, proving the sink neither loses, duplicates, nor
+    corrupts rows."""
+    import json
+    import shutil
+
+    from hyppo_worker_spark.sources.integration_source import (
+        FORMAT_NAME,
+        IntegrationDataSource,
+        read_committed,
+    )
+
+    spark.dataSource.register(IntegrationDataSource)
+    src = (
+        spark.read.format(FORMAT_NAME)
+        .schema("task_id int, day string, seq int, name string, score int")
+        .option(
+            "fetcher",
+            "hyppo_worker_spark.sources.integration_source:"
+            "synthetic_events_fetcher",
+        )
+        .option("tasks", json.dumps(_P03_TASKS))
+        .load()
+    )
+    out = "/tmp/hyppo-p04-sink"
+    shutil.rmtree(out, ignore_errors=True)
+    src.write.format(FORMAT_NAME).option("path", out).mode("overwrite").save()
+    back = read_committed(
+        spark, out, "task_id long, day string, seq long, name string, score long"
+    )
+    return (
+        back.groupBy("task_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("score").alias("sum_score"),
+        )
+        .orderBy("task_id")
+    )
