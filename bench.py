@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q46_cms_heavy_hitters",
     "q47_quantile_sketch",
     "p04_integration_sink_roundtrip",
+    "d11_semantic_dedup",
 ]
 
 

@@ -478,6 +478,87 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup_components(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public paper): k-means-cluster the embedding
+    space, compare pairs EXACTLY but only within a cluster, then
+    connected-components → (node, comp) with comp = the canonical
+    (minimum) id.
+
+    Complementary to :func:`embedding_neardup_pairs` (sign-LSH bands):
+    LSH recall depends on the band/bit geometry, while cluster-scoped
+    pairwise has recall 1 INSIDE a cell and misses only cross-cell
+    pairs — the SemDeDup trade, tuned by ``n_centroids`` (cells ~
+    n/n_centroids vectors ⇒ pairwise cost n²/n_centroids, the scale
+    knob; real deployments use enough cells that a cell fits a task).
+
+    Determinism: centroids come from ``kmeans_centroids``'s
+    fixed-point integer grid, assignment ties break on lowest cell id,
+    and the pair filter uses the ROUNDED cosine — all mirrored by the
+    DuckDB oracle (d11) bit-for-bit.
+    """
+    from hyppo_worker_spark.operators.similarity import kmeans_centroids
+    from hyppo_worker_spark.functions import vectors as V
+    from pyspark.sql import Window as W
+
+    cents = (
+        kmeans_centroids(
+            df, id_col=id_col, vec_col=vec_col,
+            n_centroids=n_centroids, n_iter=n_iter,
+        )
+        .withColumn("cent_norm", V.norm(F.col("cent")))
+        .localCheckpoint(eager=True)
+    )
+    v = df.select(
+        F.col(id_col).alias("did"), V.as_double(F.col(vec_col)).alias("vv")
+    ).withColumn("nrm", V.norm(F.col("vv")))
+    scored = v.join(F.broadcast(cents)).withColumn(
+        "__sim",
+        V.dot(F.col("vv"), F.col("cent")) / (F.col("nrm") * F.col("cent_norm")),
+    )
+    w = W.partitionBy("did").orderBy(F.col("__sim").desc(), "cent_id")
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("did", "vv", "nrm", F.col("cent_id").alias("cell"))
+        .persist()
+    )
+    a = assigned.select(
+        F.col("did").alias("a_id"), F.col("vv").alias("av"),
+        F.col("nrm").alias("anrm"), "cell",
+    )
+    b = assigned.select(
+        F.col("did").alias("b_id"), F.col("vv").alias("bv"),
+        F.col("nrm").alias("bnrm"), "cell",
+    )
+    cos = F.round(
+        V.dot(F.col("av"), F.col("bv")) / (F.col("anrm") * F.col("bnrm")),
+        round_to,
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(pairs)
+    nodes = assigned.select(F.col("did").alias("node"))
+    return nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round: every node's LARGER neighbors re-attach to
     the minimum of its neighborhood (Kiveris et al., "Connected

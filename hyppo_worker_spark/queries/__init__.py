@@ -103,6 +103,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the mergeable-sketch driver row; q47 is locally checked
         "p04_integration_sink_roundtrip",  # connector WRITE path —
         # p01/p03 keep the pipeline driver rows; p04 is locally checked
+        "d11_semantic_dedup",  # SemDeDup (k-means-scoped pairwise) —
+        # d08 keeps the embedding-dedup driver row; d11 locally checked
     }
 )
 

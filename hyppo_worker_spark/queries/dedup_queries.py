@@ -646,3 +646,121 @@ def d10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs_against(
         corpus, batch, "doc_id", "text", threshold=0.8
     ).orderBy("a_id", "b_id")
+
+
+# --------------------------------------------------------------------------
+# d11 — SemDeDup (Abbas et al. 2023): semantic dedup by k-means
+# clustering + EXACT within-cluster pairwise cosine, vs d08's
+# sign-LSH banding. Same planted near-identical copies as d08, same
+# connected-components + keep-min contract — the difference under
+# audit is the candidate generator: cluster-scoped pairwise has
+# recall 1 inside a cell (no band geometry to tune) and cost
+# ~n²/n_centroids, the SemDeDup scale knob. The Lloyd rounds, the
+# assignment tie-break, and the rounded-cosine pair filter are all
+# deterministic and mirrored bit-for-bit by the oracle (the Lloyd SQL
+# is shared with s04's oracle).
+# --------------------------------------------------------------------------
+def _d11_oracle() -> str:
+    from hyppo_worker_spark.queries.similarity_queries import _lloyd_round
+
+    return f"""
+    WITH RECURSIVE corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(range(1, len(embedding) + 1),
+                   i -> CASE WHEN i = 1 THEN embedding[1]::DOUBLE + 0.0625
+                             ELSE embedding[i]::DOUBLE END) AS v,
+               label
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    vecs AS (SELECT vec_id, v FROM corpus),
+    cents0 AS (SELECT vec_id AS cent_id, v AS cent FROM vecs WHERE vec_id < 8),
+    {_lloyd_round(0)},
+    {_lloyd_round(1)},
+    assigned AS (
+        SELECT vecs.vec_id, vecs.v, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY vecs.vec_id
+                                  ORDER BY {_cos('vecs.v', 'c.cent')} DESC,
+                                           c.cent_id) AS rn
+        FROM vecs, cents2 c
+    ),
+    m AS (SELECT vec_id, v, cell FROM assigned WHERE rn = 1),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round({_cos('a.v', 'b.v')}, 6) >= 0.9
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION
+        SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    paths AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT p.u, e.v FROM paths p JOIN edges e ON p.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, least(u, min(v)) AS comp
+        FROM paths GROUP BY u
+    ),
+    dropped AS (SELECT node FROM comp WHERE node <> comp)
+    SELECT corpus.label AS label,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN d.node IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN d.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM corpus LEFT JOIN dropped d ON d.node = corpus.vec_id
+    GROUP BY corpus.label ORDER BY label
+    """
+
+
+@register(
+    "d11_semantic_dedup",
+    oracle=_d11_oracle(),
+    tags=("dedup", "embedding", "semdedup", "kmeans", "connected-components"),
+)
+def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the augmented embedding corpus: cluster with the
+    deterministic fixed-point Lloyd, exact pairwise cosine >= 0.9
+    within each cluster, keep the minimum id per component; per-label
+    corpus composition (same output contract as d08 so the two
+    candidate generators are directly comparable)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    from hyppo_worker_spark.functions import vectors as V
+
+    base = emb.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v"), "label"
+    )
+    planted = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x)
+        ).alias("v"),
+        "label",
+    )
+    corpus = base.unionByName(planted)
+    comp = D.semantic_dedup_components(
+        corpus, "vec_id", "v", n_centroids=8, n_iter=2, threshold=0.9
+    )
+    dropped = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("vec_id")
+    )
+    flag = corpus.join(
+        dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left"
+    )
+    return (
+        flag.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(F.when(F.col("is_dropped").isNotNull(), 1).otherwise(0)).alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("label")
+    )
