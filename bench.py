@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "q47_quantile_sketch",
     "p04_integration_sink_roundtrip",
     "d11_semantic_dedup",
+    "t19_unigram_surprisal",
+    "m03_audio_header_decode",
 ]
 
 

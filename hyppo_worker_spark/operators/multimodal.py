@@ -245,3 +245,74 @@ def parse_image_headers(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, HEADER_SCHEMA)
+
+
+WAV_SCHEMA = (
+    "media_id long, n_channels int, sample_rate int, bits_per_sample int, "
+    "n_samples long, duration_ms long"
+)
+
+
+def parse_wav_headers(df: DataFrame) -> DataFrame:
+    """REAL byte-level decode of WAV/RIFF audio headers — the audio
+    twin of :func:`parse_image_headers`, stdlib ``struct`` only (no
+    ffmpeg/soundfile, so NOT env-gated like the sample codecs):
+
+    - RIFF magic at 0, 'WAVE' at 8, 'fmt ' chunk at 12 (PCM layout);
+    - channels/sample-rate/byte-rate/block-align/bits at LE offsets
+      22/24/28/32/34;
+    - 'data' chunk size (declared payload bytes) at LE offset 40;
+      n_samples = data_size / block_align,
+      duration_ms = data_size * 1000 / byte_rate (integer division —
+      deterministic, and what a manifest stage records).
+
+    Unknown/truncated payloads come back with NULL fields (fail-soft).
+    Input needs (media_id, content:binary); Arrow-batched mapInPandas.
+    """
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r["content"])
+                out = (None, None, None, None, None)
+                if (
+                    len(b) >= 44
+                    and b[:4] == b"RIFF"
+                    and b[8:12] == b"WAVE"
+                    and b[12:16] == b"fmt "
+                ):
+                    (
+                        _fmt_code,
+                        channels,
+                        rate,
+                        byte_rate,
+                        block_align,
+                        bits,
+                    ) = struct.unpack("<HHIIHH", b[20:36])
+                    if b[36:40] == b"data" and block_align > 0 and byte_rate > 0:
+                        (data_size,) = struct.unpack("<I", b[40:44])
+                        out = (
+                            channels,
+                            rate,
+                            bits,
+                            data_size // block_align,
+                            data_size * 1000 // byte_rate,
+                        )
+                rows.append((int(r["media_id"]), *out))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_channels",
+                    "sample_rate",
+                    "bits_per_sample",
+                    "n_samples",
+                    "duration_ms",
+                ],
+            )
+
+    return df.mapInPandas(batches, WAV_SCHEMA)

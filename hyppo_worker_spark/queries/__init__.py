@@ -105,6 +105,10 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # p01/p03 keep the pipeline driver rows; p04 is locally checked
         "d11_semantic_dedup",  # SemDeDup (k-means-scoped pairwise) —
         # d08 keeps the embedding-dedup driver row; d11 locally checked
+        "t19_unigram_surprisal",  # LM-surprisal quality — t02/t18 keep
+        # the quality driver rows; t19 is locally checked
+        "m03_audio_header_decode",  # audio header decode — m01 keeps
+        # the multimodal driver row; m03 is locally checked like m02
     }
 )
 

@@ -143,3 +143,62 @@ def m02_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ELSE {bmp} END AS content",
     )
     return parse_image_headers(media).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# m03 — WAV/RIFF audio header decode: the audio twin of m02. Payloads
+# are synthesized JVM-side (unhex/concat, every multi-byte field
+# little-endian via _le16/_le32) with channels/rate/sample-count
+# derived from doc_id, then parsed back by struct.unpack over Arrow
+# batches (operators/multimodal.py::parse_wav_headers). The oracle
+# recomputes the expected fields from the same doc_id formulas, so a
+# parser reading wrong offsets/endianness — or any corruption in the
+# binary Arrow transfer — breaks the hash. Duration is integer
+# division (data_size*1000 // byte_rate): engine-exact. Audio decode
+# is no longer fully env-gated: the manifest's header stage runs for
+# real; only sample codecs remain gated.
+# --------------------------------------------------------------------------
+_M03_CH = "(1 + doc_id % 2)"
+_M03_RATE = "(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)"
+_M03_NSAMP = "(100 + doc_id % 900)"
+
+
+@register(
+    "m03_audio_header_decode",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST({_M03_CH} AS INTEGER) AS n_channels,
+           CAST({_M03_RATE} AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           CAST({_M03_NSAMP} AS BIGINT) AS n_samples,
+           CAST(({_M03_NSAMP} * {_M03_CH} * 2 * 1000)
+                // ({_M03_RATE} * {_M03_CH} * 2) AS BIGINT) AS duration_ms
+    FROM documents
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "audio", "binary", "decode", "mapInPandas"),
+)
+def m03_audio_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse channels/rate/bits/samples/duration out of raw WAV header
+    bytes built field-by-field JVM-side."""
+    from hyppo_worker_spark.operators.multimodal import parse_wav_headers
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ch, rate, nsamp = _M03_CH, _M03_RATE, _M03_NSAMP
+    block = f"({ch} * 2)"
+    byte_rate = f"({rate} * {block})"
+    data_size = f"({nsamp} * {block})"
+    wav = (
+        "concat(unhex('52494646'), "  # 'RIFF'
+        f"{_le32(f'(36 + {data_size})')}, "
+        "unhex('57415645'), "  # 'WAVE'
+        "unhex('666D7420'), "  # 'fmt '
+        f"{_le32('16')}, "  # fmt chunk size
+        f"{_le16('1')}, "  # PCM
+        f"{_le16(ch)}, {_le32(rate)}, {_le32(byte_rate)}, "
+        f"{_le16(block)}, {_le16('16')}, "
+        "unhex('64617461'), "  # 'data'
+        f"{_le32(data_size)})"
+    )
+    media = docs.selectExpr("doc_id AS media_id", f"{wav} AS content")
+    return parse_wav_headers(media).orderBy("media_id")

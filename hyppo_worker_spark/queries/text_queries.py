@@ -1293,3 +1293,83 @@ def t18_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("raw") * 1000.0 / F.col("n")).cast("long").alias("score_milli"),
         (F.col("raw") * _CLF_KEEP_NUM > F.col("n")).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# t19 — unigram surprisal quality signal (the integer-exact core of
+# LM-perplexity filtering à la CCNet, Wenzek et al. 2020 — public
+# paper). True log-prob scoring needs log(), which is transcendental
+# and not bit-portable across engines; the WHOLE-BIT surprisal
+# floor(log2(N / count(w))) is: it is the bit-length of the integer
+# ratio, computed with conv/bin — so a document's mean surprisal (how
+# rare its words are against the corpus unigram distribution) is
+# cross-engine exact. High mean = rare/garbled vocabulary; low mean =
+# boilerplate. Scale shape: one corpus shuffle for the unigram table;
+# scoring joins exploded tokens to that table keyed by token (the
+# vocabulary is tiny next to the corpus, and the 1-row N total rides a
+# broadcast); one per-doc aggregation shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "t19_unigram_surprisal",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    ex AS (SELECT doc_id, unnest(w) AS token FROM tok),
+    uni AS (SELECT token, count(*) AS cnt FROM ex GROUP BY 1),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uni),
+    scored AS (
+        SELECT token, length(bin(n_total // cnt)) - 1 AS bits
+        FROM uni, n
+    ),
+    per_doc AS (
+        SELECT ex.doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(bits) AS BIGINT) AS bits_sum
+        FROM ex JOIN scored USING (token)
+        GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(bits_sum * 1000.0 / n_tokens) AS BIGINT)
+               AS mean_surprisal_milli,
+           CASE WHEN bits_sum * 1000 < 4000 * n_tokens THEN 'common'
+                WHEN bits_sum * 1000 < 9000 * n_tokens THEN 'mixed'
+                ELSE 'rare' END AS band
+    FROM per_doc ORDER BY doc_id
+    """,
+    tags=("text", "quality", "language-model", "surprisal", "training-data"),
+)
+def t19_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean whole-bit unigram surprisal vs the corpus
+    distribution, banded into common/mixed/rare vocabularies — all
+    integer arithmetic (bit-length of N div count), no log()."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ex = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    uni = ex.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    n = uni.agg(F.sum("cnt").cast("long").alias("n_total"))
+    scored = uni.crossJoin(F.broadcast(n)).select(
+        "token",
+        (
+            F.length(F.conv(F.expr("n_total div cnt"), 10, 2)) - 1
+        ).alias("bits"),
+    )
+    per_doc = (
+        ex.join(scored, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").cast("long").alias("bits_sum"),
+        )
+    )
+    band = (
+        F.when(F.col("bits_sum") * 1000 < 4000 * F.col("n_tokens"), "common")
+        .when(F.col("bits_sum") * 1000 < 9000 * F.col("n_tokens"), "mixed")
+        .otherwise("rare")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("bits_sum") * 1000.0 / F.col("n_tokens"))
+        .cast("long")
+        .alias("mean_surprisal_milli"),
+        band.alias("band"),
+    ).orderBy("doc_id")
