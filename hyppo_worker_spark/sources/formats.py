@@ -111,6 +111,18 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """ORC sink (built into Spark — no jar gate, unlike avro). ORC
+    carries min/max/bloom row-group statistics like parquet, so
+    filter pushdown works the same way at scan time."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite", codec: str = "deflate") -> None:
     """Avro sink with the reference's default codec
     (``reference.conf:82``: deflate)."""

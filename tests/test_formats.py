@@ -76,3 +76,28 @@ def test_avro_gated_when_jar_missing(spark, sample, tmp_path):
 def test_jdbc_gated_without_driver(spark, sample):
     with pytest.raises(FMT.FormatUnavailable):
         FMT.read_jdbc(spark, "jdbc:postgresql://nohost/db", "t")
+
+
+def test_orc_round_trip_with_pushdown(spark, sample, tmp_path):
+    """ORC is the second columnar format Spark ships natively: round
+    trip plus evidence that scan-time filter pushdown reaches the ORC
+    reader (PushedFilters in the formatted plan)."""
+    p = str(tmp_path / "t.orc")
+    FMT.write_orc(sample, p)
+    back = FMT.read_orc(spark, p)
+    assert sorted(r.id for r in back.collect()) == [1, 2, 3]
+
+    from hyppo_worker_spark.plans.explain import pushed_filters
+
+    pushed = pushed_filters(back.filter("id = 2"))
+    assert any("id" in p for p in pushed)
+
+
+def test_orc_partitioned_write_prunes(spark, sample, tmp_path):
+    import os
+
+    p = str(tmp_path / "part.orc")
+    FMT.write_orc(sample.fillna({"name": "x"}), p, partition_by=["name"])
+    assert any(d.startswith("name=") for d in os.listdir(p))
+    back = FMT.read_orc(spark, p).filter("name = 'a'")
+    assert back.count() == 1
