@@ -146,6 +146,48 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         assert state_ts <= per_user_events[u] + len(FUNNEL_STAGES)
 
 
+def test_chunked_delivery_equals_single_batch_property():
+    """Hypothesis: for ANY event set with positive timestamps split
+    into ANY ordered chunks, incremental updates at watermark 0 (the
+    everything-is-admissible case — wm below every ts means compaction
+    may only collapse FINALIZED prefixes, never drop live candidates)
+    equal the single-batch answer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ts_lists = st.lists(
+        st.lists(st.integers(min_value=1, max_value=200), max_size=6),
+        min_size=4,
+        max_size=4,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(events=ts_lists, cuts=st.lists(st.integers(0, 5), max_size=3))
+    def run(events, cuts):
+        whole, reached_w, done_w = funnel_step(EMPTY, events, 0)
+        del whole
+        # split every stage's list into len(cuts)+1 chunks at the
+        # (wrapped) cut points, delivered in order
+        chunks = []
+        n_chunks = len(cuts) + 1
+        for c in range(n_chunks):
+            chunks.append([[] for _ in range(4)])
+        for k, lst in enumerate(events):
+            for i, v in enumerate(lst):
+                which = (
+                    sum(1 for c in cuts if i >= c % (len(lst) or 1))
+                    % n_chunks
+                )
+                chunks[which][k].append(v)
+        st_state = EMPTY
+        reached = done = None
+        for ch in chunks:
+            st_state, reached, done = funnel_step(st_state, ch, 0)
+        assert (reached, done) == (reached_w, done_w)
+
+    run()
+
+
 @pytest.mark.parametrize("wm", [0, 55, 1_000])
 def test_compaction_never_changes_answers(wm):
     """Property: for a fixed event set delivered in two arbitrary
