@@ -388,13 +388,24 @@ class HyppoEngine:
             self.resources.release_all(leases)
 
         slot.transition("publishing")
-        # A failure counts as CANCELLED (not a connector failure) only
-        # when this slot was actually killed — by its watchdog timer or
-        # by shutdown() cancelling its job group. A genuine connector
-        # failure that merely races a concurrent shutdown (stop flag
-        # set, but this slot finished on its own) is reported normally.
+        # A failure counts as CANCELLED (not a connector failure) when
+        # this slot was actually killed — by its watchdog timer or by
+        # shutdown() cancelling its job group — AND during a shutdown
+        # for ANY failure of not-yet-acked work: inside the stop window
+        # the cancel storm makes infrastructure collateral (a python
+        # worker or socket dying under a neighboring interrupt)
+        # indistinguishable from a genuine connector failure, and
+        # at-least-once semantics make redelivery the safe call — the
+        # reference's worker-death path likewise reports nothing and
+        # lets the next worker run the item (a truly broken connector
+        # fails again there and is reported then, bounded by
+        # max_deliveries). Observed live: a straggler failing
+        # spuriously ~1s before its cancel landed was acked + reported
+        # terminal, so the restarted engine never re-ran it.
         killed = (
-            timed_out.is_set() or slot.cancelled
+            timed_out.is_set()
+            or slot.cancelled
+            or (self._stop.is_set() and not acked_early)
         ) and isinstance(response, FailureResponse)
         if isinstance(response, FailureResponse):
             response = dataclasses.replace(
