@@ -440,3 +440,17 @@ def synthetic_events_fetcher(params: dict, schema: StructType) -> Iterator[tuple
     n = int(params.get("n_rows", 10))
     for i in range(n):
         yield (task_id, day, i, f"evt-{task_id}-{i}", (i * 7 + task_id) % 100)
+
+
+def synthetic_documents_fetcher(params: dict, schema: StructType) -> Iterator[tuple]:
+    """Deterministic per-task DOCUMENT rows (doc_id, text) for the
+    ingestion-admission composition tests: each task carries explicit
+    ``docs`` — a list of [doc_id, prefix, n_words, n_changed] specs —
+    and the text is a prefix-derived word sequence with the first
+    ``n_changed`` anchor words replaced (the same near-dup construction
+    the admission tests use)."""
+    for doc_id, prefix, n_words, n_changed in params["docs"]:
+        words = [f"{prefix}{i:03d}" for i in range(int(n_words))]
+        for j in range(int(n_changed)):
+            words[10 + 7 * j] = f"chg{prefix}{j}"
+        yield (doc_id, " ".join(words))
