@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "d11_semantic_dedup",
     "t19_unigram_surprisal",
     "m03_audio_header_decode",
+    "t20_textrank_keywords",
 ]
 
 

@@ -109,6 +109,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the quality driver rows; t19 is locally checked
         "m03_audio_header_decode",  # audio header decode — m01 keeps
         # the multimodal driver row; m03 is locally checked like m02
+        "t20_textrank_keywords",  # TextRank keywords — t16/q40 keep
+        # the iterative driver rows; t20 is locally checked
     }
 )
 

@@ -1373,3 +1373,93 @@ def t19_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_surprisal_milli"),
         band.alias("band"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# t20 — TextRank keyword extraction (Mihalcea & Tarau 2004 — public
+# paper): weighted PageRank over the token co-occurrence graph.
+# Extends the iterative-algorithm family (CC d07, Lloyd s04, BPE t16)
+# with the classic graph-centrality recurrence, in the same
+# deterministic discipline: ranks live on a fixed-point integer grid
+# (SCALE=1e6) and each round is pure integer arithmetic —
+#   r'(v) = 0.15*SCALE + (85 * Σ_u (r(u)*w_uv div ws_u)) div 100
+# — so five rounds are bit-identical across engines (float PageRank is
+# neither order- nor engine-stable). Graph: adjacent-token pairs
+# (window 2), symmetrized, weight = adjacency count. Scale shape: the
+# corpus is scanned ONCE to build the edge list (one shuffle keyed by
+# the token pair); every round after runs on the vocabulary-sized edge
+# table — one join + one groupBy per round, lineage truncated per
+# round exactly like connected_components.
+# --------------------------------------------------------------------------
+_TR_SCALE = 1_000_000
+_TR_ROUNDS = 5
+
+
+def _tr_round_sql(i: int) -> str:
+    return f"""
+    r{i + 1} AS (
+        SELECT e.v AS token,
+               150000 + (85 * CAST(sum((r.r * e.w) // e.ws) AS BIGINT)) // 100
+                   AS r
+        FROM e JOIN r{i} r ON r.token = e.u
+        GROUP BY e.v
+    )"""
+
+
+@register(
+    "t20_textrank_keywords",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    adj AS (
+        SELECT w[i] AS u, w[i + 1] AS v
+        FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tok)
+        WHERE w[i] <> w[i + 1]
+    ),
+    und AS (SELECT u, v FROM adj UNION ALL SELECT v AS u, u AS v FROM adj),
+    edges AS (SELECT u, v, count(*) AS w FROM und GROUP BY 1, 2),
+    ws AS (SELECT u, CAST(sum(w) AS BIGINT) AS ws FROM edges GROUP BY 1),
+    e AS (SELECT edges.u, edges.v, edges.w, ws.ws FROM edges JOIN ws USING (u)),
+    r0 AS (SELECT DISTINCT u AS token, {_TR_SCALE}::BIGINT AS r FROM edges),
+    {",".join(_tr_round_sql(i) for i in range(_TR_ROUNDS))}
+    SELECT token, CAST(r AS BIGINT) AS rank_scaled
+    FROM r{_TR_ROUNDS}
+    ORDER BY rank_scaled DESC, token LIMIT 20
+    """,
+    tags=("text", "keywords", "textrank", "pagerank", "iterative", "graph"),
+)
+def t20_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus keywords by 5 rounds of fixed-point weighted
+    PageRank over the symmetrized adjacent-token graph."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = docs.select(TX.tokens("text").alias("w"))
+    pair = words.select(
+        F.explode(TX.word_ngrams(F.col("w"), 2)).alias("g")
+    ).select(
+        F.split(F.col("g"), " ").getItem(0).alias("u"),
+        F.split(F.col("g"), " ").getItem(1).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    und = pair.unionByName(
+        pair.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    edges = und.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    ws = edges.groupBy("u").agg(F.sum("w").cast("long").alias("ws"))
+    e = edges.join(ws, "u").persist()
+    ranks = e.select("u").distinct().select(
+        F.col("u").alias("token"), F.lit(_TR_SCALE).cast("long").alias("r")
+    )
+    for _ in range(_TR_ROUNDS):
+        contrib = (
+            e.join(ranks, e["u"] == ranks["token"])
+            .select("v", F.expr("(r * w) div ws").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").cast("long").alias("cs"))
+        )
+        ranks = contrib.select(
+            F.col("v").alias("token"),
+            (F.lit(150000) + F.expr("(85 * cs) div 100")).cast("long").alias("r"),
+        ).localCheckpoint(eager=False)
+    return (
+        ranks.select("token", F.col("r").alias("rank_scaled"))
+        .orderBy(F.col("rank_scaled").desc(), "token")
+        .limit(20)
+    )
