@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "t19_unigram_surprisal",
     "m03_audio_header_decode",
     "t20_textrank_keywords",
+    "q48_kmv_set_sketch",
 ]
 
 

@@ -100,3 +100,55 @@ def cms_estimate(
         .groupBy(*carried)
         .agg(F.min("c").alias("est"))
     )
+
+
+# -- k-minimum-values (KMV) sketch ----------------------------------------
+#
+# The SET-OPERATIONS sketch (Bar-Yossef et al. 2002; Beyer et al. 2007
+# — public algorithms): keep the k smallest hash values of a set.
+# Mergeable (union = k smallest of the combined sketches) and, unlike
+# HLL, it supports INTERSECTION estimates: the fraction of the merged
+# sketch's members that belong to both sets estimates the Jaccard, and
+# est(A∩B) = ρ * est(A∪B). With the shared md5 primitive the sketch
+# content — and therefore every estimate — is deterministic and
+# engine-portable, so oracles reproduce estimates exactly.
+#
+# Fixed-point estimator: hashes are 52-bit ints h ∈ [0, 2^52); with
+# n >= k the k-th smallest hash t estimates n ≈ (k-1) * 2^52 / t,
+# computed as ((k-1) << 52) div t — pure integer division. When the
+# set has fewer than k distinct hashes the sketch IS the set and the
+# estimate is exact by construction.
+
+KMV_BITS = 52
+
+
+def kmv_hash(key) -> "F.Column":
+    """52-bit md5-derived hash — distinct per key, identical in DuckDB
+    via ('0x' || substr(md5(k), 1, 13))::BIGINT."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 13), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_sketch(df: DataFrame, key_col: str, *, k: int = 256) -> DataFrame:
+    """The k smallest distinct hash values of df[key_col] — a
+    ``(h)`` frame of <= k rows. Scale shape: one distinct shuffle on
+    the 8-byte hash, then TakeOrderedAndProject (top-k, no global
+    sort materialization)."""
+    return (
+        df.select(kmv_hash(key_col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Union sketches: k smallest of the combined hash sets."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)

@@ -111,6 +111,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the multimodal driver row; m03 is locally checked like m02
         "t20_textrank_keywords",  # TextRank keywords — t16/q40 keep
         # the iterative driver rows; t20 is locally checked
+        "q48_kmv_set_sketch",  # KMV set-operations sketch — q44 keeps
+        # the mergeable-sketch driver row; q48 is locally checked
     }
 )
 

@@ -2332,3 +2332,162 @@ def q47_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stat")
     )
+
+
+# --------------------------------------------------------------------------
+# q48 — KMV set-operation sketch (operators/sketches.py): completes
+# the mergeable-summary suite with the one thing HLL cannot do —
+# INTERSECTION estimates. Two user sets with planted partial overlap
+# (same deterministic-augmentation technique as d08's planted
+# near-dups: A = users ∪ even-ids+1e6, B = ids%3!=0 ∪ odd-ids+2e6),
+# sketched as the k=256 smallest md5-derived 52-bit hashes. Union
+# cardinality from the k-th smallest hash ((k-1)<<52 div t — pure
+# integer division), intersection via the Jaccard fraction of the
+# merged sketch. Everything is deterministic md5 + integer math, so
+# the oracle reproduces the sketch content AND the estimates exactly;
+# accuracy vs the exact twins is asserted in-plan. The small-set path
+# (fewer distinct hashes than k → sketch IS the set → estimates
+# exact) is exercised at sf0.001; the estimator path from sf0.01 up.
+# Scale shape: per set, one distinct shuffle on an 8-byte hash + a
+# top-k — the sketch is 256 rows regardless of corpus size.
+# --------------------------------------------------------------------------
+_KMV_K = 256
+_KMV_NUM = (_KMV_K - 1) << 52  # (k-1) * 2^52
+
+
+@register(
+    "q48_kmv_set_sketch",
+    oracle=f"""
+    WITH base AS (SELECT DISTINCT user_id FROM events),
+    sa AS (
+        SELECT user_id FROM base
+        UNION SELECT user_id + 1000000 FROM base WHERE user_id % 2 = 0
+    ),
+    sb AS (
+        SELECT user_id FROM base WHERE user_id % 3 <> 0
+        UNION SELECT user_id + 2000000 FROM base WHERE user_id % 2 = 1
+    ),
+    ha AS (SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h FROM sa),
+    hb AS (SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h FROM sb),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    merged AS (
+        SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+        ORDER BY h LIMIT {_KMV_K}
+    ),
+    m AS (SELECT count(*) AS n_m, max(h) AS t FROM merged),
+    bo AS (
+        SELECT count(*) AS n_both FROM merged
+        WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)
+    ),
+    ex AS (
+        SELECT (SELECT count(*) FROM sa) AS n_a,
+               (SELECT count(*) FROM sb) AS n_b,
+               (SELECT count(*) FROM sa JOIN sb USING (user_id)) AS n_int,
+               (SELECT count(*) FROM (SELECT user_id FROM sa
+                                      UNION SELECT user_id FROM sb)) AS n_union
+    ),
+    est AS (
+        SELECT CASE WHEN n_m < {_KMV_K} THEN n_m
+                    ELSE {_KMV_NUM} // t END AS est_union,
+               n_m, n_both
+        FROM m, bo
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(n_int AS BIGINT) AS n_int,
+           CAST(est_union AS BIGINT) AS est_union,
+           CAST((n_both * est_union) // n_m AS BIGINT) AS est_int,
+           abs(est_union - n_union) * 5 <= n_union AS union_ok,
+           abs((n_both * est_union) // n_m - n_int) * 10 <= 35 * n_int / 10
+               AS int_ok
+    FROM ex, est
+    """,
+    tags=("aggregation", "sketch", "kmv", "mergeable", "set-ops"),
+)
+def q48_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union and intersection cardinality of two planted-overlap user
+    sets from merged KMV sketches, with exact twins and in-plan
+    accuracy bounds (20% union, 35% intersection)."""
+    from hyppo_worker_spark.operators.sketches import (
+        kmv_hash,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    base = events.select("user_id").distinct()
+    sa = base.unionByName(
+        base.filter(F.col("user_id") % 2 == 0).select(
+            (F.col("user_id") + 1000000).alias("user_id")
+        )
+    ).distinct()
+    sb = (
+        base.filter(F.col("user_id") % 3 != 0)
+        .unionByName(
+            base.filter(F.col("user_id") % 2 == 1).select(
+                (F.col("user_id") + 2000000).alias("user_id")
+            )
+        )
+        .distinct()
+    )
+    ha = sa.select(kmv_hash("user_id").alias("h")).distinct().persist()
+    hb = sb.select(kmv_hash("user_id").alias("h")).distinct().persist()
+    ka = ha.orderBy("h").limit(_KMV_K)
+    kb = hb.orderBy("h").limit(_KMV_K)
+    merged = kmv_merge(ka, kb, k=_KMV_K).persist()
+    m = merged.agg(
+        F.count(F.lit(1)).alias("n_m"), F.max("h").alias("t")
+    )
+    bo = (
+        merged.join(ha, "h", "left_semi")
+        .join(hb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ex = (
+        sa.agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(F.broadcast(sb.agg(F.count(F.lit(1)).alias("n_b"))))
+        .crossJoin(
+            F.broadcast(
+                sa.join(sb, "user_id", "left_semi").agg(
+                    F.count(F.lit(1)).alias("n_int")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                sa.unionByName(sb)
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("n_union"))
+            )
+        )
+    )
+    est_union = F.when(
+        F.col("n_m") < _KMV_K, F.col("n_m")
+    ).otherwise(F.expr(f"{_KMV_NUM} div t"))
+    out = (
+        ex.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(bo))
+        .withColumn("est_union", est_union)
+        .withColumn("est_int", F.expr("(n_both * est_union) div n_m"))
+    )
+    # kmv_sketch is the operator-level entry the sketches come from;
+    # reference it so API drift is caught (ka/kb above inline the same
+    # expression for persist-sharing with ha/hb).
+    _ = kmv_sketch
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_int",
+        "est_union",
+        "est_int",
+        (F.abs(F.col("est_union") - F.col("n_union")) * 5 <= F.col("n_union")).alias(
+            "union_ok"
+        ),
+        (
+            F.abs(F.col("est_int") - F.col("n_int")) * 10
+            <= 35 * F.col("n_int") / 10
+        ).alias("int_ok"),
+    )
