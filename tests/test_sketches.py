@@ -53,3 +53,49 @@ def test_exact_when_no_collision(spark):
     row = cms_estimate(counters, tc, "k", depth=DEPTH, width=WIDTH).first()
     assert row.est == 42
     assert counters.count() <= DEPTH  # one cell per depth row
+
+
+# -- KMV ------------------------------------------------------------------
+
+from hyppo_worker_spark.operators.sketches import (  # noqa: E402
+    kmv_hash,
+    kmv_merge,
+    kmv_sketch,
+)
+
+KMV_K = 16
+
+
+def _keys(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").cast("string").alias("k"))
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    a = _keys(spark, 0, 100)
+    b = _keys(spark, 50, 150)
+    merged = kmv_merge(
+        kmv_sketch(a, "k", k=KMV_K), kmv_sketch(b, "k", k=KMV_K), k=KMV_K
+    )
+    direct = kmv_sketch(a.unionByName(b), "k", k=KMV_K)
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
+
+
+def test_kmv_small_set_is_the_set(spark):
+    s = _keys(spark, 0, 5)
+    rows = kmv_sketch(s, "k", k=KMV_K).collect()
+    assert len(rows) == 5  # sketch holds everything -> estimates exact
+    expected = sorted(
+        r.h for r in s.select(kmv_hash("k").alias("h")).collect()
+    )
+    assert sorted(r.h for r in rows) == expected
+
+
+def test_kmv_estimator_within_tolerance(spark):
+    # 2000 keys, k=256: expected relative error ~ 1/sqrt(k) ~ 6%
+    s = _keys(spark, 0, 2000)
+    sk = kmv_sketch(s, "k", k=256)
+    t = sk.agg(F.max("h").alias("t")).first().t
+    est = (255 << 52) // t
+    assert abs(est - 2000) * 5 <= 2000  # within 20%
