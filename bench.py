@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "m03_audio_header_decode",
     "t20_textrank_keywords",
     "q48_kmv_set_sketch",
+    "m04_video_header_decode",
 ]
 
 

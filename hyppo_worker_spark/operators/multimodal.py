@@ -316,3 +316,60 @@ def parse_wav_headers(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, WAV_SCHEMA)
+
+
+MP4_SCHEMA = (
+    "media_id long, major_brand string, minor_version int, "
+    "ftyp_size int, next_box string, next_size long"
+)
+
+
+def parse_mp4_headers(df: DataFrame) -> DataFrame:
+    """REAL byte-level decode of MP4 / ISO-BMFF container headers —
+    the video leg of the header-decode trio (images
+    :func:`parse_image_headers`, audio :func:`parse_wav_headers`),
+    stdlib ``struct`` only:
+
+    ISO-BMFF is a box sequence; every box = BE u32 size + 4-byte type.
+    The first box must be ``ftyp`` (major brand + BE u32 minor
+    version); this parser reads it and then WALKS to the next box
+    header (typically ``moov``/``mdat``) using the declared size — a
+    real two-box traversal, so a wrong size field or endianness breaks
+    the walk, not just one field. Unknown/truncated payloads come back
+    NULL (fail-soft). Arrow-batched mapInPandas.
+    """
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r["content"])
+                out = (None, None, None, None, None)
+                if len(b) >= 16 and b[4:8] == b"ftyp":
+                    (fsize,) = struct.unpack(">I", b[0:4])
+                    brand = b[8:12].decode("ascii", errors="replace")
+                    (minor,) = struct.unpack(">I", b[12:16])
+                    nbox, nsize = None, None
+                    if len(b) >= fsize + 8:
+                        (nsize,) = struct.unpack(">I", b[fsize:fsize + 4])
+                        nbox = b[fsize + 4:fsize + 8].decode(
+                            "ascii", errors="replace"
+                        )
+                    out = (brand, minor, fsize, nbox, nsize)
+                rows.append((int(r["media_id"]), *out))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "major_brand",
+                    "minor_version",
+                    "ftyp_size",
+                    "next_box",
+                    "next_size",
+                ],
+            )
+
+    return df.mapInPandas(batches, MP4_SCHEMA)

@@ -113,6 +113,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the iterative driver rows; t20 is locally checked
         "q48_kmv_set_sketch",  # KMV set-operations sketch — q44 keeps
         # the mergeable-sketch driver row; q48 is locally checked
+        "m04_video_header_decode",  # video header decode — m01 keeps
+        # the multimodal driver row; m04 is locally checked like m02/m03
     }
 )
 

@@ -202,3 +202,55 @@ def m03_audio_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.selectExpr("doc_id AS media_id", f"{wav} AS content")
     return parse_wav_headers(media).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# m04 — MP4 / ISO-BMFF header decode: the video leg of the trio (m02
+# images, m03 audio). Payloads are a valid ftyp box followed by the
+# next box header, built JVM-side with BIG-endian fields (_be32 —
+# ISO-BMFF is BE, unlike WAV), parsed back by a struct box-walk that
+# must use the DECLARED ftyp size to find the second box — so a wrong
+# size or endianness breaks the walk, not just one field. Oracle
+# recomputes everything from the id formulas.
+# --------------------------------------------------------------------------
+_M04_MINOR = "(doc_id % 100)"
+_M04_NEXT_SIZE = "(1000 + doc_id % 5000)"
+
+
+@register(
+    "m04_video_header_decode",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                ELSE 'avc1' END AS major_brand,
+           CAST({_M04_MINOR} AS INTEGER) AS minor_version,
+           CAST(16 AS INTEGER) AS ftyp_size,
+           CASE doc_id % 2 WHEN 0 THEN 'moov' ELSE 'mdat' END AS next_box,
+           CAST({_M04_NEXT_SIZE} AS BIGINT) AS next_size
+    FROM documents
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "video", "binary", "decode", "mapInPandas"),
+)
+def m04_video_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse brand/minor-version and walk to the next box header out
+    of raw ISO-BMFF bytes built field-by-field JVM-side."""
+    from hyppo_worker_spark.operators.multimodal import parse_mp4_headers
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    brand = (
+        "CASE doc_id % 3 WHEN 0 THEN unhex('69736F6D') "  # 'isom'
+        "WHEN 1 THEN unhex('6D703432') "  # 'mp42'
+        "ELSE unhex('61766331') END"  # 'avc1'
+    )
+    next_box = (
+        "CASE doc_id % 2 WHEN 0 THEN unhex('6D6F6F76') "  # 'moov'
+        "ELSE unhex('6D646174') END"  # 'mdat'
+    )
+    mp4 = (
+        f"concat({_be32('16')}, unhex('66747970'), "  # size + 'ftyp'
+        f"{brand}, {_be32(_M04_MINOR)}, "
+        f"{_be32(_M04_NEXT_SIZE)}, {next_box})"
+    )
+    media = docs.selectExpr("doc_id AS media_id", f"{mp4} AS content")
+    return parse_mp4_headers(media).orderBy("media_id")
