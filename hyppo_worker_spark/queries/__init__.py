@@ -115,6 +115,9 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the mergeable-sketch driver row; q48 is locally checked
         "m04_video_header_decode",  # video header decode — m01 keeps
         # the multimodal driver row; m04 is locally checked like m02/m03
+        "q49_bloom_runtime_filter",  # membership sketch / runtime
+        # filter — q27 keeps the approx-agg driver row; q49 is locally
+        # checked like the rest of the sketch family
     }
 )
 

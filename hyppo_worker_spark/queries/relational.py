@@ -2491,3 +2491,114 @@ def q48_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 35 * F.col("n_int") / 10
         ).alias("int_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# q49 — relational Bloom runtime filter (operators/bloom.py): the
+# MEMBERSHIP sketch that completes the mergeable-summary family
+# (q44 distinct/HLL, q46 frequency/CMS, q47 quantile, q48 set-ops/KMV).
+# Build side: urgent orders' keys, sharded per o_orderstatus in ONE
+# pass and OR-merged (the incremental contract). Probe side: lineitem
+# is NEVER shuffled or exploded — membership is k broadcast joins
+# against the <= bits/32-row word table, the map-side pre-filter shape
+# Spark's own InjectRuntimeFilter produces, except persistable,
+# mergeable, and engine-portable (md5 bit placement → DuckDB
+# reproduces every word AND every false positive bit-for-bit).
+# false_neg_n is structurally 0 (no false negatives by construction)
+# and asserted by the oracle compare; false_pos_n is the sketch's
+# deterministic collision error, nonzero at sf >= 0.01.
+# --------------------------------------------------------------------------
+_BF_BITS, _BF_K = 1 << 16, 3
+
+from hyppo_worker_spark.operators.bloom import (  # noqa: E402
+    WORD_BITS as _BF_WORD,
+    bloom_position_sql as _bf_pos_sql,
+)
+
+
+@register(
+    "q49_bloom_runtime_filter",
+    oracle=f"""
+    WITH bk AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    bpos AS (
+        SELECT {_bf_pos_sql('k', 'i', _BF_BITS)} AS pos
+        FROM bk, range({_BF_K}) r(i)
+    ),
+    words AS (
+        SELECT pos // {_BF_WORD} AS word,
+               bit_or(1::BIGINT << (pos % {_BF_WORD})::INT) AS bits_w
+        FROM bpos GROUP BY 1
+    ),
+    pk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    ppos AS (
+        SELECT k, {_bf_pos_sql('k', 'i', _BF_BITS)} AS pos
+        FROM pk, range({_BF_K}) r(i)
+    ),
+    verdict AS (
+        SELECT p.k,
+               count(*) FILTER (WHERE w.bits_w IS NOT NULL
+                   AND (w.bits_w & (1::BIGINT << (p.pos % 32)::INT)) <> 0)
+                   = {_BF_K} AS pass
+        FROM ppos p LEFT JOIN words w ON p.pos // 32 = w.word
+        GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           count(*) AS n_rows,
+           CAST(count(*) FILTER (WHERE b.k IS NOT NULL) AS BIGINT) AS exact_n,
+           CAST(count(*) FILTER (WHERE v.pass) AS BIGINT) AS bloom_pass_n,
+           CAST(count(*) FILTER (WHERE v.pass AND b.k IS NULL) AS BIGINT)
+               AS false_pos_n,
+           CAST(count(*) FILTER (WHERE b.k IS NOT NULL AND NOT v.pass) AS BIGINT)
+               AS false_neg_n
+    FROM lineitem l
+    JOIN verdict v ON l.l_orderkey = v.k
+    LEFT JOIN bk b ON l.l_orderkey = b.k
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "sketch", "bloom", "mergeable", "runtime-filter"),
+)
+def q49_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag exact vs bloom-passed lineitem counts against a
+    filter built from urgent orders — false_pos_n is the deterministic
+    collision error, false_neg_n must be 0."""
+    from hyppo_worker_spark.operators.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_might_contain,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    # Shard filters per order status, OR-merged — one pass, one plan.
+    shards = bloom_build(
+        urgent, "o_orderkey", bits=_BF_BITS, hashes=_BF_K, shard_col="o_orderstatus"
+    )
+    words = bloom_merge(shards)
+    li = t["lineitem"].select("l_orderkey", "l_returnflag")
+    flagged = bloom_might_contain(
+        words, li, "l_orderkey", bits=_BF_BITS, hashes=_BF_K
+    )
+    member = (
+        urgent.select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    joined = flagged.join(F.broadcast(member), "l_orderkey", "left")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("_m").cast("long").alias("exact_n"),
+            F.sum(F.col("bloom_pass").cast("long")).alias("bloom_pass_n"),
+            F.sum(
+                (F.col("bloom_pass") & F.col("_m").isNull()).cast("long")
+            ).alias("false_pos_n"),
+            F.sum(
+                (F.col("_m").isNotNull() & ~F.col("bloom_pass")).cast("long")
+            ).alias("false_neg_n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -99,3 +99,76 @@ def test_kmv_estimator_within_tolerance(spark):
     t = sk.agg(F.max("h").alias("t")).first().t
     est = (255 << 52) // t
     assert abs(est - 2000) * 5 <= 2000  # within 20%
+
+
+# -- Bloom ----------------------------------------------------------------
+
+from pyspark.sql import Row  # noqa: E402
+
+from hyppo_worker_spark.operators.bloom import (  # noqa: E402
+    bloom_build,
+    bloom_merge,
+    bloom_might_contain,
+)
+
+BITS, K = 1 << 10, 3  # small filter forces real false positives
+
+
+def _bf_keys(spark, keys):
+    return spark.createDataFrame([Row(k=x) for x in keys], "k string")
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = [f"member{i}" for i in range(100)]
+    words = bloom_build(_bf_keys(spark, keys), "k", bits=BITS, hashes=K)
+    out = bloom_might_contain(
+        words, _bf_keys(spark, keys), "k", bits=BITS, hashes=K
+    )
+    assert out.filter(~F.col("bloom_pass")).count() == 0
+
+
+def test_bloom_false_positives_exist_but_bounded(spark):
+    # 300 members * 3 hashes into 1024 bits -> ~60% fill -> fpp ~ 0.2;
+    # collisions are certain, but most non-members must still miss at
+    # a fill below saturation.
+    members = [f"m{i}" for i in range(300)]
+    others = [f"x{i}" for i in range(500)]
+    words = bloom_build(_bf_keys(spark, members), "k", bits=BITS, hashes=K)
+    out = bloom_might_contain(
+        words, _bf_keys(spark, others), "k", bits=BITS, hashes=K
+    )
+    fp = out.filter(F.col("bloom_pass")).count()
+    assert 0 < fp < 300
+
+
+def test_bloom_merge_equals_global_build(spark):
+    keys = [f"k{i}" for i in range(80)]
+    merged = bloom_merge(
+        bloom_build(_bf_keys(spark, keys[:30]), "k", bits=BITS, hashes=K),
+        bloom_build(_bf_keys(spark, keys[30:]), "k", bits=BITS, hashes=K),
+    )
+    direct = bloom_build(_bf_keys(spark, keys), "k", bits=BITS, hashes=K)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_bloom_sharded_build_merges_like_separate_builds(spark):
+    rows = [Row(k=f"k{i}", shard=f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, shard string")
+    sharded = bloom_build(df, "k", bits=BITS, hashes=K, shard_col="shard")
+    assert sharded.select("shard").distinct().count() == 3
+    merged = bloom_merge(sharded)
+    direct = bloom_build(df, "k", bits=BITS, hashes=K)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_bloom_null_key_roundtrip(spark):
+    # NULL keys hash as '' on both engines (md5_bucket convention):
+    # inserting a NULL makes NULL (and '') probe-positive.
+    df = spark.createDataFrame([Row(k=None), Row(k="a")], "k string")
+    words = bloom_build(df, "k", bits=BITS, hashes=K)
+    out = bloom_might_contain(words, df, "k", bits=BITS, hashes=K)
+    assert out.filter(~F.col("bloom_pass")).count() == 0
