@@ -15,9 +15,21 @@ friendly — no read-modify-write). Checking a new batch then joins the
 batch's (broadcast) banding rows against ``banded/`` and pulls shingle
 arrays only for candidate ids — the corpus text is never re-read.
 
-At scale, ``banded/`` should be written bucketed/partitioned by
-band_key prefix so the candidate join prunes files; the append
-contract is unchanged.
+``banded/`` is directory-partitioned by ``band_pt`` (an md5 bucket of
+the band key) and sorted by ``band_key`` within each file:
+
+- a probe batch only ever joins rows whose band_pt values it itself
+  hashes into, so ``pairs_against`` statically prunes the scan to
+  those partitions (the values are collected from the PROBE side —
+  at most ``n_pt`` small integers, never corpus data). A single-doc
+  lookup reads ~bands/n_pt of the index files; a large batch covers
+  every bucket and degrades gracefully to a full scan;
+- the in-file sort gives parquet row-group min/max stats on
+  band_key, so even inside a surviving partition, row groups whose
+  key range misses the probe keys are skipped by pushdown.
+
+The append contract is unchanged: each admission writes only its own
+rows into the partition dirs it touches.
 """
 
 from __future__ import annotations
@@ -25,7 +37,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from hyppo_worker_spark.functions import text as TX
 from hyppo_worker_spark.operators.dedup import (
     _minhash_banded,
     minhash_pairs_against_banded,
@@ -42,13 +56,18 @@ class MinHashLshIndex:
         num_hashes: int = 12,
         bands: int = 6,
         shingle_n: int = 3,
+        n_pt: int = 16,
     ) -> None:
         self.path = path
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
+        self.n_pt = n_pt
         self._banded_dir = os.path.join(path, "banded")
         self._shingles_dir = os.path.join(path, "shingles")
+
+    def _band_pt(self, col):
+        return TX.md5_bucket(col, self.n_pt)
 
     def exists(self) -> bool:
         return os.path.isdir(self._banded_dir)
@@ -68,8 +87,19 @@ class MinHashLshIndex:
         )
 
     def append(self, shingles: DataFrame, banded: DataFrame) -> None:
-        """Admit documents: append their frames (no rewrite)."""
-        banded.write.mode("append").parquet(self._banded_dir)
+        """Admit documents: append their frames (no rewrite). Banding
+        rows land in their band_pt partition dir, sorted by band_key
+        within each file (row-group min/max stats for probe pushdown);
+        repartition first so each touched partition gets ONE file per
+        admission, not one per upstream task."""
+        (
+            banded.withColumn("band_pt", self._band_pt(F.col("band_key")))
+            .repartition("band_pt")
+            .sortWithinPartitions("band_key")
+            .write.mode("append")
+            .partitionBy("band_pt")
+            .parquet(self._banded_dir)
+        )
         shingles.write.mode("append").parquet(self._shingles_dir)
 
     def load(self, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
@@ -86,10 +116,29 @@ class MinHashLshIndex:
         *,
         threshold: float = 0.8,
         broadcast_new: bool = True,
+        prune: bool = True,
     ) -> DataFrame:
         """(corpus_id a_id, new_id b_id, jaccard) pairs of the new
-        batch against everything admitted so far."""
+        batch against everything admitted so far.
+
+        With ``prune`` (default) the index scan is statically filtered
+        to the band_pt partitions the PROBE batch hashes into — the
+        collected list is at most ``n_pt`` integers (probe metadata,
+        never corpus data), and the filter reaches the scan as a
+        partition filter, so non-matching index files are never
+        opened."""
         docs_c, band_c = self.load(spark)
+        if prune:
+            pts = sorted(
+                r[0]
+                for r in new_banded.select(
+                    self._band_pt(F.col("band_key")).alias("pt")
+                )
+                .distinct()
+                .collect()
+            )
+            if len(pts) < self.n_pt:
+                band_c = band_c.filter(F.col("band_pt").isin(pts))
         return minhash_pairs_against_banded(
             docs_c,
             band_c,

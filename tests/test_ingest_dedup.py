@@ -115,3 +115,45 @@ def test_replayed_batch_is_noop(spark, tmp_path, staged_source):
         for r in spark.read.parquet(os.path.join(base, "corpus")).collect()
     )
     assert kept == ["x1"]
+
+
+def test_banded_index_is_partition_pruned(spark, tmp_path):
+    """The banded/ frame is directory-partitioned by band_pt and a
+    probe's scan is statically pruned to the probe's own partitions;
+    pruned and unpruned probes return identical pairs."""
+    from hyppo_worker_spark.operators.lsh_index import MinHashLshIndex
+    from hyppo_worker_spark.plans.explain import formatted_plan
+
+    idx = MinHashLshIndex(str(tmp_path / "idx"))
+    corpus = spark.createDataFrame(
+        [(f"doc{i}", _text(f"w{i}")) for i in range(30)],
+        "doc_id string, text string",
+    )
+    idx.append(*idx.compute_frames(corpus, "doc_id", "text"))
+
+    # layout: band_pt=N directories, each file sorted by band_key
+    banded_dir = os.path.join(str(tmp_path / "idx"), "banded")
+    parts = [d for d in os.listdir(banded_dir) if d.startswith("band_pt=")]
+    assert len(parts) > 1
+
+    probe = spark.createDataFrame(
+        [("probe1", _text("w7", changed=2))], "doc_id string, text string"
+    )
+    sh_n, band_n = idx.compute_frames(probe, "doc_id", "text")
+    pruned = idx.pairs_against(spark, sh_n, band_n)
+    full = idx.pairs_against(spark, sh_n, band_n, prune=False)
+
+    # the probe is a near-dup of doc7 and must be found either way
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert pruned.filter(F.col("a_id") == "doc7").count() == 1
+
+    # and the pruned plan's index scan carries a band_pt partition
+    # filter (a 6-band single doc cannot cover all 16 buckets)
+    plan = formatted_plan(pruned)
+    assert "band_pt" in plan and "PartitionFilters" in plan
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert any("band_pt" in f and f.strip() for f in pf)
