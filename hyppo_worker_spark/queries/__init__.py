@@ -118,6 +118,9 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q49_bloom_runtime_filter",  # membership sketch / runtime
         # filter — q27 keeps the approx-agg driver row; q49 is locally
         # checked like the rest of the sketch family
+        "q50_zorder_skipping",  # z-order layout / data skipping —
+        # q01's pushed-filter scan keeps the scan family; q50 is
+        # locally checked
     }
 )
 

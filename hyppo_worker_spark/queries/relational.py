@@ -2602,3 +2602,155 @@ def q49_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q50 — z-order clustered layout (operators/zorder.py): the FILE-
+# SKIPPING story made measurable. lineitem's (ship-day, partkey) are
+# range-scaled to 8-bit ints, Morton-interleaved, and clustered into
+# 64 z-buckets (top-6 bits of z — the deterministic twin of the file
+# assignment zorder_write makes); a second, single-key layout buckets
+# by ship-day alone. For a 1/16-of-keyspace predicate on EITHER
+# dimension the query counts which buckets (→ files, at scale) a
+# min-max-pruning scan would have to read. The z layout prunes BOTH
+# dimensions (~2/3 of buckets skipped each way at sf0.01); the linear
+# layout prunes x perfectly and y not at all — the reason a 100 TB
+# export filtered on two keys wants z-order. Everything is integer
+# arithmetic on both engines, so the oracle reproduces every z code,
+# bucket extent, and survivor count exactly.
+# --------------------------------------------------------------------------
+_Z_BITS = 8
+_Z_FILE_SHIFT = 2 * _Z_BITS - 6  # 64 z-buckets
+_Z_LIN_SHIFT = _Z_BITS - 6  # 64 linear buckets
+_ZPX = (64, 79)  # 1/16 slice of x space
+_ZPY = (128, 143)  # 1/16 slice of y space
+
+from hyppo_worker_spark.operators.zorder import (  # noqa: E402
+    scale_to_bits as _z_scale,
+    scale_to_bits_sql as _z_scale_sql,
+    zvalue as _zvalue,
+    zvalue_sql as _zvalue_sql,
+)
+
+
+def _z_surv_sql(src: str, layout: str, dim: str, lo: int, hi: int) -> str:
+    mx, mn = f"max_{dim}", f"min_{dim}"
+    return f"""
+    SELECT '{layout}' AS layout, '{dim}' AS dim,
+           CAST(count(*) FILTER (WHERE {mx} >= {lo} AND {mn} <= {hi}) AS BIGINT)
+               AS surviving_buckets,
+           CAST(count(*) AS BIGINT) AS total_buckets,
+           CAST(coalesce(sum(n) FILTER (WHERE {mx} >= {lo} AND {mn} <= {hi}), 0) AS BIGINT)
+               AS surviving_rows,
+           CAST(sum(n) AS BIGINT) AS total_rows
+    FROM {src}"""
+
+
+@register(
+    "q50_zorder_skipping",
+    oracle=f"""
+    WITH base AS (
+        SELECT datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS xr,
+               l_partkey AS yr
+        FROM lineitem
+    ),
+    mm AS (SELECT min(xr) AS xmin, max(xr) AS xmax,
+                  min(yr) AS ymin, max(yr) AS ymax FROM base),
+    s AS (
+        SELECT {_z_scale_sql('xr', 'xmin', 'xmax', _Z_BITS)} AS xs,
+               {_z_scale_sql('yr', 'ymin', 'ymax', _Z_BITS)} AS ys
+        FROM base, mm
+    ),
+    b AS (
+        SELECT xs, ys,
+               {_zvalue_sql('xs', 'ys', _Z_BITS)} >> {_Z_FILE_SHIFT} AS zb,
+               xs >> {_Z_LIN_SHIFT} AS lb
+        FROM s
+    ),
+    ez AS (
+        SELECT zb, count(*) AS n, min(xs) AS min_x, max(xs) AS max_x,
+               min(ys) AS min_y, max(ys) AS max_y
+        FROM b GROUP BY 1
+    ),
+    el AS (
+        SELECT lb, count(*) AS n, min(xs) AS min_x, max(xs) AS max_x,
+               min(ys) AS min_y, max(ys) AS max_y
+        FROM b GROUP BY 1
+    )
+    SELECT * FROM (
+        {_z_surv_sql('ez', 'zorder', 'x', *_ZPX)}
+        UNION ALL {_z_surv_sql('ez', 'zorder', 'y', *_ZPY)}
+        UNION ALL {_z_surv_sql('el', 'linear', 'x', *_ZPX)}
+        UNION ALL {_z_surv_sql('el', 'linear', 'y', *_ZPY)}
+    ) ORDER BY layout, dim
+    """,
+    tags=("layout", "zorder", "data-skipping", "scan"),
+)
+def q50_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max pruning survivor counts for a 1/16-keyspace predicate
+    on each dimension, under a z-order vs a single-key clustering of
+    lineitem (ship-day × partkey)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    base = li.select(
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date(F.lit("1992-01-01"))
+        ).alias("xr"),
+        F.col("l_partkey").alias("yr"),
+    )
+    mm = base.agg(
+        F.min("xr").alias("xmin"),
+        F.max("xr").alias("xmax"),
+        F.min("yr").alias("ymin"),
+        F.max("yr").alias("ymax"),
+    )
+    s = base.crossJoin(F.broadcast(mm)).select(
+        _z_scale(F.col("xr"), F.col("xmin"), F.col("xmax"), _Z_BITS).alias("xs"),
+        _z_scale(F.col("yr"), F.col("ymin"), F.col("ymax"), _Z_BITS).alias("ys"),
+    )
+    b = s.select(
+        "xs",
+        "ys",
+        F.shiftright(_zvalue(F.col("xs"), F.col("ys"), _Z_BITS), _Z_FILE_SHIFT).alias("zb"),
+        F.shiftright(F.col("xs").cast("long"), _Z_LIN_SHIFT).alias("lb"),
+    )
+
+    def extents(bcol: str):
+        return (
+            b.groupBy(bcol)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("xs").alias("min_x"),
+                F.max("xs").alias("max_x"),
+                F.min("ys").alias("min_y"),
+                F.max("ys").alias("max_y"),
+            )
+            .persist()
+        )
+
+    ez, el = extents("zb"), extents("lb")
+
+    def surv(e, layout: str, dim: str, lo: int, hi: int):
+        hit = (F.col(f"max_{dim}") >= lo) & (F.col(f"min_{dim}") <= hi)
+        return e.agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("surviving_buckets"),
+            F.count(F.lit(1)).alias("total_buckets"),
+            F.coalesce(F.sum(F.when(hit, F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias("surviving_rows"),
+            F.sum("n").cast("long").alias("total_rows"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            F.lit(dim).alias("dim"),
+            "surviving_buckets",
+            "total_buckets",
+            "surviving_rows",
+            "total_rows",
+        )
+
+    out = (
+        surv(ez, "zorder", "x", *_ZPX)
+        .unionByName(surv(ez, "zorder", "y", *_ZPY))
+        .unionByName(surv(el, "linear", "x", *_ZPX))
+        .unionByName(surv(el, "linear", "y", *_ZPY))
+    )
+    return out.orderBy("layout", "dim")
