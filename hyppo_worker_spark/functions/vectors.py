@@ -28,6 +28,17 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance — same evaluation order as
+    DuckDB's ``list_reduce`` over the per-component squares, so the
+    double result is bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 for zero-norm inputs."""
     d = norm(a) * norm(b)

@@ -1,0 +1,195 @@
+"""Product quantization (PQ) for compressed approximate nearest
+neighbor search — the third ANN tier after sign-bucket LSH
+(`similarity.knn_sign_bucket`) and IVF (`similarity.knn_ivf`).
+
+PQ (Jégou, Douze & Schmid 2011 — a public algorithm) splits each
+D-dim vector into M subvectors, learns a small k-means codebook per
+subspace, and stores each vector as M small codes: with M=8, K=8 a
+64-dim float64 embedding compresses 64× (512 bytes → 8 3-bit codes).
+Queries run Asymmetric Distance Computation (ADC): per subspace the
+query's squared distance to each centroid goes into an M×K lookup
+table, and a candidate's approximate distance is the SUM of M table
+entries addressed by its codes — no candidate vector is ever read.
+
+Spark-first layout, mirroring the repo's IVF design:
+
+- **training** is Lloyd on the (vec, subspace) exploded frame, keyed
+  by subspace — all M codebooks train in the SAME per-round shuffle
+  (groupBy (m, cell, pos) integer sums on the fixed-point grid from
+  `similarity.kmeans_centroids`), so training cost is one corpus-wide
+  pass per round regardless of M;
+- **encoding** is one broadcast join of the tiny codebook table
+  (M*K rows) + an argmin window per (vector, subspace): the corpus is
+  scanned once and shuffles only narrow (id, m, code) rows;
+- **ADC** joins the corpus CODES (never the vectors) against a
+  broadcast M×K-per-query lookup table and sums per (query,
+  candidate) — contributions are pre-scaled to integers
+  (floor(sqdist * 1e6)), so the sum is order-independent and the
+  final ranking is bit-identical across engines and partitionings.
+
+At 100 TB the codes table is what lives in memory/SSD (the point of
+PQ); the scan is over M-byte codes instead of D*8-byte vectors, and
+the only corpus-scale shuffle is the final per-query top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from hyppo_worker_spark.functions import vectors as V
+from hyppo_worker_spark.operators.similarity import FIXED_POINT_SCALE
+
+ADC_SCALE = 1_000_000  # contribution grid: floor(sqdist * 1e6) longs
+
+
+def pq_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, *, m: int, dim: int
+) -> DataFrame:
+    """Explode each vector into (``__id``, ``m``, ``sv``) subvector
+    rows; ``dim`` must be divisible by ``m``."""
+    d = dim // m
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(mi).alias("m"),
+                F.slice(V.as_double(F.col(vec_col)), mi * d + 1, d).alias("sv"),
+            )
+            for mi in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("__id"), F.explode(parts).alias("p")
+    ).select("__id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv"))
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    m: int = 8,
+    k: int = 8,
+    dim: int = 64,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Per-subspace codebooks (m, cent_id, cent) via m-keyed Lloyd.
+
+    Init is the lowest-k corpus ids' subvectors (the same fixed seed
+    convention as `similarity.kmeans_centroids`); updates run on the
+    shared fixed-point integer grid so every centroid component — and
+    therefore every downstream code — is deterministic cross-engine.
+    An emptied cell keeps its previous centroid.
+    """
+    subs = pq_subvectors(corpus, id_col, vec_col, m=m, dim=dim)
+    cents = subs.filter(F.col("__id") < k).select(
+        "m", F.col("__id").alias("cent_id"), F.col("sv").alias("cent")
+    )
+    for _ in range(n_iter):
+        scored = subs.join(F.broadcast(cents), "m").withColumn(
+            "__d", V.sqdist(F.col("sv"), F.col("cent"))
+        )
+        w = W.partitionBy("__id", "m").orderBy(F.col("__d").asc(), "cent_id")
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "m", "sv", F.col("cent_id").alias("cell"))
+        )
+        sums = (
+            assigned.select("m", "cell", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("m", "cell", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * FIXED_POINT_SCALE).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        new_cents = (
+            sums.groupBy("m", "cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
+                F.max("n").alias("n"),
+            )
+            .select(
+                "m",
+                F.col("cell").alias("cent_id"),
+                F.transform(
+                    "ps",
+                    lambda t: t["s"]
+                    / (F.lit(float(FIXED_POINT_SCALE)) * F.col("n")),
+                ).alias("new_cent"),
+            )
+        )
+        cents = (
+            cents.join(new_cents, ["m", "cent_id"], "left")
+            .select(
+                "m", "cent_id", F.coalesce("new_cent", "cent").alias("cent")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode every vector as (``__id``, ``m``, ``code``): the argmin-
+    distance centroid per subspace (ties → lowest cent_id)."""
+    subs = pq_subvectors(corpus, id_col, vec_col, m=m, dim=dim)
+    scored = subs.join(F.broadcast(codebooks), "m").withColumn(
+        "__d", V.sqdist(F.col("sv"), F.col("cent"))
+    )
+    w = W.partitionBy("__id", "m").orderBy(F.col("__d").asc(), "cent_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "m", F.col("cent_id").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    m: int = 8,
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k: (q_id, neighbor_id, adist_u6, rank) by ascending
+    approximate squared distance (integer-scaled; ties → lowest id).
+    Self-matches excluded. The corpus side is the CODES table only."""
+    qsubs = pq_subvectors(queries, id_col, vec_col, m=m, dim=dim)
+    lut = (
+        qsubs.join(F.broadcast(codebooks), "m")
+        .select(
+            F.col("__id").alias("q_id"),
+            "m",
+            F.col("cent_id").alias("code"),
+            F.floor(V.sqdist(F.col("sv"), F.col("cent")) * ADC_SCALE)
+            .cast("long")
+            .alias("contrib"),
+        )
+    )
+    scored = (
+        codes.withColumnRenamed("__id", "neighbor_id")
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.sum("contrib").alias("adist_u6"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adist_u6").asc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "adist_u6", "rank")
+    )

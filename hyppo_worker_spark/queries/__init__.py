@@ -121,6 +121,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q50_zorder_skipping",  # z-order layout / data skipping —
         # q01's pushed-filter scan keeps the scan family; q50 is
         # locally checked
+        "s07_pq_adc_topk",  # product-quantization ANN — s01/s02/s04
+        # keep the similarity driver rows; s07 is locally checked
     }
 )
 

@@ -317,3 +317,162 @@ def s06_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# s07 — product quantization + ADC (operators/pq.py): the COMPRESSED
+# ANN tier (s02 = LSH buckets, s04/s05 = IVF cells, s07 = 32x-
+# compressed codes). M=16 subspaces x K=8 centroids trained by m-keyed
+# fixed-point Lloyd (all 16 codebooks in one per-round shuffle), corpus
+# encoded as 16 codes, queries scored by Asymmetric Distance
+# Computation — integer-scaled subspace distances summed from an M*K
+# lookup table, so rankings are order-independent and the oracle
+# reproduces every code, distance, and rank exactly. in_exact flags
+# each approximate neighbor against the true integer-L2 top-5
+# (recall@5 measured in-plan; the test pins its floor).
+# --------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_D = 16, 8, 64
+
+
+def _sq(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def _pq_lloyd_round(i: int) -> str:
+    return f"""
+    pa{i} AS (
+        SELECT s.vec_id, s.m, s.sv, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_sq('s.sv', 'c.cent')} ASC, c.cent_id) AS rn
+        FROM subs s JOIN pc{i} c ON c.m = s.m
+    ),
+    pm{i} AS (SELECT vec_id, m, sv, cell FROM pa{i} WHERE rn = 1),
+    pg{i} AS (SELECT m, cell, list(sv) AS ms, count(*) AS n
+              FROM pm{i} GROUP BY 1, 2),
+    pu{i} AS (
+        SELECT m, cell AS cent_id,
+               list_transform(range(1, len(ms[1]) + 1),
+                   i -> CAST(list_sum(list_transform(ms,
+                            x -> CAST(floor(x[i] * 1000000) AS BIGINT))) AS DOUBLE)
+                        / (1000000.0 * n)) AS cent
+        FROM pg{i}
+    ),
+    pc{i + 1} AS (
+        SELECT c.m, c.cent_id, coalesce(u.cent, c.cent) AS cent
+        FROM pc{i} c LEFT JOIN pu{i} u ON u.m = c.m AND u.cent_id = c.cent_id
+    )"""
+
+
+@register(
+    "s07_pq_adc_topk",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    subs AS (
+        SELECT vec_id, r.m,
+               list_slice(v, r.m * {_PQ_D // _PQ_M} + 1,
+                          r.m * {_PQ_D // _PQ_M} + {_PQ_D // _PQ_M}) AS sv
+        FROM vecs, range({_PQ_M}) r(m)
+    ),
+    pc0 AS (SELECT m, vec_id AS cent_id, sv AS cent FROM subs
+            WHERE vec_id < {_PQ_K}),
+    {_pq_lloyd_round(0)},
+    {_pq_lloyd_round(1)},
+    ca AS (
+        SELECT s.vec_id, s.m, c.cent_id AS code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_sq('s.sv', 'c.cent')} ASC, c.cent_id) AS rn
+        FROM subs s JOIN pc2 c ON c.m = s.m
+    ),
+    codes AS (SELECT vec_id, m, code FROM ca WHERE rn = 1),
+    lut AS (
+        SELECT s.vec_id AS q_id, s.m, c.cent_id AS code,
+               CAST(floor({_sq('s.sv', 'c.cent')} * 1000000) AS BIGINT) AS contrib
+        FROM subs s JOIN pc2 c ON c.m = s.m
+        WHERE s.vec_id < 20
+    ),
+    scored AS (
+        SELECT l.q_id, cd.vec_id AS neighbor_id,
+               CAST(sum(l.contrib) AS BIGINT) AS adist_u6
+        FROM codes cd
+        JOIN lut l ON l.m = cd.m AND l.code = cd.code AND l.q_id <> cd.vec_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adist_u6 ASC, neighbor_id) AS rank
+        FROM scored
+    ),
+    ex AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               CAST(floor({_sq('q.v', 'c.v')} * 1000000) AS BIGINT) AS edist_u6
+        FROM vecs q JOIN vecs c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ),
+    eranked AS (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY edist_u6 ASC, neighbor_id) AS erank
+        FROM ex
+    ),
+    etop AS (SELECT q_id, neighbor_id FROM eranked WHERE erank <= 5)
+    SELECT r.q_id, r.neighbor_id, r.adist_u6, r.rank,
+           (e.neighbor_id IS NOT NULL) AS in_exact
+    FROM ranked r
+    LEFT JOIN etop e ON e.q_id = r.q_id AND e.neighbor_id = r.neighbor_id
+    WHERE r.rank <= 5
+    ORDER BY r.q_id, r.rank
+    """,
+    tags=("similarity", "knn", "pq", "approximate", "compression"),
+)
+def s07_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate top-5 neighbors with per-row exact-
+    top-5 membership flags (in_exact) for in-plan recall measurement."""
+    from pyspark.sql import Window as W
+
+    from hyppo_worker_spark.operators import pq as PQ
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    cb = PQ.pq_codebooks(
+        emb, m=_PQ_M, k=_PQ_K, dim=_PQ_D, n_iter=2
+    )
+    codes = PQ.pq_encode(emb, cb, m=_PQ_M, dim=_PQ_D)
+    approx = PQ.pq_adc_topk(
+        codes, cb, queries, m=_PQ_M, dim=_PQ_D, k=5
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.as_double(F.col("embedding")).alias("cv"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), V.as_double(F.col("embedding")).alias("qv")
+    )
+    ex = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.floor(V.sqdist(F.col("qv"), F.col("cv")) * PQ.ADC_SCALE)
+            .cast("long")
+            .alias("edist_u6"),
+        )
+    )
+    we = W.partitionBy("q_id").orderBy(F.col("edist_u6").asc(), "neighbor_id")
+    etop = (
+        ex.withColumn("erank", F.row_number().over(we))
+        .filter(F.col("erank") <= 5)
+        .select("q_id", "neighbor_id", F.lit(True).alias("__hit"))
+    )
+    return (
+        approx.join(etop, ["q_id", "neighbor_id"], "left")
+        .select(
+            "q_id",
+            "neighbor_id",
+            "adist_u6",
+            "rank",
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("in_exact"),
+        )
+        .orderBy("q_id", "rank")
+    )
