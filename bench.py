@@ -85,6 +85,11 @@ BENCH_QUERIES = [
     "t20_textrank_keywords",
     "q48_kmv_set_sketch",
     "m04_video_header_decode",
+    # Round-4 continuation (third session):
+    "q49_bloom_runtime_filter",
+    "q50_zorder_skipping",
+    "s07_pq_adc_topk",
+    "q51_scd2_history",
 ]
 
 

@@ -9,6 +9,12 @@ dataset to approximately ``target_file_bytes`` per file; the analog of
 the reference's HandleJobCompleted finalization hook ("commit
 manifest, swap partitions" — SURVEY.md §2.A op 7) doing a VACUUM-style
 rewrite.
+
+``zorder_by``/``zorder_key`` here are the N-dimensional maintenance-
+rewrite form of z-ordering (bounds collected once driver-side, sampled
+range partitioning). The deterministic, oracle-checkable two-dim form
+— bounds in-plan, pure-function file ids, verified by q50 and
+footer-stat tests — lives in ``operators.zorder``.
 """
 
 from __future__ import annotations

@@ -28,6 +28,14 @@ by file id (the write repartition) — no global sort. Z codes are
 near-uniform when the scaled inputs are; heavy single-value skew
 shows up as a hot file id and is the caller's salting decision, the
 same as for any write partitioning.
+
+Relationship to ``operators.maintenance.zorder_by``: that is the
+N-dimensional rewrite variant (driver-collected bounds folded in as
+literals, sampled range partitioning — right for a maintenance job).
+This module is the fully-IN-PLAN two-dim form: bounds ride a 1-row
+broadcast join and the file id is a pure function of the row, which
+is what makes the layout reproducible across engines/cluster sizes
+and lets q50's DuckDB oracle verify it value-for-value.
 """
 
 from __future__ import annotations

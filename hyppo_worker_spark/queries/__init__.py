@@ -123,6 +123,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # locally checked
         "s07_pq_adc_topk",  # product-quantization ANN — s01/s02/s04
         # keep the similarity driver rows; s07 is locally checked
+        "q51_scd2_history",  # SCD2 type-2 merge — q30 keeps the
+        # merge/upsert driver row; q51 is locally checked
     }
 )
 

@@ -2754,3 +2754,133 @@ def q50_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(surv(el, "linear", "y", *_ZPY))
     )
     return out.orderBy("layout", "dim")
+
+
+# --------------------------------------------------------------------------
+# q51 — SCD2 history maintenance (operators/merge.py:scd2_apply): the
+# type-2 slowly-changing-dimension merge q30's last-writer-wins upsert
+# deliberately is NOT. Two update generations run through the generic
+# operator: batch 1 (t1) re-segments every 7th customer (+50 balance)
+# and inserts 5 new ones; batch 2 (t2) re-segments every 14th, updates
+# the odd-keyed new customers, and ALSO carries no-op rows (every 21st
+# customer re-submitted with identical values) that must NOT spawn
+# versions. The oracle does not replay the operator — it derives the
+# expected (valid_from, valid_to) histogram ANALYTICALLY from the key
+# arithmetic, so an operator bug cannot cancel out of the compare.
+# Scale shape: each generation is one key-hashed join of the open
+# slice vs the update batch + unions — no window over history, closed
+# versions are never rescanned for matching.
+# --------------------------------------------------------------------------
+_SCD_OPEN = "9999-12-31 00:00:00"
+_SCD_T0, _SCD_T1, _SCD_T2 = (
+    "1990-01-01 00:00:00",
+    "2024-01-01 00:00:00",
+    "2024-02-01 00:00:00",
+)
+
+
+@register(
+    "q51_scd2_history",
+    oracle=f"""
+    WITH base AS (SELECT * FROM customer),
+    never AS (SELECT count(*) AS n, round(sum(c_acctbal), 2) AS bal
+              FROM base WHERE c_custkey % 7 <> 0),
+    b1 AS (SELECT count(*) AS n, round(sum(c_acctbal), 2) AS bal
+           FROM base WHERE c_custkey % 7 = 0),
+    b1n2 AS (SELECT count(*) AS n,
+                    round(sum(round(c_acctbal + 50, 2)), 2) AS bal50
+             FROM base WHERE c_custkey % 7 = 0 AND c_custkey % 14 <> 0),
+    b2 AS (SELECT count(*) AS n,
+                  round(sum(round(c_acctbal + 50, 2)), 2) AS bal50
+           FROM base WHERE c_custkey % 14 = 0),
+    newc AS (SELECT count(*) AS n FROM base WHERE c_custkey < 5),
+    newodd AS (SELECT count(*) AS n FROM base
+               WHERE c_custkey < 5 AND c_custkey % 2 = 1)
+    SELECT valid_from, valid_to, n_rows, bal FROM (
+        SELECT '{_SCD_T0}' AS valid_from, '{_SCD_OPEN}' AS valid_to,
+               CAST(never.n AS BIGINT) AS n_rows, never.bal AS bal
+        FROM never
+        UNION ALL
+        SELECT '{_SCD_T0}', '{_SCD_T1}', CAST(b1.n AS BIGINT), b1.bal FROM b1
+        UNION ALL
+        SELECT '{_SCD_T1}', '{_SCD_OPEN}',
+               CAST(b1n2.n + newc.n - newodd.n AS BIGINT),
+               round(b1n2.bal50 + 10.0 * (newc.n - newodd.n), 2)
+        FROM b1n2, newc, newodd
+        UNION ALL
+        SELECT '{_SCD_T1}', '{_SCD_T2}',
+               CAST(b2.n + newodd.n AS BIGINT),
+               round(b2.bal50 + 10.0 * newodd.n, 2)
+        FROM b2, newodd
+        UNION ALL
+        SELECT '{_SCD_T2}', '{_SCD_OPEN}',
+               CAST(b2.n + newodd.n AS BIGINT),
+               round(b2.bal50 + 10.0 * newodd.n, 2)
+        FROM b2, newodd
+    ) ORDER BY valid_from, valid_to
+    """,
+    tags=("merge", "scd2", "cdc", "history"),
+)
+def q51_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(valid_from, valid_to) histogram (+ balance sums) of the
+    customer dimension after two SCD2 update generations, including
+    no-op resubmissions that must not create versions."""
+    from hyppo_worker_spark.operators.merge import scd2_apply
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    dim0 = cust.withColumn("valid_from", F.lit(_SCD_T0)).withColumn(
+        "valid_to", F.lit(_SCD_OPEN)
+    )
+
+    def reseg(df, segment: str):
+        return df.select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") + 50, 2).alias("c_acctbal"),
+            F.lit(segment).alias("c_mktsegment"),
+        )
+
+    def newcust(df, segment: str):
+        return df.filter(F.col("c_custkey") < 5).select(
+            (F.col("c_custkey") + 2000000).alias("c_custkey"),
+            F.concat(F.lit("scd-new-"), F.col("c_custkey")).alias("c_name"),
+            "c_nationkey",
+            F.lit(10.0).alias("c_acctbal"),
+            F.lit(segment).alias("c_mktsegment"),
+        )
+
+    u1 = reseg(cust.filter(F.col("c_custkey") % 7 == 0), "SEGMENT-A").unionByName(
+        newcust(cust, "BUILDING")
+    )
+    dim1 = scd2_apply(
+        dim0, u1, "c_custkey", ["c_mktsegment", "c_acctbal"], new_ts=_SCD_T1
+    )
+    # batch 2: real changes (every 14th; odd-keyed new customers) plus
+    # NO-OP resubmissions (every 21st not also 14th — byte-identical to
+    # the open version) that must not create versions
+    u2 = (
+        reseg(cust.filter(F.col("c_custkey") % 14 == 0), "SEGMENT-B")
+        .unionByName(
+            reseg(
+                cust.filter(
+                    (F.col("c_custkey") % 21 == 0) & (F.col("c_custkey") % 14 != 0)
+                ),
+                "SEGMENT-A",
+            )
+        )
+        .unionByName(
+            newcust(cust.filter(F.col("c_custkey") % 2 == 1), "MACHINERY")
+        )
+    )
+    dim2 = scd2_apply(
+        dim1, u2, "c_custkey", ["c_mktsegment", "c_acctbal"], new_ts=_SCD_T2
+    )
+    return (
+        dim2.groupBy("valid_from", "valid_to")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+        .orderBy("valid_from", "valid_to")
+    )

@@ -37,26 +37,71 @@ REPLICAS = 10
 
 
 def build_x10(spark) -> None:
-    """10 deterministic variants of every sf0.1 document."""
+    """10 deterministic variants of every sf0.1 row, per table the
+    stress queries read (documents for the dedup/text paths; orders +
+    lineitem for the relational/sketch paths, with consistent
+    replicated join keys; embeddings for the ANN paths, perturbed per
+    replica so they aren't exact dups)."""
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(X10_DIR, "documents.parquet", "_SUCCESS")):
-        return
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("rep"))
-    amplified = (
-        docs.crossJoin(F.broadcast(reps))
-        .withColumn("doc_id", F.col("doc_id") * REPLICAS + F.col("rep"))
-        # vary the tail so replicas are near-dups, not exact dups —
-        # keeps the LSH verify stage honestly loaded
-        .withColumn(
-            "text",
-            F.concat(F.col("text"), F.lit(" variant "), F.col("rep").cast("string")),
+
+    def _done(table: str) -> bool:
+        return os.path.exists(os.path.join(X10_DIR, table, "_SUCCESS"))
+
+    if not _done("documents.parquet"):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        amplified = (
+            docs.crossJoin(F.broadcast(reps))
+            .withColumn("doc_id", F.col("doc_id") * REPLICAS + F.col("rep"))
+            # vary the tail so replicas are near-dups, not exact dups —
+            # keeps the LSH verify stage honestly loaded
+            .withColumn(
+                "text",
+                F.concat(
+                    F.col("text"), F.lit(" variant "), F.col("rep").cast("string")
+                ),
+            )
+            .drop("rep")
         )
-        .drop("rep")
-    )
-    amplified.write.mode("overwrite").parquet(f"{X10_DIR}/documents.parquet")
-    # t14/t13 read only documents; copy nothing else.
+        amplified.write.mode("overwrite").parquet(f"{X10_DIR}/documents.parquet")
+
+    # orders + lineitem replicate with CONSISTENT key remapping, so
+    # join fan-outs stay realistic (each replica is its own key space).
+    if not _done("orders.parquet"):
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        (
+            orders.crossJoin(F.broadcast(reps))
+            .withColumn("o_orderkey", F.col("o_orderkey") * REPLICAS + F.col("rep"))
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(f"{X10_DIR}/orders.parquet")
+        )
+    if not _done("lineitem.parquet"):
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        (
+            li.crossJoin(F.broadcast(reps))
+            .withColumn("l_orderkey", F.col("l_orderkey") * REPLICAS + F.col("rep"))
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(f"{X10_DIR}/lineitem.parquet")
+        )
+    if not _done("embeddings.parquet"):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        (
+            emb.crossJoin(F.broadcast(reps))
+            .withColumn("vec_id", F.col("vec_id") * REPLICAS + F.col("rep"))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x: x + F.col("rep").cast("double") / 1000.0,
+                ),
+            )
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(f"{X10_DIR}/embeddings.parquet")
+        )
 
 
 def parse_event_log(app_dir: str) -> dict[str, float]:
