@@ -126,3 +126,79 @@ def maintain_sketches(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class CmsRollupSink:
+    """foreachBatch callable maintaining the relational count-min
+    counter table (`operators/sketches.py`) over a token stream —
+    heavy-hitter queries run against a (depth, bucket, count) table
+    that never grows with the corpus, and incremental maintenance is
+    EXACT: merging per-batch counters by addition reproduces the
+    from-scratch sketch bit-for-bit (the test pins equality, a
+    stronger contract than HLL's tolerance-checked estimates).
+
+    Replay guard: counter addition is NOT idempotent, so the same
+    ack-early marker contract as SketchRollupSink applies.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        *,
+        depth: int = 4,
+        width: int = 512,
+    ) -> None:
+        self.spark = spark
+        self.depth = depth
+        self.width = width
+        self.table_dir = os.path.join(base_dir, "cms_counters")
+        self.marker_dir = os.path.join(base_dir, "cms_markers")
+        os.makedirs(self.marker_dir, exist_ok=True)
+
+    def _batch_counters(self, batch_df: DataFrame) -> DataFrame:
+        from hyppo_worker_spark.functions import text as TX
+        from hyppo_worker_spark.operators.sketches import cms_counters
+
+        toks = batch_df.select(F.explode(TX.tokens("text")).alias("token"))
+        tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        return cms_counters(
+            tc, "token", "cnt", depth=self.depth, width=self.width
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from hyppo_worker_spark.operators.sketches import merge_counters
+
+        marker = os.path.join(self.marker_dir, f"batch-{batch_id}.started")
+        if os.path.exists(marker):
+            return
+        with open(marker, "w") as f:
+            f.write("started")
+        new = self._batch_counters(batch_df)
+        if os.path.isdir(self.table_dir):
+            old = self.spark.read.parquet(self.table_dir)
+            merged = merge_counters(old, new)
+        else:
+            merged = new
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self.table_dir)
+
+    def estimate(self, probes: DataFrame, key_col: str) -> DataFrame:
+        """Point-query the maintained sketch (broadcast join + min)."""
+        from hyppo_worker_spark.operators.sketches import cms_estimate
+
+        counters = self.spark.read.parquet(self.table_dir)
+        return cms_estimate(
+            counters, probes, key_col, depth=self.depth, width=self.width
+        )
+
+
+def maintain_cms(
+    docs: DataFrame, sink: CmsRollupSink, checkpoint_dir: str
+):
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

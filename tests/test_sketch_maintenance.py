@@ -79,3 +79,65 @@ def test_replayed_batch_does_not_double_count(spark, tmp_path):
     assert n2 == 150
     assert abs(est2 - 150) * 20 <= 150
     assert os.path.isdir(sink.table_dir)
+
+
+# -- CMS maintenance -------------------------------------------------------
+
+from hyppo_worker_spark.streaming.sketch_maintenance import (  # noqa: E402
+    CmsRollupSink,
+    maintain_cms,
+)
+
+
+def test_incremental_cms_equals_scratch_build(spark, tmp_path):
+    """Counter addition is exact: the maintained table after N
+    micro-batches must equal a from-scratch build on the full corpus
+    bit-for-bit, and heavy-hitter estimates must be one-sided."""
+    from hyppo_worker_spark.functions import text as TX
+    from hyppo_worker_spark.operators.sketches import cms_counters
+
+    src = str(tmp_path / "docs")
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    sink = CmsRollupSink(spark, str(tmp_path / "store"), depth=3, width=64)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_cms(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+
+    full = spark.read.parquet(src)
+    tc = (
+        full.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scratch = cms_counters(tc, "token", "cnt", depth=3, width=64)
+    got = sorted(map(tuple, spark.read.parquet(sink.table_dir).collect()))
+    want = sorted(map(tuple, scratch.collect()))
+    assert got == want
+
+    # one-sided estimates for the top tokens
+    top = tc.orderBy(F.col("cnt").desc(), "token").limit(10)
+    est = sink.estimate(top, "token")
+    assert est.filter(F.col("est") < F.col("cnt")).count() == 0
+
+
+def test_cms_replay_is_noop(spark, tmp_path):
+    sink = CmsRollupSink(spark, str(tmp_path / "store"), depth=3, width=64)
+    b = spark.createDataFrame(
+        [("d1", "alpha beta beta"), ("d2", "alpha gamma")],
+        "doc_id string, text string",
+    )
+    sink(b, 0)
+    sink(b, 0)  # replay
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",)], "token string"
+    ).withColumn("cnt", F.lit(0))
+    est = {r.token: r.est for r in sink.estimate(probes, "token").collect()}
+    assert est == {"alpha": 2, "beta": 2}  # not doubled
