@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "q50_zorder_skipping",
     "s07_pq_adc_topk",
     "q51_scd2_history",
+    "q52_temporal_scd2_join",
+    "d12_snapshot_diff",
+    "t21_padding_waste",
 ]
 
 

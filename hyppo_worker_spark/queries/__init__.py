@@ -125,6 +125,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # keep the similarity driver rows; s07 is locally checked
         "q51_scd2_history",  # SCD2 type-2 merge — q30 keeps the
         # merge/upsert driver row; q51 is locally checked
+        "q52_temporal_scd2_join",  # point-in-time dimension lookup —
+        # q21 keeps the as-of driver row; q52 is locally checked
+        "d12_snapshot_diff",  # corpus version diff — d01/d02 keep the
+        # digest-dedup driver rows; d12 is locally checked
+        "t21_padding_waste",  # batching padding waste — t14 keeps the
+        # packing driver row; t21 is locally checked
     }
 )
 

@@ -764,3 +764,88 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# d12 — corpus snapshot diff: the versioning operation between two
+# corpus snapshots (what changed between last week's crawl and this
+# week's?). v2 is a deterministic evolution of the documents table
+# (every 13th doc removed, every 7th surviving doc's text revised,
+# 20 new docs appended); the diff FULL-OUTER-joins the snapshots on
+# doc_id and classifies by md5 DIGEST compare — text bytes are hashed
+# scan-side and never shipped to the join, so at 100 TB the shuffle
+# carries (id, 32-hex digest) rows only. Output: per (source, status)
+# counts — the report a corpus release pipeline publishes with each
+# version bump.
+# --------------------------------------------------------------------------
+@register(
+    "d12_snapshot_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, source, md5(text) AS dg FROM documents),
+    v2 AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 0 THEN md5(text || ' [rev2]')
+                    ELSE md5(text) END AS dg
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, source, md5('new in v2 ' || doc_id)
+        FROM documents WHERE doc_id < 20
+    ),
+    joined AS (
+        SELECT coalesce(v1.source, v2.source) AS source,
+               CASE
+                   WHEN v1.doc_id IS NULL THEN 'added'
+                   WHEN v2.doc_id IS NULL THEN 'removed'
+                   WHEN v1.dg <> v2.dg THEN 'changed'
+                   ELSE 'unchanged'
+               END AS status
+        FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    )
+    SELECT source, status, count(*) AS n
+    FROM joined GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("dedup", "versioning", "diff", "full-outer"),
+)
+def d12_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, status) diff counts between two corpus snapshots,
+    classified by digest compare over a full-outer id join."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    v1 = docs.select("doc_id", "source", F.md5("text").alias("dg"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.md5(F.concat(F.col("text"), F.lit(" [rev2]"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("dg"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "source",
+                F.md5(F.concat(F.lit("new in v2 "), F.col("doc_id"))).alias("dg"),
+            )
+        )
+    )
+    joined = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.dg") != F.col("b.dg"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "status")
+    )

@@ -2779,6 +2779,61 @@ _SCD_T0, _SCD_T1, _SCD_T2 = (
 )
 
 
+def _scd2_customer_history(cust: DataFrame) -> DataFrame:
+    """The two-generation SCD2 customer history shared by q51 (audit)
+    and q52 (temporal join): batch 1 (t1) re-segments every 7th
+    customer (+50 balance) and inserts 5 new ones; batch 2 (t2)
+    re-segments every 14th, updates odd-keyed new customers, and
+    carries no-op resubmissions (every 21st not also 14th)."""
+    from hyppo_worker_spark.operators.merge import scd2_apply
+
+    dim0 = cust.withColumn("valid_from", F.lit(_SCD_T0)).withColumn(
+        "valid_to", F.lit(_SCD_OPEN)
+    )
+
+    def reseg(df, segment: str):
+        return df.select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") + 50, 2).alias("c_acctbal"),
+            F.lit(segment).alias("c_mktsegment"),
+        )
+
+    def newcust(df, segment: str):
+        return df.filter(F.col("c_custkey") < 5).select(
+            (F.col("c_custkey") + 2000000).alias("c_custkey"),
+            F.concat(F.lit("scd-new-"), F.col("c_custkey")).alias("c_name"),
+            "c_nationkey",
+            F.lit(10.0).alias("c_acctbal"),
+            F.lit(segment).alias("c_mktsegment"),
+        )
+
+    u1 = reseg(cust.filter(F.col("c_custkey") % 7 == 0), "SEGMENT-A").unionByName(
+        newcust(cust, "BUILDING")
+    )
+    dim1 = scd2_apply(
+        dim0, u1, "c_custkey", ["c_mktsegment", "c_acctbal"], new_ts=_SCD_T1
+    )
+    u2 = (
+        reseg(cust.filter(F.col("c_custkey") % 14 == 0), "SEGMENT-B")
+        .unionByName(
+            reseg(
+                cust.filter(
+                    (F.col("c_custkey") % 21 == 0) & (F.col("c_custkey") % 14 != 0)
+                ),
+                "SEGMENT-A",
+            )
+        )
+        .unionByName(
+            newcust(cust.filter(F.col("c_custkey") % 2 == 1), "MACHINERY")
+        )
+    )
+    return scd2_apply(
+        dim1, u2, "c_custkey", ["c_mktsegment", "c_acctbal"], new_ts=_SCD_T2
+    )
+
+
 @register(
     "q51_scd2_history",
     oracle=f"""
@@ -2825,57 +2880,8 @@ def q51_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(valid_from, valid_to) histogram (+ balance sums) of the
     customer dimension after two SCD2 update generations, including
     no-op resubmissions that must not create versions."""
-    from hyppo_worker_spark.operators.merge import scd2_apply
-
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
-    dim0 = cust.withColumn("valid_from", F.lit(_SCD_T0)).withColumn(
-        "valid_to", F.lit(_SCD_OPEN)
-    )
-
-    def reseg(df, segment: str):
-        return df.select(
-            "c_custkey",
-            "c_name",
-            "c_nationkey",
-            F.round(F.col("c_acctbal") + 50, 2).alias("c_acctbal"),
-            F.lit(segment).alias("c_mktsegment"),
-        )
-
-    def newcust(df, segment: str):
-        return df.filter(F.col("c_custkey") < 5).select(
-            (F.col("c_custkey") + 2000000).alias("c_custkey"),
-            F.concat(F.lit("scd-new-"), F.col("c_custkey")).alias("c_name"),
-            "c_nationkey",
-            F.lit(10.0).alias("c_acctbal"),
-            F.lit(segment).alias("c_mktsegment"),
-        )
-
-    u1 = reseg(cust.filter(F.col("c_custkey") % 7 == 0), "SEGMENT-A").unionByName(
-        newcust(cust, "BUILDING")
-    )
-    dim1 = scd2_apply(
-        dim0, u1, "c_custkey", ["c_mktsegment", "c_acctbal"], new_ts=_SCD_T1
-    )
-    # batch 2: real changes (every 14th; odd-keyed new customers) plus
-    # NO-OP resubmissions (every 21st not also 14th — byte-identical to
-    # the open version) that must not create versions
-    u2 = (
-        reseg(cust.filter(F.col("c_custkey") % 14 == 0), "SEGMENT-B")
-        .unionByName(
-            reseg(
-                cust.filter(
-                    (F.col("c_custkey") % 21 == 0) & (F.col("c_custkey") % 14 != 0)
-                ),
-                "SEGMENT-A",
-            )
-        )
-        .unionByName(
-            newcust(cust.filter(F.col("c_custkey") % 2 == 1), "MACHINERY")
-        )
-    )
-    dim2 = scd2_apply(
-        dim1, u2, "c_custkey", ["c_mktsegment", "c_acctbal"], new_ts=_SCD_T2
-    )
+    dim2 = _scd2_customer_history(cust)
     return (
         dim2.groupBy("valid_from", "valid_to")
         .agg(
@@ -2883,4 +2889,94 @@ def q51_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("bal"),
         )
         .orderBy("valid_from", "valid_to")
+    )
+
+
+# --------------------------------------------------------------------------
+# q52 — temporal (point-in-time) join against the SCD2 history: each
+# fact joins the dimension VERSION valid at the fact's timestamp —
+# the lookup every feature/training pipeline needs to avoid label
+# leakage (using today's segment for last month's order). Composes
+# q51's history: facts are orders assigned deterministic fact times
+# straddling both update generations (o_orderkey % 3 → Dec/Jan/Feb),
+# so the same customer resolves to different segments per month. The
+# join is a plain c_custkey equi-join + validity-window filter —
+# key-hashed at scale, never a range cross-product — and ISO timestamp
+# strings compare lexicographically == chronologically in both
+# engines. The oracle is ANALYTIC again: segment-at-time derived from
+# key arithmetic (%7/%14 + the generation the fact time falls in),
+# independent of the operator. in-plan integrity: every fact matches
+# EXACTLY one version, so n_orders sums to the full order count
+# (hash-compared via the month totals).
+# --------------------------------------------------------------------------
+_SCD_F1, _SCD_F2, _SCD_F3 = (
+    "2023-12-15 00:00:00",
+    "2024-01-15 00:00:00",
+    "2024-02-15 00:00:00",
+)
+
+
+@register(
+    "q52_temporal_scd2_join",
+    oracle=f"""
+    WITH facts AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CASE o_orderkey % 3
+                   WHEN 0 THEN '{_SCD_F1}'
+                   WHEN 1 THEN '{_SCD_F2}'
+                   ELSE '{_SCD_F3}' END AS fact_ts
+        FROM orders
+    ),
+    resolved AS (
+        SELECT substr(fact_ts, 1, 7) AS fact_month, o_totalprice,
+               CASE
+                   WHEN fact_ts < '{_SCD_T1}' THEN c.c_mktsegment
+                   WHEN fact_ts < '{_SCD_T2}' THEN
+                       CASE WHEN c.c_custkey % 7 = 0 THEN 'SEGMENT-A'
+                            ELSE c.c_mktsegment END
+                   ELSE
+                       CASE WHEN c.c_custkey % 14 = 0 THEN 'SEGMENT-B'
+                            WHEN c.c_custkey % 7 = 0 THEN 'SEGMENT-A'
+                            ELSE c.c_mktsegment END
+               END AS segment_at_time
+        FROM facts f JOIN customer c ON c.c_custkey = f.o_custkey
+    )
+    SELECT fact_month, segment_at_time,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM resolved
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("merge", "scd2", "temporal-join", "point-in-time"),
+)
+def q52_temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to the customer segment valid AT each fact's
+    timestamp (across three months straddling both SCD2 generations),
+    rolled up per (month, segment-at-time)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    hist = _scd2_customer_history(t["customer"])
+    facts = t["orders"].select(
+        "o_custkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(_SCD_F1))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit(_SCD_F2))
+        .otherwise(F.lit(_SCD_F3))
+        .alias("fact_ts"),
+    )
+    joined = facts.join(
+        hist, facts["o_custkey"] == hist["c_custkey"]
+    ).filter(
+        (F.col("valid_from") <= F.col("fact_ts"))
+        & (F.col("fact_ts") < F.col("valid_to"))
+    )
+    return (
+        joined.groupBy(
+            F.substring("fact_ts", 1, 7).alias("fact_month"),
+            F.col("c_mktsegment").alias("segment_at_time"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("fact_month", "segment_at_time")
     )

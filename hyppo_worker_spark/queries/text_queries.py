@@ -1463,3 +1463,99 @@ def t20_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_scaled").desc(), "token")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# t21 — padding waste under length-bucketed batching: the inference/
+# training batcher's question (fixed batch of B sequences padded to
+# the in-batch max) answered for two policies — arrival order vs
+# sorted-by-length — with the waste measured in integer basis points.
+# The scale story is the RANK: a global sort order is assigned with
+# the distributed two-pass prefix sum (`operators/packing.py` summing
+# ones — rank = count of rows strictly before), so there is no
+# single-partition window anywhere; the oracle uses a plain
+# row_number() (fine at oracle scale). Length-sorting cuts padding
+# waste ~10x on this corpus — the point of bucketed batching.
+# --------------------------------------------------------------------------
+_T21_B = 32
+
+
+@register(
+    "t21_padding_waste",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''))::BIGINT AS n
+        FROM documents
+    ),
+    pol AS (
+        SELECT 'arrival' AS policy,
+               (row_number() OVER (ORDER BY doc_id) - 1) // {_T21_B} AS batch,
+               n
+        FROM lens
+        UNION ALL
+        SELECT 'length_sorted',
+               (row_number() OVER (ORDER BY n, doc_id) - 1) // {_T21_B},
+               n
+        FROM lens
+    ),
+    per_batch AS (
+        SELECT policy, batch, count(*) AS m, max(n) AS mx,
+               sum(n) AS real_t
+        FROM pol GROUP BY 1, 2
+    )
+    SELECT policy,
+           count(*) AS n_batches,
+           CAST(sum(real_t) AS BIGINT) AS real_tokens,
+           CAST(sum(m * mx) AS BIGINT) AS padded_tokens,
+           CAST((sum(m * mx) - sum(real_t)) * 10000 // sum(m * mx) AS BIGINT)
+               AS waste_bp
+    FROM per_batch GROUP BY 1 ORDER BY 1
+    """,
+    tags=("text", "batching", "packing", "padding"),
+)
+def t21_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste (basis points) of B=32 batches padded to the
+    in-batch max, under arrival-order vs sorted-by-length batching —
+    global ranks via the distributed prefix-sum operator."""
+    from hyppo_worker_spark.operators.packing import exclusive_prefix_sum
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    lens = docs.select(
+        "doc_id", F.size(TX.tokens("text")).cast("long").alias("n")
+    ).withColumn("one", F.lit(1).cast("long"))
+
+    def policy(name: str, okey):
+        ranked = exclusive_prefix_sum(
+            lens.withColumn("okey", okey), "okey", "one", out_col="rank"
+        )
+        return ranked.select(
+            F.lit(name).alias("policy"),
+            F.expr(f"rank div {_T21_B}").alias("batch"),
+            "n",
+        )
+
+    pol = policy("arrival", F.col("doc_id")).unionByName(
+        policy(
+            "length_sorted",
+            F.col("n") * F.lit(1 << 32).cast("long") + F.col("doc_id"),
+        )
+    )
+    per_batch = pol.groupBy("policy", "batch").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("n").alias("mx"),
+        F.sum("n").alias("real_t"),
+    )
+    return (
+        per_batch.groupBy("policy")
+        .agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("real_t").cast("long").alias("real_tokens"),
+            F.sum(F.col("m") * F.col("mx")).cast("long").alias("padded_tokens"),
+            F.expr(
+                "CAST((sum(m * mx) - sum(real_t)) * 10000 div sum(m * mx) AS BIGINT)"
+            ).alias("waste_bp"),
+        )
+        .orderBy("policy")
+    )
