@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "q52_temporal_scd2_join",
     "d12_snapshot_diff",
     "t21_padding_waste",
+    "q53_mad_outliers",
+    "t22_source_overlap",
+    "t23_term_retrieval",
 ]
 
 

@@ -131,6 +131,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # digest-dedup driver rows; d12 is locally checked
         "t21_padding_waste",  # batching padding waste — t14 keeps the
         # packing driver row; t21 is locally checked
+        "q53_mad_outliers",  # robust MAD anomaly gate — q23 keeps the
+        # percentile driver row; q53 is locally checked
+        "t22_source_overlap",  # cross-source contamination matrix —
+        # t11 keeps the decontamination driver row; t22 locally checked
+        "t23_term_retrieval",  # inverted-index retrieval — t05 keeps
+        # the token-stats driver row; t23 is locally checked
     }
 )
 

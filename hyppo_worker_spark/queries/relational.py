@@ -2980,3 +2980,69 @@ def q52_temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fact_month", "segment_at_time")
     )
+
+
+# --------------------------------------------------------------------------
+# q53 — robust outlier detection (median absolute deviation): the
+# data-quality gate mean/stddev cannot be (one corrupt feed shifts
+# the mean it is judged against; the median won't move). Two grouped
+# exact-percentile passes — median, then median of |v - med| — with
+# the tiny per-group scalars joined back by key (broadcast; one
+# group per event type), then a strict 3*MAD cut. Both engines
+# evaluate the identical interpolation and products on identical
+# doubles (the q23 parity), so even the boundary compares match.
+# At 100 TB: two shuffles keyed by the group column; the percentile
+# state is per-group sorted-run merging (Spark's exact percentile
+# aggregate), never a global sort.
+# --------------------------------------------------------------------------
+@register(
+    "q53_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value::DOUBLE, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           round(min(d.med), 4) AS med,
+           round(min(m.mad), 4) AS mad,
+           CAST(count(*) FILTER (WHERE d.d > 3 * m.mad) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("aggregation", "percentile", "anomaly", "robust-stats"),
+)
+def q53_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type median/MAD and the count of values beyond the
+    3*MAD robust outlier cut."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    out = dev.join(F.broadcast(mad), "event_type")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("med"), 4).alias("med"),
+            F.round(F.min("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

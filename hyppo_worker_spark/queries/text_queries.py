@@ -1559,3 +1559,193 @@ def t21_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("policy")
     )
+
+
+# --------------------------------------------------------------------------
+# t22 — cross-source overlap matrix: pairwise shared distinct 5-grams
+# between sources (the contamination/diversity report a corpus mix is
+# curated from — t11 answers "is train contaminated by eval", this
+# answers "which SOURCES overlap each other"). Scale discipline: the
+# pair fan-out of a gram present in s sources is s², so grams above a
+# presence cap (> _T22_CAP sources) are DROPPED before the self-join —
+# boilerplate that universal is its own dedup class, and the cap turns
+# the worst case from n_sources² per gram into CAP² (the same
+# hot-bucket rule the LSH dedup uses). Jaccard in integer basis
+# points over the capped gram sets; top-30 pairs.
+# --------------------------------------------------------------------------
+_T22_N = 5  # gram order
+_T22_CAP = 10  # drop grams present in more than this many sources
+
+
+@register(
+    "t22_source_overlap",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    dg AS (
+        SELECT DISTINCT source, unnest(
+            list_distinct(list_transform(range(1, len(w) - {_T22_N - 2}),
+                i -> array_to_string(list_slice(w, i, i + {_T22_N - 1}), ' '))))
+            AS gram
+        FROM tok
+    ),
+    presence AS (SELECT gram, count(*) AS c FROM dg GROUP BY 1),
+    kept AS (
+        SELECT dg.source, dg.gram FROM dg
+        JOIN presence USING (gram) WHERE presence.c <= {_T22_CAP}
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM kept GROUP BY 1),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS shared_grams
+        FROM kept a JOIN kept b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(p.shared_grams AS BIGINT) AS shared_grams,
+           CAST(p.shared_grams * 10000 //
+                (sa.n + sb.n - p.shared_grams) AS BIGINT) AS jaccard_bp
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    ORDER BY shared_grams DESC, source_a, source_b LIMIT 30
+    """,
+    tags=("text", "contamination", "overlap", "ngram"),
+)
+def t22_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 source pairs by shared distinct 5-grams (presence-capped
+    against universal boilerplate), with integer Jaccard."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    dg = (
+        docs.select(
+            "source",
+            F.explode(TX.shingles(TX.tokens("text"), _T22_N)).alias("gram"),
+        )
+        .distinct()
+    )
+    presence = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    kept = (
+        dg.join(presence, "gram")
+        .filter(F.col("c") <= _T22_CAP)
+        .select("source", "gram")
+        .persist()
+    )
+    sizes = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            F.expr(
+                "CAST(shared_grams * 10000 div (na + nb - shared_grams) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+    )
+    return out.orderBy(
+        F.col("shared_grams").desc(), "source_a", "source_b"
+    ).limit(30)
+
+
+# --------------------------------------------------------------------------
+# t23 — inverted-index term retrieval: the postings-list shape every
+# corpus search tool needs (find training docs matching an audit
+# query). Postings = (term, doc_id, tf) built in ONE corpus-scale
+# shuffle; the (tiny) query-term table broadcast-joins against it, so
+# the corpus side never reshuffles per query — at 100 TB the postings
+# table is built once and every audit query is a broadcast probe +
+# one narrow (query, doc) aggregation. Scoring is ALL-INTEGER
+# coordinate ranking (matched distinct terms, then total tf, then
+# doc_id) — no idf/log, so ranks are bit-identical cross-engine.
+# --------------------------------------------------------------------------
+_T23_QUERIES = (
+    ("q1", ("spark", "window", "merge")),
+    ("q2", ("hash", "join", "filter")),
+    ("q3", ("vector", "stream", "batch")),
+)
+_T23_K = 5
+
+
+@register(
+    "t23_term_retrieval",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    postings AS (
+        SELECT doc_id, unnest(w) AS term FROM tok
+    ),
+    tf AS (
+        SELECT term, doc_id, count(*) AS tf FROM postings GROUP BY 1, 2
+    ),
+    qterms AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"('{qid}', '{t}')" for qid, ts in _T23_QUERIES for t in ts)}
+        ) AS v(query_id, term)
+    ),
+    scored AS (
+        SELECT q.query_id, t.doc_id,
+               count(*) AS matched,
+               CAST(sum(t.tf) AS BIGINT) AS tf_sum
+        FROM qterms q JOIN tf t USING (term)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY matched DESC, tf_sum DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, doc_id, CAST(matched AS BIGINT) AS matched, tf_sum
+    FROM ranked WHERE rank <= {_T23_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("text", "retrieval", "inverted-index", "topk"),
+)
+def t23_term_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per audit query by integer coordinate ranking
+    (matched terms, then term frequency) over a postings table."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qrows = [(qid, t) for qid, ts in _T23_QUERIES for t in ts]
+    qterms = spark.createDataFrame(qrows, "query_id string, term string")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("matched"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("matched").desc(), F.col("tf_sum").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _T23_K)
+        .select("query_id", "rank", "doc_id", "matched", "tf_sum")
+        .orderBy("query_id", "rank")
+    )
