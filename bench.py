@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q53_mad_outliers",
     "t22_source_overlap",
     "t23_term_retrieval",
+    "q54_zonemap_pruning",
 ]
 
 

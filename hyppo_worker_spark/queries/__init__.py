@@ -137,6 +137,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # t11 keeps the decontamination driver row; t22 locally checked
         "t23_term_retrieval",  # inverted-index retrieval — t05 keeps
         # the token-stats driver row; t23 is locally checked
+        "q54_zonemap_pruning",  # footer-manifest skipping — q01 keeps
+        # the pushed-scan driver row; q54 is locally checked
     }
 )
 

@@ -3046,3 +3046,144 @@ def q53_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q54 — zonemap pruning over a REAL z-clustered export
+# (operators/zonemap.py + operators/zorder.py): q50 modeled the
+# bucket extents analytically; q54 WRITES the clustered files, reads
+# their actual parquet footers back DISTRIBUTED (paths scattered,
+# pyarrow footer reads inside mapInPandas — KBs per file, content
+# untouched), and counts which files a range predicate on either
+# dimension must read. The ORACLE still derives the extents from the
+# z-assignment formula alone — so the physical layout (writer
+# partitioning, footer stats, manifest build) is cross-checked
+# against the analytic model: they must agree file-for-file. At
+# 100 TB this IS the Delta/Iceberg skipping loop without the table
+# format: build the manifest once (distributed), prune on every
+# query, append manifest rows as files land. Predicate bounds are
+# derived in-plan from the same min/max scalars (integer div) — no
+# driver collect anywhere.
+# --------------------------------------------------------------------------
+_Q54_FILE_BITS = 4  # 16 z-files
+_Q54_SHIFT = 2 * _Z_BITS - _Q54_FILE_BITS
+
+
+@register(
+    "q54_zonemap_pruning",
+    oracle=f"""
+    WITH base AS (
+        SELECT datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS xr,
+               l_partkey AS yr
+        FROM lineitem
+    ),
+    mm AS (SELECT min(xr) AS xmin, max(xr) AS xmax,
+                  min(yr) AS ymin, max(yr) AS ymax FROM base),
+    s AS (
+        SELECT xr, yr,
+               {_z_scale_sql('xr', 'xmin', 'xmax', _Z_BITS)} AS xs,
+               {_z_scale_sql('yr', 'ymin', 'ymax', _Z_BITS)} AS ys
+        FROM base, mm
+    ),
+    b AS (
+        SELECT xr, yr,
+               {_zvalue_sql('xs', 'ys', _Z_BITS)} >> {_Q54_SHIFT} AS zf
+        FROM s
+    ),
+    ext AS (
+        SELECT zf, count(*) AS n, min(xr) AS min_x, max(xr) AS max_x,
+               min(yr) AS min_y, max(yr) AS max_y
+        FROM b GROUP BY 1
+    ),
+    q AS (
+        SELECT xmin + (xmax - xmin) * 2 // 8 AS qxlo,
+               xmin + (xmax - xmin) * 3 // 8 - 1 AS qxhi,
+               ymin + (ymax - ymin) * 5 // 8 AS qylo,
+               ymin + (ymax - ymin) * 6 // 8 - 1 AS qyhi
+        FROM mm
+    )
+    SELECT dim, files_total, files_surviving, rows_total, rows_surviving
+    FROM (
+        SELECT 'xr' AS dim,
+               CAST(count(*) AS BIGINT) AS files_total,
+               CAST(count(*) FILTER (WHERE max_x >= qxlo AND min_x <= qxhi)
+                    AS BIGINT) AS files_surviving,
+               CAST(sum(n) AS BIGINT) AS rows_total,
+               CAST(coalesce(sum(n) FILTER (WHERE max_x >= qxlo AND min_x <= qxhi), 0)
+                    AS BIGINT) AS rows_surviving
+        FROM ext, q
+        UNION ALL
+        SELECT 'yr',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE max_y >= qylo AND min_y <= qyhi)
+                    AS BIGINT),
+               CAST(sum(n) AS BIGINT),
+               CAST(coalesce(sum(n) FILTER (WHERE max_y >= qylo AND min_y <= qyhi), 0)
+                    AS BIGINT)
+        FROM ext, q
+    ) ORDER BY dim
+    """,
+    tags=("layout", "zonemap", "data-skipping", "manifest", "zorder"),
+)
+def q54_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-pruning survivor counts from the REAL footers of a
+    z-clustered lineitem export, for in-plan-derived range predicates
+    on each clustered dimension."""
+    import os
+
+    from hyppo_worker_spark.operators.zonemap import build_zonemap
+    from hyppo_worker_spark.operators.zorder import zorder_write
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    base = li.select(
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date(F.lit("1992-01-01"))
+        ).alias("xr"),
+        F.col("l_partkey").alias("yr"),
+    )
+    path = os.path.join(
+        "/tmp/hyppo-zonemap", os.path.basename(sf_dir.rstrip("/"))
+    )
+    zorder_write(
+        base, path, "xr", "yr", bits=_Z_BITS, file_bits=_Q54_FILE_BITS
+    )
+
+    zm = build_zonemap(spark, path, ["xr", "yr"]).persist()
+    mm = base.agg(
+        F.min("xr").alias("xmin"),
+        F.max("xr").alias("xmax"),
+        F.min("yr").alias("ymin"),
+        F.max("yr").alias("ymax"),
+    )
+    bounds = mm.select(
+        F.expr("xmin + (xmax - xmin) * 2 div 8").alias("qxlo"),
+        F.expr("xmin + (xmax - xmin) * 3 div 8 - 1").alias("qxhi"),
+        F.expr("ymin + (ymax - ymin) * 5 div 8").alias("qylo"),
+        F.expr("ymin + (ymax - ymin) * 6 div 8 - 1").alias("qyhi"),
+    )
+
+    def surv(col: str, dim: str, lo: str, hi: str):
+        z = zm.filter(F.col("col") == col).crossJoin(F.broadcast(bounds))
+        hit = (F.col("vmax").cast("bigint") >= F.col(lo)) & (
+            F.col("vmin").cast("bigint") <= F.col(hi)
+        )
+        return z.agg(
+            F.count(F.lit(1)).alias("files_total"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("files_surviving"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+            F.coalesce(F.sum(F.when(hit, F.col("n_rows"))), F.lit(0))
+            .cast("long")
+            .alias("rows_surviving"),
+        ).select(
+            F.lit(dim).alias("dim"),
+            "files_total",
+            "files_surviving",
+            "rows_total",
+            "rows_surviving",
+        )
+
+    return (
+        surv("xr", "xr", "qxlo", "qxhi")
+        .unionByName(surv("yr", "yr", "qylo", "qyhi"))
+        .orderBy("dim")
+    )
