@@ -213,7 +213,12 @@ def parse_image_headers(df: DataFrame) -> DataFrame:
 
     - PNG: IHDR width/height, big-endian u32 at offset 16/20;
     - GIF (87a/89a): logical screen w/h, little-endian u16 at 6/8;
-    - BMP: BITMAPINFOHEADER w/h, little-endian i32 at 18/22.
+    - BMP: BITMAPINFOHEADER w/h, little-endian i32 at 18/22;
+    - JPEG: a real MARKER WALK — segments are (0xFF, marker, u16-BE
+      length) chains, so the frame size lives at a data-dependent
+      offset; dimensions are height/width (BE u16) in the first
+      SOF0/1/2 frame header. Standalone markers (RSTn/TEM) carry no
+      length and are stepped over.
 
     Input needs (media_id, content:binary). Unknown/truncated payloads
     come back fmt='unknown', width/height NULL — fail-soft, the
@@ -239,6 +244,20 @@ def parse_image_headers(df: DataFrame) -> DataFrame:
                 elif b.startswith(_BMP_MAGIC) and len(b) >= 26:
                     fmt = "bmp"
                     w, h = struct.unpack("<ii", b[18:26])
+                elif b.startswith(b"\xff\xd8"):
+                    i = 2
+                    while i + 4 <= len(b) and b[i] == 0xFF:
+                        m = b[i + 1]
+                        if m in (0xC0, 0xC1, 0xC2):
+                            if i + 9 <= len(b):
+                                fmt = "jpeg"
+                                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                            break
+                        if 0xD0 <= m <= 0xD9 or m == 0x01:
+                            i += 2  # standalone marker, no length field
+                            continue
+                        (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+                        i += 2 + seglen
                 rows.append((int(r["media_id"]), fmt, w, h, len(b)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "fmt", "width", "height", "n_bytes"]

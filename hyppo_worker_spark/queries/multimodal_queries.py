@@ -107,23 +107,30 @@ def _be32(col: str) -> str:
     return f"unhex(lpad(hex({col}), 8, '0'))"
 
 
+def _be16(col: str) -> str:
+    return f"unhex(lpad(hex({col}), 4, '0'))"
+
+
 @register(
     "m02_media_header_decode",
     oracle="""
     SELECT doc_id AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                ELSE 'bmp' END AS fmt,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS fmt,
            CAST(16 + doc_id % 1000 AS INTEGER) AS width,
            CAST(16 + (doc_id * 7) % 1000 AS INTEGER) AS height,
-           CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 13
-                ELSE 26 END AS BIGINT) AS n_bytes
+           CAST(CASE doc_id % 4 WHEN 0 THEN 29 WHEN 1 THEN 13
+                WHEN 2 THEN 26 ELSE 33 END AS BIGINT) AS n_bytes
     FROM documents
     ORDER BY media_id
     """,
     tags=("multimodal", "binary", "decode", "mapInPandas"),
 )
 def m02_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parse width/height/format out of raw PNG/GIF/BMP header bytes."""
+    """Parse width/height/format out of raw PNG/GIF/BMP/JPEG header
+    bytes (JPEG dimensions sit behind a real marker walk — an APP0
+    segment precedes the SOF0 frame header, so the parser must chain
+    segment lengths, not read a fixed offset)."""
     from hyppo_worker_spark.operators.multimodal import parse_image_headers
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -137,10 +144,16 @@ def m02_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"concat(unhex('424D'), {_le32('62')}, unhex('00000000'), "
         f"{_le32('54')}, {_le32('40')}, {_le32(w)}, {_le32(h)})"
     )
+    jpeg = (
+        # SOI + APP0/JFIF (16-byte segment) + SOF0: len 11, precision 8,
+        # height/width BE16, 1 component (id 1, sampling 0x11, quant 0)
+        "concat(unhex('FFD8'), unhex('FFE000104A46494600010100000100010000'), "
+        f"unhex('FFC0000B08'), {_be16(h)}, {_be16(w)}, unhex('01110000'))"
+    )
     media = docs.selectExpr(
         "doc_id AS media_id",
-        f"CASE doc_id % 3 WHEN 0 THEN {png} WHEN 1 THEN {gif} "
-        f"ELSE {bmp} END AS content",
+        f"CASE doc_id % 4 WHEN 0 THEN {png} WHEN 1 THEN {gif} "
+        f"WHEN 2 THEN {bmp} ELSE {jpeg} END AS content",
     )
     return parse_image_headers(media).orderBy("media_id")
 

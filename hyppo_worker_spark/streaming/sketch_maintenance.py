@@ -202,3 +202,93 @@ def maintain_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class KmvRollupSink:
+    """foreachBatch callable maintaining per-source KMV sketches
+    (`operators/sketches.py`) — the SET-OPERATION summaries (union
+    AND intersection estimates) kept continuously fresh. Per batch:
+    sketch the batch's keys per source, union with the persisted
+    sketches (k smallest of the combined hash sets), rewrite the
+    k-row-per-source table.
+
+    KMV union is IDEMPOTENT for replayed identical inputs (the k
+    smallest of a set don't change when you union it in twice), but
+    the marker guard is kept anyway so every maintenance sink shares
+    one replay contract.
+    """
+
+    def __init__(
+        self, spark: SparkSession, base_dir: str, *, k: int = 256
+    ) -> None:
+        self.spark = spark
+        self.k = k
+        self.table_dir = os.path.join(base_dir, "kmv_sketches")
+        self.marker_dir = os.path.join(base_dir, "kmv_markers")
+        os.makedirs(self.marker_dir, exist_ok=True)
+
+    def _batch_sketches(self, batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        from hyppo_worker_spark.operators.sketches import kmv_hash
+
+        hashed = batch_df.select(
+            "source", kmv_hash("doc_id").alias("h")
+        ).distinct()
+        w = W.partitionBy("source").orderBy("h")
+        return (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= self.k)
+            .select("source", "h")
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        marker = os.path.join(self.marker_dir, f"batch-{batch_id}.started")
+        if os.path.exists(marker):
+            return
+        with open(marker, "w") as f:
+            f.write("started")
+        new = self._batch_sketches(batch_df)
+        if os.path.isdir(self.table_dir):
+            old = self.spark.read.parquet(self.table_dir)
+            both = old.unionByName(new).distinct()
+        else:
+            both = new
+        w = W.partitionBy("source").orderBy("h")
+        merged = (
+            both.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= self.k)
+            .select("source", "h")
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(self.table_dir)
+
+    def union_estimate(self, sources: list[str]) -> int:
+        """Estimated distinct keys across ``sources`` from the merged
+        sketches ((k-1) << 52 div t; exact when the merged sketch is
+        smaller than k)."""
+        t = self.spark.read.parquet(self.table_dir)
+        merged = (
+            t.filter(F.col("source").isin(sources))
+            .select("h")
+            .distinct()
+            .orderBy("h")
+            .limit(self.k)
+        )
+        row = merged.agg(
+            F.count(F.lit(1)).alias("n_m"), F.max("h").alias("t")
+        ).first()
+        if row.n_m < self.k:
+            return int(row.n_m)
+        return ((self.k - 1) << 52) // int(row.t)
+
+
+def maintain_kmv(docs: DataFrame, sink: KmvRollupSink, checkpoint_dir: str):
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
