@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "t22_source_overlap",
     "t23_term_retrieval",
     "q54_zonemap_pruning",
+    "q55_ab_experiment",
+    "q56_integer_ols_trend",
 ]
 
 

@@ -139,6 +139,10 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the token-stats driver row; t23 is locally checked
         "q54_zonemap_pruning",  # footer-manifest skipping — q01 keeps
         # the pushed-scan driver row; q54 is locally checked
+        "q55_ab_experiment",  # deterministic experiment readout — t06
+        # keeps the md5-gate sampling driver row; q55 locally checked
+        "q56_integer_ols_trend",  # integer-exact OLS — q01/q35 keep
+        # the aggregate driver rows; q56 is locally checked
     }
 )
 

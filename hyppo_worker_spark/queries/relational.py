@@ -3187,3 +3187,174 @@ def q54_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(surv("yr", "yr", "qylo", "qyhi"))
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# q55 — A/B experiment readout with deterministic assignment: arms
+# come from the shared md5_bucket gate (a pure function of user_id —
+# reassignment-stable across runs/engines/cluster sizes, the property
+# an experiment system actually needs), the metric is per-user
+# purchase revenue in integer cents (floor(v*100+0.5) — the s06
+# rounding convention, order-independent sums), lift is integer basis
+# points, and the sample-ratio-mismatch guard is the 3-sigma binomial
+# bound in pure integers ((n_a - n_b)^2 <= 9*(n_a + n_b)). One
+# event-scan, one user-keyed aggregate, one 2-group rollup.
+# --------------------------------------------------------------------------
+from hyppo_worker_spark.functions.text import (  # noqa: E402
+    md5_bucket as _ab_bucket,
+    md5_bucket_sql as _ab_bucket_sql,
+)
+
+
+@register(
+    "q55_ab_experiment",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               {_ab_bucket_sql('user_id', 2)} AS arm
+        FROM events
+    ),
+    rev AS (
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    per_user AS (
+        SELECT a.arm, a.user_id, coalesce(r.cents, 0) AS cents
+        FROM assigned a LEFT JOIN rev r USING (user_id)
+    ),
+    arms AS (
+        SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+               CAST(coalesce(sum(cents) FILTER (WHERE arm = 0), 0) AS BIGINT)
+                   AS cents_a,
+               CAST(coalesce(sum(cents) FILTER (WHERE arm = 1), 0) AS BIGINT)
+                   AS cents_b
+        FROM per_user
+    )
+    SELECT n_a, n_b, cents_a, cents_b,
+           cents_a * 1000000 // n_a AS mean_a_micro,
+           cents_b * 1000000 // n_b AS mean_b_micro,
+           (cents_b * 1000000 // n_b - cents_a * 1000000 // n_a) * 10000
+               // (cents_a * 1000000 // n_a) AS lift_bp,
+           (n_a - n_b) * (n_a - n_b) <= 9 * (n_a + n_b) AS srm_ok
+    FROM arms
+    """,
+    tags=("aggregation", "experiment", "ab-test", "sampling"),
+)
+def q55_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm experiment readout: deterministic assignment, per-user
+    revenue in cents, integer lift and 3-sigma SRM guard."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    assigned = ev.select("user_id").distinct().withColumn(
+        "arm", _ab_bucket(F.col("user_id"), 2)
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).cast("long").alias("cents")
+        )
+    )
+    per_user = assigned.join(rev, "user_id", "left").select(
+        "arm", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    arms = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("cents_a"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("cents_b"),
+    )
+    return arms.selectExpr(
+        "n_a",
+        "n_b",
+        "cents_a",
+        "cents_b",
+        "cents_a * 1000000 div n_a AS mean_a_micro",
+        "cents_b * 1000000 div n_b AS mean_b_micro",
+        "(cents_b * 1000000 div n_b - cents_a * 1000000 div n_a) * 10000 "
+        "div (cents_a * 1000000 div n_a) AS lift_bp",
+        "(n_a - n_b) * (n_a - n_b) <= 9 * (n_a + n_b) AS srm_ok",
+    )
+
+
+# --------------------------------------------------------------------------
+# q56 — integer-exact OLS trend: closed-form least-squares slope per
+# event type over daily revenue, entirely on integers — x is the day
+# number, y is daily cents, and slope = (n*Sxy - Sx*Sy) / (n*Sxx -
+# Sx^2) is emitted as numerator/denominator plus a scaled quotient.
+# Float OLS (avg/covar_pop) is partition-order-dependent in the 15th
+# digit and can flip a hash compare; the sufficient-statistic sums
+# here are integer (commutative), so the fit is bit-identical across
+# engines — regression as a first-class relational aggregate, the
+# drift detector a source-health dashboard runs. One scan, one
+# (type, day) aggregate, one per-type rollup.
+# --------------------------------------------------------------------------
+@register(
+    "q56_integer_ols_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, n,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+               AS slope_micro_cents_per_day,
+           (sy * 1000000 - ((n * sxy - sx * sy) * 1000000
+                            // (n * sxx - sx * sx)) * sx) // n
+               AS intercept_micro_cents
+    FROM s ORDER BY event_type
+    """,
+    tags=("aggregation", "regression", "trend", "integer-exact"),
+)
+def q56_integer_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares daily revenue trend from integer
+    sufficient statistics (exact rational slope + scaled quotients)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))).alias("x"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.selectExpr(
+        "event_type",
+        "n",
+        "n * sxy - sx * sy AS slope_num",
+        "n * sxx - sx * sx AS slope_den",
+        "(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+        " AS slope_micro_cents_per_day",
+        "(sy * 1000000 - ((n * sxy - sx * sy) * 1000000"
+        " div (n * sxx - sx * sx)) * sx) div n AS intercept_micro_cents",
+    ).orderBy("event_type")
