@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "q54_zonemap_pruning",
     "q55_ab_experiment",
     "q56_integer_ols_trend",
+    "q57_interval_bin_join",
 ]
 
 

@@ -143,6 +143,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # keeps the md5-gate sampling driver row; q55 locally checked
         "q56_integer_ols_trend",  # integer-exact OLS — q01/q35 keep
         # the aggregate driver rows; q56 is locally checked
+        "q57_interval_bin_join",  # binned interval equi-join — q17
+        # keeps the range-join driver row; q57 is locally checked
     }
 )
 

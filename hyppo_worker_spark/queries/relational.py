@@ -3358,3 +3358,93 @@ def q56_integer_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(sy * 1000000 - ((n * sxy - sx * sy) * 1000000"
         " div (n * sxx - sx * sx)) * sx) div n AS intercept_micro_cents",
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q57 — binned interval join: overlap joins between two INTERVAL sets
+# expressed as an equi-join. A naive overlap join (a0 <= b1 AND b0 <=
+# a1) is a nested-loop cross product; the scale form explodes each
+# interval into the fixed-width time bins it covers and equi-joins on
+# the bin id (both sides shuffle-partition by bin — at 100 TB with
+# two LARGE sides this is the standard range-join binning trick that
+# Spark has no native operator for), then filters exact overlap and
+# dedups pairs that met in several shared bins. Bin width tunes the
+# explode-factor vs bucket-selectivity trade (8h bins: sessions cover
+# <= 4 bins, promos <= 2). The ORACLE is the documented quadratic
+# inequality join — the semantics check, not the scale path. All
+# interval arithmetic in epoch millis (unix_millis ≡ epoch_ms).
+# --------------------------------------------------------------------------
+_Q57_BASE_MS = 1704067200000  # 2024-01-01 00:00:00 UTC
+_Q57_BIN_MS = 28_800_000  # 8h bins
+_Q57_PROMO_STEP = 57_600_000  # every 16h
+_Q57_PROMO_LEN = 18_000_000  # 5h windows
+
+
+@register(
+    "q57_interval_bin_join",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(min(epoch_ms(ts)) AS BIGINT) AS a0,
+               CAST(max(epoch_ms(ts)) AS BIGINT) AS a1
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT i AS promo_id,
+               {_Q57_BASE_MS} + i * {_Q57_PROMO_STEP} AS b0,
+               {_Q57_BASE_MS} + i * {_Q57_PROMO_STEP} + {_Q57_PROMO_LEN} AS b1
+        FROM range(40) r(i)
+    ),
+    ov AS (
+        SELECT p.promo_id, s.user_id, s.day
+        FROM s JOIN p ON s.a0 <= p.b1 AND p.b0 <= s.a1
+    )
+    SELECT CAST(promo_id AS BIGINT) AS promo_id,
+           count(*) AS n_sessions,
+           count(DISTINCT user_id) AS n_users
+    FROM ov GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "interval", "range-join", "binning"),
+)
+def q57_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo windows overlap-joined to daily user activity intervals
+    via bin-bucketed equi-join (+ exact overlap filter + pair dedup)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sess = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.min("ms").alias("a0"), F.max("ms").alias("a1"))
+    )
+    promos = spark.range(40).select(
+        F.col("id").alias("promo_id"),
+        (F.lit(_Q57_BASE_MS) + F.col("id") * _Q57_PROMO_STEP).alias("b0"),
+        (
+            F.lit(_Q57_BASE_MS) + F.col("id") * _Q57_PROMO_STEP + _Q57_PROMO_LEN
+        ).alias("b1"),
+    )
+    sb = sess.withColumn(
+        "bin",
+        F.explode(F.expr(f"sequence(a0 div {_Q57_BIN_MS}, a1 div {_Q57_BIN_MS})")),
+    )
+    pb = promos.withColumn(
+        "bin",
+        F.explode(F.expr(f"sequence(b0 div {_Q57_BIN_MS}, b1 div {_Q57_BIN_MS})")),
+    )
+    pairs = (
+        sb.join(pb, "bin")
+        .filter((F.col("a0") <= F.col("b1")) & (F.col("b0") <= F.col("a1")))
+        .select("promo_id", "user_id", "day")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("promo_id")
+    )
