@@ -1571,7 +1571,9 @@ def t21_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boilerplate that universal is its own dedup class, and the cap turns
 # the worst case from n_sources² per gram into CAP² (the same
 # hot-bucket rule the LSH dedup uses). Jaccard in integer basis
-# points over the capped gram sets; top-30 pairs.
+# points over the capped gram sets; top-30 pairs. Grams travel as
+# 52-bit md5 hashes from the scan on (never as strings) — see the
+# in-function note.
 # --------------------------------------------------------------------------
 _T22_N = 5  # gram order
 _T22_CAP = 10  # drop grams present in more than this many sources
@@ -1582,10 +1584,11 @@ _T22_CAP = 10  # drop grams present in more than this many sources
     oracle=f"""
     WITH {_SQL_TOK},
     dg AS (
-        SELECT DISTINCT source, unnest(
-            list_distinct(list_transform(range(1, len(w) - {_T22_N - 2}),
-                i -> array_to_string(list_slice(w, i, i + {_T22_N - 1}), ' '))))
-            AS gram
+        SELECT DISTINCT source,
+            ('0x' || substr(md5(unnest(
+                list_distinct(list_transform(range(1, len(w) - {_T22_N - 2}),
+                    i -> array_to_string(list_slice(w, i, i + {_T22_N - 1}), ' '))))),
+                1, 13))::BIGINT AS gram
         FROM tok
     ),
     presence AS (SELECT gram, count(*) AS c FROM dg GROUP BY 1),
@@ -1615,12 +1618,34 @@ def t22_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 source pairs by shared distinct 5-grams (presence-capped
     against universal boilerplate), with integer Jaccard."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # Grams are reduced to 52-bit md5 hashes SCAN-SIDE, before any
+    # shuffle: the distinct / presence / self-join stages then move
+    # 8-byte ints instead of ~30-byte strings (measured 4x on the
+    # sf0.1 wall). The hash is the shared KMV convention, so the
+    # oracle reproduces it exactly; a collision (~1e-2 odds across
+    # 1e7 grams at 52 bits) would merge two grams IDENTICALLY in both
+    # engines — deterministic, and a ±1 on a shared-gram count.
+    # Materialize the token ARRAY before shingling (the _minhash_banded
+    # lesson, operators/dedup.py): inlined, the tokenize expression is
+    # collapsed into every one of the 5 element_at() calls per gram
+    # position and codegen slows ~15x.
+    words = docs.select("source", TX.tokens("text").alias("w")).persist()
     dg = (
-        docs.select(
+        words.select(
             "source",
-            F.explode(TX.shingles(TX.tokens("text"), _T22_N)).alias("gram"),
+            F.explode(TX.shingles(F.col("w"), _T22_N)).alias("g"),
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("g"), 1, 13), 16, 10)
+            .cast("bigint")
+            .alias("gram"),
         )
         .distinct()
+        # persisted: dg feeds BOTH the presence count and the kept
+        # join — without the barrier the tokenize+shingle explode (the
+        # expensive stage) runs twice
+        .persist()
     )
     presence = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
     kept = (

@@ -73,6 +73,7 @@ def build_x10(spark) -> None:
         (
             orders.crossJoin(F.broadcast(reps))
             .withColumn("o_orderkey", F.col("o_orderkey") * REPLICAS + F.col("rep"))
+            .withColumn("o_custkey", F.col("o_custkey") * REPLICAS + F.col("rep"))
             .drop("rep")
             .write.mode("overwrite")
             .parquet(f"{X10_DIR}/orders.parquet")
@@ -85,6 +86,36 @@ def build_x10(spark) -> None:
             .drop("rep")
             .write.mode("overwrite")
             .parquet(f"{X10_DIR}/lineitem.parquet")
+        )
+    # customer replicates keyed consistently with orders' o_custkey.
+    if not _done("customer.parquet"):
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        (
+            cust.crossJoin(F.broadcast(reps))
+            .withColumn("c_custkey", F.col("c_custkey") * REPLICAS + F.col("rep"))
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(f"{X10_DIR}/customer.parquet")
+        )
+    # events replicate as distinct users with per-replica time jitter
+    # (seconds) so intervals/sessions don't collapse to exact copies.
+    if not _done("events.parquet"):
+        from hyppo_worker_spark.session import load_tables
+
+        ev = load_tables(spark, SF_DIR, ("events",))["events"]
+        (
+            ev.crossJoin(F.broadcast(reps))
+            .withColumn("event_id", F.col("event_id") * REPLICAS + F.col("rep"))
+            .withColumn("user_id", F.col("user_id") * REPLICAS + F.col("rep"))
+            .withColumn(
+                "ts",
+                (F.col("ts").cast("timestamp").cast("double") + F.col("rep")).cast(
+                    "timestamp"
+                ),
+            )
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(f"{X10_DIR}/events.parquet")
         )
     if not _done("embeddings.parquet"):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
