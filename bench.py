@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "q55_ab_experiment",
     "q56_integer_ols_trend",
     "q57_interval_bin_join",
+    "q58_gap_fill_interpolate",
 ]
 
 

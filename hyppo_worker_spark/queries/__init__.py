@@ -145,6 +145,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the aggregate driver rows; q56 is locally checked
         "q57_interval_bin_join",  # binned interval equi-join — q17
         # keeps the range-join driver row; q57 is locally checked
+        "q58_gap_fill_interpolate",  # series resampling — q29/q18
+        # keep the window driver rows; q58 is locally checked
     }
 )
 

@@ -3204,6 +3204,9 @@ from hyppo_worker_spark.functions.text import (  # noqa: E402
     md5_bucket as _ab_bucket,
     md5_bucket_sql as _ab_bucket_sql,
 )
+from hyppo_worker_spark.functions import text as TX  # noqa: E402
+
+TX_MD5_BUCKET = TX.md5_bucket
 
 
 @register(
@@ -3447,4 +3450,175 @@ def q57_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("promo_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q58 — time-series gap fill + linear interpolation: the resampling
+# stage every metrics/feature pipeline needs (a daily series with
+# holes → a dense spine with interpolated values). A per-type day
+# SPINE is generated with sequence/explode (never a driver loop),
+# observations left-join onto it, ~30% of days are deterministically
+# dropped first (md5 gate — real gaps, reproducible cross-engine),
+# and the fill is two windows per series (forward and backward,
+# IGNORE NULLS carrying both the neighbor VALUE and its DAY) plus an
+# integer linear interpolation: (va*(b-d) + vb*(d-a)) / (b-a) in
+# micro-cents — pure int64, so interpolated values hash identically
+# in both engines. Scale shape: windows partition by series key (the
+# standard per-series sort), spine explode is per-series-range, no
+# global window anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "q58_gap_fill_interpolate",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    obs AS (
+        SELECT * FROM daily
+        WHERE {TX.md5_bucket_sql("event_type || ':' || d", 10)} < 7
+    ),
+    spine AS (
+        SELECT event_type, unnest(range(min(d), max(d) + 1)) AS d
+        FROM obs GROUP BY event_type
+    ),
+    joined AS (
+        SELECT s.event_type, s.d, o.cents
+        FROM spine s LEFT JOIN obs o USING (event_type, d)
+    ),
+    filled AS (
+        SELECT event_type, d, cents,
+               last_value(cents IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER w_prev AS pd,
+               first_value(cents IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER w_next AS nd
+        FROM joined
+        WINDOW w_prev AS (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    interp AS (
+        SELECT event_type, d, cents,
+               CASE
+                   WHEN cents IS NOT NULL THEN cents * 1000000
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                       (pv * 1000000 * (nd - d) + nv * 1000000 * (d - pd))
+                           // (nd - pd)
+                   WHEN pv IS NOT NULL THEN pv * 1000000
+                   ELSE nv * 1000000
+               END AS v_micro,
+               CASE
+                   WHEN cents IS NOT NULL THEN 'observed'
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+                   ELSE 'edge_filled'
+               END AS kind
+        FROM filled
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           CAST(count(*) FILTER (WHERE kind = 'observed') AS BIGINT)
+               AS n_observed,
+           CAST(count(*) FILTER (WHERE kind = 'interpolated') AS BIGINT)
+               AS n_interpolated,
+           CAST(count(*) FILTER (WHERE kind = 'edge_filled') AS BIGINT)
+               AS n_edge_filled,
+           CAST(sum(v_micro) AS BIGINT) AS total_micro
+    FROM interp GROUP BY 1 ORDER BY 1
+    """,
+    tags=("window", "time-series", "gap-fill", "interpolation"),
+)
+def q58_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type daily series from a gappy one: forward/backward
+    IGNORE-NULLS windows + integer linear interpolation, audited per
+    series (observed / interpolated / edge-filled counts + checksum)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))).alias("d"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    obs = daily.filter(
+        TX_MD5_BUCKET(
+            F.concat(F.col("event_type"), F.lit(":"), F.col("d").cast("string")), 10
+        )
+        < 7
+    )
+    spine = (
+        obs.groupBy("event_type")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
+        )
+    )
+    joined = spine.join(obs, ["event_type", "d"], "left")
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    known_d = F.when(F.col("cents").isNotNull(), F.col("d"))
+    filled = joined.select(
+        "event_type",
+        "d",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_d, ignorenulls=True).over(wp).alias("pd"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_d, ignorenulls=True).over(wn).alias("nd"),
+    )
+    v_micro = (
+        F.when(F.col("cents").isNotNull(), F.col("cents") * 1000000)
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.expr(
+                "(pv * 1000000 * (nd - d) + nv * 1000000 * (d - pd))"
+                " div (nd - pd)"
+            ),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv") * 1000000)
+        .otherwise(F.col("nv") * 1000000)
+    )
+    kind = (
+        F.when(F.col("cents").isNotNull(), F.lit("observed"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.lit("interpolated"),
+        )
+        .otherwise(F.lit("edge_filled"))
+    )
+    interp = filled.select(
+        "event_type", v_micro.alias("v_micro"), kind.alias("kind")
+    )
+    return (
+        interp.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.when(F.col("kind") == "observed", 1).otherwise(0))
+            .cast("long")
+            .alias("n_observed"),
+            F.sum(F.when(F.col("kind") == "interpolated", 1).otherwise(0))
+            .cast("long")
+            .alias("n_interpolated"),
+            F.sum(F.when(F.col("kind") == "edge_filled", 1).otherwise(0))
+            .cast("long")
+            .alias("n_edge_filled"),
+            F.sum("v_micro").cast("long").alias("total_micro"),
+        )
+        .orderBy("event_type")
     )
