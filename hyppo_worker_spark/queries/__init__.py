@@ -91,8 +91,6 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # checked; q18 sessionize keeps the events family in-window
         "m02_media_header_decode",  # real header decode — m01 keeps the
         # multimodal driver row; m02 is locally checked
-        "q44_hll_shard_rollup",  # mergeable-sketch rollup — q27 keeps
-        # the approx-agg driver row; q44 is locally checked
         "q45_variant_ingestion",  # VARIANT semi-structured — q24 keeps
         # the JSON driver row; q45 is locally checked
         "t18_quality_classifier",  # learned-model scoring — t02 keeps
@@ -118,13 +116,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q49_bloom_runtime_filter",  # membership sketch / runtime
         # filter — q27 keeps the approx-agg driver row; q49 is locally
         # checked like the rest of the sketch family
-        "q50_zorder_skipping",  # z-order layout / data skipping —
-        # q01's pushed-filter scan keeps the scan family; q50 is
-        # locally checked
         "s07_pq_adc_topk",  # product-quantization ANN — s01/s02/s04
         # keep the similarity driver rows; s07 is locally checked
-        "q51_scd2_history",  # SCD2 type-2 merge — q30 keeps the
-        # merge/upsert driver row; q51 is locally checked
         "q52_temporal_scd2_join",  # point-in-time dimension lookup —
         # q21 keeps the as-of driver row; q52 is locally checked
         "d12_snapshot_diff",  # corpus version diff — d01/d02 keep the
@@ -147,6 +140,17 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # keeps the range-join driver row; q57 is locally checked
         "q58_gap_fill_interpolate",  # series resampling — q29/q18
         # keep the window driver rows; q58 is locally checked
+        # Part-3 re-curation: three redundant scalar/agg variants make
+        # room for driver CORRECTNESS rows on the NEW families —
+        # mergeable sketches (q44), storage layout/skipping (q50),
+        # SCD2 history (q51):
+        "q33_array_agg",  # array functions — exercised throughout the
+        # s-/t-suites (arrays are the embedding/token medium); q24/q32
+        # keep the semi-structured/reshape driver rows
+        "q35_conditional_aggregates",  # conditional aggs — in-window
+        # q29/t02/q49-style sums cover the shape; q01 keeps rich aggs
+        "q37_edit_distance_drift",  # string-distance scalar — d05
+        # n-gram Jaccard keeps the string-similarity driver row
     }
 )
 

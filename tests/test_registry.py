@@ -48,6 +48,10 @@ def test_driver_registry_covers_every_family():
         "t16_bpe_merges",
         "q41_bucketed_colocated_join",
         "p03_integration_connector",
+        # part-3 promotions: the new families' driver rows
+        "q44_hll_shard_rollup",
+        "q50_zorder_skipping",
+        "q51_scd2_history",
     ):
         assert must in names
 
