@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "q56_integer_ols_trend",
     "q57_interval_bin_join",
     "q58_gap_fill_interpolate",
+    "d13_exact_substring_repeats",
 ]
 
 

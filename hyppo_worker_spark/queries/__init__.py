@@ -151,6 +151,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # q29/t02/q49-style sums cover the shape; q01 keeps rich aggs
         "q37_edit_distance_drift",  # string-distance scalar — d05
         # n-gram Jaccard keeps the string-similarity driver row
+        "d13_exact_substring_repeats",  # substring/boilerplate dedup —
+        # d01..d06 keep the dedup driver rows; d13 is locally checked
     }
 )
 

@@ -849,3 +849,175 @@ def d12_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("source", "status")
     )
+
+
+# --------------------------------------------------------------------------
+# d13 — exact-substring repeat detection (the Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" signal, a
+# public technique): find every k-token span that occurs MORE THAN
+# ONCE across the corpus and measure, per source, how much of the
+# text is covered by repeated spans. Whole-doc dedup (d01..d11)
+# misses shared BOILERPLATE inside otherwise-distinct documents; this
+# operator catches it. Distributed shape (no suffix array needed for
+# the fixed-k form): positions explode to (doc, pos, 52-bit gram
+# hash) rows — ONE hash-keyed shuffle finds multiply-occurring spans,
+# flagged positions join back doc-keyed, runs/coverage come from
+# per-doc windows only. Planted boilerplate (every 5th doc gets the
+# same 12-token tail — the d08 provable-recall technique) pins
+# detection: coverage lands exactly on the planted docs, zero false
+# positives on the random remainder. Tokens travel as hashes from the
+# scan on; the token ARRAY is materialized before windowing (the
+# codegen lesson).
+# --------------------------------------------------------------------------
+_D13_K = 8  # span length in tokens
+_D13_BP = "terms of service apply contact support for help before use now ok"
+
+
+@register(
+    "d13_exact_substring_repeats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' {_D13_BP}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM base
+    ),
+    grams AS (
+        SELECT doc_id, source, i AS pos,
+               ('0x' || substr(md5(array_to_string(
+                   list_slice(w, i, i + {_D13_K - 1}), ' ')), 1, 13))::BIGINT AS h
+        FROM tok, LATERAL unnest(range(1, len(w) - {_D13_K - 2})) AS t(i)
+    ),
+    dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+    flagged AS (
+        SELECT g.doc_id, g.source, g.pos
+        FROM grams g JOIN dup USING (h)
+    ),
+    covered AS (
+        SELECT doc_id, source,
+               count(DISTINCT idx) AS cov
+        FROM flagged, LATERAL unnest(range(pos, pos + {_D13_K})) AS u(idx)
+        GROUP BY 1, 2
+    ),
+    runs AS (
+        SELECT doc_id, source,
+               CAST(sum(CASE WHEN prev IS NULL OR pos <> prev + 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS spans
+        FROM (
+            SELECT doc_id, source, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM flagged
+        ) GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.source, len(t.w) AS n_tokens,
+               coalesce(c.cov, 0) AS cov, coalesce(r.spans, 0) AS spans
+        FROM tok t
+        LEFT JOIN covered c USING (doc_id)
+        LEFT JOIN runs r ON r.doc_id = t.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE cov > 0) AS BIGINT) AS docs_with_repeats,
+           CAST(sum(spans) AS BIGINT) AS repeated_spans,
+           CAST(sum(cov) AS BIGINT) AS covered_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(cov) * 10000 // sum(n_tokens) AS BIGINT) AS repeat_bp
+    FROM per_doc GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dedup", "substring", "boilerplate", "lee2022"),
+)
+def d13_exact_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repeated-substring coverage: spans of {k} tokens
+    occurring >= 2 times corpus-wide, coalesced into runs and measured
+    as covered-token basis points (planted boilerplate on every 5th
+    doc)."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _D13_BP)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    tok = base.select(
+        "doc_id", "source", TX.tokens("text").alias("w")
+    ).persist()
+    gram = F.expr(
+        f"transform(sequence(1, size(w) - {_D13_K - 1}), "
+        f"i -> struct(i AS pos, CAST(conv(substring(md5("
+        f"array_join(slice(w, i, {_D13_K}), ' ')), 1, 13), 16, 10) AS BIGINT)"
+        f" AS h))"
+    )
+    grams = (
+        tok.select("doc_id", "source", F.explode(gram).alias("g"))
+        .select("doc_id", "source", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+        .persist()
+    )
+    dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    )
+    flagged = grams.join(dup.select("h"), "h").select(
+        "doc_id", "source", "pos"
+    ).persist()
+    covered = (
+        flagged.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_D13_K - 1))
+            ).alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("idx").alias("cov"))
+    )
+    wl = W.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        flagged.withColumn("prev", F.lag("pos").over(wl))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("pos") != F.col("prev") + 1),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("spans")
+        )
+    )
+    per_doc = (
+        tok.select("doc_id", "source", F.size("w").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce("cov", F.lit(0)).alias("cov"),
+            F.coalesce("spans", F.lit(0)).alias("spans"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("cov") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_with_repeats"),
+            F.sum("spans").cast("long").alias("repeated_spans"),
+            F.sum("cov").cast("long").alias("covered_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.expr(
+                "CAST(sum(cov) * 10000 div sum(n_tokens) AS BIGINT)"
+            ).alias("repeat_bp"),
+        )
+        .orderBy("source")
+    )
