@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "q57_interval_bin_join",
     "q58_gap_fill_interpolate",
     "d13_exact_substring_repeats",
+    "m05_fused_features",
 ]
 
 

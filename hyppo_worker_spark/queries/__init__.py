@@ -153,6 +153,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # n-gram Jaccard keeps the string-similarity driver row
         "d13_exact_substring_repeats",  # substring/boilerplate dedup —
         # d01..d06 keep the dedup driver rows; d13 is locally checked
+        "m05_fused_features",  # multimodal fusion join — m01 keeps
+        # the multimodal driver row; m05 is locally checked
     }
 )
 

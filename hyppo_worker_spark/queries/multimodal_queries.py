@@ -267,3 +267,91 @@ def m04_video_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.selectExpr("doc_id AS media_id", f"{mp4} AS content")
     return parse_mp4_headers(media).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# m05 — multimodal feature fusion: the join that makes a multimodal
+# training table — per-media numeric features (derived here from the
+# payload digest, deterministically — stand-ins for the env-gated
+# pixel/sample features) concatenated onto the text EMBEDDING vector
+# keyed by id. The plumbing that matters at 100 TB is relational: an
+# id-keyed equi-join of two feature tables, array concat JVM-side, and
+# fold-order-deterministic norms — no UDF anywhere. Audited per
+# (label, media kind) with integer-scaled squared norms, which the
+# oracle reproduces exactly (concat norm² = emb norm² + feature norm²
+# is checked implicitly by value equality).
+# --------------------------------------------------------------------------
+@register(
+    "m05_fused_features",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id AS vec_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+               list_transform(range(0, 4),
+                   j -> (('0x' || substr(md5(text), j * 4 + 1, 4))::BIGINT)
+                        / 65535.0) AS mf
+        FROM documents
+    ),
+    fused AS (
+        SELECT e.label, f.kind,
+               list_concat(e.embedding::DOUBLE[], f.mf) AS v
+        FROM embeddings e JOIN feats f USING (vec_id)
+    )
+    SELECT label, kind,
+           count(*) AS n_vecs,
+           max(len(v)) AS fused_dim,
+           CAST(sum(CAST(floor(list_reduce(list_transform(
+                    range(1, len(v) + 1), i -> v[i] * v[i]),
+                    (x, y) -> x + y) * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_nsq_u6
+    FROM fused GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("multimodal", "fusion", "join", "vectors"),
+)
+def m05_fused_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding vectors fused with per-media digest-derived features
+    (id-keyed join + array concat), audited per (label, kind) with
+    integer-scaled fold norms."""
+    from hyppo_worker_spark.functions import vectors as V
+
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    feats = t["documents"].select(
+        F.col("doc_id").alias("vec_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(F.md5("text"), j * 4 + 1, 4), 16, 10
+                    ).cast("bigint")
+                    / 65535.0
+                )
+                for j in range(4)
+            ]
+        ).alias("mf"),
+    )
+    fused = (
+        t["embeddings"]
+        .join(feats, "vec_id")
+        .select(
+            "label",
+            "kind",
+            F.concat(V.as_double(F.col("embedding")), F.col("mf")).alias("v"),
+        )
+    )
+    return (
+        fused.groupBy("label", "kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max(F.size("v")).alias("fused_dim"),
+            F.sum(
+                F.floor(V.dot(F.col("v"), F.col("v")) * 1000000).cast("long")
+            ).cast("long").alias("sum_nsq_u6"),
+        )
+        .orderBy("label", "kind")
+    )
