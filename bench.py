@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "q58_gap_fill_interpolate",
     "d13_exact_substring_repeats",
     "m05_fused_features",
+    "t24_vocab_coverage",
 ]
 
 

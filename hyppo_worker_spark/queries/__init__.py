@@ -155,6 +155,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # d01..d06 keep the dedup driver rows; d13 is locally checked
         "m05_fused_features",  # multimodal fusion join — m01 keeps
         # the multimodal driver row; m05 is locally checked
+        "t24_vocab_coverage",  # tokenizer-sizing curve — t16/t17 keep
+        # the tokenizer driver rows; t24 is locally checked
     }
 )
 

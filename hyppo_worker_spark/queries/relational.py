@@ -2769,7 +2769,13 @@ def q50_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic, so an operator bug cannot cancel out of the compare.
 # Scale shape: each generation is one key-hashed join of the open
 # slice vs the update batch + unions — no window over history, closed
-# versions are never rescanned for matching.
+# versions are never rescanned for matching. NOTE the plan-audit
+# shape: stacking two generations LAZILY multiplies the dimension
+# scan across union branches (PLANS.md shows ~144 pruned scans) —
+# fine for this sf0.01 demonstration, but production SCD2
+# MATERIALIZES the table between generations, exactly as the
+# streaming sink does (`streaming/scd2_maintenance.py`:
+# localCheckpoint + parquet rewrite per batch).
 # --------------------------------------------------------------------------
 _SCD_OPEN = "9999-12-31 00:00:00"
 _SCD_T0, _SCD_T1, _SCD_T2 = (

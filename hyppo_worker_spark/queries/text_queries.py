@@ -1774,3 +1774,88 @@ def t23_term_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "doc_id", "matched", "tf_sum")
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# t24 — vocabulary coverage curve: the tokenizer-sizing question
+# ("how much of the corpus does a top-N vocabulary cover?") as a
+# query. One corpus-scale token-count shuffle; the curve itself needs
+# only the top-N prefix (TakeOrderedAndProject — never a global sort)
+# plus the corpus total (a 1-row aggregate), so the single-partition
+# cumulative window runs over at most max(N) rows — the q47 "window
+# over dozens of rows" exemption, not a scale hazard. Output: integer
+# coverage basis points per candidate vocab size, the curve a BPE
+# budget (t16's vocab table) is chosen against.
+# --------------------------------------------------------------------------
+_T24_SIZES = (5, 10, 20, 40)
+
+
+@register(
+    "t24_vocab_coverage",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    toks AS (SELECT unnest(w) AS token FROM tok),
+    tc AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS vocab FROM tc),
+    top AS (
+        SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS r
+        FROM tc ORDER BY cnt DESC, token LIMIT {max(_T24_SIZES)}
+    ),
+    sizes(n) AS (VALUES {", ".join(f"({n})" for n in _T24_SIZES)})
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           CAST(sum(cnt) FILTER (WHERE r <= n) AS BIGINT) AS covered_tokens,
+           tot.total AS total_tokens,
+           CAST(sum(cnt) FILTER (WHERE r <= n) * 10000 // tot.total AS BIGINT)
+               AS coverage_bp,
+           tot.vocab AS distinct_tokens
+    FROM sizes, top, tot
+    GROUP BY n, tot.total, tot.vocab
+    ORDER BY vocab_size
+    """,
+    tags=("text", "tokenizer", "vocabulary", "coverage"),
+)
+def t24_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token coverage (basis points) at candidate vocabulary
+    sizes, from the frequency-ranked top-N prefix."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tc = (
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    tot = tc.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    top = (
+        tc.orderBy(F.col("cnt").desc(), "token")
+        .limit(max(_T24_SIZES))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy(F.lit(1)).orderBy(F.col("cnt").desc(), "token")
+            ),
+        )
+    )
+    sizes = spark.createDataFrame([(n,) for n in _T24_SIZES], "n long")
+    return (
+        sizes.crossJoin(top)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n", "total", "vocab")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("n"), F.col("cnt"))).cast("long").alias("covered")
+        )
+        .select(
+            F.col("n").alias("vocab_size"),
+            F.col("covered").alias("covered_tokens"),
+            F.col("total").alias("total_tokens"),
+            F.expr("CAST(covered * 10000 div total AS BIGINT)").alias("coverage_bp"),
+            F.col("vocab").alias("distinct_tokens"),
+        )
+        .orderBy("vocab_size")
+    )
