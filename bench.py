@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "d13_exact_substring_repeats",
     "m05_fused_features",
     "t24_vocab_coverage",
+    "t25_source_drift",
 ]
 
 

@@ -157,6 +157,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the multimodal driver row; m05 is locally checked
         "t24_vocab_coverage",  # tokenizer-sizing curve — t16/t17 keep
         # the tokenizer driver rows; t24 is locally checked
+        "t25_source_drift",  # mix drift guard — t15/t22 keep the
+        # mixing/overlap local reps; t25 is locally checked
     }
 )
 

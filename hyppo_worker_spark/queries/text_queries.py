@@ -1859,3 +1859,84 @@ def t24_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# --------------------------------------------------------------------------
+# t25 — source distribution drift: per-source token-share divergence
+# from the corpus profile (the mix-health guard — a source whose
+# token distribution walks away from the corpus is changing under
+# you). Profile = the corpus-wide top-K tokens (TakeOrdered prefix,
+# never a global sort); shares are integer basis points (cnt * 10000
+# div total), and the drift score is the L1 distance over the profile
+# — pure integers end to end, so scores hash identically across
+# engines. Tokens outside the top-K are excluded from BOTH sides by
+# construction (documented: this is profile drift, not total
+# variation). Shape: one corpus token-count shuffle, a broadcast
+# profile join, one per-source rollup.
+# --------------------------------------------------------------------------
+_T25_K = 40
+
+
+@register(
+    "t25_source_drift",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    toks AS (SELECT source, unnest(w) AS token FROM tok),
+    tc AS (SELECT source, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    g AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS gcnt FROM tc GROUP BY 1),
+    gt AS (SELECT CAST(sum(gcnt) AS BIGINT) AS total FROM g),
+    prof AS (
+        SELECT token, gcnt FROM g ORDER BY gcnt DESC, token LIMIT {_T25_K}
+    ),
+    st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS s_total
+           FROM tc GROUP BY 1),
+    joined AS (
+        SELECT s.source, p.token,
+               coalesce(t.cnt, 0) * 10000 // s.s_total AS s_bp,
+               p.gcnt * 10000 // gt.total AS g_bp
+        FROM st s
+        CROSS JOIN prof p
+        CROSS JOIN gt
+        LEFT JOIN tc t ON t.source = s.source AND t.token = p.token
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS profile_tokens,
+           CAST(sum(abs(s_bp - g_bp)) AS BIGINT) AS l1_drift_bp
+    FROM joined GROUP BY 1 ORDER BY 1
+    """,
+    tags=("text", "drift", "distribution", "data-quality"),
+)
+def t25_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source L1 divergence (basis points) of top-{K}-token shares
+    from the corpus-wide profile."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tc = (
+        docs.select("source", F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    g = tc.groupBy("token").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    gt = g.agg(F.sum("gcnt").cast("long").alias("total"))
+    prof = g.orderBy(F.col("gcnt").desc(), "token").limit(_T25_K)
+    st = tc.groupBy("source").agg(F.sum("cnt").cast("long").alias("s_total"))
+    joined = (
+        st.crossJoin(F.broadcast(prof))
+        .crossJoin(F.broadcast(gt))
+        .join(tc, ["source", "token"], "left")
+        .select(
+            "source",
+            F.expr("coalesce(cnt, 0) * 10000 div s_total").alias("s_bp"),
+            F.expr("gcnt * 10000 div total").alias("g_bp"),
+        )
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("profile_tokens"),
+            F.sum(F.abs(F.col("s_bp") - F.col("g_bp")))
+            .cast("long")
+            .alias("l1_drift_bp"),
+        )
+        .orderBy("source")
+    )
