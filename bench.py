@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "m05_fused_features",
     "t24_vocab_coverage",
     "t25_source_drift",
+    "q59_month_over_month",
 ]
 
 

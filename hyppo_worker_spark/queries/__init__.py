@@ -159,6 +159,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the tokenizer driver rows; t24 is locally checked
         "t25_source_drift",  # mix drift guard — t15/t22 keep the
         # mixing/overlap local reps; t25 is locally checked
+        "q59_month_over_month",  # PoP deltas — q29's window suite
+        # keeps the lag/window driver row; q59 is locally checked
     }
 )
 

@@ -3628,3 +3628,69 @@ def q58_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q59 — period-over-period deltas: the canonical BI comparison
+# (month-over-month revenue change per segment) with the delta in
+# integer basis points against the PRIOR period via a lag window.
+# Revenue rides as integer cents (the s06 rounding convention), so
+# the deltas hash identically across engines. Shape: one scan-side
+# month truncation, one (priority, month) aggregate, a lag window
+# partitioned by priority (months per key ~ dozens — never a giant
+# partition), restricted to one year for a bounded, readable result.
+# --------------------------------------------------------------------------
+@register(
+    "q59_month_over_month",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT priority, month, cents,
+               lag(cents) OVER (PARTITION BY priority ORDER BY month) AS prev
+        FROM monthly
+    )
+    SELECT priority, month, cents,
+           CASE WHEN prev IS NOT NULL AND prev > 0
+                THEN (cents - prev) * 10000 // prev END AS mom_delta_bp
+    FROM lagged
+    WHERE month BETWEEN '1995-01' AND '1995-12'
+    ORDER BY priority, month
+    """,
+    tags=("window", "period-over-period", "bi", "lag"),
+)
+def q59_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1995 monthly revenue per order priority with integer
+    month-over-month deltas (basis points vs the prior month)."""
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    monthly = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("c"),
+        )
+        .groupBy("priority", "month")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = W.partitionBy("priority").orderBy("month")
+    lagged = monthly.withColumn("prev", F.lag("cents").over(w))
+    return (
+        lagged.select(
+            "priority",
+            "month",
+            "cents",
+            F.when(
+                F.col("prev").isNotNull() & (F.col("prev") > 0),
+                F.expr("(cents - prev) * 10000 div prev"),
+            ).alias("mom_delta_bp"),
+        )
+        .filter(F.col("month").between("1995-01", "1995-12"))
+        .orderBy("priority", "month")
+    )
