@@ -56,6 +56,36 @@ def word_ngrams(toks: Column, n: int) -> Column:
     )
 
 
+def pos_ngram_hashes(toks: Column, n: int) -> Column:
+    """Positional word n-gram hashes of a token array —
+    ``array<struct<pos:int, h:bigint>>`` where ``pos`` is the
+    1-based start index and ``h`` the first 13 md5 hex chars of the
+    space-joined gram as int64 (52 bits, collision-negligible).
+
+    Same ``size < n`` guard as :func:`shingles` /
+    :func:`word_ngrams` — Spark's ``sequence(1, 0)`` is DESCENDING,
+    not empty, so an unguarded sequence on a short document emits
+    slice() starts <= 0 (ADVICE r4 on d13: reads from the array end
+    or errors, diverging from DuckDB's naturally-empty range()).
+    """
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    mk = lambda i: F.struct(  # noqa: E731
+        i.alias("pos"),
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(toks, i, n), " ")), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    return F.when(F.size(toks) >= n, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<struct<pos:int,h:bigint>>")
+    )
+
+
 def minhash_signature(shingle_arr: Column, k: int = 12) -> Column:
     """MinHash signature: for seed i, min md5 hex of ``'{i}:{shingle}'``.
 

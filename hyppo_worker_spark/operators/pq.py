@@ -75,16 +75,21 @@ def pq_codebooks(
 ) -> DataFrame:
     """Per-subspace codebooks (m, cent_id, cent) via m-keyed Lloyd.
 
-    Init is the lowest-k corpus ids' subvectors (the same fixed seed
-    convention as `similarity.kmeans_centroids`); updates run on the
-    shared fixed-point integer grid so every centroid component — and
-    therefore every downstream code — is deterministic cross-engine.
-    An emptied cell keeps its previous centroid.
+    Init is the k smallest corpus ids' subvectors, densely renumbered
+    by `similarity.seed_centroid_ids` (the same fixed seed convention
+    as `similarity.kmeans_centroids`; equals ``id < k`` on 0-based
+    contiguous id spaces, and fails safe — full-size seed — on any
+    other id space); updates run on the shared fixed-point integer
+    grid so every centroid component — and therefore every downstream
+    code — is deterministic cross-engine. An emptied cell keeps its
+    previous centroid.
     """
+    from hyppo_worker_spark.operators.similarity import seed_centroid_ids
+
     subs = pq_subvectors(corpus, id_col, vec_col, m=m, dim=dim)
-    cents = subs.filter(F.col("__id") < k).select(
-        "m", F.col("__id").alias("cent_id"), F.col("sv").alias("cent")
-    )
+    cents = subs.join(
+        F.broadcast(seed_centroid_ids(subs, "__id", k)), "__id"
+    ).select("m", "cent_id", F.col("sv").alias("cent"))
     for _ in range(n_iter):
         scored = subs.join(F.broadcast(cents), "m").withColumn(
             "__d", V.sqdist(F.col("sv"), F.col("cent"))

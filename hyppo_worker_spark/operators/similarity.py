@@ -129,6 +129,31 @@ def cosine_neardup_pairs(
 FIXED_POINT_SCALE = 1_000_000
 
 
+def seed_centroid_ids(ids: DataFrame, id_col: str, k: int) -> DataFrame:
+    """The ``k`` SMALLEST distinct corpus ids, densely renumbered —
+    ``(__id, cent_id)`` with ``cent_id`` in 0..k-1.
+
+    Sort+limit(k) (TakeOrderedAndProject — no global sort) then a
+    row_number over the surviving <= k rows (bounded window,
+    audit-whitelisted). On a 0-based contiguous id space this equals
+    the documented ``id < k`` seed convention the SQL oracles state —
+    but unlike a raw ``filter(id < k)`` it never silently yields a
+    short or empty seed set on corpora whose ids start elsewhere
+    (ADVICE r4: ids starting at 1e9 would seed nothing and every
+    downstream encode/ADC result would be empty rather than an error).
+    """
+    seed = (
+        ids.select(F.col(id_col).alias("__id"))
+        .distinct()
+        .orderBy("__id")
+        .limit(k)
+    )
+    w = W.orderBy("__id")
+    return seed.withColumn(
+        "cent_id", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -139,8 +164,10 @@ def kmeans_centroids(
     """Spherical k-means centroids via Lloyd iterations, entirely as
     DataFrame ops — (cent_id, cent: array<double>).
 
-    - **Init**: the ``n_centroids`` lowest-id corpus vectors (a fixed
-      seed — deterministic, mirrorable in SQL).
+    - **Init**: the ``n_centroids`` lowest-id corpus vectors, densely
+      renumbered via :func:`seed_centroid_ids` (a fixed seed —
+      deterministic, mirrorable in SQL; equals ``id < k`` on the
+      0-based contiguous id spaces the oracles assume).
     - **Assign**: broadcast the tiny centroid set, argmax cosine per
       vector (ties → lowest cent_id). One corpus scan, no shuffle.
     - **Update**: per-cell component means computed on a fixed-point
@@ -158,8 +185,10 @@ def kmeans_centroids(
         F.col(id_col).alias("__id"), V.as_double(F.col(vec_col)).alias("__v")
     )
     cents = (
-        vecs.filter(F.col("__id") < n_centroids)
-        .select(F.col("__id").alias("cent_id"), F.col("__v").alias("cent"))
+        vecs.join(
+            F.broadcast(seed_centroid_ids(vecs, "__id", n_centroids)), "__id"
+        )
+        .select("cent_id", F.col("__v").alias("cent"))
     )
     for _ in range(n_iter):
         cn = cents.withColumn("cent_norm", V.norm(F.col("cent")))

@@ -11,9 +11,10 @@ predicate — the layout trick behind Delta/Iceberg OPTIMIZE ZORDER
 arithmetic:
 
 - **scale**: each dimension maps linearly to ``bits``-bit integer
-  space — ``(v - min) * (2^bits - 1) / span`` truncated (all values
-  non-negative, well under 2^53, so truncation == floor == DuckDB's
-  ``//``); min/max ride a 1-row broadcast join (the engine's standard
+  space — ``(v - min) * (2^bits - 1) // span`` computed entirely in
+  int64 (exact floor-div == DuckDB's ``//`` for any span under
+  2^63/(2^bits-1), not just spans small enough for IEEE doubles);
+  min/max ride a 1-row broadcast join (the engine's standard
   scalar pattern), keeping the whole layout one lazy plan;
 - **interleave**: ``z = Σ_i (((x>>i)&1) << 2i) + (((y>>i)&1) <<
   (2i+1))`` — a fixed sum of shift/mask terms, identical int64
@@ -45,9 +46,19 @@ from pyspark.sql import functions as F
 
 
 def scale_to_bits(v: Column, vmin: Column, vmax: Column, bits: int) -> Column:
-    """Map ``v`` in [vmin, vmax] to integer [0, 2^bits)."""
-    span = F.greatest(vmax - vmin, F.lit(1))
-    return ((v - vmin) * ((1 << bits) - 1) / span).cast("long")
+    """Map ``v`` in [vmin, vmax] to integer [0, 2^bits).
+
+    Exact integer floor-div (ADVICE r4): a DOUBLE divide-then-truncate
+    can cross an integer boundary once ``span*(2^bits-1)`` nears 2^53
+    (e.g. microsecond epochs over ~1 year at bits=8), diverging from
+    the oracle's ``//``. ``(num - pmod(num, span)) / span`` keeps every
+    step in int64: the numerator is exactly divisible, and the final
+    divide of a <2^bits quotient is exact in any arithmetic. Domain
+    bound (unchanged): ``(vmax - vmin) * (2^bits - 1) < 2^63``.
+    """
+    span = F.greatest(vmax - vmin, F.lit(1)).cast("long")
+    num = ((v - vmin).cast("long") * F.lit((1 << bits) - 1)).cast("long")
+    return ((num - F.pmod(num, span)) / span).cast("long")
 
 
 def scale_to_bits_sql(v: str, vmin: str, vmax: str, bits: int) -> str:

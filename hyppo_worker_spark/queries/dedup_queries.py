@@ -954,12 +954,9 @@ def d13_exact_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = base.select(
         "doc_id", "source", TX.tokens("text").alias("w")
     ).persist()
-    gram = F.expr(
-        f"transform(sequence(1, size(w) - {_D13_K - 1}), "
-        f"i -> struct(i AS pos, CAST(conv(substring(md5("
-        f"array_join(slice(w, i, {_D13_K}), ' ')), 1, 13), 16, 10) AS BIGINT)"
-        f" AS h))"
-    )
+    # TX.pos_ngram_hashes carries the size<k guard (ADVICE r4): an
+    # unguarded sequence(1, size-7) is DESCENDING for <8-token docs.
+    gram = TX.pos_ngram_hashes(F.col("w"), _D13_K)
     grams = (
         tok.select("doc_id", "source", F.explode(gram).alias("g"))
         .select("doc_id", "source", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))

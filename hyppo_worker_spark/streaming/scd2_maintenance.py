@@ -20,9 +20,19 @@ Per micro-batch:
    rescanned for matching (the operator joins only the open slice),
    so per-batch cost is O(open dimension + batch), independent of
    history depth;
-4. rewrite. Replays are absorbed ack-early by the marker guard
-   (scd2_apply is NOT idempotent: a replayed changed row would
-   close-and-reopen a version per replay).
+4. rewrite via STAGED SWAP, then mark. The batch's marker is written
+   only AFTER the new table generation is durably in place (write to
+   ``<table>.staging-<id>``, rename current → ``.old-<id>``, rename
+   staging in, mark, drop old) — so a crash anywhere in the batch
+   replays it against the PRE-batch table and cannot drop data
+   (ADVICE r4: the previous ack-early marker had an at-most-once
+   window — a crash between marker and rewrite lost the batch
+   forever). Replays of a MARKED batch are still absorbed by the
+   marker guard (scd2_apply is NOT idempotent: a replayed changed
+   row would close-and-reopen a version per replay), and
+   ``_recover`` heals the one non-atomic window (current renamed
+   out, staging not yet renamed in) by restoring the newest
+   generation on the next call.
 
 At 100 TB the rewrite targets the affected key-bucket partitions of
 the dimension, exactly as `operators/merge.py`'s module doc lays out.
@@ -63,15 +73,32 @@ class Scd2DimensionSink:
         empty = batch_df.limit(0)
         return merge_upsert(empty, batch_df, self.key, order_col=self.ts_col)
 
+    def _recover(self) -> None:
+        """Heal the one non-atomic window of the staged swap: the
+        current table was renamed to ``.old-<id>`` but the staging dir
+        was not renamed in before a crash. Restore the newest old
+        generation; drop any leftover staging/old dirs otherwise."""
+        import glob
+        import shutil
+
+        olds = sorted(glob.glob(self.table_dir + ".old-*"))
+        if not os.path.isdir(self.table_dir) and olds:
+            os.rename(olds.pop(), self.table_dir)
+        for stale in olds + glob.glob(self.table_dir + ".staging-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         from hyppo_worker_spark.operators.merge import scd2_apply
 
-        marker = os.path.join(self.marker_dir, f"batch-{batch_id}.started")
+        marker = os.path.join(self.marker_dir, f"batch-{batch_id}.done")
         if os.path.exists(marker):
             return
-        with open(marker, "w") as f:
-            f.write("started")
+        self._recover()
         if batch_df.isEmpty():
+            with open(marker, "w") as f:
+                f.write("done")
             return
         new_ts = (
             batch_df.agg(F.max(self.ts_col).alias("t")).first().t
@@ -92,8 +119,20 @@ class Scd2DimensionSink:
             dim = updates.withColumn("valid_from", F.lit(new_ts)).withColumn(
                 "valid_to", F.lit(OPEN_TS)
             )
+        # Staged swap: materialize the new generation NEXT TO the
+        # current one, swap via two renames, and only then mark the
+        # batch done — a crash at any point replays against the
+        # pre-batch table instead of dropping the batch (ADVICE r4).
         dim = dim.localCheckpoint(eager=True)
-        dim.write.mode("overwrite").parquet(self.table_dir)
+        staging = self.table_dir + f".staging-{batch_id}"
+        dim.write.mode("overwrite").parquet(staging)
+        old = self.table_dir + f".old-{batch_id}"
+        if os.path.isdir(self.table_dir):
+            os.rename(self.table_dir, old)
+        os.rename(staging, self.table_dir)
+        with open(marker, "w") as f:
+            f.write("done")
+        shutil.rmtree(old, ignore_errors=True)
 
     # -- query side ---------------------------------------------------------
 

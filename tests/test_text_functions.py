@@ -31,6 +31,25 @@ def test_word_ngrams_short_doc_is_empty_not_descending(spark):
     assert [r.g for r in rows] == [[], []]
 
 
+def test_pos_ngram_hashes_short_doc_is_empty_not_descending(spark):
+    # ADVICE r4 (d13): an unguarded sequence(1, size-7) is DESCENDING
+    # for docs under k tokens, producing slice() starts <= 0.
+    df = spark.createDataFrame(
+        [("a b c",), ("",), ("a b c d e f g h i",)], "text string"
+    )
+    rows = df.select(
+        TX.pos_ngram_hashes(TX.tokens("text"), 8).alias("g")
+    ).collect()
+    assert [len(r.g) for r in rows] == [0, 0, 2]
+    # positions are 1-based consecutive starts; hash matches python md5
+    long = rows[2].g
+    assert [g.pos for g in long] == [1, 2]
+    gram1 = " ".join("abcdefgh")
+    assert long[0].h == int(
+        hashlib.md5(gram1.encode()).hexdigest()[:13], 16
+    )
+
+
 def _py_bucket(feat: str, mod: int) -> int:
     return int(hashlib.md5(feat.encode()).hexdigest()[:7], 16) % mod
 
