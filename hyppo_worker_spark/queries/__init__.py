@@ -75,8 +75,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # zero-exchange join (q41). Each retiree's family keeps an
         # in-window representative:
         "q19_event_time_windows",  # time-window family — q18 sessionize keeps it
-        "q38_distribution_windows",  # percentile/window — q23/q29 keep it
-        "q34_ship_latency",  # scalar/date family — q24/q37 keep it
+        "q38_distribution_windows",  # percentile/window — q29 keeps it
+        "q34_ship_latency",  # scalar/date family — q24 keeps it
         "q28_cheapest_supplier_per_nation",  # per-group extreme — q07 keeps it
         "d10_incremental_neardup",  # incremental LSH — d03 keeps the
         # minhash family in-window; d10 is registered + locally checked
@@ -89,78 +89,84 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # time-series families in-window; q42 is locally checked
         "q43_conversion_funnel",  # sequential-pattern funnel — locally
         # checked; q18 sessionize keeps the events family in-window
-        "m02_media_header_decode",  # real header decode — m01 keeps the
-        # multimodal driver row; m02 is locally checked
         "q45_variant_ingestion",  # VARIANT semi-structured — q24 keeps
         # the JSON driver row; q45 is locally checked
-        "t18_quality_classifier",  # learned-model scoring — t02 keeps
-        # the quality driver row; t18 is locally checked
-        "q46_cms_heavy_hitters",  # frequency-sketch rollup — q44 keeps
-        # the mergeable-sketch driver row; q46 is locally checked
-        "q47_quantile_sketch",  # quantile-sketch rollup — q44 keeps
-        # the mergeable-sketch driver row; q47 is locally checked
         "p04_integration_sink_roundtrip",  # connector WRITE path —
-        # p01/p03 keep the pipeline driver rows; p04 is locally checked
-        "d11_semantic_dedup",  # SemDeDup (k-means-scoped pairwise) —
-        # d08 keeps the embedding-dedup driver row; d11 locally checked
-        "t19_unigram_surprisal",  # LM-surprisal quality — t02/t18 keep
-        # the quality driver rows; t19 is locally checked
-        "m03_audio_header_decode",  # audio header decode — m01 keeps
-        # the multimodal driver row; m03 is locally checked like m02
+        # p01/p03/p05 keep the pipeline driver rows; p04 locally checked
+        "t19_unigram_surprisal",  # LM-surprisal quality — t18 keeps
+        # the quality driver row; t19 is locally checked
+        "m03_audio_header_decode",  # audio header decode — m01/m02 keep
+        # the multimodal driver rows; m03 is locally checked
         "t20_textrank_keywords",  # TextRank keywords — t16/q40 keep
         # the iterative driver rows; t20 is locally checked
-        "q48_kmv_set_sketch",  # KMV set-operations sketch — q44 keeps
-        # the mergeable-sketch driver row; q48 is locally checked
-        "m04_video_header_decode",  # video header decode — m01 keeps
-        # the multimodal driver row; m04 is locally checked like m02/m03
-        "q49_bloom_runtime_filter",  # membership sketch / runtime
-        # filter — q27 keeps the approx-agg driver row; q49 is locally
-        # checked like the rest of the sketch family
-        "s07_pq_adc_topk",  # product-quantization ANN — s01/s02/s04
-        # keep the similarity driver rows; s07 is locally checked
+        "m04_video_header_decode",  # video header decode — m01/m02 keep
+        # the multimodal driver rows; m04 is locally checked
         "q52_temporal_scd2_join",  # point-in-time dimension lookup —
         # q21 keeps the as-of driver row; q52 is locally checked
-        "d12_snapshot_diff",  # corpus version diff — d01/d02 keep the
-        # digest-dedup driver rows; d12 is locally checked
-        "t21_padding_waste",  # batching padding waste — t14 keeps the
-        # packing driver row; t21 is locally checked
-        "q53_mad_outliers",  # robust MAD anomaly gate — q23 keeps the
-        # percentile driver row; q53 is locally checked
         "t22_source_overlap",  # cross-source contamination matrix —
         # t11 keeps the decontamination driver row; t22 locally checked
         "t23_term_retrieval",  # inverted-index retrieval — t05 keeps
         # the token-stats driver row; t23 is locally checked
-        "q54_zonemap_pruning",  # footer-manifest skipping — q01 keeps
-        # the pushed-scan driver row; q54 is locally checked
-        "q55_ab_experiment",  # deterministic experiment readout — t06
-        # keeps the md5-gate sampling driver row; q55 locally checked
-        "q56_integer_ols_trend",  # integer-exact OLS — q01/q35 keep
-        # the aggregate driver rows; q56 is locally checked
+        "q54_zonemap_pruning",  # footer-manifest skipping — q50 keeps
+        # the layout/skipping driver row; q54 is locally checked
         "q57_interval_bin_join",  # binned interval equi-join — q17
         # keeps the range-join driver row; q57 is locally checked
-        "q58_gap_fill_interpolate",  # series resampling — q29/q18
-        # keep the window driver rows; q58 is locally checked
-        # Part-3 re-curation: three redundant scalar/agg variants make
-        # room for driver CORRECTNESS rows on the NEW families —
-        # mergeable sketches (q44), storage layout/skipping (q50),
-        # SCD2 history (q51):
         "q33_array_agg",  # array functions — exercised throughout the
-        # s-/t-suites (arrays are the embedding/token medium); q24/q32
-        # keep the semi-structured/reshape driver rows
+        # s-/t-suites (arrays are the embedding/token medium); q24/q31
+        # keep the semi-structured/set-op driver rows
         "q35_conditional_aggregates",  # conditional aggs — in-window
-        # q29/t02/q49-style sums cover the shape; q01 keeps rich aggs
-        "q37_edit_distance_drift",  # string-distance scalar — d05
-        # n-gram Jaccard keeps the string-similarity driver row
-        "d13_exact_substring_repeats",  # substring/boilerplate dedup —
-        # d01..d06 keep the dedup driver rows; d13 is locally checked
-        "m05_fused_features",  # multimodal fusion join — m01 keeps
-        # the multimodal driver row; m05 is locally checked
-        "t24_vocab_coverage",  # tokenizer-sizing curve — t16/t17 keep
-        # the tokenizer driver rows; t24 is locally checked
+        # q29/t18/q49-style sums cover the shape; q01 keeps rich aggs
+        "q37_edit_distance_drift",  # string-distance scalar — d03
+        # minhash keeps the string-similarity driver row
+        "m05_fused_features",  # multimodal fusion join — m01/m02 keep
+        # the multimodal driver rows; m05 is locally checked
+        "t24_vocab_coverage",  # tokenizer-sizing curve — t16 keeps
+        # the tokenizer driver row; t24 is locally checked
         "t25_source_drift",  # mix drift guard — t15/t22 keep the
         # mixing/overlap local reps; t25 is locally checked
         "q59_month_over_month",  # PoP deltas — q29's window suite
         # keeps the lag/window driver row; q59 is locally checked
+        # Round-5 WINDOW ROTATION (VERDICT r4 item 1): driver evidence
+        # must ACCUMULATE across rounds — the same 50 entries were
+        # driver-checked in r3 and r4 while 13 families had zero driver
+        # history. These 16 retirees each had >= 2 green driver rounds
+        # (CORRECTNESS_r03 + r04, archived) and leave an in-window
+        # family representative; their slots go to the never-driver-
+        # checked entries un-retired above (q46-q49 sketches, q53/q55/
+        # q56/q58, d11-d13, t18/t21, m02, s07) plus the new streaming
+        # maintenance row (p05).
+        "d02_exact_dedup_kept",  # exact-dedup family — d01 keeps the
+        # digest-groupBy driver row (2 green driver rounds archived)
+        "d04_simhash_sketches",  # banded-sketch family — d03 minhash
+        # keeps the driver row (2 green driver rounds archived)
+        "d05_ngram_jaccard_pairs",  # n-gram set-similarity — d03/d06
+        # keep the driver rows (2 green driver rounds archived)
+        "q20_grouping_sets",  # multi-granularity aggs — q01 keeps the
+        # rich-agg driver row (2 green driver rounds archived)
+        "q22_nation_coverage_full_outer",  # outer joins — q03/q04/q21
+        # keep the join driver rows (2 green driver rounds archived)
+        "q23_price_percentiles",  # percentiles — q53 (exact medians)
+        # and q47 (quantile sketch) take the driver rows
+        "q25_global_sales_opportunity",  # anti-join — q04 keeps the
+        # existence-join driver row (2 green driver rounds archived)
+        "q27_approx_aggregates",  # approx-distinct — q44 HLL + q48 KMV
+        # + q49 Bloom now carry the sketch driver rows
+        "q30_merge_upsert",  # MERGE — q51 SCD2 exercises the same
+        # merge machinery with a richer contract (2 green rounds)
+        "q32_unpivot_measures",  # reshape — q31 keeps the set-op/
+        # reshape driver row (2 green driver rounds archived)
+        "q39_salted_hot_keys",  # skew salting demo — q41's bucketed
+        # join keeps the join-strategy driver row (2 green rounds)
+        "s02_knn_sign_bucket",  # LSH ANN tier — s01 brute-force and
+        # s04 IVF keep the similarity driver rows; s07 PQ rotates in
+        "t02_quality_scores",  # heuristic quality — t18's learned
+        # classifier takes the quality driver row; t01 keeps lang-id
+        "t03_token_stats",  # token aggs — t05 keeps the token-stats
+        # driver row (2 green driver rounds archived)
+        "t04_fingerprints",  # fingerprint scalars — d03/t05 keep the
+        # hashing driver rows (2 green driver rounds archived)
+        "t07_weighted_sample",  # weighted sampling — t06 keeps the
+        # md5-gate sampling driver row; q55 (experiment gates) joins
     }
 )
 

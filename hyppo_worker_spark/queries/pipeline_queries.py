@@ -394,3 +394,106 @@ def p04_integration_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("task_id")
     )
+
+
+# --------------------------------------------------------------------------
+# p05 — streaming sketch maintenance, driver-checkable (VERDICT r4 item
+# 5): the streaming layer's correctness evidence was pytest-only; this
+# row EXECUTES the foreachBatch maintenance path for real — a bounded
+# multi-file stream drained with availableNow through SketchRollupSink
+# (micro-batch HLL build + full-outer sketch-union merge + table
+# rewrite per batch) — then verifies the maintained table against
+# exact twins computed relationally, with the q44/q27 contract turning
+# sketch accuracy into in-plan booleans the DuckDB oracle states as
+# literal TRUE. A dropped/duplicated batch breaks n_events equality; a
+# broken union breaks the estimate bound; a single-batch shortcut
+# (merge path never exercised) breaks the multi_batch literal.
+# --------------------------------------------------------------------------
+@register(
+    "p05_streaming_sketch_rollup",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               count(DISTINCT user_id) AS exact_users,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    total AS (
+        SELECT 'TOTAL' AS day, count(DISTINCT user_id) AS exact_users,
+               count(*) AS n_events
+        FROM events
+    )
+    SELECT day, exact_users, CAST(n_events AS BIGINT) AS n_events,
+           TRUE AS estimate_within_5pct, TRUE AS multi_batch
+    FROM (SELECT * FROM daily UNION ALL SELECT * FROM total)
+    ORDER BY day
+    """,
+    tags=("pipeline", "streaming", "sketch", "hll", "maintenance"),
+)
+def p05_streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events table as a 3-file bounded stream
+    (maxFilesPerTrigger=1 → 3 real micro-batches) through the HLL
+    sketch-maintenance sink, then check the maintained per-day table:
+    sketch estimates within ±5% of exact distincts, event counts
+    exactly equal, and >= 2 batches actually merged."""
+    import os
+    import tempfile
+
+    from hyppo_worker_spark.streaming.sketch_maintenance import (
+        SketchRollupSink,
+        maintain_sketches,
+    )
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    work = tempfile.mkdtemp(prefix="hyppo-p05-")
+    src_dir = os.path.join(work, "stream-src")
+    (
+        events.select(
+            F.col("ts").cast("timestamp").alias("ts"), "user_id"
+        )
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = SketchRollupSink(spark, os.path.join(work, "store"))
+    q = maintain_sketches(stream, sink, os.path.join(work, "ckpt"))
+    q.awaitTermination(300)
+    n_batches = len(os.listdir(sink.marker_dir))
+
+    base = events.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    daily_exact = base.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    total_exact = base.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_exact"),
+    ).select(F.lit("TOTAL").alias("day"), "exact_users", "n_exact")
+    exact = daily_exact.unionByName(total_exact)
+
+    est = sink.estimates()  # (day, est_users, n_events) — no event scan
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            "exact_users",
+            # the SINK's count, equality-checked against the oracle's
+            # count(*) via the value hash (n_exact only gates in-plan)
+            F.col("n_events").cast("long").alias("n_events"),
+            (
+                (F.col("n_events") == F.col("n_exact"))
+                & (
+                    F.abs(F.col("est_users") - F.col("exact_users")) * 20
+                    <= F.col("exact_users")
+                )
+            ).alias("estimate_within_5pct"),
+            F.lit(n_batches >= 2).alias("multi_batch"),
+        )
+        .orderBy("day")
+    )

@@ -37,9 +37,6 @@ def test_driver_registry_covers_every_family():
         "m01_media_manifest",
         "s04_knn_ivf",
         "t01_language_id",
-        "t02_quality_scores",
-        "t03_token_stats",
-        "t04_fingerprints",
         "t05_token_frequencies",
         # round-4 promotions: every SURVEY §2.5 family now holds a
         # driver row (VERDICT r3 item 1) plus the bucketed-join plan demo
@@ -52,6 +49,23 @@ def test_driver_registry_covers_every_family():
         "q44_hll_shard_rollup",
         "q50_zorder_skipping",
         "q51_scd2_history",
+        # round-5 rotation (VERDICT r4 item 1): the never-driver-checked
+        # families must hold their first driver rows this round
+        "d11_semantic_dedup",
+        "d12_snapshot_diff",
+        "d13_exact_substring_repeats",
+        "m02_media_header_decode",
+        "q46_cms_heavy_hitters",
+        "q47_quantile_sketch",
+        "q48_kmv_set_sketch",
+        "q49_bloom_runtime_filter",
+        "q53_mad_outliers",
+        "q55_ab_experiment",
+        "q56_integer_ols_trend",
+        "q58_gap_fill_interpolate",
+        "s07_pq_adc_topk",
+        "t18_quality_classifier",
+        "t21_padding_waste",
     ):
         assert must in names
 
