@@ -483,7 +483,7 @@ def semantic_dedup_components(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     *,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     n_iter: int = 2,
     threshold: float = 0.9,
     round_to: int = 6,
@@ -502,14 +502,30 @@ def semantic_dedup_components(
     n/n_centroids vectors ⇒ pairwise cost n²/n_centroids, the scale
     knob; real deployments use enough cells that a cell fits a task).
 
+    ``n_centroids=None`` (the default) DERIVES the count from the
+    corpus: ``max(ceil(n / TARGET_CELL_ROWS), CENTROID_FLOOR)`` via
+    :func:`similarity.derive_n_centroids` — centroids grow linearly
+    with the data so average cell size (and therefore per-cell
+    pairwise work) stays bounded at any corpus size, the same
+    invariant as ``packing.derive_n_buckets`` (VERDICT r4: a pinned
+    count makes the intra-cell join quadratic at scale). The one
+    up-front ``count()`` rides a column-pruned scan of the id column.
+
     Determinism: centroids come from ``kmeans_centroids``'s
     fixed-point integer grid, assignment ties break on lowest cell id,
     and the pair filter uses the ROUNDED cosine — all mirrored by the
-    DuckDB oracle (d11) bit-for-bit.
+    DuckDB oracle (d11) bit-for-bit (the oracle derives the same
+    count with a ``LIMIT greatest(ceil(count(*)/target), floor)``).
     """
-    from hyppo_worker_spark.operators.similarity import kmeans_centroids
+    from hyppo_worker_spark.operators.similarity import (
+        derive_n_centroids,
+        kmeans_centroids,
+    )
     from hyppo_worker_spark.functions import vectors as V
     from pyspark.sql import Window as W
+
+    if n_centroids is None:
+        n_centroids = derive_n_centroids(df.select(id_col).count())
 
     cents = (
         kmeans_centroids(

@@ -661,6 +661,10 @@ def d10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is shared with s04's oracle).
 # --------------------------------------------------------------------------
 def _d11_oracle() -> str:
+    from hyppo_worker_spark.operators.similarity import (
+        CENTROID_FLOOR as _D11_FLOOR,
+        TARGET_CELL_ROWS as _D11_TARGET_CELL,
+    )
     from hyppo_worker_spark.queries.similarity_queries import _lloyd_round
 
     return f"""
@@ -675,7 +679,18 @@ def _d11_oracle() -> str:
         FROM embeddings WHERE vec_id % 5 = 0
     ),
     vecs AS (SELECT vec_id, v FROM corpus),
-    cents0 AS (SELECT vec_id AS cent_id, v AS cent FROM vecs WHERE vec_id < 8),
+    -- centroid count DERIVED from corpus size exactly like the Spark
+    -- side (similarity.derive_n_centroids): linear growth keeps the
+    -- average cell ~TARGET_CELL_ROWS at any corpus size. cent_id =
+    -- vec_id matches seed_centroid_ids' dense renumbering because the
+    -- testdata id space is 0-based contiguous.
+    cents0 AS (
+        SELECT vec_id AS cent_id, v AS cent FROM vecs
+        ORDER BY vec_id
+        LIMIT greatest(CAST(ceil((SELECT count(*) FROM vecs)
+                                 / {_D11_TARGET_CELL}.0) AS BIGINT),
+                       {_D11_FLOOR})
+    ),
     {_lloyd_round(0)},
     {_lloyd_round(1)},
     assigned AS (
@@ -742,8 +757,11 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     corpus = base.unionByName(planted)
+    # n_centroids=None derives the count from the corpus (average cell
+    # ~TARGET_CELL_ROWS at any SF; floors to 8 at sf0.01's 600 rows —
+    # the oracle derives the identical value in SQL).
     comp = D.semantic_dedup_components(
-        corpus, "vec_id", "v", n_centroids=8, n_iter=2, threshold=0.9
+        corpus, "vec_id", "v", n_centroids=None, n_iter=2, threshold=0.9
     )
     dropped = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("vec_id")

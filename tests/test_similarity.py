@@ -166,3 +166,40 @@ def test_pq_recall_floor(spark, emb):
     )
     hits = approx.join(etop, ["q_id", "neighbor_id"], "left_semi").count()
     assert hits / 100 >= 0.2
+
+
+def test_derive_n_centroids_scale_invariant():
+    """VERDICT r4 item 2: SemDeDup's centroid count must grow linearly
+    with the corpus so average cell size stays ~TARGET_CELL_ROWS —
+    a pinned count makes intra-cell pairwise quadratic at scale."""
+    from hyppo_worker_spark.operators.similarity import (
+        CENTROID_FLOOR,
+        TARGET_CELL_ROWS,
+        derive_n_centroids,
+    )
+
+    # sf0.01 demo floor: 600-vector corpus still clusters with 8 cells
+    assert derive_n_centroids(600) == CENTROID_FLOOR == 8
+    # linear growth: average cell pinned to the target at any size
+    for n in (10**6, 10**9, 10**11):
+        k = derive_n_centroids(n)
+        assert k == -(-n // TARGET_CELL_ROWS)  # ceil
+        assert n / k <= TARGET_CELL_ROWS
+    # 100 TB read: 1e11 vectors -> ~390M cells of ~256 vectors, so the
+    # per-cell exact pairwise is ~256^2/2 comparisons per cell, flat.
+    assert derive_n_centroids(10**11) == 390_625_000
+
+
+def test_semantic_dedup_derives_centroids_from_corpus(spark, emb):
+    """n_centroids=None must use the derived count: on a 500-vector
+    corpus that's the floor (8) — same components as an explicit 8."""
+    from hyppo_worker_spark.operators import dedup as D
+
+    base = emb.select("vec_id", F.col("embedding").alias("v"))
+    derived = D.semantic_dedup_components(base, "vec_id", "v", threshold=0.9)
+    explicit = D.semantic_dedup_components(
+        base, "vec_id", "v", n_centroids=8, threshold=0.9
+    )
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
