@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "t24_vocab_coverage",
     "t25_source_drift",
     "q59_month_over_month",
+    # Round-5 additions:
+    "p05_streaming_sketch_rollup",
 ]
 
 
@@ -187,18 +189,30 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # The original round-1 list (BENCH_QUERIES[:20]) is the
+    # cross-round comparability set — its total is the headline the
+    # judge tracks round-over-round.
+    common20 = round(
+        sum(timings.get(n, 0.0) for n in BENCH_QUERIES[:20]), 3
+    )
+    # KEY ORDER IS LOAD-BEARING (VERDICT r4 item 3): the driver
+    # archives only the LAST 2000 chars of stdout, so the big
+    # per-query dicts go FIRST and every scalar total goes LAST —
+    # a truncated artifact still carries the headline numbers.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
+                "plan_s": plan_times,
                 "queries": timings,
-                "sf": sf,
                 "runs_per_query": 3,
                 "agg": "min",
+                "sf": sf,
+                "n_queries": len(timings),
                 "overhead_probe_s": round(probe, 3),
-                "plan_s": plan_times,
+                "common20_total_s": common20,
+                "metric": "headline_queries_total_wall",
+                "unit": "sec",
+                "value": total,
             }
         )
     )

@@ -66,3 +66,48 @@ def count_exchanges(df: DataFrame) -> int:
     """Shuffle exchanges in the plan (excluding broadcast exchanges)."""
     plan = formatted_plan(df)
     return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window operators with NO partition spec — every input row lands
+    in ONE task (WindowExec "No Partition Defined" / an
+    `Exchange SinglePartition` feeder). Unbounded inputs make this a
+    scale-killer, so the plan audit flags any site outside its
+    documented bounded-frame whitelist (VERDICT r4 item 3 in What's
+    wrong).
+
+    Detection: in the executed-plan tree string a Window line carries
+    `[functions], [partitionSpec], [orderSpec]`; specs that are empty
+    are OMITTED, so the 2-group form is ambiguous — `[funcs], [part]`
+    (partitioned, unordered: e.g. count over partition) vs `[funcs],
+    [order]` (UNPARTITIONED). An order spec always carries a sort
+    direction token (` ASC`/` DESC`), a partition spec never does —
+    that token decides (verified against all three forms on Spark
+    4.1; a naive group count falsely flagged q29's unordered
+    partitioned count).
+    """
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for line in tree.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        rest = m.group(1)
+        depth = 0
+        groups: list[str] = []
+        for ch in rest:
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            if depth > 0:
+                groups[-1] += ch
+            if ch == "]":
+                depth -= 1
+        if len(groups) >= 3:
+            continue  # [funcs], [part], [order] — partitioned
+        last = groups[-1] if len(groups) == 2 else ""
+        if len(groups) == 2 and not re.search(r" (ASC|DESC)\b", last):
+            continue  # [funcs], [part] — partitioned, unordered
+        out.append(line.strip()[:160])
+    return out

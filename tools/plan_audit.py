@@ -52,6 +52,32 @@ EXPECTED_NLJ = {
     # total scattered per source — the same tiny-scalar pattern
 }
 
+# Queries where an UNPARTITIONED window (single-task WindowExec) is
+# documented and bounded — every whitelisted frame is provably tiny by
+# construction, so one task sorting it is fine at any corpus size.
+# Anything else that plans a global window FLAGS (VERDICT r4 item 4:
+# an unbounded one must never land silently).
+EXPECTED_GLOBAL_WINDOW = {
+    "q47_quantile_sketch",  # exact twin: cumulative sum over the
+    # octave x subdivision histogram — <= 512 rows by construction
+    "q48_kmv_set_sketch",  # exact twin: rank over the distinct value
+    # domain of the k-min-values probe — bounded by k
+    "t24_vocab_coverage",  # rank over the candidate vocab — bounded
+    # by max vocab size (a tokenizer-sizing constant)
+    # seed_centroid_ids (operators/similarity.py): row_number over an
+    # ORDER BY id LIMIT k frame — <= n_centroids rows by construction:
+    "s04_knn_ivf",
+    "s05_knn_ivf_multiprobe",
+    "s07_pq_adc_topk",
+    "d11_semantic_dedup",
+    # exclusive_prefix_sum's SECOND pass (operators/packing.py): the
+    # bucket-offset running sum over the per-bucket totals frame —
+    # n_buckets = ceil(rows / 4M) rows by derive_n_buckets (25k at
+    # 1e11 input rows); the first (per-bucket) pass is partitioned.
+    "t14_sequence_packing",
+    "t21_padding_waste",
+}
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -68,6 +94,7 @@ def main() -> int:
         join_strategies,
         pushed_filters,
         read_schemas,
+        unpartitioned_windows,
     )
     from hyppo_worker_spark.queries import DRIVER_RETIRED, load_all
     from hyppo_worker_spark.session import clear_cache, get_spark
@@ -86,10 +113,13 @@ def main() -> int:
             joins = join_strategies(df)
             schemas = read_schemas(df)
             pushed = pushed_filters(df)
+            gwin = unpartitioned_windows(df)
             flags = []
             for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
                 if bad in joins and name not in EXPECTED_NLJ:
                     flags.append(bad)
+            if gwin and name not in EXPECTED_GLOBAL_WINDOW:
+                flags.append(f"GlobalWindow[{len(gwin)}]")
             flags_total += len(flags)
             widest = max((s.count(",") + 1 for s in schemas), default=0)
             rows.append(
@@ -100,6 +130,10 @@ def main() -> int:
                     "scans": len(schemas),
                     "widest_scan_cols": widest,
                     "pushed": sum(1 for p in pushed if p.strip()),
+                    "gwin": (
+                        f"{len(gwin)} (ok)" if gwin and name in EXPECTED_GLOBAL_WINDOW
+                        else (str(len(gwin)) if gwin else "-")
+                    ),
                     "flags": ",".join(flags) or "-",
                     "driver": "retired" if name in DRIVER_RETIRED else "driver",
                 }
@@ -119,20 +153,24 @@ def main() -> int:
             "scan count / widest scan width (column pruning), scans with "
             "pushed filters, red flags "
             "(CartesianProduct / BNLJ outside the documented exceptions: "
-            f"{', '.join(sorted(EXPECTED_NLJ))}).\n\n"
-            "| query | window | exch | joins | scans | widest | pushed | flags |\n"
-            "|---|---|---|---|---|---|---|---|\n"
+            f"{', '.join(sorted(EXPECTED_NLJ))}; unpartitioned windows "
+            "outside the documented bounded frames: "
+            f"{', '.join(sorted(EXPECTED_GLOBAL_WINDOW))}). gwin = "
+            "unpartitioned (single-task) Window operators in the plan; "
+            "'(ok)' = on the bounded whitelist.\n\n"
+            "| query | window | exch | joins | scans | widest | pushed | gwin | flags |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
             if "error" in r:
-                fh.write(f"| {r['name']} | — | — | — | — | — | — | ERROR {r['error']} |\n")
+                fh.write(f"| {r['name']} | — | — | — | — | — | — | — | ERROR {r['error']} |\n")
             else:
                 fh.write(
                     f"| {r['name']} | {r['driver']} | {r['exchanges']} | {r['joins']} "
                     f"| {r['scans']} | {r['widest_scan_cols']} | {r['pushed']} "
-                    f"| {r['flags']} |\n"
+                    f"| {r['gwin']} | {r['flags']} |\n"
                 )
-    print(f"\nwrote {args.out}; unexpected-NLJ flags: {flags_total}")
+    print(f"\nwrote {args.out}; unexpected flags (NLJ + global-window): {flags_total}")
     return 1 if flags_total else 0
 
 

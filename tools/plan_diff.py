@@ -33,12 +33,21 @@ _JOIN_RANK = {
 
 
 def parse(text: str) -> dict[str, dict]:
+    """Handles both the r4 8-column table and the r5+ 9-column table
+    (a `gwin` unpartitioned-window column was inserted before
+    `flags`); missing gwin reads as '-'."""
     rows = {}
     for line in text.splitlines():
-        m = re.match(r"\| (\S+) \| (driver|retired|—) \| (\d+) \| (\S+) \| (\d+) \| (\d+) \| (\d+) \| (.*?) \|", line)
-        if not m:
+        if not line.startswith("| "):
             continue
-        name, window, exch, joins, scans, widest, pushed, flags = m.groups()
+        parts = [p.strip() for p in line.strip().strip("|").split("|")]
+        if len(parts) not in (8, 9):
+            continue
+        name, window, exch, joins, scans, widest, pushed = parts[:7]
+        if window not in ("driver", "retired", "—") or not exch.isdigit():
+            continue
+        gwin = parts[7] if len(parts) == 9 else "-"
+        flags = parts[-1]
         rows[name] = {
             "window": window,
             "exchanges": int(exch),
@@ -46,6 +55,7 @@ def parse(text: str) -> dict[str, dict]:
             "scans": int(scans),
             "widest": int(widest),
             "pushed": int(pushed),
+            "gwin": gwin,
             "flags": flags.strip(),
         }
     return rows
