@@ -108,6 +108,10 @@ BENCH_QUERIES = [
     "q59_month_over_month",
     # Round-5 additions:
     "p05_streaming_sketch_rollup",
+    "t26_temperature_mix",
+    "t28_bigram_surprisal",
+    "d14_split_assignment",
+    "s08_range_search",
 ]
 
 

@@ -516,6 +516,16 @@ def semantic_dedup_components(
     and the pair filter uses the ROUNDED cosine — all mirrored by the
     DuckDB oracle (d11) bit-for-bit (the oracle derives the same
     count with a ``LIMIT greatest(ceil(count(*)/target), floor)``).
+
+    Scale ceiling (measured, NOTES_r5 stress): with derived k the
+    intra-cell pairwise is flat, and the binding cost becomes Lloyd
+    ASSIGNMENT — n * k cosines with k ∝ n, i.e. n²/target — plus the
+    broadcast of the centroid table (~100k centroids ≈ 50 MB max).
+    Fine to ~10⁷ vectors; beyond that the standard fix is a two-level
+    coarse-then-fine quantizer (assign to sqrt(k) coarse cells, then
+    refine within — n * sqrt(k) work, centroids joined by coarse key
+    instead of broadcast), which keeps every other piece of this
+    operator unchanged.
     """
     from hyppo_worker_spark.operators.similarity import (
         derive_n_centroids,

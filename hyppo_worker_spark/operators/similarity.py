@@ -123,6 +123,48 @@ def cosine_neardup_pairs(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.25,
+    round_to: int = 6,
+) -> DataFrame:
+    """ALL cosine neighbors above ``threshold`` (radius search) — the
+    similarity-search semantics top-k cannot express: "everything at
+    least this similar", with a data-dependent result size per query.
+
+    Returns (q_id, neighbor_id, cos_sim); self-matches excluded; the
+    filter uses the ROUNDED cosine so the boundary is cross-engine
+    exact. Exact/broadcast baseline: one corpus scan, query batch
+    broadcast, NO window anywhere (unlike top-k there is no rank to
+    compute — the threshold filter is embarrassingly parallel, which
+    is why range search scales better than brute-force k-NN). The
+    scale path for huge query batches is the banded sign-LSH
+    prefilter (`embedding_neardup_pairs`) with this exact filter as
+    its verify stage.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        V.as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cnorm", V.norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), V.as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qnorm", V.norm(F.col("qv")))
+    denom = F.col("qnorm") * F.col("cnorm")
+    cos = F.when(denom > 0, V.dot(F.col("qv"), F.col("cv")) / denom).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cos, round_to))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("q_id", "neighbor_id", "cos_sim")
+    )
+
+
 # Fixed-point grid for deterministic centroid updates: summing scaled
 # integers is order-independent, so the mean is bit-identical across
 # partition orders, runs, AND engines (float sums are none of those).

@@ -167,6 +167,16 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # hashing driver rows (2 green driver rounds archived)
         "t07_weighted_sample",  # weighted sampling — t06 keeps the
         # md5-gate sampling driver row; q55 (experiment gates) joins
+        # NEW round-5 queries: registered + locally oracle-checked this
+        # round; first in line for the r6 window rotation.
+        "t26_temperature_mix",  # alpha-temperature source sampling —
+        # t06/q55 keep the md5-gate driver rows this round
+        "t28_bigram_surprisal",  # conditional-LM quality — t18 keeps
+        # the quality driver row this round (t19 is the unigram twin)
+        "d14_split_assignment",  # leakage-safe splits — d03/d07's CC
+        # machinery keeps driver rows via d06/d07 this round
+        "s08_range_search",  # radius search — s01/s04/s07 keep the
+        # similarity driver rows this round
     }
 )
 

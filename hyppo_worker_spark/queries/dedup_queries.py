@@ -1036,3 +1036,120 @@ def d13_exact_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# d14 — leakage-safe train/val/test split assignment: near-duplicate
+# CLUSTERS are assigned to splits atomically (the split is a pure
+# md5 function of the cluster's canonical id), so a document can
+# never see its near-duplicate across the train/eval boundary — the
+# split-contamination guard train-data pipelines need on top of t11's
+# n-gram decontamination. The query also QUANTIFIES the hazard it
+# prevents: naive_leaked_clusters counts the multi-doc clusters a
+# doc-id-gated split would have straddled. Scale shape: MinHash-LSH
+# pairs + O(log n) connected components (d03/d07 machinery), one
+# left join to attach canonical ids, pure-function gates, one
+# cluster-keyed groupBy for the leak count, 1-row broadcast of it.
+# --------------------------------------------------------------------------
+@register(
+    "d14_split_assignment",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_SIG},
+    pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.a_id
+        JOIN sh b ON b.doc_id = c.b_id
+        WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+              / (len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.8
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION
+        SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    paths AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT p.u, e.v FROM paths p JOIN edges e ON p.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, least(u, min(v)) AS comp
+        FROM paths GROUP BY u
+    ),
+    canon AS (
+        SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canon
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    assigned AS (
+        SELECT doc_id, canon,
+               CASE WHEN {TX.md5_bucket_sql('canon', 100)} < 80 THEN 'train'
+                    WHEN {TX.md5_bucket_sql('canon', 100)} < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN {TX.md5_bucket_sql('doc_id', 100)} < 80 THEN 'train'
+                    WHEN {TX.md5_bucket_sql('doc_id', 100)} < 90 THEN 'val'
+                    ELSE 'test' END AS naive_split
+        FROM canon
+    ),
+    leak AS (
+        SELECT CAST(count(*) AS BIGINT) AS naive_leaked_clusters
+        FROM (SELECT canon FROM assigned GROUP BY canon
+              HAVING count(DISTINCT naive_split) > 1)
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_clusters,
+           (SELECT naive_leaked_clusters FROM leak) AS naive_leaked_clusters
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    tags=("dedup", "split", "leakage", "connected-components", "training-data"),
+)
+def d14_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-atomic 80/10/10 split: near-dup components share a
+    canonical id whose md5 gate decides the split for every member;
+    per-split doc/cluster counts plus the count of clusters a naive
+    per-doc gate would have leaked across splits."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=12, bands=6, threshold=0.8
+    )
+    comp = D.connected_components(pairs)
+    canon = (
+        docs.select("doc_id")
+        .join(
+            comp.select(F.col("node").alias("doc_id"), "comp"),
+            "doc_id",
+            "left",
+        )
+        .withColumn("canon", F.coalesce("comp", "doc_id"))
+    )
+
+    def gate(c):
+        b = TX.md5_bucket(c, 100)
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    assigned = canon.select(
+        "doc_id",
+        "canon",
+        gate(F.col("canon")).alias("split"),
+        gate(F.col("doc_id")).alias("naive_split"),
+    ).persist()
+    leak = (
+        assigned.groupBy("canon")
+        .agg(F.countDistinct("naive_split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("naive_leaked_clusters"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canon").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
+    )

@@ -476,3 +476,36 @@ def s07_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# s08 — cosine range (radius) search: every neighbor with rounded
+# cosine >= tau, the threshold semantics top-k cannot express (result
+# size is data-dependent per query). Unlike s01's top-k there is NO
+# window in the plan — the threshold filter is embarrassingly
+# parallel over the broadcast-join scan, which is exactly why range
+# search is the preferred primitive for dedup-style workloads (d08's
+# verify stage IS this filter). tau = 0.25 is ~2 sigma for random
+# 64-dim unit vectors, so every query returns a small nonempty tail.
+# --------------------------------------------------------------------------
+@register(
+    "s08_range_search",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < 20)
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+           round({_cos('q.qv', 'c.v')}, 6) AS cos_sim
+    FROM q JOIN vecs c ON c.vec_id <> q.q_id
+    WHERE round({_cos('q.qv', 'c.v')}, 6) >= 0.25
+    ORDER BY q_id, neighbor_id
+    """,
+    tags=("similarity", "range-search", "radius"),
+)
+def s08_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All cosine neighbors >= 0.25 of query vectors vec_id < 20
+    (windowless broadcast scan-and-filter)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.range_search(emb, queries, threshold=0.25).orderBy(
+        "q_id", "neighbor_id"
+    )

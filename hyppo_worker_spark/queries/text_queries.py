@@ -1940,3 +1940,240 @@ def t25_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# t26 — temperature-scaled source mixing (the exponential-smoothing
+# sampling of multilingual/multi-source pretraining — XLM-R / mT5
+# style p_s ∝ size_s^alpha, public technique). alpha = 0.5 realized
+# INTEGER-EXACTLY: the source weight is floor(sqrt(sum_chars))
+# (IEEE-754 sqrt is correctly rounded, so floor(sqrt) is bit-portable
+# across engines), per-source document targets are integer
+# floor-division shares of the budget, and the admission gate is the
+# engine's standard md5 threshold — keep iff
+# bucket(doc_id) * n_s < target_s * 1e6 — so membership is a pure
+# function of the doc id. Scale shape: one scan → per-source agg
+# (|sources| rows) → 1-row totals broadcast → gate on a second scan;
+# no corpus-wide sort or window anywhere (a rank-based exact-quota
+# variant would need one — this is the scalable trade).
+# --------------------------------------------------------------------------
+_T26_BUDGET_PCT = 40  # sample ~40% of the corpus, re-balanced by alpha
+
+
+@register(
+    "t26_temperature_mix",
+    oracle=f"""
+    WITH srcs AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(floor(sqrt(sum(n_chars))) AS BIGINT) AS weight
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+               CAST(sum(weight) AS BIGINT) AS w_total
+        FROM srcs
+    ),
+    targets AS (
+        SELECT s.source, s.n_docs, s.weight,
+               (t.n_total * {_T26_BUDGET_PCT} // 100) * s.weight
+                   // t.w_total AS target_docs
+        FROM srcs s CROSS JOIN tot t
+    ),
+    kept AS (
+        SELECT d.source, count(*) AS n_kept
+        FROM documents d JOIN targets tg ON tg.source = d.source
+        WHERE {{gate}} * tg.n_docs < tg.target_docs * 1000000
+        GROUP BY 1
+    )
+    SELECT tg.source, tg.n_docs, tg.weight,
+           CAST(tg.target_docs AS BIGINT) AS target_docs,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM targets tg LEFT JOIN kept k ON k.source = tg.source
+    ORDER BY tg.source
+    """.replace("{gate}", TX.md5_bucket_sql("d.doc_id", 1_000_000)),
+    tags=("text", "sampling", "mixing", "temperature", "training-data"),
+)
+def t26_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=0.5 temperature mix: per-source doc targets proportional
+    to floor(sqrt(char mass)), admission via the integer md5 gate;
+    per-source (n_docs, weight, target_docs, n_kept)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    srcs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.floor(F.sqrt(F.sum("n_chars"))).cast("long").alias("weight"),
+    )
+    tot = srcs.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum("weight").cast("long").alias("w_total"),
+    )
+    targets = srcs.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "weight",
+        F.expr(
+            f"(n_total * {_T26_BUDGET_PCT} div 100) * weight div w_total"
+        ).alias("target_docs"),
+    )
+    kept = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(targets), "source")
+        .filter(
+            TX.md5_bucket(F.col("doc_id"), 1_000_000) * F.col("n_docs")
+            < F.col("target_docs") * 1_000_000
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        targets.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            F.col("target_docs").cast("long").alias("target_docs"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# t28 — bigram conditional surprisal (the LM-perplexity data filter of
+# CCNet, Wenzek et al. 2020 — public technique — upgraded from t19's
+# unigram to a CONDITIONAL model). A bigram LM is induced on an
+# md5-gated 70% held-in slice; held-out documents score each adjacent
+# token pair with t19's whole-bit trick — floor(log2) of an integer
+# ratio via bit length, cross-engine exact where true log-probs are
+# not: seen bigram = bitlen(count(w1) // count(w1 w2)); unseen bigram
+# backs off to the held-in unigram at a 1-bit penalty; OOV pays
+# 1 + bitlen(N). Scale shape: the LM is one corpus shuffle (bigram
+# groupBy); scoring joins exploded doc pairs to the LM keyed by
+# bigram and to the unigram table keyed by token (vocabulary-sized
+# sides, key-partitioned — never broadcast, never a window); the
+# 1-row N total rides a broadcast; one per-doc aggregation.
+# --------------------------------------------------------------------------
+_T28_HELD_IN_PCT = 70
+
+
+@register(
+    "t28_bigram_surprisal",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    gated AS (
+        SELECT doc_id, w,
+               {TX.md5_bucket_sql("doc_id", 100)} < {_T28_HELD_IN_PCT}
+                   AS held_in
+        FROM tok
+    ),
+    pairs AS (
+        SELECT doc_id, held_in, w[i] AS w1, w[i+1] AS w2
+        FROM gated, LATERAL unnest(
+            CASE WHEN len(w) >= 2 THEN range(1, len(w)) ELSE [] END
+        ) AS t(i)
+    ),
+    bi AS (
+        SELECT w1, w2, count(*) AS bc FROM pairs WHERE held_in GROUP BY 1, 2
+    ),
+    uniprev AS (
+        SELECT w1 AS tokn, CAST(sum(bc) AS BIGINT) AS uc FROM bi GROUP BY 1
+    ),
+    uni AS (
+        SELECT w2 AS tokn, count(*) AS cnt FROM pairs WHERE held_in GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pairs WHERE held_in),
+    scored AS (
+        SELECT p.doc_id,
+               CASE
+                   WHEN b.bc IS NOT NULL
+                       THEN length(bin(up.uc // b.bc)) - 1
+                   WHEN u.cnt IS NOT NULL
+                       THEN length(bin(n.n_total // u.cnt))
+                   ELSE length(bin(n.n_total))
+               END AS bits
+        FROM pairs p
+        LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+        LEFT JOIN uniprev up ON up.tokn = p.w1
+        LEFT JOIN uni u ON u.tokn = p.w2
+        CROSS JOIN n
+        WHERE NOT p.held_in
+    )
+    SELECT doc_id,
+           count(*) AS n_pairs,
+           CAST(sum(bits) AS BIGINT) AS bits_sum,
+           CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS mean_bits_milli
+    FROM scored GROUP BY 1 ORDER BY doc_id
+    """,
+    tags=("text", "quality", "lm", "perplexity", "bigram"),
+)
+def t28_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out per-doc bigram conditional surprisal (whole-bit,
+    integer-exact) under a bigram LM induced on the held-in 70%."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = docs.select(
+        "doc_id",
+        TX.tokens("text").alias("w"),
+        (TX.md5_bucket(F.col("doc_id"), 100) < _T28_HELD_IN_PCT).alias(
+            "held_in"
+        ),
+    )
+    pairs = (
+        base.select(
+            "doc_id",
+            "held_in",
+            F.explode(TX.word_ngrams(F.col("w"), 2)).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "held_in",
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .persist()
+    )
+    train = pairs.filter(F.col("held_in"))
+    bi = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    uniprev = bi.groupBy(F.col("w1").alias("tokn")).agg(
+        F.sum("bc").cast("long").alias("uc")
+    )
+    uni = train.groupBy(F.col("w2").alias("tokn")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n = train.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    bits = (
+        F.when(
+            F.col("bc").isNotNull(),
+            F.length(F.bin(F.expr("uc div bc"))) - 1,
+        )
+        .when(
+            F.col("cnt").isNotNull(),
+            F.length(F.bin(F.expr("n_total div cnt"))),
+        )
+        .otherwise(F.length(F.bin(F.col("n_total"))))
+    )
+    scored = (
+        pairs.filter(~F.col("held_in"))
+        .join(bi, ["w1", "w2"], "left")
+        .join(uniprev, F.col("tokn") == F.col("w1"), "left")
+        .drop("tokn")
+        .join(uni, F.col("tokn") == F.col("w2"), "left")
+        .drop("tokn")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", bits.alias("bits"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("bits").cast("long").alias("bits_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_pairs",
+            "bits_sum",
+            F.expr("bits_sum * 1000 div n_pairs").cast("long").alias(
+                "mean_bits_milli"
+            ),
+        )
+        .orderBy("doc_id")
+    )

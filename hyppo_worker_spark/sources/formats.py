@@ -138,3 +138,44 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
         if "ClassNotFoundException" in str(e) or "No suitable driver" in str(e):
             raise FormatUnavailable(f"no JDBC driver for {url!r} on classpath") from e
         raise
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_tag: str = "row",
+    **options,
+) -> DataFrame:
+    """XML scan via Spark 4's BUILT-IN xml source (the spark-xml
+    package was folded into core in 4.0 — probed PRESENT in this
+    build, unlike avro). Schema is required for the same reason as
+    csv/json: inference double-scans. ``rowTag`` selects the repeated
+    element that becomes a row; nested elements map to structs/arrays
+    exactly like json."""
+    if not _jar_probe(spark, "xml"):
+        raise FormatUnavailable("xml data source not on the classpath")
+    return (
+        spark.read.schema(schema)
+        .options(rowTag=row_tag, **options)
+        .format("xml")
+        .load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink through the same built-in source."""
+    if not _jar_probe(df.sparkSession, "xml"):
+        raise FormatUnavailable("xml data source not on the classpath")
+    (
+        df.write.mode(mode)
+        .options(rowTag=row_tag, rootTag=root_tag)
+        .format("xml")
+        .save(path)
+    )

@@ -101,3 +101,24 @@ def test_orc_partitioned_write_prunes(spark, sample, tmp_path):
     assert any(d.startswith("name=") for d in os.listdir(p))
     back = FMT.read_orc(spark, p).filter("name = 'a'")
     assert back.count() == 1
+
+
+def test_xml_round_trip_with_schema(spark, sample, tmp_path):
+    """Spark 4 ships the xml source in core (probed PRESENT here,
+    unlike avro): round trip through write_xml/read_xml with an
+    explicit schema and a custom row tag."""
+    p = str(tmp_path / "t.xml")
+    FMT.write_xml(sample.fillna({"name": "x"}), p, row_tag="doc")
+    back = FMT.read_xml(
+        spark,
+        p,
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+            ]
+        ),
+        row_tag="doc",
+    )
+    rows = {(r.id, r.name) for r in back.collect()}
+    assert {i for i, _ in rows} == {1, 2, 3}

@@ -50,6 +50,12 @@ EXPECTED_NLJ = {
     # total — every NLJ side tiny by construction (q47's pattern)
     "t25_source_drift",  # broadcast top-K profile x 1-row corpus
     # total scattered per source — the same tiny-scalar pattern
+    "t26_temperature_mix",  # 1-row broadcast (n_total, w_total)
+    # scalars scattered per source — the standard scalar-join pattern
+    "t28_bigram_surprisal",  # 1-row broadcast held-in N total
+    "d14_split_assignment",  # 1-row broadcast naive-leak count
+    "s08_range_search",  # broadcast tiny query batch vs corpus
+    # (same pattern as s01; windowless by design)
 }
 
 # Queries where an UNPARTITIONED window (single-task WindowExec) is
