@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "t28_bigram_surprisal",
     "d14_split_assignment",
     "s08_range_search",
+    "q60_sliding_distinct_rollup",
 ]
 
 

@@ -487,6 +487,7 @@ def semantic_dedup_components(
     n_iter: int = 2,
     threshold: float = 0.9,
     round_to: int = 6,
+    assignment: str = "flat",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -530,10 +531,13 @@ def semantic_dedup_components(
     from hyppo_worker_spark.operators.similarity import (
         derive_n_centroids,
         kmeans_centroids,
+        two_level_assign,
     )
     from hyppo_worker_spark.functions import vectors as V
     from pyspark.sql import Window as W
 
+    if assignment not in ("flat", "two_level"):
+        raise ValueError(f"assignment must be flat|two_level, got {assignment}")
     if n_centroids is None:
         n_centroids = derive_n_centroids(df.select(id_col).count())
 
@@ -548,17 +552,35 @@ def semantic_dedup_components(
     v = df.select(
         F.col(id_col).alias("did"), V.as_double(F.col(vec_col)).alias("vv")
     ).withColumn("nrm", V.norm(F.col("vv")))
-    scored = v.join(F.broadcast(cents)).withColumn(
-        "__sim",
-        V.dot(F.col("vv"), F.col("cent")) / (F.col("nrm") * F.col("cent_norm")),
-    )
-    w = W.partitionBy("did").orderBy(F.col("__sim").desc(), "cent_id")
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("did", "vv", "nrm", F.col("cent_id").alias("cell"))
-        .persist()
-    )
+    if assignment == "two_level":
+        # IVF-style coarse-then-fine (similarity.two_level_assign):
+        # ~2n*sqrt(k) cosines and only sqrt(k) rows broadcast — the
+        # 100 TB path once k outgrows flat assignment's n*k work /
+        # broadcast ceiling. Slightly approximate (nprobe=1 trade),
+        # so the ORACLE-pinned d11 keeps assignment="flat".
+        cells = two_level_assign(
+            v.select(F.col("did").alias("__id"), F.col("vv").alias("__v")),
+            cents.select("cent_id", "cent"),
+            round_to=round_to,
+        )
+        assigned = (
+            v.join(cells.withColumnRenamed("__id", "did"), "did")
+            .select("did", "vv", "nrm", "cell")
+            .persist()
+        )
+    else:
+        scored = v.join(F.broadcast(cents)).withColumn(
+            "__sim",
+            V.dot(F.col("vv"), F.col("cent"))
+            / (F.col("nrm") * F.col("cent_norm")),
+        )
+        w = W.partitionBy("did").orderBy(F.col("__sim").desc(), "cent_id")
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("did", "vv", "nrm", F.col("cent_id").alias("cell"))
+            .persist()
+        )
     a = assigned.select(
         F.col("did").alias("a_id"), F.col("vv").alias("av"),
         F.col("nrm").alias("anrm"), "cell",

@@ -397,3 +397,83 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def two_level_assign(
+    vecs: DataFrame,
+    cents: DataFrame,
+    n_coarse: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style coarse-then-fine argmax-cosine assignment — the
+    scale path past flat assignment's two ceilings (NOTES_r5 d11
+    stress): with k centroids deriving linearly from n, flat
+    assignment is n*k cosines (n²/target) and broadcasts a table
+    that outgrows the broadcast limit near ~100k centroids. Here:
+
+    1. the CENTROID TABLE itself is clustered into ~sqrt(k) coarse
+       groups (Lloyd over k rows — tiny);
+    2. every fine centroid maps to its coarse group (k x sqrt(k),
+       tiny) and every vector to its nearest coarse centroid
+       (n x sqrt(k), coarse table broadcast: sqrt(k) rows stay
+       broadcastable far beyond k's broadcast limit);
+    3. the refine step joins vectors to the fine centroids of their
+       coarse group BY KEY (no broadcast of the big table) and takes
+       the per-vector argmax — n x k/sqrt(k) average comparisons.
+
+    Total ~2n*sqrt(k) cosines vs n*k. Approximate: a vector whose
+    true cell lives in a different coarse group mis-assigns (the IVF
+    nprobe=1 trade); the test pins >=95% agreement with flat
+    assignment and exact agreement on tight clusters.
+
+    Inputs: ``vecs`` (__id, __v), ``cents`` (cent_id, cent) — the
+    same frames `kmeans_centroids` produces. Returns (__id, cell).
+    """
+    import math
+
+    k = cents.count()
+    if n_coarse is None:
+        n_coarse = max(math.isqrt(max(k, 1)), 1)
+    coarse = kmeans_centroids(
+        cents.select(
+            F.col("cent_id").alias("vec_id"), F.col("cent").alias("embedding")
+        ),
+        n_centroids=n_coarse,
+        n_iter=2,
+    ).select(F.col("cent_id").alias("coarse_id"), F.col("cent").alias("ccent"))
+    coarse = coarse.withColumn("cnorm", V.norm(F.col("ccent"))).localCheckpoint(
+        eager=True
+    )
+
+    def _argmax_coarse(df, vcol, idcol):
+        sim = V.dot(F.col(vcol), F.col("ccent")) / (
+            V.norm(F.col(vcol)) * F.col("cnorm")
+        )
+        w = W.partitionBy(idcol).orderBy(
+            F.round(sim, round_to).desc(), "coarse_id"
+        )
+        return (
+            df.join(F.broadcast(coarse))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(idcol, "coarse_id")
+        )
+
+    fine2coarse = _argmax_coarse(
+        cents.select("cent_id", F.col("cent")), "cent", "cent_id"
+    )
+    v2coarse = _argmax_coarse(vecs.select("__id", "__v"), "__v", "__id")
+    fine = fine2coarse.join(cents, "cent_id").withColumn(
+        "fnorm", V.norm(F.col("cent"))
+    )
+    sim = V.dot(F.col("__v"), F.col("cent")) / (
+        V.norm(F.col("__v")) * F.col("fnorm")
+    )
+    w = W.partitionBy("__id").orderBy(F.round(sim, round_to).desc(), "cent_id")
+    return (
+        vecs.join(v2coarse, "__id")
+        .join(fine, "coarse_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", F.col("cent_id").alias("cell"))
+    )

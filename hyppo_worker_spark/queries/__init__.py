@@ -177,6 +177,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # machinery keeps driver rows via d06/d07 this round
         "s08_range_search",  # radius search — s01/s04/s07 keep the
         # similarity driver rows this round
+        "q60_sliding_distinct_rollup",  # trailing-window sketch
+        # rollup — q44 keeps the mergeable-sketch driver row this round
     }
 )
 

@@ -3715,3 +3715,89 @@ def q59_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("month").between("1995-01", "1995-12"))
         .orderBy("priority", "month")
     )
+
+
+# --------------------------------------------------------------------------
+# q60 — trailing-window distinct rollup from daily sketches: "distinct
+# users over the trailing 7 days, for every day" answered by UNIONING
+# 7 daily HLL sketches per day instead of re-scanning events — the
+# sliding-window companion to q44's any-range rollup and THE shape a
+# 100 TB dashboard runs hourly. Both paths avoid a range join: each
+# contribution row explodes to the <=7 window anchors it serves
+# (narrow equi-keyed fan-out, map-side combinable), so no BNLJ and no
+# per-window rescan. The exact twin (countDistinct per window) rides
+# the same explode and exists to gate the estimate in-plan (q44/q27
+# contract: the oracle states the bound as literal TRUE).
+# --------------------------------------------------------------------------
+@register(
+    "q60_sliding_distinct_rollup",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM activity),
+    fanout AS (
+        SELECT CAST(u.t AS DATE) AS anchor, a.user_id
+        FROM activity a,
+             LATERAL unnest(generate_series(a.day, a.day + INTERVAL 6 DAY,
+                                            INTERVAL 1 DAY)) AS u(t)
+    ),
+    win AS (
+        SELECT f.anchor, count(DISTINCT f.user_id) AS exact_wau
+        FROM fanout f JOIN spine s ON s.day = f.anchor
+        GROUP BY 1
+    )
+    SELECT strftime(anchor, '%Y-%m-%d') AS day, exact_wau,
+           TRUE AS estimate_within_5pct
+    FROM win ORDER BY day
+    """,
+    tags=("aggregation", "sketch", "hll", "sliding-window", "rollup"),
+)
+def q60_sliding_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day trailing-7-day distinct users: HLL union of the window's
+    daily sketches, gated in-plan against the exact explode-based twin
+    (±5%)."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    activity = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    spine = activity.select("day").distinct()
+    daily = activity.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    # sketch path: each day's sketch serves anchors day..day+6
+    sk = (
+        daily.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("anchor"),
+            "sketch",
+        )
+        .join(spine.withColumnRenamed("day", "anchor"), "anchor")
+        .groupBy("anchor")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+    )
+    # exact twin: same fan-out on narrow (user_id, anchor) rows
+    exact = (
+        activity.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("anchor"),
+        )
+        .join(spine.withColumnRenamed("day", "anchor"), "anchor")
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("exact_wau"))
+    )
+    return (
+        exact.join(sk, "anchor")
+        .select(
+            F.date_format("anchor", "yyyy-MM-dd").alias("day"),
+            "exact_wau",
+            (
+                F.abs(F.col("est") - F.col("exact_wau")) * 20
+                <= F.col("exact_wau")
+            ).alias("estimate_within_5pct"),
+        )
+        .orderBy("day")
+    )

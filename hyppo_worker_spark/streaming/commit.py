@@ -1,0 +1,83 @@
+"""Shared crash-safe commit for foreachBatch maintenance sinks.
+
+Every maintenance sink in this package (HLL/CMS/KMV sketch rollups,
+SCD2 dimension) follows the same per-batch shape: read the current
+table, merge the batch in, rewrite the table — with a marker file
+absorbing Structured Streaming's replay-after-restart of the last
+uncommitted batch (none of the merges are idempotent under replay:
+counter addition double-counts, SCD2 close-and-reopens a version).
+
+The ORDER of rewrite vs marker is load-bearing (ADVICE r4): an
+ack-early marker written before the rewrite leaves an at-most-once
+window — a crash between marker and rewrite permanently drops the
+batch, because the replay is skipped. This committer acks AFTER the
+data is durably in place:
+
+1. ``done(batch_id)`` — replayed MARKED batches are no-ops;
+2. ``recover()`` — heal any leftover from a previous crash (below);
+3. materialize the new table generation NEXT TO the current one
+   (``<table>.staging-<id>``), via an eager localCheckpoint so the
+   plan stops depending on the directory it is about to replace;
+4. swap: rename current → ``.old-<id>``, rename staging in;
+5. write the marker; drop the old generation.
+
+A crash anywhere before step 5 replays the batch against the
+PRE-batch table (stale staging/old dirs are garbage-collected by
+``recover``). The one non-atomic window — current renamed out,
+staging not yet renamed in — is healed by ``recover`` restoring the
+newest ``.old-*`` generation. At 100 TB the same protocol holds with
+object-store renames replaced by a manifest pointer flip (the
+`storage.py` manifest-commit path); the marker-after-data ordering is
+the invariant either way.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+class MarkedTableCommitter:
+    """Marker-guarded staged-swap commits for one maintained table."""
+
+    def __init__(self, table_dir: str, marker_dir: str) -> None:
+        self.table_dir = table_dir
+        self.marker_dir = marker_dir
+        os.makedirs(marker_dir, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.marker_dir, f"batch-{batch_id}.done")
+
+    def done(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def recover(self) -> None:
+        """Heal crash leftovers: restore the newest ``.old-*``
+        generation if the table itself is missing (mid-swap crash);
+        drop any other stale staging/old dirs."""
+        olds = sorted(glob.glob(self.table_dir + ".old-*"))
+        if not os.path.isdir(self.table_dir) and olds:
+            os.rename(olds.pop(), self.table_dir)
+        for stale in olds + glob.glob(self.table_dir + ".staging-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
+    def mark_only(self, batch_id: int) -> None:
+        """Ack a batch that changed nothing (e.g. an empty batch)."""
+        with open(self._marker(batch_id), "w") as f:
+            f.write("done")
+
+    def commit(self, df: DataFrame, batch_id: int) -> None:
+        """Materialize ``df`` as the table's next generation, swap it
+        in, then mark the batch done."""
+        pinned = df.localCheckpoint(eager=True)
+        staging = self.table_dir + f".staging-{batch_id}"
+        pinned.write.mode("overwrite").parquet(staging)
+        old = self.table_dir + f".old-{batch_id}"
+        if os.path.isdir(self.table_dir):
+            os.rename(self.table_dir, old)
+        os.rename(staging, self.table_dir)
+        self.mark_only(batch_id)
+        shutil.rmtree(old, ignore_errors=True)

@@ -30,7 +30,7 @@ Per micro-batch:
    forever). Replays of a MARKED batch are still absorbed by the
    marker guard (scd2_apply is NOT idempotent: a replayed changed
    row would close-and-reopen a version per replay), and
-   ``_recover`` heals the one non-atomic window (current renamed
+   the committer's ``recover()`` heals the one non-atomic window (current renamed
    out, staging not yet renamed in) by restoring the newest
    generation on the next call.
 
@@ -63,9 +63,11 @@ class Scd2DimensionSink:
         self.key = key
         self.compare_cols = list(compare_cols)
         self.ts_col = ts_col
+        from hyppo_worker_spark.streaming.commit import MarkedTableCommitter
+
         self.table_dir = os.path.join(base_dir, "scd2_dim")
         self.marker_dir = os.path.join(base_dir, "scd2_markers")
-        os.makedirs(self.marker_dir, exist_ok=True)
+        self._committer = MarkedTableCommitter(self.table_dir, self.marker_dir)
 
     def _compact(self, batch_df: DataFrame) -> DataFrame:
         from hyppo_worker_spark.operators.merge import merge_upsert
@@ -73,32 +75,14 @@ class Scd2DimensionSink:
         empty = batch_df.limit(0)
         return merge_upsert(empty, batch_df, self.key, order_col=self.ts_col)
 
-    def _recover(self) -> None:
-        """Heal the one non-atomic window of the staged swap: the
-        current table was renamed to ``.old-<id>`` but the staging dir
-        was not renamed in before a crash. Restore the newest old
-        generation; drop any leftover staging/old dirs otherwise."""
-        import glob
-        import shutil
-
-        olds = sorted(glob.glob(self.table_dir + ".old-*"))
-        if not os.path.isdir(self.table_dir) and olds:
-            os.rename(olds.pop(), self.table_dir)
-        for stale in olds + glob.glob(self.table_dir + ".staging-*"):
-            shutil.rmtree(stale, ignore_errors=True)
-
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        import shutil
-
         from hyppo_worker_spark.operators.merge import scd2_apply
 
-        marker = os.path.join(self.marker_dir, f"batch-{batch_id}.done")
-        if os.path.exists(marker):
+        if self._committer.done(batch_id):
             return
-        self._recover()
+        self._committer.recover()
         if batch_df.isEmpty():
-            with open(marker, "w") as f:
-                f.write("done")
+            self._committer.mark_only(batch_id)
             return
         new_ts = (
             batch_df.agg(F.max(self.ts_col).alias("t")).first().t
@@ -119,20 +103,11 @@ class Scd2DimensionSink:
             dim = updates.withColumn("valid_from", F.lit(new_ts)).withColumn(
                 "valid_to", F.lit(OPEN_TS)
             )
-        # Staged swap: materialize the new generation NEXT TO the
-        # current one, swap via two renames, and only then mark the
-        # batch done — a crash at any point replays against the
-        # pre-batch table instead of dropping the batch (ADVICE r4).
-        dim = dim.localCheckpoint(eager=True)
-        staging = self.table_dir + f".staging-{batch_id}"
-        dim.write.mode("overwrite").parquet(staging)
-        old = self.table_dir + f".old-{batch_id}"
-        if os.path.isdir(self.table_dir):
-            os.rename(self.table_dir, old)
-        os.rename(staging, self.table_dir)
-        with open(marker, "w") as f:
-            f.write("done")
-        shutil.rmtree(old, ignore_errors=True)
+        # Staged swap + marker-after-data via the shared committer
+        # (streaming/commit.py): a crash at any point replays against
+        # the pre-batch table instead of dropping the batch (ADVICE
+        # r4); the mid-swap window is healed by recover() above.
+        self._committer.commit(dim, batch_id)
 
     # -- query side ---------------------------------------------------------
 

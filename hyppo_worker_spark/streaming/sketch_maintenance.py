@@ -14,10 +14,14 @@ micro-batches. Per batch (foreachBatch):
 3. rewrite the table (it is sketch-count sized, not event-count
    sized; the rewrite is O(days), object-store friendly).
 
-Batch replays are absorbed ack-early with the marker guard. NOTE the
-idempotency contract this chooses (and the test pins): a replayed
-batch must NOT be re-unioned — HLL union is idempotent for identical
-inputs, but the count column alongside it is not.
+Batch replays are absorbed by the marker guard — written AFTER the
+staged-swap rewrite (`streaming/commit.py:MarkedTableCommitter`), so
+a crash inside an unmarked batch replays it against the pre-batch
+table instead of dropping it (ADVICE r4's at-most-once window,
+closed). NOTE the idempotency contract (and the test pins): a
+replayed MARKED batch must NOT be re-unioned — HLL union is
+idempotent for identical inputs, but the count column alongside it
+is not.
 
 At 100 TB the same shape holds: the raw events append to their own
 sink; this side table stays kilobytes per day, and dashboards union
@@ -36,10 +40,12 @@ class SketchRollupSink:
     """foreachBatch callable maintaining (day, sketch, n_events)."""
 
     def __init__(self, spark: SparkSession, base_dir: str) -> None:
+        from hyppo_worker_spark.streaming.commit import MarkedTableCommitter
+
         self.spark = spark
         self.table_dir = os.path.join(base_dir, "day_sketches")
         self.marker_dir = os.path.join(base_dir, "markers")
-        os.makedirs(self.marker_dir, exist_ok=True)
+        self._committer = MarkedTableCommitter(self.table_dir, self.marker_dir)
 
     def _batch_sketches(self, batch_df: DataFrame) -> DataFrame:
         return (
@@ -55,11 +61,9 @@ class SketchRollupSink:
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(self.marker_dir, f"batch-{batch_id}.started")
-        if os.path.exists(marker):
+        if self._committer.done(batch_id):
             return
-        with open(marker, "w") as f:
-            f.write("started")
+        self._committer.recover()
         new = self._batch_sketches(batch_df)
         if os.path.isdir(self.table_dir):
             old = self.spark.read.parquet(self.table_dir)
@@ -94,10 +98,10 @@ class SketchRollupSink:
             )
         else:
             merged = new
-        # Pin rows before overwriting the directory they were read from
-        # (a lazy plan would re-read mid-rewrite).
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(self.table_dir)
+        # commit() pins rows (eager localCheckpoint) before the staged
+        # swap replaces the directory they were read from, and marks
+        # the batch only after the swap.
+        self._committer.commit(merged, batch_id)
 
     # -- query side ---------------------------------------------------------
 
@@ -138,7 +142,7 @@ class CmsRollupSink:
     stronger contract than HLL's tolerance-checked estimates).
 
     Replay guard: counter addition is NOT idempotent, so the same
-    ack-early marker contract as SketchRollupSink applies.
+    marker-after-staged-swap contract as SketchRollupSink applies.
     """
 
     def __init__(
@@ -152,9 +156,11 @@ class CmsRollupSink:
         self.spark = spark
         self.depth = depth
         self.width = width
+        from hyppo_worker_spark.streaming.commit import MarkedTableCommitter
+
         self.table_dir = os.path.join(base_dir, "cms_counters")
         self.marker_dir = os.path.join(base_dir, "cms_markers")
-        os.makedirs(self.marker_dir, exist_ok=True)
+        self._committer = MarkedTableCommitter(self.table_dir, self.marker_dir)
 
     def _batch_counters(self, batch_df: DataFrame) -> DataFrame:
         from hyppo_worker_spark.functions import text as TX
@@ -169,19 +175,16 @@ class CmsRollupSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from hyppo_worker_spark.operators.sketches import merge_counters
 
-        marker = os.path.join(self.marker_dir, f"batch-{batch_id}.started")
-        if os.path.exists(marker):
+        if self._committer.done(batch_id):
             return
-        with open(marker, "w") as f:
-            f.write("started")
+        self._committer.recover()
         new = self._batch_counters(batch_df)
         if os.path.isdir(self.table_dir):
             old = self.spark.read.parquet(self.table_dir)
             merged = merge_counters(old, new)
         else:
             merged = new
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(self.table_dir)
+        self._committer.commit(merged, batch_id)
 
     def estimate(self, probes: DataFrame, key_col: str) -> DataFrame:
         """Point-query the maintained sketch (broadcast join + min)."""
@@ -214,8 +217,8 @@ class KmvRollupSink:
 
     KMV union is IDEMPOTENT for replayed identical inputs (the k
     smallest of a set don't change when you union it in twice), but
-    the marker guard is kept anyway so every maintenance sink shares
-    one replay contract.
+    the marker-after-staged-swap guard is kept anyway so every
+    maintenance sink shares one replay contract.
     """
 
     def __init__(
@@ -223,9 +226,11 @@ class KmvRollupSink:
     ) -> None:
         self.spark = spark
         self.k = k
+        from hyppo_worker_spark.streaming.commit import MarkedTableCommitter
+
         self.table_dir = os.path.join(base_dir, "kmv_sketches")
         self.marker_dir = os.path.join(base_dir, "kmv_markers")
-        os.makedirs(self.marker_dir, exist_ok=True)
+        self._committer = MarkedTableCommitter(self.table_dir, self.marker_dir)
 
     def _batch_sketches(self, batch_df: DataFrame) -> DataFrame:
         from pyspark.sql import Window as W
@@ -245,11 +250,9 @@ class KmvRollupSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as W
 
-        marker = os.path.join(self.marker_dir, f"batch-{batch_id}.started")
-        if os.path.exists(marker):
+        if self._committer.done(batch_id):
             return
-        with open(marker, "w") as f:
-            f.write("started")
+        self._committer.recover()
         new = self._batch_sketches(batch_df)
         if os.path.isdir(self.table_dir):
             old = self.spark.read.parquet(self.table_dir)
@@ -261,9 +264,8 @@ class KmvRollupSink:
             both.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= self.k)
             .select("source", "h")
-            .localCheckpoint(eager=True)
         )
-        merged.write.mode("overwrite").parquet(self.table_dir)
+        self._committer.commit(merged, batch_id)
 
     def union_estimate(self, sources: list[str]) -> int:
         """Estimated distinct keys across ``sources`` from the merged

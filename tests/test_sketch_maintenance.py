@@ -212,3 +212,47 @@ def test_kmv_replay_is_noop(spark, tmp_path):
     sink(b, 0)  # replay
     after = sorted(map(tuple, spark.read.parquet(sink.table_dir).collect()))
     assert before == after
+
+
+def test_sketch_sink_crash_before_mark_replays_without_loss(spark, tmp_path):
+    """The shared committer contract (streaming/commit.py) on the HLL
+    sink: a crash inside an UNMARKED batch — stale staging dir, or
+    mid-swap with the table renamed out — must replay that batch
+    against the pre-batch table, never drop it (ADVICE r4 on scd2;
+    the sketch sinks shared the same ack-early window)."""
+    import os
+
+    from hyppo_worker_spark.streaming.sketch_maintenance import (
+        SketchRollupSink,
+    )
+
+    def batch(day, users):
+        return spark.createDataFrame(
+            [(f"2024-01-0{day} 00:00:00", u) for u in users],
+            "ts string, user_id long",
+        )
+
+    sink = SketchRollupSink(spark, str(tmp_path / "s"))
+    sink(batch(1, [1, 2, 3]), 0)
+
+    # crash flavor 1: staging written, swap + marker never happened
+    os.makedirs(sink.table_dir + ".staging-1")
+    sink(batch(2, [3, 4]), 1)
+    est = {r.day: r.n_events for r in sink.estimates().collect()}
+    assert est == {"2024-01-01": 3, "2024-01-02": 2, "TOTAL": 5}
+
+    # crash flavor 2: mid-swap — table renamed out, marker absent
+    os.rename(sink.table_dir, sink.table_dir + ".old-2")
+    sink(batch(3, [5]), 2)
+    est = {r.day: r.n_events for r in sink.estimates().collect()}
+    assert est == {
+        "2024-01-01": 3,
+        "2024-01-02": 2,
+        "2024-01-03": 1,
+        "TOTAL": 6,
+    }
+
+    # replay of a MARKED batch is still a no-op (counts not re-added)
+    sink(batch(3, [5]), 2)
+    est2 = {r.day: r.n_events for r in sink.estimates().collect()}
+    assert est2 == est
