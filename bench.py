@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "d14_split_assignment",
     "s08_range_search",
     "q60_sliding_distinct_rollup",
+    "p06_manifest_time_travel",
 ]
 
 

@@ -179,6 +179,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # similarity driver rows this round
         "q60_sliding_distinct_rollup",  # trailing-window sketch
         # rollup — q44 keeps the mergeable-sketch driver row this round
+        "p06_manifest_time_travel",  # versioned snapshots / AS-OF
+        # reads — p01/p03/p05 keep the pipeline driver rows this round
     }
 )
 

@@ -497,3 +497,93 @@ def p05_streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# p06 — manifest snapshot versioning + time travel: the corpus-
+# reproducibility contract a training pipeline needs ("train run X
+# used corpus AS OF version 1"). Every manifest commit publishes an
+# immutable _MANIFEST-v{n}.json snapshot listing the FULL visible
+# file set (sources/integration_source.py:_publish_manifest — the
+# manifest-level form of Delta/Iceberg snapshot isolation); a
+# time-travel read opens exactly one snapshot, so append-mode history
+# stays readable forever. This query commits the six connector tasks
+# in TWO versions (tasks 1-3, then 4-6 appended) and aggregates each
+# version through read_committed(version=n) — checksum-verified,
+# manifest-gated reads at both points in time, equal to the oracle's
+# never-persisted regeneration of each snapshot.
+# --------------------------------------------------------------------------
+_P06_TASKS_V1_SQL = ", ".join(
+    f"({t['task_id']}, '{t['day']}', {t['n_rows']})" for t in _P03_TASKS[:3]
+)
+
+
+@register(
+    "p06_manifest_time_travel",
+    oracle=f"""
+    WITH t1(task_id, day, n_rows) AS (VALUES {_P06_TASKS_V1_SQL}),
+    t2(task_id, day, n_rows) AS (VALUES {_P03_TASKS_SQL}),
+    r1 AS (
+        SELECT task_id, (seq * 7 + task_id) % 100 AS score
+        FROM t1, LATERAL unnest(range(0, n_rows)) AS u(seq)
+    ),
+    r2 AS (
+        SELECT task_id, (seq * 7 + task_id) % 100 AS score
+        FROM t2, LATERAL unnest(range(0, n_rows)) AS u(seq)
+    )
+    SELECT 1 AS version, count(*) AS n_rows,
+           CAST(sum(score) AS BIGINT) AS sum_score
+    FROM r1
+    UNION ALL
+    SELECT 2 AS version, count(*) AS n_rows,
+           CAST(sum(score) AS BIGINT) AS sum_score
+    FROM r2
+    ORDER BY version
+    """,
+    tags=("pipeline", "connector", "manifest", "versioning", "time-travel"),
+)
+def p06_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two manifest commits (tasks 1-3, then 4-6 appended) read back
+    AS OF each version: per-version row count + score sum through the
+    checksum-verified time-travel read."""
+    import json
+    import shutil
+
+    from hyppo_worker_spark.sources.integration_source import (
+        FORMAT_NAME,
+        IntegrationDataSource,
+        read_committed,
+    )
+
+    spark.dataSource.register(IntegrationDataSource)
+
+    def fetched(tasks):
+        return (
+            spark.read.format(FORMAT_NAME)
+            .schema("task_id int, day string, seq int, name string, score int")
+            .option(
+                "fetcher",
+                "hyppo_worker_spark.sources.integration_source:"
+                "synthetic_events_fetcher",
+            )
+            .option("tasks", json.dumps(tasks))
+            .load()
+        )
+
+    out = "/tmp/hyppo-p06-sink"
+    shutil.rmtree(out, ignore_errors=True)
+    for batch in (_P03_TASKS[:3], _P03_TASKS[3:]):
+        fetched(batch).write.format(FORMAT_NAME).option("path", out).mode(
+            "append"
+        ).save()
+
+    schema = "task_id long, day string, seq long, name string, score long"
+    parts = []
+    for v in (1, 2):
+        parts.append(
+            read_committed(spark, out, schema, version=v).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("score").alias("sum_score"),
+            ).select(F.lit(v).alias("version"), "n_rows", "sum_score")
+        )
+    return parts[0].unionByName(parts[1]).orderBy("version")

@@ -251,11 +251,48 @@ def _manifest_path(path: str) -> str:
 
 
 def _publish_manifest(path: str, manifest: dict) -> None:
-    """Atomic pointer flip: write sidecar, then os.replace."""
+    """Atomic pointer flip with VERSION history: every successful
+    commit writes an immutable ``_MANIFEST-v{n}.json`` snapshot
+    (n = previous version + 1) and then os.replace's the
+    ``_MANIFEST.json`` latest pointer. Each snapshot lists the FULL
+    file set visible at that version, so a time-travel read is just
+    "open snapshot n, read its files" — the manifest-level form of
+    Delta/Iceberg snapshot isolation (public technique). Append-mode
+    commits never delete files, so every retained snapshot stays
+    readable; overwrite-mode commits reap files not in the newest
+    version (documented history truncation, like VACUUM).
+    """
+    prev = 0
+    if os.path.exists(_manifest_path(path)):
+        with open(_manifest_path(path), encoding="utf-8") as fh:
+            prev = json.load(fh).get("version", 0)
+    manifest = dict(manifest, version=prev + 1)
+    snap = os.path.join(path, f"_MANIFEST-v{prev + 1}.json")
+    tmp = snap + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, snap)
     tmp = _manifest_path(path) + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     os.replace(tmp, _manifest_path(path))
+
+
+def list_versions(path: str) -> list[dict]:
+    """Available snapshot versions: [{version, n_files, total_rows}]."""
+    out = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith("_MANIFEST-v") and name.endswith(".json"):
+            with open(os.path.join(path, name), encoding="utf-8") as fh:
+                m = json.load(fh)
+            out.append(
+                {
+                    "version": m["version"],
+                    "n_files": len(m["files"]),
+                    "total_rows": m["total_rows"],
+                }
+            )
+    return sorted(out, key=lambda d: d["version"])
 
 
 class IntegrationWriter(DataSourceWriter):
@@ -290,9 +327,17 @@ class IntegrationWriter(DataSourceWriter):
         )
         self._clean_staging()
         if self._overwrite:
-            keep = {f["file"] for f in files} | {"_MANIFEST.json", "_staging"}
+            # Reap superseded DATA files only — every _MANIFEST*
+            # (latest pointer, version snapshots, streaming epochs)
+            # survives; older snapshots may dangle after an overwrite
+            # (documented VACUUM-like history truncation).
+            keep = {f["file"] for f in files} | {"_staging"}
             for name in os.listdir(self._path):
-                if name not in keep and not name.endswith(".tmp"):
+                if (
+                    name not in keep
+                    and not name.endswith(".tmp")
+                    and not name.startswith("_MANIFEST")
+                ):
                     os.remove(os.path.join(self._path, name))
 
     def abort(self, messages) -> None:
@@ -362,19 +407,39 @@ class IntegrationStreamWriter(DataSourceStreamWriter):
                 os.remove(os.path.join(self._staging, name))
 
 
-def read_committed(spark, path: str, schema: str):
-    """Read back ONLY manifest-listed files (batch + epoch manifests),
-    verifying each file's md5 against its manifest entry first — the
-    checksum-verified read of the reference's persist contract."""
+def read_committed(spark, path: str, schema: str, version: int | None = None):
+    """Read back ONLY manifest-listed files, verifying each file's md5
+    against its manifest entry first — the checksum-verified read of
+    the reference's persist contract.
+
+    ``version=None`` reads the CURRENT view: the latest batch manifest
+    plus all streaming epoch manifests. ``version=n`` is a TIME-TRAVEL
+    read of the batch zone: exactly the files snapshot n listed
+    (epoch manifests are excluded — the streaming zone has its own
+    per-epoch immutability and no cross-epoch version counter).
+    """
     import hashlib
 
     entries: list[dict] = []
-    for name in sorted(os.listdir(path)):
-        if name == "_MANIFEST.json" or (
-            name.startswith("_MANIFEST-") and name.endswith(".json")
-        ):
-            with open(os.path.join(path, name), encoding="utf-8") as fh:
-                entries.extend(json.load(fh)["files"])
+    if version is not None:
+        snap = os.path.join(path, f"_MANIFEST-v{version}.json")
+        if not os.path.exists(snap):
+            raise FileNotFoundError(
+                f"no snapshot v{version} under {path}; "
+                f"have {[v['version'] for v in list_versions(path)]}"
+            )
+        with open(snap, encoding="utf-8") as fh:
+            entries.extend(json.load(fh)["files"])
+    else:
+        for name in sorted(os.listdir(path)):
+            is_epoch = (
+                name.startswith("_MANIFEST-")
+                and name.endswith(".json")
+                and not name.startswith("_MANIFEST-v")
+            )
+            if name == "_MANIFEST.json" or is_epoch:
+                with open(os.path.join(path, name), encoding="utf-8") as fh:
+                    entries.extend(json.load(fh)["files"])
     files = []
     for e in entries:
         fpath = os.path.join(path, e["file"])

@@ -161,3 +161,43 @@ def test_streaming_epoch_manifests_are_replay_idempotent(
         for m in manifests[1:]
     )
     assert back2.count() == other_rows + 2
+
+
+def test_versioned_manifests_time_travel(registered, tmp_path):
+    """Every commit writes an immutable _MANIFEST-v{n}.json snapshot;
+    read_committed(version=n) is a time-travel read of exactly that
+    snapshot's files; append keeps old snapshots readable."""
+    from hyppo_worker_spark.sources.integration_source import list_versions
+
+    out = str(tmp_path / "sink")
+    _df(registered, 0, 10).coalesce(1).write.format("hyppo_integration").option(
+        "path", out
+    ).mode("append").save()
+    _df(registered, 10, 15).coalesce(1).write.format("hyppo_integration").option(
+        "path", out
+    ).mode("append").save()
+
+    vs = list_versions(out)
+    assert [(v["version"], v["total_rows"]) for v in vs] == [(1, 10), (2, 15)]
+    # time travel: v1 sees only the first commit
+    assert read_committed(registered, out, SCHEMA, version=1).count() == 10
+    assert read_committed(registered, out, SCHEMA, version=2).count() == 15
+    # latest view == newest version
+    assert read_committed(registered, out, SCHEMA).count() == 15
+    with pytest.raises(FileNotFoundError):
+        read_committed(registered, out, SCHEMA, version=9)
+
+
+def test_overwrite_truncates_history(registered, tmp_path):
+    """Overwrite reaps files not in the newest version — older
+    snapshots may dangle (documented VACUUM-like truncation), but the
+    latest view and its snapshot stay consistent."""
+    out = str(tmp_path / "sink")
+    _df(registered, 0, 10).coalesce(1).write.format("hyppo_integration").option(
+        "path", out
+    ).mode("append").save()
+    _df(registered, 20, 24).coalesce(1).write.format(
+        "hyppo_integration"
+    ).option("path", out).mode("overwrite").save()
+    assert read_committed(registered, out, SCHEMA).count() == 4
+    assert read_committed(registered, out, SCHEMA, version=2).count() == 4
