@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "s08_range_search",
     "q60_sliding_distinct_rollup",
     "p06_manifest_time_travel",
+    "p07_streaming_scd2_cdc",
 ]
 
 

@@ -181,6 +181,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # rollup — q44 keeps the mergeable-sketch driver row this round
         "p06_manifest_time_travel",  # versioned snapshots / AS-OF
         # reads — p01/p03/p05 keep the pipeline driver rows this round
+        "p07_streaming_scd2_cdc",  # streaming CDC->SCD2 end-to-end —
+        # p05 keeps the streaming driver row this round
     }
 )
 

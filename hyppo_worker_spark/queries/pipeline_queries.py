@@ -587,3 +587,129 @@ def p06_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(v).alias("version"), "n_rows", "sum_score")
         )
     return parts[0].unionByName(parts[1]).orderBy("version")
+
+
+# --------------------------------------------------------------------------
+# p07 — streaming CDC -> SCD2 maintenance, oracle-checked end-to-end:
+# the second streaming row that EXECUTES for real (after p05's sketch
+# rollup). Three CDC batches derived deterministically from the
+# customer table (full load; balance bump for k%3 PLUS no-op
+# resubmissions for k%7 that must spawn nothing; segment move for
+# k%5 carrying the then-current balance) drain through
+# Scd2DimensionSink — per-batch last-writer compaction, open-slice
+# scd2_apply, staged-swap commit — and the resulting type-2 HISTORY
+# is compared row-for-row against the oracle's lead()-window
+# reconstruction of the same change log. A wrongly spawned no-op
+# version, a missed close, a dropped batch, or a marker bug each
+# change the row set. Monetary values ride integer cents so the
+# cross-engine hash is exact.
+# --------------------------------------------------------------------------
+_P07_T1, _P07_T2, _P07_T3 = (
+    "2024-01-01 00:00:00",
+    "2024-02-01 00:00:00",
+    "2024-03-01 00:00:00",
+)
+
+
+@register(
+    "p07_streaming_scd2_cdc",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+        FROM customer
+    ),
+    log AS (
+        SELECT k, seg, bal, '{_P07_T1}' AS ts FROM base
+        UNION ALL
+        SELECT k, seg, bal + 1000, '{_P07_T2}' FROM base WHERE k % 3 = 0
+        UNION ALL
+        SELECT k, 'MOVED',
+               bal + CASE WHEN k % 3 = 0 THEN 1000 ELSE 0 END, '{_P07_T3}'
+        FROM base WHERE k % 5 = 0
+    ),
+    hist AS (
+        SELECT k, seg, bal, ts AS valid_from,
+               coalesce(lead(ts) OVER (PARTITION BY k ORDER BY ts),
+                        '9999-12-31 00:00:00') AS valid_to
+        FROM log
+    )
+    SELECT k, seg, CAST(bal AS BIGINT) AS bal_cents, valid_from, valid_to
+    FROM hist ORDER BY k, valid_from
+    """,
+    tags=("pipeline", "streaming", "cdc", "scd2", "maintenance"),
+)
+def p07_streaming_scd2_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain three deterministic CDC batches through the streaming
+    SCD2 sink and return the maintained type-2 history (key, seg,
+    bal_cents, valid_from, valid_to)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from hyppo_worker_spark.streaming.scd2_maintenance import (
+        Scd2DimensionSink,
+        maintain_scd2,
+    )
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal"),
+    )
+    b1 = base.withColumn("update_ts", F.lit(_P07_T1))
+    changed2 = (
+        base.filter(F.col("k") % 3 == 0)
+        .withColumn("bal", F.col("bal") + 1000)
+    )
+    noop2 = base.filter((F.col("k") % 7 == 0) & (F.col("k") % 3 != 0))
+    b2 = changed2.unionByName(noop2).withColumn("update_ts", F.lit(_P07_T2))
+    b3 = (
+        base.filter(F.col("k") % 5 == 0)
+        .select(
+            "k",
+            F.lit("MOVED").alias("seg"),
+            (
+                F.col("bal")
+                + F.when(F.col("k") % 3 == 0, 1000).otherwise(0)
+            ).alias("bal"),
+        )
+        .withColumn("update_ts", F.lit(_P07_T3))
+    )
+
+    work = tempfile.mkdtemp(prefix="hyppo-p07-")
+    src_dir = os.path.join(work, "cdc")
+    os.makedirs(src_dir)
+    now = time.time()
+    for i, b in enumerate((b1, b2, b3)):
+        staged = os.path.join(work, f"stage-{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = os.path.join(src_dir, f"batch{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema("k long, seg string, bal long, update_ts string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = Scd2DimensionSink(
+        spark, os.path.join(work, "store"), "k", ["seg", "bal"]
+    )
+    q = maintain_scd2(stream, sink, os.path.join(work, "ckpt"))
+    q.awaitTermination(300)
+
+    return (
+        sink.history()
+        .select(
+            "k",
+            "seg",
+            F.col("bal").cast("long").alias("bal_cents"),
+            "valid_from",
+            "valid_to",
+        )
+        .orderBy("k", "valid_from")
+    )
