@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q60_sliding_distinct_rollup",
     "p06_manifest_time_travel",
     "p07_streaming_scd2_cdc",
+    "m06_perceptual_neardup",
 ]
 
 

@@ -392,3 +392,53 @@ def parse_mp4_headers(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, MP4_SCHEMA)
+
+
+AHASH_SCHEMA = "media_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def perceptual_ahash_bands(df: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per media payload as 4x16-bit
+    bands, via Arrow-batched mapInPandas over the binary content
+    column — the perceptual-dedup first stage (public technique:
+    mean-threshold bits over a downscaled grayscale image).
+
+    The pixel stage uses the deterministic fake decode (no codec in
+    this container), but derived through a HEX-STRING md5 chain
+    (h1 = md5hex(md5hex(payload)), h_{i+1} = md5hex(h_i); pixels =
+    the 64 bytes of h1..h4) rather than `_fake_pixels`' raw-digest
+    chain: DuckDB's md5() only accepts VARCHAR, so only the
+    hex-chain is reproducible by the SQL oracle — which is the point
+    of m06: every byte of the binary Arrow transfer, the threshold,
+    and the band packing is independently verified. Swap the pixel
+    stage for a real decoder + 8x8 downscale when PIL lands; the
+    banding/join stages are decode-agnostic.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                s0 = hashlib.md5(bytes(r["content"])).hexdigest()
+                hx = ""
+                block = s0
+                for _i in range(4):
+                    block = hashlib.md5(block.encode()).hexdigest()
+                    hx += block
+                px = bytes.fromhex(hx)
+                m = sum(px) // 64
+                bands = [
+                    sum(
+                        (1 << i)
+                        for i in range(16)
+                        if px[16 * b + i] > m
+                    )
+                    for b in range(4)
+                ]
+                rows.append((int(r["media_id"]), *bands))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(batches, AHASH_SCHEMA)

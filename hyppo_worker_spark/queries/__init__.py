@@ -183,6 +183,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # reads — p01/p03/p05 keep the pipeline driver rows this round
         "p07_streaming_scd2_cdc",  # streaming CDC->SCD2 end-to-end —
         # p05 keeps the streaming driver row this round
+        "m06_perceptual_neardup",  # perceptual (aHash) media dedup —
+        # m01/m02 keep the multimodal driver rows this round
     }
 )
 

@@ -355,3 +355,139 @@ def m05_fused_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "kind")
     )
+
+
+# --------------------------------------------------------------------------
+# m06 — perceptual near-duplicate detection over media payloads: the
+# image-dedup bridge between the multimodal and dedup families. aHash
+# bands come from `operators/multimodal.py:perceptual_ahash_bands`
+# (mapInPandas over the binary content column — the Arrow transfer,
+# mean threshold, and band packing are all oracle-verified byte for
+# byte via the hex-chain fake decode); candidates share a 16-bit band
+# (d04's SimHash banding applied to media), verified by exact Hamming
+# distance over the XOR'd bands. Planted exact-payload copies land at
+# Hamming 0; chance band collisions between unrelated payloads fail
+# the <=4 filter. At 100 TB: one mapInPandas scan, a 4-way band
+# explode, a band-keyed equi-join — never an all-pairs compare; swap
+# the pixel stage for a real decoder when codecs land.
+# --------------------------------------------------------------------------
+@register(
+    "m06_perceptual_neardup",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 9 = 0
+    ),
+    c1 AS (SELECT media_id, md5(md5(text)) AS h1 FROM media),
+    c2 AS (SELECT media_id, h1, md5(h1) AS h2 FROM c1),
+    c3 AS (SELECT media_id, h1, h2, md5(h2) AS h3 FROM c2),
+    c4 AS (SELECT media_id, h1 || h2 || h3 || md5(h3) AS hx FROM c3),
+    px AS (
+        SELECT media_id,
+               list_transform(range(0, 64),
+                   j -> ('0x' || substr(hx, 2*j + 1, 2))::INT) AS p
+        FROM c4
+    ),
+    stats AS (
+        SELECT media_id, p, CAST(list_sum(p) // 64 AS INT) AS m FROM px
+    ),
+    bands AS (
+        SELECT media_id,
+               list_transform(range(0, 4), b ->
+                   CAST(list_sum(list_transform(range(0, 16), i ->
+                       CASE WHEN p[16*b + i + 1] > m
+                            THEN (1 << i) ELSE 0 END)) AS INT)) AS bd
+        FROM stats
+    ),
+    eb AS (
+        SELECT media_id, b AS band_id, bd[b + 1] AS band_val
+        FROM bands, range(0, 4) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT l.media_id AS a_id, r.media_id AS b_id
+        FROM eb l JOIN eb r
+          ON l.band_id = r.band_id AND l.band_val = r.band_val
+         AND l.media_id < r.media_id
+    ),
+    ham AS (
+        SELECT c.a_id, c.b_id,
+               CAST(list_sum(list_transform(range(0, 4),
+                   b -> bit_count(xor(ba.bd[b+1]::BIGINT,
+                                      bb.bd[b+1]::BIGINT)))) AS INT)
+                   AS hamming
+        FROM cand c
+        JOIN bands ba ON ba.media_id = c.a_id
+        JOIN bands bb ON bb.media_id = c.b_id
+    )
+    SELECT a_id, b_id, hamming FROM ham
+    WHERE hamming <= 4 ORDER BY a_id, b_id
+    """,
+    tags=("multimodal", "dedup", "perceptual", "ahash", "mapInPandas"),
+)
+def m06_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (aHash) near-dup pairs over media payloads with
+    planted exact copies: band-keyed candidates, exact Hamming <= 4."""
+    from hyppo_worker_spark.operators.multimodal import perceptual_ahash_bands
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 1000000).alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    bands = perceptual_ahash_bands(media).persist()
+    eb = bands.select(
+        "media_id",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(b) for b in range(4)]).alias("band_id"),
+                F.array("b0", "b1", "b2", "b3").alias("band_val"),
+            )
+        ).alias("z"),
+    ).select(
+        "media_id",
+        F.col("z.band_id").alias("band_id"),
+        F.col("z.band_val").alias("band_val"),
+    )
+    cand = (
+        eb.alias("l")
+        .join(
+            eb.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("a_id"),
+            F.col("r.media_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("media_id").alias("a_id"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    bb = bands.select(
+        F.col("media_id").alias("b_id"),
+        *[F.col(f"b{i}").alias(f"bb{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a{i}").cast("long").bitwiseXOR(
+                F.col(f"bb{i}").cast("long")
+            )
+        )
+        for i in range(4)
+    ).cast("int")
+    return (
+        cand.join(ba, "a_id")
+        .join(bb, "b_id")
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 4)
+        .orderBy("a_id", "b_id")
+    )
