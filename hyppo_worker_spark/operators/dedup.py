@@ -140,6 +140,7 @@ def minhash_lsh_pairs(
     bands: int = 6,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_band_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding,
     verified with exact Jaccard over the shingle sets.
@@ -164,6 +165,26 @@ def minhash_lsh_pairs(
     docs, banded = _minhash_banded(
         df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
     )
+
+    if max_band_docs is not None:
+        # HOT-BAND CAP — the guard AQE skew-split cannot provide: a
+        # band bucket shared by B docs emits B^2/2 candidate PAIRS, so
+        # a single boilerplate/templated band key at corpus scale
+        # turns the candidate join quadratic no matter how the rows
+        # are partitioned. Buckets above the cap are DROPPED (one
+        # extra narrow groupBy on the band keys): standard web-scale
+        # LSH practice — a key shared by thousands of docs carries no
+        # near-dup signal a pairwise verify could use. Deliberate
+        # recall trade, OFF by default (the oracle-pinned queries pass
+        # None): run exact dedup (d01/d02) BEFORE LSH so identical
+        # docs collapse first, and boilerplate spans are d13's job.
+        sizes = banded.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        ok = sizes.filter(F.col("__n") <= max_band_docs).select(
+            "band_id", "band_key"
+        )
+        banded = banded.join(ok, ["band_id", "band_key"], "left_semi")
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -211,3 +211,48 @@ def test_incremental_lsh_tolerates_overlapping_ids(spark):
     # every disjoint-run pair keeps its exact Jaccard under overlap
     for pair, j in base.items():
         assert with_overlap.get(pair) == j
+
+
+def test_hot_band_cap_bounds_pathological_candidates(spark):
+    """A band key shared by B docs emits B^2/2 candidate pairs — no
+    partitioning trick fixes that (it's pair VOLUME, not skew).
+    max_band_docs drops over-cap buckets: the pathological corpus
+    (150 near-identical templated docs) collapses from ~11k verified
+    pairs to zero, while a generous cap leaves a normal corpus's
+    result untouched."""
+    from hyppo_worker_spark.operators import dedup as D
+
+    pathological = spark.createDataFrame(
+        [
+            (i, "the same templated boilerplate page content repeated "
+                "for every listing with tiny suffix " + str(i % 3))
+            for i in range(150)
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = D.minhash_lsh_pairs(
+        pathological, "doc_id", "text", num_hashes=12, bands=6, threshold=0.8
+    ).count()
+    capped = D.minhash_lsh_pairs(
+        pathological,
+        "doc_id",
+        "text",
+        num_hashes=12,
+        bands=6,
+        threshold=0.8,
+        max_band_docs=20,
+    ).count()
+    assert uncapped > 10_000  # quadratic pair volume without the cap
+    assert capped == 0  # over-cap buckets dropped entirely
+
+    normal = spark.createDataFrame(
+        [(i, f"distinct document number {i} with words {i * 7} and "
+             f"{i * 13} plus filler tokens alpha beta gamma")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = D.minhash_lsh_pairs(normal, "doc_id", "text", threshold=0.8)
+    b = D.minhash_lsh_pairs(
+        normal, "doc_id", "text", threshold=0.8, max_band_docs=1000
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
