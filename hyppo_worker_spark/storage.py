@@ -139,17 +139,31 @@ class DataFileHandler:
         """Write a typed DataFrame to the records zone; manifest
         carries total size + md5-of-sorted-part-md5s + record count
         (count observed from the write, not a second scan)."""
-        fmt = fmt or ("avro" if _avro_available(self.spark) else "parquet")
-        loc = self.layout.loc(self.layout.records_key(task, ext=fmt))
+        # Reference parity: the records zone IS Avro-with-deflate
+        # (AvroFileCodec.scala:11-15, reference.conf:82). With the
+        # spark-avro jar absent, the pure-Python container
+        # implementation (sources/avro_container.py) now writes REAL
+        # .avro files instead of the old parquet fallback.
+        fmt = fmt or ("avro" if _avro_available(self.spark) else "avro-py")
+        ext = "avro" if fmt == "avro-py" else fmt
+        loc = self.layout.loc(self.layout.records_key(task, ext=ext))
         path = loc.uri()
-        from pyspark.sql import Observation
-        from pyspark.sql import functions as F
+        if fmt == "avro-py":
+            import shutil
 
-        obs = Observation(f"write-{task.job.id}-{task.task_number}")
-        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").format(
-            fmt
-        ).save(path)
-        record_count = int(obs.get["n"])
+            from hyppo_worker_spark.sources.avro_container import write_avro
+
+            shutil.rmtree(path, ignore_errors=True)
+            record_count = write_avro(df, path, codec="deflate")
+        else:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation(f"write-{task.job.id}-{task.task_number}")
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).format(fmt).save(path)
+            record_count = int(obs.get["n"])
         size, checksum = _dir_manifest(path)
         return RemoteProcessedDataFile(
             location=loc, file_size=size, checksum=checksum, record_count=record_count
@@ -163,6 +177,10 @@ class DataFileHandler:
                 f"records {path}: checksum {checksum} != manifest {manifest.checksum}"
             )
         fmt = path.rsplit(".", 1)[-1]
+        if fmt == "avro" and not _avro_available(self.spark):
+            from hyppo_worker_spark.sources.avro_container import read_avro
+
+            return read_avro(self.spark, path)
         return self.spark.read.format(fmt).load(path)
 
     # -- logs ----------------------------------------------------------

@@ -72,7 +72,7 @@ def test_records_checksum_detects_tamper(spark, storage):
     part = next(
         f
         for f in g.glob(os.path.join(manifest.location.uri(), "**"), recursive=True)
-        if os.path.isfile(f) and f.endswith(".parquet")
+        if os.path.isfile(f) and f.endswith((".parquet", ".avro"))
     )
     with open(part, "ab") as f:
         f.write(b"x")
