@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "p06_manifest_time_travel",
     "p07_streaming_scd2_cdc",
     "m06_perceptual_neardup",
+    "t29_bm25_retrieval",
 ]
 
 

@@ -185,6 +185,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # p05 keeps the streaming driver row this round
         "m06_perceptual_neardup",  # perceptual (aHash) media dedup —
         # m01/m02 keep the multimodal driver rows this round
+        "t29_bm25_retrieval",  # integer-exact BM25 — t05 keeps the
+        # token-stats driver row; t23 keeps the retrieval local rep
     }
 )
 

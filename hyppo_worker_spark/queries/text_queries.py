@@ -2177,3 +2177,139 @@ def t28_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t29 — BM25 retrieval, integer-exact: the idf/length-normalized
+# ranking t23's coordinate scoring deliberately leaves out. Both BM25
+# components are made cross-engine exact WITHOUT transcendentals:
+#
+# - idf_milli = piecewise-linear integer log2 of the 1024-scaled
+#   rarity ratio r = (N*1024) div df: with m = bitlen(r)-1 and
+#   p = 2^m, log2(r) ~ m + (r-p)/p (the classic PWL log2 — public
+#   technique), so idf_milli = m*1000 + ((r-p)*1000) div p - 10000
+#   (the 1024 scale shifts log2 by EXACTLY 10, so the offset cancels
+#   exactly; df = N gives 0, like true BM25 idf). Every step is int64
+#   floor-division — bit-identical in any engine, unlike ln();
+# - the Robertson tf saturation tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+#   with k1=1.2, b=0.75 evaluated in scaled int64 (milli in, micro
+#   out).
+#
+# Scale shape is t23's: postings explode → (term, doc) tf table,
+# doc-length table, tiny broadcast query-term set, per-(query, doc)
+# integer sum, top-k window per query.
+# --------------------------------------------------------------------------
+_T29_K1M = 1200  # k1 = 1.2 in milli
+_T29_BM = 750  # b = 0.75 in milli
+
+
+@register(
+    "t29_bm25_retrieval",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    postings AS (SELECT doc_id, unnest(w) AS term FROM tok),
+    dl AS (SELECT doc_id, len(w) AS dl FROM tok),
+    stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tok_total
+        FROM dl
+    ),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM postings GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    qterms AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"('{qid}', '{t}')" for qid, ts in _T23_QUERIES for t in ts)}
+        ) AS v(query_id, term)
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(sum(idf_milli * sat_micro) AS BIGINT) AS score_nano
+        FROM (
+            SELECT q.query_id, t.doc_id,
+                   (length(bin((s.n_docs * 1024) // d.df)) - 1) * 1000
+                   + ((((s.n_docs * 1024) // d.df)
+                       - CAST(pow(2, length(bin((s.n_docs * 1024) // d.df)) - 1)
+                              AS BIGINT)) * 1000)
+                     // CAST(pow(2, length(bin((s.n_docs * 1024) // d.df)) - 1)
+                             AS BIGINT)
+                   - 10000 AS idf_milli,
+                   (t.tf * (1000 + {_T29_K1M}) * 1000000) //
+                   (t.tf * 1000 +
+                    ({_T29_K1M} * (1000 - {_T29_BM} +
+                       ({_T29_BM} * l.dl * 1000) //
+                       ((s.tok_total * 1000) // s.n_docs))) // 1000)
+                       AS sat_micro
+            FROM qterms q
+            JOIN tf t USING (term)
+            JOIN dfreq d USING (term)
+            JOIN dl l USING (doc_id)
+            CROSS JOIN stats s
+        )
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY score_nano DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, doc_id, score_nano
+    FROM ranked WHERE rank <= {_T23_K} AND score_nano > 0
+    ORDER BY query_id, rank
+    """,
+    tags=("text", "retrieval", "bm25", "inverted-index", "topk"),
+)
+def t29_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} BM25 docs per query with whole-bit idf and fixed-point
+    saturation — every score an exact int64."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select("doc_id", TX.tokens("text").alias("w")).persist()
+    postings = tok.select("doc_id", F.explode("w").alias("term"))
+    dl = tok.select("doc_id", F.size("w").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("tok_total"),
+    )
+    tf = postings.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _T23_QUERIES for t in ts],
+        "query_id string, term string",
+    )
+    # r = 1024-scaled rarity; p = 2^(bitlen(r)-1); PWL log2 idf
+    score_term = F.expr(
+        f"(((length(bin((n_docs * 1024) div df)) - 1) * 1000"
+        f" + (((n_docs * 1024) div df"
+        f"     - CAST(pow(2, length(bin((n_docs * 1024) div df)) - 1)"
+        f"            AS BIGINT)) * 1000)"
+        f"   div CAST(pow(2, length(bin((n_docs * 1024) div df)) - 1)"
+        f"            AS BIGINT)"
+        f" - 10000)) * "
+        f"((tf * (1000 + {_T29_K1M}) * 1000000) div "
+        f"(tf * 1000 + ({_T29_K1M} * (1000 - {_T29_BM} + "
+        f"({_T29_BM} * dl * 1000) div "
+        f"((tok_total * 1000) div n_docs))) div 1000))"
+    )
+    # the QUERY-TERM set is the broadcast side; the corpus-sized tf
+    # and df tables stay key-partitioned (df is vocab-sized and could
+    # broadcast, but term-keyed SMJ/BHJ is what survives any vocab)
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(score_term).cast("long").alias("score_nano"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score_nano").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= _T23_K) & (F.col("score_nano") > 0))
+        .select("query_id", "rank", "doc_id", "score_nano")
+        .orderBy("query_id", "rank")
+    )
