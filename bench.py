@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "p07_streaming_scd2_cdc",
     "m06_perceptual_neardup",
     "t29_bm25_retrieval",
+    "s09_hard_negatives",
 ]
 
 

@@ -187,6 +187,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # m01/m02 keep the multimodal driver rows this round
         "t29_bm25_retrieval",  # integer-exact BM25 — t05 keeps the
         # token-stats driver row; t23 keeps the retrieval local rep
+        "s09_hard_negatives",  # contrastive hard-negative mining —
+        # s01/s04/s07 keep the similarity driver rows this round
     }
 )
 

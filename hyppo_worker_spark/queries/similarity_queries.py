@@ -509,3 +509,87 @@ def s08_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.range_search(emb, queries, threshold=0.25).orderBy(
         "q_id", "neighbor_id"
     )
+
+
+# --------------------------------------------------------------------------
+# s09 — hard-negative mining for contrastive training (public
+# technique: in-batch/ANN-mined hard negatives, e.g. DPR/SimCSE
+# pipelines): for each query vector, the top-k MOST similar
+# candidates that are NOT near-duplicates — "hard" because they are
+# close in embedding space, "negative" because they sit below the
+# dup threshold (the near-dup band >= 0.9 is the POSITIVE/duplicate
+# zone d08/d11 remove; mining must not leak it into negatives). The
+# corpus carries the planted near-identical copies, so the exclusion
+# is exercised for real: each query's own planted twin (cos ~ 0.998)
+# must NOT appear in its negatives. Plan = s01's broadcast
+# scan-and-score with a band filter before the top-k window; the
+# component-based exclusion variant joins d08's CC output instead of
+# thresholding (same shape, one more keyed join).
+# --------------------------------------------------------------------------
+_S09_DUP_T = 0.9
+_S09_K = 5
+
+
+@register(
+    "s09_hard_negatives",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(range(1, len(embedding) + 1),
+                   i -> CASE WHEN i = 1 THEN embedding[1]::DOUBLE + 0.0625
+                             ELSE embedding[i]::DOUBLE END) AS v
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 20),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS neg_id,
+               round({{cos}}, 6) AS cos_sim
+        FROM q JOIN base c ON c.vec_id <> q.q_id
+    ),
+    hard AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neg_id) AS rank
+        FROM scored WHERE cos_sim < {_S09_DUP_T}
+    )
+    SELECT q_id, rank, neg_id, cos_sim FROM hard
+    WHERE rank <= {_S09_K} ORDER BY q_id, rank
+    """.replace("{cos}", _cos("q.qv", "c.v")),
+    tags=("similarity", "hard-negatives", "contrastive", "training-data"),
+)
+def s09_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hardest non-duplicate negatives per query vector: most
+    similar candidates strictly below the 0.9 near-dup band, with the
+    planted twins provably excluded."""
+    from hyppo_worker_spark.functions import vectors as V
+    from pyspark.sql import Window as W
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    planted = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x)
+        ).alias("v"),
+    )
+    corpus = base.unionByName(planted)
+    c = corpus.select(
+        F.col("vec_id").alias("neg_id"), F.col("v").alias("cv")
+    ).withColumn("cnorm", V.norm(F.col("cv")))
+    q = corpus.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    ).withColumn("qnorm", V.norm(F.col("qv")))
+    cos = V.dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("neg_id"))
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") < _S09_DUP_T)
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neg_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _S09_K)
+        .select("q_id", "rank", "neg_id", "cos_sim")
+        .orderBy("q_id", "rank")
+    )
