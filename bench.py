@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "m06_perceptual_neardup",
     "t29_bm25_retrieval",
     "s09_hard_negatives",
+    "d15_canonical_selection",
 ]
 
 

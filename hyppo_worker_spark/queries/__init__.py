@@ -189,6 +189,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # token-stats driver row; t23 keeps the retrieval local rep
         "s09_hard_negatives",  # contrastive hard-negative mining —
         # s01/s04/s07 keep the similarity driver rows this round
+        "d15_canonical_selection",  # quality-aware dedup keeper —
+        # d01/d06 keep the exact-dedup driver rows this round
     }
 )
 

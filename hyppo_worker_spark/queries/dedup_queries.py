@@ -1153,3 +1153,111 @@ def d14_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(leak))
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# d15 — canonical selection policy: dedup groups keep their BEST
+# member, not their first. d01/d02's keep-min-id is the right
+# default for byte-identical copies; real corpora hold VARIANT copies
+# (case-mangled mirrors, whitespace-normalized rehosts) where the
+# kept copy should be the cleanest one. Groups form on the
+# normalized-token digest (case/punctuation-insensitive), and the
+# canonical member maximizes an integer quality key (here: count of
+# lowercase characters — the un-mangled copy; ties -> min id). The
+# planted corpus upper-cases every 7th doc into a variant copy, so
+# the policy provably picks the ORIGINAL over the shouting mirror —
+# a keep-min-id policy would keep the original only by id accident;
+# the query also reports how often the two policies disagree.
+# The mangled copy sits at the ORIGINAL (lower) id and the clean
+# text at id+1e6, so keep-min-id provably keeps the WRONG copy for
+# every planted group — policy_disagreements counts exactly those.
+# Scale shape = d02: only (digest, quality, id) triples shuffle,
+# argmax rides one max_by aggregation, payloads never move.
+# --------------------------------------------------------------------------
+@register(
+    "d15_canonical_selection",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END
+                   AS text,
+               source
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, source
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    keyed AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''), ' ')) AS gk,
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS q
+        FROM corpus
+    ),
+    best AS (
+        SELECT gk,
+               count(*) AS n_copies,
+               min(doc_id) AS min_id,
+               first(doc_id ORDER BY q DESC, doc_id) AS keep_id
+        FROM keyed GROUP BY gk
+    )
+    SELECT k.source,
+           count(*) AS n_groups,
+           CAST(sum(b.n_copies) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN b.keep_id <> b.min_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS policy_disagreements
+    FROM best b JOIN keyed k ON k.doc_id = b.keep_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dedup", "canonical-selection", "quality", "training-data"),
+)
+def d15_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: per normalized-text group keep the member
+    with the most lowercase characters (ties -> min id); per-source
+    group/doc counts plus how often keep-best differs from
+    keep-min-id."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+            "source",
+        )
+    )
+    keyed = corpus.select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(TX.tokens("text"), " ")).alias("gk"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("q"),
+    )
+    # max_by with an explicit (q desc, id asc) tiebreak: encode as a
+    # single orderable struct so the argmax is deterministic
+    best = keyed.groupBy("gk").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("min_id"),
+        F.expr("min_by(doc_id, struct(-q, doc_id))").alias("keep_id"),
+    )
+    return (
+        best.join(
+            keyed.select(F.col("doc_id").alias("keep_id"), "source"),
+            "keep_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("keep_id") != F.col("min_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("policy_disagreements"),
+        )
+        .orderBy("source")
+    )
