@@ -1,0 +1,73 @@
+"""Incremental connected-components maintenance: after EVERY batch
+the maintained (node, comp) state must equal a from-scratch CC over
+all edges seen so far — including the hard case, a bridge edge
+merging two existing clusters into one."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from hyppo_worker_spark.operators.dedup import connected_components
+from hyppo_worker_spark.streaming.incremental_cc import IncrementalCCSink
+
+
+def _full(spark, edges):
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    return {
+        (r.node, r.comp) for r in connected_components(df).collect()
+    }
+
+
+def _state(sink):
+    return {(r.node, r.comp) for r in sink.state().collect()}
+
+
+def test_incremental_matches_full_recompute(spark, tmp_path):
+    sink = IncrementalCCSink(spark, str(tmp_path / "cc"))
+    seen: list[tuple[int, int]] = []
+    batches = [
+        # two separate clusters + an isolated pair
+        [(1, 2), (2, 3), (10, 11), (20, 21)],
+        # grow cluster A; new disjoint cluster
+        [(3, 4), (30, 31), (31, 32)],
+        # BRIDGE: merge cluster A and cluster {10,11} via one edge
+        [(4, 10)],
+        # merge everything touched by 20 into the 30-cluster
+        [(21, 30)],
+    ]
+    for i, b in enumerate(batches):
+        seen.extend(b)
+        sink(spark.createDataFrame(b, "a_id long, b_id long"), i)
+        assert _state(sink) == _full(spark, seen), f"batch {i}"
+
+
+def test_incremental_random_splits(spark, tmp_path):
+    rng = random.Random(11)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    sink = IncrementalCCSink(spark, str(tmp_path / "cc"))
+    seen: list[tuple[int, int]] = []
+    i = 0
+    bid = 0
+    while i < len(edges):
+        step = rng.randint(1, 9)
+        batch = edges[i : i + step]
+        i += step
+        seen.extend(batch)
+        sink(spark.createDataFrame(batch, "a_id long, b_id long"), bid)
+        bid += 1
+    assert _state(sink) == _full(spark, seen)
+
+
+def test_replay_of_marked_batch_is_noop(spark, tmp_path):
+    sink = IncrementalCCSink(spark, str(tmp_path / "cc"))
+    b0 = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    sink(b0, 0)
+    s1 = _state(sink)
+    sink(b0, 0)  # replay
+    assert _state(sink) == s1
