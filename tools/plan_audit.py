@@ -56,6 +56,10 @@ EXPECTED_NLJ = {
     "d14_split_assignment",  # 1-row broadcast naive-leak count
     "s08_range_search",  # broadcast tiny query batch vs corpus
     # (same pattern as s01; windowless by design)
+    "s09_hard_negatives",  # broadcast tiny query batch vs corpus
+    # (s01's pattern with the dup-band filter before the top-k)
+    "t29_bm25_retrieval",  # 1-row broadcast (n_docs, tok_total)
+    # corpus-stats scalars — the standard scalar-join pattern
 }
 
 # Queries where an UNPARTITIONED window (single-task WindowExec) is
