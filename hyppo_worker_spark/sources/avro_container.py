@@ -45,8 +45,6 @@ real Avro tooling once present.
 from __future__ import annotations
 
 import hashlib
-import io
-import json
 import os
 import struct
 import uuid
