@@ -142,7 +142,12 @@ class DocumentsRawIntegration(RawDataIntegration):
         )
 
 
-def _run_job(spark: SparkSession, integration, request_cls_chain) -> None:
+def _run_job(
+    spark: SparkSession,
+    integration,
+    request_cls_chain,
+    records_fmt: str | None = None,
+) -> None:
     """Drive a full job through the engine with response-chained
     submissions; raise on any FailureResponse."""
     registry = IntegrationRegistry()
@@ -151,7 +156,10 @@ def _run_job(spark: SparkSession, integration, request_cls_chain) -> None:
     # 4 worker slots: tasks execute concurrently (Spark schedules the
     # jobs from multiple driver threads), as a real deployment would.
     engine = HyppoEngine(
-        spark, registry, DataFileHandler(spark, layout), EngineConfig(worker_count=4)
+        spark,
+        registry,
+        DataFileHandler(spark, layout, records_fmt=records_fmt),
+        EngineConfig(worker_count=4),
     )
     details = integration.details()
     job = DataIngestionJob(source=IngestionSource(name=integration.source_name))
@@ -240,7 +248,15 @@ def p02_raw_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-path engine run over documents (gzip landing + distributed
     parse) → aggregate of the persisted output."""
     out_dir = tempfile.mkdtemp(prefix="hyppo-out-")
-    _run_job(spark, DocumentsRawIntegration(sf_dir, out_dir), None)
+    # records_fmt="avro-py": the raw pipeline's records zone persists
+    # REAL Avro-with-deflate through the pure-Python container — the
+    # reference's wire format exercised end-to-end by a driver row
+    # every round (volume here is documents-table sized, so the row
+    # codec cost is negligible; p01's bulk path stays columnar).
+    _run_job(
+        spark, DocumentsRawIntegration(sf_dir, out_dir), None,
+        records_fmt="avro-py",
+    )
     final = spark.read.parquet(f"{out_dir}/final/task-*")
     return (
         final.groupBy("lang")

