@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "t29_bm25_retrieval",
     "s09_hard_negatives",
     "d15_canonical_selection",
+    "d16_semantic_dedup_two_level",
 ]
 
 

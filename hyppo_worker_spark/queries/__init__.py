@@ -191,6 +191,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # s01/s04/s07 keep the similarity driver rows this round
         "d15_canonical_selection",  # quality-aware dedup keeper —
         # d01/d06 keep the exact-dedup driver rows this round
+        "d16_semantic_dedup_two_level",  # IVF scale-path bound check
+        # — d11 keeps the SemDeDup driver row this round
     }
 )
 

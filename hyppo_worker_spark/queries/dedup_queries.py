@@ -660,7 +660,10 @@ def d10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic and mirrored bit-for-bit by the oracle (the Lloyd SQL
 # is shared with s04's oracle).
 # --------------------------------------------------------------------------
-def _d11_oracle() -> str:
+def _d11_oracle(tail: str | None = None) -> str:
+    """The shared flat-SemDeDup recursive SQL; ``tail`` overrides the
+    final SELECT (d16 reuses the identical clustering with a
+    different report shape)."""
     from hyppo_worker_spark.operators.similarity import (
         CENTROID_FLOOR as _D11_FLOOR,
         TARGET_CELL_ROWS as _D11_TARGET_CELL,
@@ -721,15 +724,19 @@ def _d11_oracle() -> str:
         FROM paths GROUP BY u
     ),
     dropped AS (SELECT node FROM comp WHERE node <> comp)
-    SELECT corpus.label AS label,
+    {{tail}}
+    """.replace(
+        "{tail}",
+        tail
+        or """SELECT corpus.label AS label,
            count(*) AS n_vecs,
            CAST(sum(CASE WHEN d.node IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_kept,
            CAST(sum(CASE WHEN d.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dropped
     FROM corpus LEFT JOIN dropped d ON d.node = corpus.vec_id
-    GROUP BY corpus.label ORDER BY label
-    """
+    GROUP BY corpus.label ORDER BY label""",
+    )
 
 
 @register(
@@ -1260,4 +1267,83 @@ def d15_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("policy_disagreements"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# d16 — the two-level (IVF-style) SemDeDup SCALE PATH made
+# driver-checkable via the q44/q27 contract: the oracle reproduces
+# the EXACT flat clustering (same recursive SQL as d11) and states
+# the approximation bound as a literal TRUE; the Spark side runs BOTH
+# assignments — flat for the exact columns, two_level for the bound —
+# so a broken coarse router, a coverage hole, or recall drifting past
+# 10% of flat's drops all break the hash. This is the evidence d11's
+# exact-pinned row cannot provide for the n*sqrt(k) path that takes
+# over at 100 TB (NOTES_r5 stress analysis).
+# --------------------------------------------------------------------------
+@register(
+    "d16_semantic_dedup_two_level",
+    oracle=_d11_oracle(
+        tail="""SELECT corpus.label AS label,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN d.node IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS flat_dropped,
+           TRUE AS two_level_within_10pct
+    FROM corpus LEFT JOIN dropped d ON d.node = corpus.vec_id
+    GROUP BY corpus.label ORDER BY label"""
+    ),
+    tags=("dedup", "embedding", "semdedup", "ivf", "two-level", "scale-path"),
+)
+def d16_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-vs-two-level SemDeDup on the d11 corpus: exact per-label
+    flat drop counts plus an in-plan bound that the two-level scale
+    path drops within 10% of flat."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    from hyppo_worker_spark.functions import vectors as V
+
+    base = emb.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v"), "label"
+    )
+    planted = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x)
+        ).alias("v"),
+        "label",
+    )
+    corpus = base.unionByName(planted).persist()
+
+    def dropped(assignment):
+        comp = D.semantic_dedup_components(
+            corpus, "vec_id", "v", n_iter=2, threshold=0.9,
+            assignment=assignment,
+        )
+        return comp.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias("vec_id")
+        )
+
+    flat_d = dropped("flat").persist()
+    two_total = dropped("two_level").agg(
+        F.count(F.lit(1)).cast("long").alias("tt")
+    )
+    flat_total = flat_d.agg(F.count(F.lit(1)).cast("long").alias("ft"))
+    bound = flat_total.crossJoin(F.broadcast(two_total)).select(
+        (
+            F.abs(F.col("ft") - F.col("tt")) * 10 <= F.col("ft")
+        ).alias("two_level_within_10pct")
+    )
+    per_label = (
+        corpus.join(
+            flat_d.withColumn("is_d", F.lit(1)), "vec_id", "left"
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(F.col("is_d").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("flat_dropped"),
+        )
+    )
+    return (
+        per_label.crossJoin(F.broadcast(bound)).orderBy("label")
     )

@@ -36,6 +36,8 @@ EXPECTED_NLJ = {
     # 1-row total — every NLJ side is a tiny broadcast by construction
     "d11_semantic_dedup",  # broadcast n_centroids-row table scattered
     # per vector — same pattern as s04/s05 (the assignment argmax)
+    "d16_semantic_dedup_two_level",  # d11's pattern twice (flat +
+    # two-level) plus 1-row bound scalars
     "t19_unigram_surprisal",  # 1-row broadcast corpus-total (scalar
     # join), same as t09
     "q48_kmv_set_sketch",  # 1-row scalar frames crossJoined (exact
@@ -80,6 +82,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "s05_knn_ivf_multiprobe",
     "s07_pq_adc_topk",
     "d11_semantic_dedup",
+    "d16_semantic_dedup_two_level",
     # exclusive_prefix_sum's SECOND pass (operators/packing.py): the
     # bucket-offset running sum over the per-bucket totals frame —
     # n_buckets = ceil(rows / 4M) rows by derive_n_buckets (25k at
