@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "s09_hard_negatives",
     "d15_canonical_selection",
     "d16_semantic_dedup_two_level",
+    "p08_streaming_incremental_cc",
 ]
 
 

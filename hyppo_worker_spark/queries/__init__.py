@@ -193,6 +193,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # d01/d06 keep the exact-dedup driver rows this round
         "d16_semantic_dedup_two_level",  # IVF scale-path bound check
         # — d11 keeps the SemDeDup driver row this round
+        "p08_streaming_incremental_cc",  # incremental CC maintenance
+        # — p05 keeps the streaming driver row this round
     }
 )
 

@@ -729,3 +729,101 @@ def p07_streaming_scd2_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k", "valid_from")
     )
+
+
+# --------------------------------------------------------------------------
+# p08 — incremental connected-components maintenance, oracle-checked
+# end-to-end: a deterministic sparse edge set over the documents id
+# space (stride edges gated by md5) drains in 3 micro-batches through
+# IncrementalCCSink — per batch only the TOUCHED components recompute
+# (state-as-star-edges subgraph + O(log n) batch CC, staged-swap
+# commits) — and the final maintained state's component-size
+# HISTOGRAM must equal the recursive-CTE closure over the full edge
+# set. Batches split by an md5 gate on the source node, so later
+# batches bridge components built by earlier ones (the merge path is
+# exercised for real, not just growth). A wrong merge, a stale
+# untouched row, or a dropped batch all change the histogram.
+# --------------------------------------------------------------------------
+@register(
+    "p08_streaming_incremental_cc",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+        SELECT doc_id AS a, doc_id + 1 + doc_id % 5 AS b
+        FROM documents
+        WHERE {gate} < 60
+    ),
+    edges AS (
+        SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0
+    ),
+    paths AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT p.u, e.v FROM paths p JOIN edges e ON p.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, least(u, min(v)) AS comp
+        FROM paths GROUP BY u
+    ),
+    sizes AS (SELECT comp, count(*) AS sz FROM comp GROUP BY comp)
+    SELECT CAST(sz AS BIGINT) AS comp_size,
+           CAST(count(*) AS BIGINT) AS n_comps
+    FROM sizes GROUP BY sz ORDER BY comp_size
+    """.replace(
+        "{gate}",
+        # late import avoids a cycle at module load
+        __import__(
+            "hyppo_worker_spark.functions.text", fromlist=["md5_bucket_sql"]
+        ).md5_bucket_sql("doc_id", 100),
+    ),
+    tags=("pipeline", "streaming", "graph", "connected-components",
+          "incremental"),
+)
+def p08_streaming_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a 3-batch edge stream through the incremental CC sink and
+    return the maintained state's component-size histogram."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from hyppo_worker_spark.functions import text as TX2
+    from hyppo_worker_spark.streaming.incremental_cc import (
+        IncrementalCCSink,
+        maintain_cc,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    edges = docs.filter(TX2.md5_bucket(F.col("doc_id"), 100) < 60).select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + 1 + F.col("doc_id") % 5).alias("b_id"),
+    )
+    work = tempfile.mkdtemp(prefix="hyppo-p08-")
+    src_dir = os.path.join(work, "edges")
+    os.makedirs(src_dir)
+    now = time.time()
+    for i in range(3):
+        batch = edges.filter(TX2.md5_bucket(F.col("a_id"), 3) == i)
+        staged = os.path.join(work, f"stage-{i}")
+        batch.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = os.path.join(src_dir, f"batch{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema("a_id long, b_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = IncrementalCCSink(spark, os.path.join(work, "store"))
+    q = maintain_cc(stream, sink, os.path.join(work, "ckpt"))
+    q.awaitTermination(300)
+
+    sizes = sink.state().groupBy("comp").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("comp_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_comps"))
+        .orderBy("comp_size")
+    )
