@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "d15_canonical_selection",
     "d16_semantic_dedup_two_level",
     "p08_streaming_incremental_cc",
+    "t30_ngram_novelty",
 ]
 
 

@@ -195,6 +195,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # — d11 keeps the SemDeDup driver row this round
         "p08_streaming_incremental_cc",  # incremental CC maintenance
         # — p05 keeps the streaming driver row this round
+        "t30_ngram_novelty",  # corpus-relative novelty profile —
+        # t18 keeps the quality driver row this round
     }
 )
 

@@ -2313,3 +2313,96 @@ def t29_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "doc_id", "score_nano")
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# t30 — n-gram novelty profile: the corpus-relative signal between
+# d13's repeated-span coverage and t19/t28's LM surprisal. Per
+# document: what fraction of its DISTINCT 3-gram shingles appears in
+# no other document (novel — high values flag garbled/unique-noise
+# text) and what fraction appears in >= 10 documents (common — high
+# values flag boilerplate). Both as integer basis points aggregated
+# per source, so the report is a 20-row per-source quality profile a
+# curation pipeline thresholds on. Scale shape: one shingle explode →
+# gram-keyed document-frequency table (narrow, vocab-sized) → join
+# back on gram → per-doc then per-source integer sums; no windows,
+# no broadcasts beyond Catalyst's own choices.
+# --------------------------------------------------------------------------
+_T30_COMMON_DF = 10
+
+
+@register(
+    "t30_ngram_novelty",
+    oracle=f"""
+    WITH {{SH}},
+    ex AS (
+        SELECT doc_id, source, unnest(sh) AS g FROM sh WHERE len(sh) > 0
+    ),
+    gdf AS (SELECT g, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+    per_doc AS (
+        SELECT ex.doc_id, ex.source,
+               count(*) AS n_grams,
+               sum(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS novel,
+               sum(CASE WHEN gdf.df >= {_T30_COMMON_DF} THEN 1 ELSE 0 END)
+                   AS common
+        FROM ex JOIN gdf USING (g)
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(novel) * 10000 // sum(n_grams) AS BIGINT)
+               AS novel_bp,
+           CAST(sum(common) * 10000 // sum(n_grams) AS BIGINT)
+               AS common_bp
+    FROM per_doc GROUP BY 1 ORDER BY 1
+    """.replace("{SH}", _SQL_TOK + """,
+    sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(w) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               ELSE [] END AS sh
+        FROM tok
+    )"""),
+    tags=("text", "quality", "novelty", "ngram", "data-quality"),
+)
+def t30_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty profile: basis points of distinct 3-gram
+    shingles unique to one doc (novel) vs shared by >= 10 docs
+    (common)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ex = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(TX.shingles(TX.tokens("text"), 3)).alias("g"),
+        )
+        .persist()
+    )
+    gdf = ex.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (
+        ex.join(gdf, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("novel"),
+            F.sum(
+                F.when(F.col("df") >= _T30_COMMON_DF, 1).otherwise(0)
+            ).alias("common"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.expr("sum(novel) * 10000 div sum(n_grams)")
+            .cast("long")
+            .alias("novel_bp"),
+            F.expr("sum(common) * 10000 div sum(n_grams)")
+            .cast("long")
+            .alias("common_bp"),
+        )
+        .orderBy("source")
+    )
