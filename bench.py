@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "d16_semantic_dedup_two_level",
     "p08_streaming_incremental_cc",
     "t30_ngram_novelty",
+    "q61_sql_correlated_subquery",
 ]
 
 

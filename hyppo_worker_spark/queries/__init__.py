@@ -197,6 +197,8 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # — p05 keeps the streaming driver row this round
         "t30_ngram_novelty",  # corpus-relative novelty profile —
         # t18 keeps the quality driver row this round
+        "q61_sql_correlated_subquery",  # spark.sql() text surface —
+        # q01/q29 keep the agg/window driver rows this round
     }
 )
 

@@ -3801,3 +3801,54 @@ def q60_sliding_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q61 — the spark.sql() surface, exercised as a user would write it:
+# a correlated scalar subquery (parts priced >= 20% above their
+# type's average) plus a correlated EXISTS (only parts some order
+# actually shipped), submitted as SQL TEXT against the temp views
+# load_tables registers. Everything else in the registry builds
+# DataFrames programmatically; this row proves the declarative entry
+# point end-to-end — Catalyst de-correlates both subqueries into
+# aggregate-then-join / semi-join plans (no per-row re-execution),
+# which is exactly what survives at scale. Oracle is the same ANSI
+# text, so any de-correlation bug changes values, not just shape.
+# --------------------------------------------------------------------------
+# The premium test runs in INTEGER CENTS (price*count*100 >= 102 *
+# type-sum-of-cents == "2% above the type average") because a float
+# `price >= 1.02 * avg(price)` puts boundary rows one summation-order
+# ulp apart between engines — the repo-wide exactness rule applied to
+# a correlated predicate.
+_Q61_SQL = """
+    SELECT p.p_type AS p_type,
+           count(*) AS n_premium,
+           CAST(sum(CAST(p.p_size AS BIGINT)) AS BIGINT) AS size_sum,
+           round(sum(p.p_retailprice), 2) AS price_sum
+    FROM part p
+    WHERE CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) * 100 *
+          (SELECT count(*) FROM part p2 WHERE p2.p_type = p.p_type)
+          >= 102 * (
+            SELECT CAST(sum(CAST(floor(p2.p_retailprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT)
+            FROM part p2 WHERE p2.p_type = p.p_type
+          )
+      AND EXISTS (
+            SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+          )
+    GROUP BY p.p_type
+    ORDER BY p.p_type
+"""
+
+
+@register(
+    "q61_sql_correlated_subquery",
+    oracle=_Q61_SQL,
+    tags=("relational", "sql-api", "correlated-subquery", "exists"),
+)
+def q61_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Premium parts per type via SQL text: correlated scalar
+    subquery (>= 1.2x the type average) + correlated EXISTS, run
+    through spark.sql() on the registered temp views."""
+    load_tables(spark, sf_dir, ("part", "lineitem"))
+    return spark.sql(_Q61_SQL)
