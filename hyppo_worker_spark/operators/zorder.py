@@ -48,17 +48,17 @@ from pyspark.sql import functions as F
 def scale_to_bits(v: Column, vmin: Column, vmax: Column, bits: int) -> Column:
     """Map ``v`` in [vmin, vmax] to integer [0, 2^bits).
 
-    Exact integer floor-div (ADVICE r4): a DOUBLE divide-then-truncate
-    can cross an integer boundary once ``span*(2^bits-1)`` nears 2^53
-    (e.g. microsecond epochs over ~1 year at bits=8), diverging from
-    the oracle's ``//``. ``(num - pmod(num, span)) / span`` keeps every
-    step in int64: the numerator is exactly divisible, and the final
-    divide of a <2^bits quotient is exact in any arithmetic. Domain
-    bound (unchanged): ``(vmax - vmin) * (2^bits - 1) < 2^63``.
+    Exact integer floor-div (ADVICE r4, completed r6): Spark's ``div``
+    operator (``IntegralDivide``) stays in int64 end to end, matching
+    the oracle's ``//`` for the full domain bound
+    ``(vmax - vmin) * (2^bits - 1) < 2^63``. (The previous
+    ``(num - pmod(num, span)) / span`` still widened the exactly-
+    divisible numerator to DOUBLE, so for num > 2^53 the rounded
+    numerator could yield quotient-1 — ADVICE r5.)
     """
     span = F.greatest(vmax - vmin, F.lit(1)).cast("long")
     num = ((v - vmin).cast("long") * F.lit((1 << bits) - 1)).cast("long")
-    return ((num - F.pmod(num, span)) / span).cast("long")
+    return F.call_function("div", num, span)
 
 
 def scale_to_bits_sql(v: str, vmin: str, vmax: str, bits: int) -> str:

@@ -17,9 +17,13 @@ records zone carries:
   (deterministic: md5 of the schema JSON — reproducible files);
 - blocks: record-count varint, byte-size varint, payload, sync;
 - binary encoding: zigzag-varint int/long, IEEE-LE float/double,
-  length-prefixed utf8 strings / bytes, boolean as one byte, and
-  nullable fields as the 2-branch union ``["null", T]`` (zigzag
-  branch index prefix);
+  length-prefixed utf8 strings / bytes, boolean as one byte, logical
+  types date (int days) / timestamp-micros (long) / decimal (bytes,
+  big-endian two's complement), and nullable fields as the 2-branch
+  union ``[T, "null"]`` — the branch-index prefix follows the
+  DECLARED union order (value → zigzag(0), null → zigzag(1)); the
+  reader derives the null branch from each file's own schema so
+  foreign ``["null", T]`` files decode correctly too;
 - codecs: ``null`` and ``deflate`` (raw RFC-1951 via zlib with
   negative wbits — the reference's default codec).
 
@@ -44,17 +48,24 @@ real Avro tooling once present.
 
 from __future__ import annotations
 
+import datetime as _dtmod
 import hashlib
 import os
 import struct
 import uuid
 import zlib
 from collections.abc import Iterator
+from decimal import Decimal as _Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 MAGIC = b"Obj\x01"
+
+_EPOCH_DATE = _dtmod.date(1970, 1, 1)
+_EPOCH_NAIVE = _dtmod.datetime(1970, 1, 1)
+_EPOCH_UTC = _dtmod.datetime(1970, 1, 1, tzinfo=_dtmod.timezone.utc)
+_MICRO = _dtmod.timedelta(microseconds=1)
 
 
 # -- primitive binary encoding (Avro spec §binary encoding) ---------------
@@ -88,42 +99,15 @@ def zigzag_decode(buf: memoryview, pos: int) -> tuple[int, int]:
 
 
 def _enc_value(dt: T.DataType, v, out: bytearray) -> None:
+    """Generic one-off encode (slow path); delegates to the specialized
+    field codec so logical-type support never drifts between paths."""
     if v is None:
         raise ValueError("null for non-nullable field")
-    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-        out += zigzag_encode(int(v))
-    elif isinstance(dt, T.BooleanType):
-        out.append(1 if v else 0)
-    elif isinstance(dt, T.DoubleType):
-        out += struct.pack("<d", float(v))
-    elif isinstance(dt, T.FloatType):
-        out += struct.pack("<f", float(v))
-    elif isinstance(dt, T.StringType):
-        b = str(v).encode()
-        out += zigzag_encode(len(b)) + b
-    elif isinstance(dt, T.BinaryType):
-        b = bytes(v)
-        out += zigzag_encode(len(b)) + b
-    else:
-        raise NotImplementedError(f"avro container: unsupported type {dt}")
+    _field_encoder(dt)(v, out)
 
 
 def _dec_value(dt: T.DataType, buf: memoryview, pos: int):
-    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-        n, pos = zigzag_decode(buf, pos)
-        return n, pos
-    if isinstance(dt, T.BooleanType):
-        return bool(buf[pos]), pos + 1
-    if isinstance(dt, T.DoubleType):
-        return struct.unpack_from("<d", buf, pos)[0], pos + 8
-    if isinstance(dt, T.FloatType):
-        return struct.unpack_from("<f", buf, pos)[0], pos + 4
-    if isinstance(dt, (T.StringType, T.BinaryType)):
-        n, pos = zigzag_decode(buf, pos)
-        raw = bytes(buf[pos : pos + n])
-        pos += n
-        return (raw.decode() if isinstance(dt, T.StringType) else raw), pos
-    raise NotImplementedError(f"avro container: unsupported type {dt}")
+    return _field_decoder(dt)(buf, pos)
 
 
 # Per-schema specialized row codecs: the generic per-value isinstance
@@ -156,6 +140,41 @@ def _field_encoder(dt: T.DataType):
             out.extend(zz(len(b)))
             out.extend(b)
         return enc_b
+    if isinstance(dt, T.DateType):
+        # Avro logical type "date": int = days since Unix epoch
+        epoch = _EPOCH_DATE
+
+        def enc_date(v, out, zz=zz, epoch=epoch):
+            out.extend(zz((v - epoch).days))
+        return enc_date
+    if isinstance(dt, T.TimestampType):
+        # Avro logical type "timestamp-micros": long = micros since
+        # epoch UTC. Integer arithmetic throughout (datetime.timestamp()
+        # would round-trip through a float).
+        def enc_ts(v, out, zz=zz):
+            if v.tzinfo is None:
+                delta = v - _EPOCH_NAIVE
+            else:
+                delta = v - _EPOCH_UTC
+            out.extend(zz(delta // _MICRO))
+        return enc_ts
+    if isinstance(dt, T.TimestampNTZType):
+        # Avro "local-timestamp-micros": micros since epoch, no zone
+        def enc_tsntz(v, out, zz=zz):
+            out.extend(zz((v - _EPOCH_NAIVE) // _MICRO))
+        return enc_tsntz
+    if isinstance(dt, T.DecimalType):
+        # Avro logical type "decimal" over bytes: big-endian
+        # two's-complement unscaled integer, minimal length
+        scale = dt.scale
+
+        def enc_dec(v, out, zz=zz, scale=scale):
+            unscaled = int(v.scaleb(scale))
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            b = unscaled.to_bytes(n, "big", signed=True)
+            out.extend(zz(len(b)))
+            out.extend(b)
+        return enc_dec
     raise NotImplementedError(f"avro container: unsupported type {dt}")
 
 
@@ -180,6 +199,29 @@ def _field_decoder(dt: T.DataType):
             n, pos = zz(buf, pos)
             return bytes(buf[pos : pos + n]), pos + n
         return dec_b
+    if isinstance(dt, T.DateType):
+        def dec_date(buf, pos, zz=zz):
+            n, pos = zz(buf, pos)
+            return _EPOCH_DATE + _dtmod.timedelta(days=n), pos
+        return dec_date
+    if isinstance(dt, T.TimestampType):
+        def dec_ts(buf, pos, zz=zz):
+            n, pos = zz(buf, pos)
+            return _EPOCH_UTC + _dtmod.timedelta(microseconds=n), pos
+        return dec_ts
+    if isinstance(dt, T.TimestampNTZType):
+        def dec_tsntz(buf, pos, zz=zz):
+            n, pos = zz(buf, pos)
+            return _EPOCH_NAIVE + _dtmod.timedelta(microseconds=n), pos
+        return dec_tsntz
+    if isinstance(dt, T.DecimalType):
+        scale = dt.scale
+
+        def dec_dec(buf, pos, zz=zz, scale=scale):
+            n, pos = zz(buf, pos)
+            unscaled = int.from_bytes(bytes(buf[pos : pos + n]), "big", signed=True)
+            return _Decimal(unscaled).scaleb(-scale), pos + n
+        return dec_dec
     raise NotImplementedError(f"avro container: unsupported type {dt}")
 
 
@@ -200,29 +242,41 @@ def _row_codecs(schema: T.StructType) -> tuple[list, list]:
 
 
 def encode_record(schema: T.StructType, row: dict, out: bytearray) -> None:
+    """Encode one record against the schema ``struct_to_avro`` emits:
+    nullable fields are the union ``[T, "null"]`` (reference TestRecord
+    shape), so the branch prefix is zigzag(0)=\\x00 for a VALUE and
+    zigzag(1)=\\x02 for NULL — the branch index is into the DECLARED
+    union order (Avro spec, "Unions")."""
     encs, _ = _row_codecs(schema)
     get = row.get
     for name, nullable, enc in encs:
         v = get(name)
         if nullable:
-            # union ["null", T]: branch index 0 = null, 1 = value
             if v is None:
-                out.append(0)  # zigzag(0)
+                out.append(2)  # zigzag(1): the "null" branch of [T,"null"]
                 continue
-            out.append(2)  # zigzag(1)
+            out.append(0)  # zigzag(0): the value branch of [T,"null"]
         enc(v, out)
 
 
 def decode_record(
-    schema: T.StructType, buf: memoryview, pos: int
+    schema: T.StructType,
+    buf: memoryview,
+    pos: int,
+    null_branch: dict[str, int] | None = None,
 ) -> tuple[dict, int]:
+    """Decode one record. ``null_branch`` maps field name → index of
+    "null" in that field's DECLARED union (from the file's own schema
+    via ``avro_schema.null_branch_indices``); when omitted, the
+    ``struct_to_avro`` order ``[T,"null"]`` (null index 1) is assumed
+    for every nullable field."""
     _, decs = _row_codecs(schema)
     row = {}
     for name, nullable, dec in decs:
         if nullable:
-            b = buf[pos]
-            pos += 1
-            if b == 0:
+            nb = 1 if null_branch is None else null_branch.get(name, 1)
+            branch, pos = zigzag_decode(buf, pos)
+            if branch == nb:
                 row[name] = None
                 continue
         row[name], pos = dec(buf, pos)
@@ -281,10 +335,11 @@ def write_container(
             for name, nullable, enc in encs:
                 v = get(name)
                 if nullable:
+                    # [T,"null"] union: branch 0 = value, branch 1 = null
                     if v is None:
-                        payload.append(0)
+                        payload.append(2)  # zigzag(1)
                         continue
-                    payload.append(2)
+                    payload.append(0)  # zigzag(0)
                 enc(v, payload)
         body = bytes(payload)
         if codec == "deflate":
@@ -320,9 +375,14 @@ def read_container(data: bytes) -> tuple[T.StructType, str, list[dict]]:
             vl, pos = zigzag_decode(buf, pos)
             meta[k] = bytes(buf[pos : pos + vl])
             pos += vl
+    from hyppo_worker_spark.sources.avro_schema import null_branch_indices
+
     schema_json = meta["avro.schema"].decode()
     codec = meta.get("avro.codec", b"null").decode()
     schema = avro_to_struct(schema_json)
+    # branch bytes follow the file's DECLARED union order — a foreign
+    # ["null",T] file decodes correctly, not just our own [T,"null"]
+    null_branch = null_branch_indices(schema_json)
     sync = bytes(buf[pos : pos + 16])
     pos += 16
     rows: list[dict] = []
@@ -338,14 +398,19 @@ def read_container(data: bytes) -> tuple[T.StructType, str, list[dict]]:
         bview = memoryview(body)
         bpos = 0
         _, decs = _row_codecs(schema)  # hoisted: schema.json() is slow
+        zz = zigzag_decode
+        # precompute each nullable field's null-branch index once
+        decs_nb = [
+            (name, null_branch.get(name, 1) if nullable else None, dec)
+            for name, nullable, dec in decs
+        ]
         append = rows.append
         for _ in range(count):
             row = {}
-            for name, nullable, dec in decs:
-                if nullable:
-                    b = bview[bpos]
-                    bpos += 1
-                    if b == 0:
+            for name, nb, dec in decs_nb:
+                if nb is not None:
+                    branch, bpos = zz(bview, bpos)
+                    if branch == nb:
                         row[name] = None
                         continue
                 row[name], bpos = dec(bview, bpos)
@@ -366,19 +431,20 @@ def write_avro(
     one ``part-*.avro`` file (the per-task file layout of the records
     zone). Executor-side file IO — no driver collect of row data.
     Returns the total record count (observed from the write itself,
-    like the Observation on the jar path)."""
-    import pandas as pd
+    like the Observation on the jar path).
+
+    Arrow-native (``mapInArrow``): a pandas hop would widen nullable
+    int64 columns to float64 and silently round ids above 2^53 —
+    ``RecordBatch.to_pylist`` keeps exact ints and real ``None``."""
+    import pyarrow as pa
 
     schema = df.schema
     os.makedirs(path, exist_ok=True)
 
-    def enc(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def enc(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         rows: list[dict] = []
-        for pdf in it:
-            # Arrow->pandas turns nulls in int columns into NaN floats;
-            # normalize every null-ish cell to None before encoding.
-            pdf = pdf.astype(object).where(pdf.notna(), None)
-            rows.extend(pdf.to_dict("records"))
+        for batch in it:
+            rows.extend(batch.to_pylist())
         if rows:
             blob = write_container(schema, rows, codec=codec)
             name = f"part-{uuid.uuid4().hex}.avro"
@@ -386,11 +452,14 @@ def write_avro(
             with open(tmp, "wb") as fh:
                 fh.write(blob)
             os.replace(tmp, os.path.join(path, name))
-            yield pd.DataFrame({"n": [len(rows)]})
+            yield pa.RecordBatch.from_pylist(
+                [{"n": len(rows)}],
+                schema=pa.schema([pa.field("n", pa.int64())]),
+            )
 
-    # one pass; the tiny (n) frame per task forces execution
+    # one pass; the tiny (n) batch per task forces execution
     total = (
-        df.mapInPandas(enc, "n long").agg({"n": "sum"}).collect()[0][0] or 0
+        df.mapInArrow(enc, "n long").agg({"n": "sum"}).collect()[0][0] or 0
     )
     if not any(f.endswith(".avro") for f in os.listdir(path)):
         # empty dataset: one header-only container so readers see the
@@ -403,11 +472,13 @@ def write_avro(
 def read_avro(
     spark: SparkSession, path: str, expected: T.StructType | None = None
 ) -> DataFrame:
-    """Distributed container read: binaryFile scan + mapInPandas
+    """Distributed container read: binaryFile scan + mapInArrow
     decode; each file's header schema must match ``expected`` (or the
     first file's schema when omitted — resolved driver-side from ONE
-    header, not a full read)."""
-    import pandas as pd
+    header, not a full read). Arrow-native for the same exact-int64
+    reason as ``write_avro``."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     if expected is None:
         first = sorted(
@@ -430,9 +501,11 @@ def read_avro(
         .load(path)
     )
 
-    def dec(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in it:
-            for _, r in pdf.iterrows():
+    arrow_schema = to_arrow_schema(exp)
+
+    def dec(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in it:
+            for r in batch.to_pylist():
                 schema, _codec, rows = read_container(bytes(r["content"]))
                 if schema != exp:
                     raise ValueError(
@@ -440,8 +513,6 @@ def read_avro(
                         f"{schema} != {exp}"
                     )
                 if rows:
-                    yield pd.DataFrame(
-                        rows, columns=[f.name for f in exp.fields]
-                    )
+                    yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
-    return bin_df.mapInPandas(dec, exp)
+    return bin_df.mapInArrow(dec, exp)

@@ -37,6 +37,8 @@ _PRIMITIVES: dict[str, T.DataType] = {
 _LOGICAL: dict[str, T.DataType] = {
     "timestamp-millis": T.TimestampType(),
     "timestamp-micros": T.TimestampType(),
+    "local-timestamp-millis": T.TimestampNTZType(),
+    "local-timestamp-micros": T.TimestampNTZType(),
     "date": T.DateType(),
     "time-millis": T.LongType(),
     "time-micros": T.LongType(),
@@ -90,6 +92,22 @@ def _convert(avro: Any) -> tuple[T.DataType, bool]:
     raise AvroSchemaError(f"unsupported avro schema node: {avro!r}")
 
 
+def null_branch_indices(schema_json: str | dict) -> dict[str, int]:
+    """Per top-level field: the index of ``"null"`` within its union
+    (only fields whose declared type IS a union appear). The binary
+    branch prefix of a union value is the zigzag-encoded index into
+    the DECLARED union order, so a decoder must read this from the
+    file's own schema — ``["null",T]`` and ``[T,"null"]`` encode the
+    same logical value with different branch bytes."""
+    avro = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    out: dict[str, int] = {}
+    for f in avro.get("fields", []):
+        ftype = f["type"]
+        if isinstance(ftype, list) and "null" in ftype:
+            out[f["name"]] = ftype.index("null")
+    return out
+
+
 def avro_to_struct(schema_json: str | dict) -> T.StructType:
     """Avro record schema JSON → StructType."""
     avro = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
@@ -141,6 +159,8 @@ def _to_avro(dt: T.DataType, nullable: bool, path: str = "record") -> Any:
         }
     elif isinstance(dt, T.TimestampType):
         out = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(dt, T.TimestampNTZType):
+        out = {"type": "long", "logicalType": "local-timestamp-micros"}
     elif isinstance(dt, T.DateType):
         out = {"type": "int", "logicalType": "date"}
     elif isinstance(dt, T.DecimalType):

@@ -22,10 +22,12 @@ data is durably in place:
 5. write the marker; drop the old generation.
 
 A crash anywhere before step 5 replays the batch against the
-PRE-batch table (stale staging/old dirs are garbage-collected by
-``recover``). The one non-atomic window — current renamed out,
-staging not yet renamed in — is healed by ``recover`` restoring the
-newest ``.old-*`` generation. At 100 TB the same protocol holds with
+PRE-batch table: ``recover`` garbage-collects stale staging dirs,
+and — because a swap whose marker never landed WILL be replayed —
+rolls an unmarked ``.old-<id>`` generation BACK over the table
+(covering both the mid-swap window and the swap-complete/marker-
+missing window, where keeping the post-batch table would double-apply
+the replay). At 100 TB the same protocol holds with
 object-store renames replaced by a manifest pointer flip (the
 `storage.py` manifest-commit path); the marker-after-data ordering is
 the invariant either way.
@@ -55,11 +57,26 @@ class MarkedTableCommitter:
         return os.path.exists(self._marker(batch_id))
 
     def recover(self) -> None:
-        """Heal crash leftovers: restore the newest ``.old-*``
-        generation if the table itself is missing (mid-swap crash);
-        drop any other stale staging/old dirs."""
-        olds = sorted(glob.glob(self.table_dir + ".old-*"))
-        if not os.path.isdir(self.table_dir) and olds:
+        """Heal crash leftovers. The invariant replay depends on: a
+        batch whose MARKER is absent will be re-applied by Structured
+        Streaming, so recovery must leave the PRE-batch table in place
+        — even when the crash hit AFTER the swap completed but before
+        the marker (the double-apply window, ADVICE r5). Generation
+        ids are compared numerically (lexicographic glob order puts
+        ``old-9`` after ``old-10``)."""
+        olds = sorted(
+            glob.glob(self.table_dir + ".old-*"),
+            key=lambda p: int(p.rsplit("-", 1)[1]),
+        )
+        while olds:
+            newest = olds[-1]
+            if self.done(int(newest.rsplit("-", 1)[1])):
+                break  # swap fully acked; remaining olds are stale
+            # unmarked generation: roll BACK — drop the post-batch
+            # table (if the swap got that far) and reinstate the
+            # pre-batch one, so the replay applies exactly once
+            if os.path.isdir(self.table_dir):
+                shutil.rmtree(self.table_dir)
             os.rename(olds.pop(), self.table_dir)
         for stale in olds + glob.glob(self.table_dir + ".staging-*"):
             shutil.rmtree(stale, ignore_errors=True)

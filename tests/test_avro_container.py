@@ -85,6 +85,131 @@ def test_deflate_codec_is_raw_rfc1951():
     assert zlib.decompress(raw, wbits=-15) == bytes(mvn[pn : pn + nsize])
 
 
+def test_union_branch_follows_declared_order():
+    # struct_to_avro declares [T,"null"]: a VALUE must carry branch
+    # byte zigzag(0)=\x00 and NULL zigzag(1)=\x02 (Avro spec "Unions":
+    # the prefix indexes the DECLARED union order). Regression for the
+    # inverted-branch bug that wrote ["null",T] bytes under a
+    # [T,"null"] schema.
+    sch = T.StructType([T.StructField("name", T.StringType(), True)])
+    val = bytearray()
+    AC.encode_record(sch, {"name": "x"}, val)
+    assert bytes(val) == b"\x00\x02x"  # branch 0, len 1, 'x'
+    nul = bytearray()
+    AC.encode_record(sch, {"name": None}, nul)
+    assert bytes(nul) == b"\x02"  # branch 1 = null, no payload
+
+
+def test_reads_foreign_null_first_union_order():
+    # A foreign writer may declare ["null", T]; the branch bytes are
+    # then inverted relative to ours. read_container must honor the
+    # file's own declared order, not assume [T,"null"].
+    import json
+
+    from hyppo_worker_spark.sources.avro_schema import struct_to_avro
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    ours = json.loads(struct_to_avro(sch))
+    assert ours["fields"][1]["type"][1] == "null"  # we declare [T,"null"]
+    foreign = json.loads(struct_to_avro(sch))
+    foreign["fields"][1]["type"] = ["null", "string"]
+    # hand-build a container with the foreign schema: one block, 2 rows
+    sync = b"S" * 16
+    meta = AC._enc_meta_map(
+        {
+            "avro.schema": json.dumps(foreign).encode(),
+            "avro.codec": b"null",
+        }
+    )
+    # row1: id=7, name="hi" -> branch 1 (value) under ["null",T]
+    # row2: id=8, name=None -> branch 0 (null) under ["null",T]
+    body = (
+        AC.zigzag_encode(7) + b"\x02" + AC.zigzag_encode(2) + b"hi"
+        + AC.zigzag_encode(8) + b"\x00"
+    )
+    blob = (
+        AC.MAGIC + meta + sync
+        + AC.zigzag_encode(2) + AC.zigzag_encode(len(body)) + body + sync
+    )
+    schema, codec, rows = AC.read_container(blob)
+    assert rows == [{"id": 7, "name": "hi"}, {"id": 8, "name": None}]
+
+
+def test_nullable_int64_above_2_53_exact(spark, tmp_path):
+    # pandas would widen a nullable int64 to float64 and round ids
+    # above 2^53; the Arrow-native write/read path must keep them exact
+    sch = T.StructType([T.StructField("id", T.LongType(), True)])
+    big = 2**53 + 1
+    df = spark.createDataFrame([(big,), (None,), (big + 2,)], sch)
+    out = str(tmp_path / "big.avro")
+    n = AC.write_avro(df, out)
+    assert n == 3
+    got = {r.id for r in AC.read_avro(spark, out).collect()}
+    assert got == {big, None, big + 2}
+
+
+def test_logical_types_round_trip(spark, tmp_path):
+    # date / timestamp-micros / decimal logical types: the lineitem-
+    # shaped tables (dates, money) can ride the avro edge format
+    import datetime as dt
+    from decimal import Decimal
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("d", T.DateType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("amt", T.DecimalType(14, 2), True),
+        ]
+    )
+    rows = [
+        (1, dt.date(1992, 1, 3), dt.datetime(2024, 6, 1, 12, 30, 45, 123456),
+         Decimal("12345.67")),
+        (2, dt.date(1970, 1, 1), None, Decimal("-0.01")),
+        (3, None, dt.datetime(1969, 12, 31, 23, 59, 59), None),
+    ]
+    df = spark.createDataFrame(rows, sch)
+    out = str(tmp_path / "logical.avro")
+    assert AC.write_avro(df, out) == 3
+    back = AC.read_avro(spark, out)
+    assert back.schema == sch
+    got = {tuple(r) for r in back.collect()}
+    want = {tuple(r) for r in df.collect()}
+    assert got == want
+    # spec-level: the date is encoded as zigzag(days-since-epoch)
+    blob = AC.write_container(
+        T.StructType([T.StructField("d", T.DateType(), False)]),
+        [{"d": dt.date(1970, 1, 2)}],
+        codec="null",
+    )
+    _, _, back_rows = AC.read_container(blob)
+    assert back_rows == [{"d": dt.date(1970, 1, 2)}]
+
+
+def test_lineitem_shaped_table_rides_avro(spark, tmp_path):
+    # the real sf0.001 lineitem head (dates + decimals) round-trips
+    import os
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    if not os.path.exists(src):
+        pytest.skip("testdata absent")
+    df = spark.read.parquet(src).limit(50).coalesce(1)
+    out = str(tmp_path / "lineitem.avro")
+    n = AC.write_avro(df, out)
+    assert n == 50
+    back = AC.read_avro(spark, out)
+    assert back.schema == df.schema
+    assert back.count() == 50
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
 def test_multi_block_round_trip():
     rows = [{"id": i, "name": f"r{i}", "score": i / 4, "ok": i % 2 == 0}
             for i in range(1000)]

@@ -256,3 +256,43 @@ def test_sketch_sink_crash_before_mark_replays_without_loss(spark, tmp_path):
     sink(batch(3, [5]), 2)
     est2 = {r.day: r.n_events for r in sink.estimates().collect()}
     assert est2 == est
+
+
+def test_sketch_sink_crash_after_swap_before_mark_no_double_apply(
+    spark, tmp_path
+):
+    """ADVICE r5: crash AFTER the staged swap completed but BEFORE the
+    marker write — the post-batch table sits on disk unmarked. Since
+    the replay re-applies the batch, recover() must roll BACK to the
+    pre-batch generation; keeping the post-batch table would double-
+    count the additive n_events counters."""
+    import os
+    import shutil
+
+    from hyppo_worker_spark.streaming.sketch_maintenance import (
+        SketchRollupSink,
+    )
+
+    def batch(day, users):
+        return spark.createDataFrame(
+            [(f"2024-01-0{day} 00:00:00", u) for u in users],
+            "ts string, user_id long",
+        )
+
+    sink = SketchRollupSink(spark, str(tmp_path / "s"))
+    sink(batch(1, [1, 2, 3]), 0)
+    pre = str(tmp_path / "pre_batch_copy")
+    shutil.copytree(sink.table_dir, pre)
+
+    sink(batch(2, [3, 4]), 1)
+    want = {r.day: r.n_events for r in sink.estimates().collect()}
+    assert want == {"2024-01-01": 3, "2024-01-02": 2, "TOTAL": 5}
+
+    # reconstruct the crash window: post-batch table present, pre-batch
+    # generation in .old-1, marker for batch 1 missing
+    os.remove(os.path.join(sink.marker_dir, "batch-1.done"))
+    shutil.copytree(pre, sink.table_dir + ".old-1")
+
+    sink(batch(2, [3, 4]), 1)  # the streaming replay
+    got = {r.day: r.n_events for r in sink.estimates().collect()}
+    assert got == want  # exactly-once: no double-counted day-2 events

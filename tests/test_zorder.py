@@ -55,6 +55,26 @@ def test_scale_to_bits_covers_range(spark):
     assert [r.s for r in sc.collect()] == [0, 0]
 
 
+def test_scale_to_bits_exact_above_2_53(spark):
+    """ADVICE r5: the numerator ``(v-vmin)*(2^bits-1)`` may exceed 2^53
+    within the documented domain bound; any hop through DOUBLE rounds
+    it and the quotient can come out one low. Pin value-for-value
+    equality with Python's integer ``//`` on microsecond-epoch-scale
+    spans."""
+    vmin, vmax = 0, (1 << 55) + 7919  # span*(2^8-1) ~ 2^63 bound edge
+    vals = [vmin, 1, (1 << 53) + 1, (1 << 54) + 12345, vmax - 1, vmax]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [
+        r.s
+        for r in df.select(
+            scale_to_bits(F.col("v"), F.lit(vmin), F.lit(vmax), 8).alias("s")
+        ).collect()
+    ]
+    span = vmax - vmin
+    want = [((v - vmin) * 255) // span for v in vals]
+    assert got == want
+
+
 def test_zfile_extents_bound_both_dims(spark, tmp_path):
     """Write a 2-d uniform grid z-clustered into 16 files and check —
     from the parquet footers — that every file's extent covers at most
