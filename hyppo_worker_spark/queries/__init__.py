@@ -101,8 +101,6 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # the iterative driver rows; t20 is locally checked
         "m04_video_header_decode",  # video header decode — m01/m02 keep
         # the multimodal driver rows; m04 is locally checked
-        "q52_temporal_scd2_join",  # point-in-time dimension lookup —
-        # q21 keeps the as-of driver row; q52 is locally checked
         "t22_source_overlap",  # cross-source contamination matrix —
         # t11 keeps the decontamination driver row; t22 locally checked
         "t23_term_retrieval",  # inverted-index retrieval — t05 keeps
@@ -167,38 +165,47 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # hashing driver rows (2 green driver rounds archived)
         "t07_weighted_sample",  # weighted sampling — t06 keeps the
         # md5-gate sampling driver row; q55 (experiment gates) joins
-        # NEW round-5 queries: registered + locally oracle-checked this
-        # round; first in line for the r6 window rotation.
-        "t26_temperature_mix",  # alpha-temperature source sampling —
-        # t06/q55 keep the md5-gate driver rows this round
-        "t28_bigram_surprisal",  # conditional-LM quality — t18 keeps
-        # the quality driver row this round (t19 is the unigram twin)
-        "d14_split_assignment",  # leakage-safe splits — d03/d07's CC
-        # machinery keeps driver rows via d06/d07 this round
-        "s08_range_search",  # radius search — s01/s04/s07 keep the
-        # similarity driver rows this round
-        "q60_sliding_distinct_rollup",  # trailing-window sketch
-        # rollup — q44 keeps the mergeable-sketch driver row this round
-        "p06_manifest_time_travel",  # versioned snapshots / AS-OF
-        # reads — p01/p03/p05 keep the pipeline driver rows this round
-        "p07_streaming_scd2_cdc",  # streaming CDC->SCD2 end-to-end —
-        # p05 keeps the streaming driver row this round
-        "m06_perceptual_neardup",  # perceptual (aHash) media dedup —
-        # m01/m02 keep the multimodal driver rows this round
-        "t29_bm25_retrieval",  # integer-exact BM25 — t05 keeps the
-        # token-stats driver row; t23 keeps the retrieval local rep
-        "s09_hard_negatives",  # contrastive hard-negative mining —
-        # s01/s04/s07 keep the similarity driver rows this round
-        "d15_canonical_selection",  # quality-aware dedup keeper —
-        # d01/d06 keep the exact-dedup driver rows this round
-        "d16_semantic_dedup_two_level",  # IVF scale-path bound check
-        # — d11 keeps the SemDeDup driver row this round
-        "p08_streaming_incremental_cc",  # incremental CC maintenance
-        # — p05 keeps the streaming driver row this round
-        "t30_ngram_novelty",  # corpus-relative novelty profile —
-        # t18 keeps the quality driver row this round
-        "q61_sql_correlated_subquery",  # spark.sql() text surface —
-        # q01/q29 keep the agg/window driver rows this round
+        # Round-6 WINDOW ROTATION (VERDICT r5 item 1): all 16 round-5
+        # additions promoted for their FIRST driver rows (d14-d16,
+        # s08/s09, t26/t28-t30, q60/q61, p06-p08, m06) plus q52; the 16
+        # slots come from these retirees, each with >= 2 archived green
+        # driver rounds and an in-window family representative:
+        "d06_training_corpus_pipeline",  # composes d01+d03+t06 — d01
+        # (exact) and d03 (minhash) keep the dedup driver rows; 5
+        # green driver rounds archived (r1-r5)
+        "d08_embedding_neardup_dedup",  # sign-LSH+CC near-dup — d07
+        # keeps the CC driver row, d16 the embedding-dedup scale path;
+        # 3 green rounds archived (r3-r5)
+        "m01_media_manifest",  # media manifest scan — m02 (header
+        # decode) and m06 (perceptual dedup) carry the multimodal
+        # driver rows; 3 green rounds archived (r3-r5)
+        "p03_integration_connector",  # Python DataSource read — p01/
+        # p02 keep the §2.A pipeline driver rows and p06 drives the
+        # same integration-source manifest machinery; 2 green rounds
+        "q04_order_priority_semi",  # semi-join — q03 keeps the
+        # join+agg+topk driver row; 5 green rounds archived
+        "q07_top_suppliers_per_nation",  # per-group extreme window —
+        # q58's per-series windows keep the family; 5 green rounds
+        "q17_price_band_range_join",  # range join — q21 keeps the
+        # as-of/range driver row, q52 adds point-in-time; 5 greens
+        "q24_json_props",  # JSON scalar suite — q61's SQL-text row
+        # exercises scalar expressions; locally checked; 5 greens
+        "q29_order_window_suite",  # window-function suite — q58/q60
+        # keep windowed driver rows; 5 green rounds archived
+        "q31_multiset_ops",  # set ops + multiset — locally checked;
+        # q61 keeps subquery set semantics in-window; 5 greens
+        "s01_knn_cosine_bruteforce",  # flat exact top-k — s04 (IVF),
+        # s07 (PQ), s08 (range), s09 (hard-neg) carry similarity; 5
+        "t05_token_frequencies",  # token aggs — t29's BM25 carries
+        # the token-stats/retrieval driver row; 3 green rounds
+        "t06_stratified_sample",  # md5-gate sampling — t26's
+        # temperature mix takes the sampling driver row; 3 greens
+        "t10_normalize_redact",  # regex normalize/PII — locally
+        # checked; t01 keeps the no-UDF text driver row; 2 greens
+        "t13_shard_manifest",  # md5-bucket sharding — locally
+        # checked (d09 composes it too); 2 green rounds archived
+        "t14_sequence_packing",  # prefix-sum packing — t21 (padding
+        # waste) keeps the packing-family driver row; 3 greens
     }
 )
 

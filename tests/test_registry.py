@@ -32,25 +32,17 @@ def test_driver_registry_covers_every_family():
     names = set(driver_registry())
     for prefix in FAMILY_PREFIXES:
         assert any(n.startswith(prefix) for n in names), f"family {prefix} evicted"
-    # the specific queries round 2 lost must stay in the window
+    # the load-bearing representatives must stay in the window
     for must in (
-        "m01_media_manifest",
         "s04_knn_ivf",
         "t01_language_id",
-        "t05_token_frequencies",
-        # round-4 promotions: every SURVEY §2.5 family now holds a
-        # driver row (VERDICT r3 item 1) plus the bucketed-join plan demo
-        "t10_normalize_redact",
-        "t13_shard_manifest",
         "t16_bpe_merges",
         "q41_bucketed_colocated_join",
-        "p03_integration_connector",
-        # part-3 promotions: the new families' driver rows
         "q44_hll_shard_rollup",
         "q50_zorder_skipping",
         "q51_scd2_history",
-        # round-5 rotation (VERDICT r4 item 1): the never-driver-checked
-        # families must hold their first driver rows this round
+        # round-5 promotions keep accumulating driver evidence
+        # (1 green round each as of r5)
         "d11_semantic_dedup",
         "d12_snapshot_diff",
         "d13_exact_substring_repeats",
@@ -66,6 +58,24 @@ def test_driver_registry_covers_every_family():
         "s07_pq_adc_topk",
         "t18_quality_classifier",
         "t21_padding_waste",
+        # round-6 rotation (VERDICT r5 item 1): every round-5 addition
+        # plus q52 gets its FIRST driver row this round
+        "d14_split_assignment",
+        "d15_canonical_selection",
+        "d16_semantic_dedup_two_level",
+        "m06_perceptual_neardup",
+        "p06_manifest_time_travel",
+        "p07_streaming_scd2_cdc",
+        "p08_streaming_incremental_cc",
+        "q52_temporal_scd2_join",
+        "q60_sliding_distinct_rollup",
+        "q61_sql_correlated_subquery",
+        "s08_range_search",
+        "s09_hard_negatives",
+        "t26_temperature_mix",
+        "t28_bigram_surprisal",
+        "t29_bm25_retrieval",
+        "t30_ngram_novelty",
     ):
         assert must in names
 
