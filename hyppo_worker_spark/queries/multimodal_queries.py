@@ -358,89 +358,140 @@ def m05_fused_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# m06 — perceptual near-duplicate detection over media payloads: the
-# image-dedup bridge between the multimodal and dedup families. aHash
-# bands come from `operators/multimodal.py:perceptual_ahash_bands`
-# (mapInPandas over the binary content column — the Arrow transfer,
-# mean threshold, and band packing are all oracle-verified byte for
-# byte via the hex-chain fake decode); candidates share a 16-bit band
+# m06 — perceptual near-duplicate detection over REAL decoded pixels:
+# the image-dedup bridge between the multimodal and dedup families.
+# Payloads are complete, valid 24-bpp BMP FILES constructed JVM-side
+# (struct-packed header + per-pixel BGR bytes from a doc_id-seeded
+# formula with an x*y cross-term — a pure additive offset would shift
+# every block mean AND the threshold equally, collapsing all hashes);
+# `operators/multimodal.py:bmp_ahash_bands` decodes the actual pixel
+# rows (bfOffBits offset, bottom-up order, BGR, Rec.601 integer luma)
+# and computes an 8x8 block-mean aHash. The PLANTED near-dups are 2x
+# UPSCALED renditions (32x32 vs 16x16) — visually identical, byte-
+# different files that must land at Hamming 0 because integer block
+# means are scale-exact; the oracle derives their hash from the base
+# grid, so any decode defect (row flip, BGR swap, wrong offset,
+# padding leak) breaks the match. Candidates share a 16-bit band
 # (d04's SimHash banding applied to media), verified by exact Hamming
-# distance over the XOR'd bands. Planted exact-payload copies land at
-# Hamming 0; chance band collisions between unrelated payloads fail
-# the <=4 filter. At 100 TB: one mapInPandas scan, a 4-way band
-# explode, a band-keyed equi-join — never an all-pairs compare; swap
-# the pixel stage for a real decoder when codecs land.
+# distance over the XOR'd bands. At 100 TB: one mapInPandas scan, a
+# 4-way band explode, a band-keyed equi-join — never an all-pairs
+# compare. (The md5 hex-chain fallback `perceptual_ahash_bands`
+# remains for compressed formats, pytest-covered.)
 # --------------------------------------------------------------------------
+_M06_LUMA = "(77 * p + 151 * ((3 * p) % 256) + 28 * ((7 * p) % 256)) // 256"
+
+
+def _bmp_header_hex(w: int, h: int) -> str:
+    """54-byte BMP header (BITMAPFILEHEADER + BITMAPINFOHEADER) for an
+    uncompressed 24-bpp bottom-up image, as a hex literal."""
+    import struct as _s
+
+    rowsize = ((w * 3 + 3) // 4) * 4
+    hdr = (
+        b"BM"
+        + _s.pack("<IHHI", 54 + rowsize * h, 0, 0, 54)
+        + _s.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, rowsize * h, 2835, 2835, 0, 0
+        )
+    )
+    return hdr.hex().upper()
+
+
+def _bmp_sql(src: str, w: int, h: int, scale: int = 1) -> str:
+    """Spark SQL expression producing a complete 24-bpp BMP file for
+    one row: constant header + bottom-up BGR pixel rows built with
+    nested transform() lambdas. ``scale`` > 1 renders the SAME visual
+    content pixel-doubled (x/scale, y/scale sampling)."""
+    xs = f"(x div {scale})" if scale > 1 else "x"
+    ys = f"(y div {scale})" if scale > 1 else "y"
+    p = f"pmod({src}*31 + {xs}*7 + {ys}*13 + pmod({src}, 13)*{xs}*{ys}, 256)"
+    pix = (
+        f"concat(lpad(hex(pmod({p} * 7, 256)), 2, '0'), "  # B
+        f"lpad(hex(pmod({p} * 3, 256)), 2, '0'), "  # G
+        f"lpad(hex({p}), 2, '0'))"  # R
+    )
+    row = f"array_join(transform(sequence(0, {w - 1}), x -> {pix}), '')"
+    data = f"array_join(transform(sequence({h - 1}, 0, -1), y -> {row}), '')"
+    return f"unhex(concat('{_bmp_header_hex(w, h)}', {data}))"
+
+
 @register(
     "m06_perceptual_neardup",
-    oracle="""
+    oracle=f"""
     WITH media AS (
-        SELECT doc_id AS media_id, text FROM documents
+        SELECT doc_id AS media_id, doc_id AS src FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 9 = 0
+        SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 9 = 0
     ),
-    c1 AS (SELECT media_id, md5(md5(text)) AS h1 FROM media),
-    c2 AS (SELECT media_id, h1, md5(h1) AS h2 FROM c1),
-    c3 AS (SELECT media_id, h1, h2, md5(h2) AS h3 FROM c2),
-    c4 AS (SELECT media_id, h1 || h2 || h3 || md5(h3) AS hx FROM c3),
-    px AS (
+    bm AS (
+        SELECT media_id, CAST(ty * 8 + tx AS INT) AS i,
+               CAST(sum({_M06_LUMA}) // 4 AS BIGINT) AS bmean
+        FROM (
+            SELECT media_id, tx, ty,
+                   (src*31 + (tx*2+dx)*7 + (ty*2+dy)*13
+                    + (src % 13)*(tx*2+dx)*(ty*2+dy)) % 256 AS p
+            FROM media, range(0,8) a(tx), range(0,8) b(ty),
+                 range(0,2) c(dx), range(0,2) d(dy)
+        )
+        GROUP BY media_id, tx, ty
+    ),
+    thr AS (
+        SELECT media_id, CAST(sum(bmean) // 64 AS BIGINT) AS m
+        FROM bm GROUP BY media_id
+    ),
+    bits AS (
+        SELECT bm.media_id, CAST(i // 16 AS INT) AS band_id,
+               CAST(sum(CASE WHEN bmean > m THEN (1 << (i % 16))
+                             ELSE 0 END) AS INT) AS band_val
+        FROM bm JOIN thr USING (media_id)
+        GROUP BY bm.media_id, i // 16
+    ),
+    bands4 AS (
         SELECT media_id,
-               list_transform(range(0, 64),
-                   j -> ('0x' || substr(hx, 2*j + 1, 2))::INT) AS p
-        FROM c4
-    ),
-    stats AS (
-        SELECT media_id, p, CAST(list_sum(p) // 64 AS INT) AS m FROM px
-    ),
-    bands AS (
-        SELECT media_id,
-               list_transform(range(0, 4), b ->
-                   CAST(list_sum(list_transform(range(0, 16), i ->
-                       CASE WHEN p[16*b + i + 1] > m
-                            THEN (1 << i) ELSE 0 END)) AS INT)) AS bd
-        FROM stats
-    ),
-    eb AS (
-        SELECT media_id, b AS band_id, bd[b + 1] AS band_val
-        FROM bands, range(0, 4) t(b)
+               max(CASE WHEN band_id = 0 THEN band_val END) AS b0,
+               max(CASE WHEN band_id = 1 THEN band_val END) AS b1,
+               max(CASE WHEN band_id = 2 THEN band_val END) AS b2,
+               max(CASE WHEN band_id = 3 THEN band_val END) AS b3
+        FROM bits GROUP BY media_id
     ),
     cand AS (
         SELECT DISTINCT l.media_id AS a_id, r.media_id AS b_id
-        FROM eb l JOIN eb r
+        FROM bits l JOIN bits r
           ON l.band_id = r.band_id AND l.band_val = r.band_val
          AND l.media_id < r.media_id
     ),
     ham AS (
         SELECT c.a_id, c.b_id,
-               CAST(list_sum(list_transform(range(0, 4),
-                   b -> bit_count(xor(ba.bd[b+1]::BIGINT,
-                                      bb.bd[b+1]::BIGINT)))) AS INT)
+               CAST(bit_count(xor(ba.b0::BIGINT, bb.b0::BIGINT))
+                  + bit_count(xor(ba.b1::BIGINT, bb.b1::BIGINT))
+                  + bit_count(xor(ba.b2::BIGINT, bb.b2::BIGINT))
+                  + bit_count(xor(ba.b3::BIGINT, bb.b3::BIGINT)) AS INT)
                    AS hamming
         FROM cand c
-        JOIN bands ba ON ba.media_id = c.a_id
-        JOIN bands bb ON bb.media_id = c.b_id
+        JOIN bands4 ba ON ba.media_id = c.a_id
+        JOIN bands4 bb ON bb.media_id = c.b_id
     )
     SELECT a_id, b_id, hamming FROM ham
     WHERE hamming <= 4 ORDER BY a_id, b_id
     """,
-    tags=("multimodal", "dedup", "perceptual", "ahash", "mapInPandas"),
+    tags=("multimodal", "dedup", "perceptual", "ahash", "bmp", "mapInPandas"),
 )
 def m06_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual (aHash) near-dup pairs over media payloads with
-    planted exact copies: band-keyed candidates, exact Hamming <= 4."""
-    from hyppo_worker_spark.operators.multimodal import perceptual_ahash_bands
+    """Perceptual (aHash over REAL decoded BMP pixels) near-dup pairs
+    with planted 2x-upscaled renditions: band-keyed candidates, exact
+    Hamming <= 4."""
+    from hyppo_worker_spark.operators.multimodal import bmp_ahash_bands
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("content"),
+    media = docs.selectExpr(
+        "doc_id AS media_id", f"{_bmp_sql('doc_id', 16, 16)} AS content"
     ).unionByName(
-        docs.filter(F.col("doc_id") % 9 == 0).select(
-            (F.col("doc_id") + 1000000).alias("media_id"),
-            F.encode("text", "UTF-8").alias("content"),
+        docs.filter(F.col("doc_id") % 9 == 0).selectExpr(
+            "doc_id + 1000000 AS media_id",
+            f"{_bmp_sql('doc_id', 32, 32, scale=2)} AS content",
         )
     )
-    bands = perceptual_ahash_bands(media).persist()
+    bands = bmp_ahash_bands(media).persist()
     eb = bands.select(
         "media_id",
         F.explode(

@@ -127,3 +127,123 @@ def test_parse_image_headers_real_bytes(spark):
     )
     got = {r.media_id: (r.fmt, r.width, r.height) for r in parse_image_headers(df).collect()}
     assert got == {1: ("png", 640, 480), 2: ("gif", 320, 200), 3: ("bmp", 1920, 1080)}
+
+
+def _make_bmp(
+    gray_rgb,  # list of rows of (r, g, b), top-down visual order
+    topdown: bool = False,
+    pad_fill: int = 0,
+    gap: int = 0,
+) -> bytes:
+    """Hand-build a 24-bpp BI_RGB BMP. ``gap`` inserts junk bytes
+    between the headers and the pixel data (bfOffBits points past it);
+    ``pad_fill`` sets the row-padding garbage byte value."""
+    import struct
+
+    h = len(gray_rgb)
+    w = len(gray_rgb[0])
+    rowsize = ((w * 3 + 3) // 4) * 4
+    off = 54 + gap
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", off + rowsize * h, 0, 0, off)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, w, (-h if topdown else h), 1, 24, 0, rowsize * h,
+            2835, 2835, 0, 0,
+        )
+    )
+    body = bytearray(hdr + bytes([0xEE]) * gap)
+    visual_rows = gray_rgb if topdown else list(reversed(gray_rgb))
+    for row in visual_rows:
+        for r, g, b in row:
+            body += bytes([b, g, r])  # BGR on disk
+        body += bytes([pad_fill]) * (rowsize - w * 3)
+    return bytes(body)
+
+
+def test_decode_bmp_gray_real_pixels():
+    """Pixel-exact decode: BGR order, bottom-up flip, Rec.601 integer
+    luma. A wrong channel order or a missing row flip changes the
+    output."""
+    from hyppo_worker_spark.operators.multimodal import decode_bmp_gray
+
+    img = [
+        [(255, 0, 0), (0, 255, 0)],   # top row: red, green
+        [(0, 0, 255), (255, 255, 255)],  # bottom row: blue, white
+    ]
+    gray = decode_bmp_gray(_make_bmp(img))
+    assert gray.shape == (2, 2)
+    assert gray[0, 0] == (77 * 255) >> 8        # red
+    assert gray[0, 1] == (151 * 255) >> 8       # green
+    assert gray[1, 0] == (28 * 255) >> 8        # blue
+    assert gray[1, 1] == (77 * 255 + 151 * 255 + 28 * 255) >> 8  # white
+    # top-down variant of the SAME visual image decodes identically
+    gray_td = decode_bmp_gray(_make_bmp(img, topdown=True))
+    assert (gray == gray_td).all()
+
+
+def test_decode_bmp_gray_ignores_padding_and_offset_gap():
+    """Row padding garbage and a bfOffBits gap (palette/ICC space) must
+    not leak into pixels: byte-different files, identical decode."""
+    from hyppo_worker_spark.operators.multimodal import decode_bmp_gray
+
+    img = [[(10 * x + y, 20, 30) for x in range(3)] for y in range(2)]
+    a = _make_bmp(img, pad_fill=0x00)
+    b = _make_bmp(img, pad_fill=0xFF)
+    c = _make_bmp(img, gap=17)
+    assert a != b and a != c
+    ga, gb, gc = map(decode_bmp_gray, (a, b, c))
+    assert (ga == gb).all() and (ga == gc).all()
+
+
+def test_decode_bmp_gray_fail_soft():
+    from hyppo_worker_spark.operators.multimodal import decode_bmp_gray
+
+    assert decode_bmp_gray(b"") is None
+    assert decode_bmp_gray(b"not a bmp") is None
+    # 8-bpp and compressed variants are not claimed
+    import struct
+
+    hdr8 = (
+        b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 8, 0, 0, 0, 0)
+    ) + b"\x00" * 60
+    assert decode_bmp_gray(hdr8) is None
+    # truncated pixel data
+    img = [[(1, 2, 3)] * 4] * 4
+    blob = _make_bmp(img)
+    assert decode_bmp_gray(blob[:-5]) is None
+
+
+def test_bmp_ahash_upscale_collides_at_hamming_zero(spark):
+    """The perceptual property: a 2x pixel-doubled rendition (visually
+    identical, entirely different bytes) hashes IDENTICALLY; a
+    structurally different image does not."""
+    import numpy as np
+
+    from hyppo_worker_spark.operators.multimodal import (
+        ahash_bits_from_gray,
+        bmp_ahash_bands,
+        decode_bmp_gray,
+    )
+
+    rng = [[((7 * x * y + 13 * x + 31 * y) % 256) for x in range(16)] for y in range(16)]
+    base = [[(v, (3 * v) % 256, (7 * v) % 256) for v in row] for row in rng]
+    up = [
+        [base[y // 2][x // 2] for x in range(32)] for y in range(32)
+    ]
+    other = [[((x * 97 + y * 3 + x * y) % 256,) * 3 for x in range(16)] for y in range(16)]
+    df = spark.createDataFrame(
+        [
+            (1, _make_bmp(base)),
+            (2, _make_bmp(up)),
+            (3, _make_bmp(other)),
+        ],
+        "media_id long, content binary",
+    )
+    got = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in bmp_ahash_bands(df).collect()}
+    assert got[1] == got[2], "2x upscale must collide (visual identity)"
+    assert got[1] != got[3], "different image must not collide"
+    # and the local helper agrees with the distributed path
+    assert tuple(ahash_bits_from_gray(decode_bmp_gray(_make_bmp(base)))) == got[1]
