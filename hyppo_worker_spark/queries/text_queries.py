@@ -2323,12 +2323,29 @@ def t29_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text) and what fraction appears in >= 10 documents (common — high
 # values flag boilerplate). Both as integer basis points aggregated
 # per source, so the report is a 20-row per-source quality profile a
-# curation pipeline thresholds on. Scale shape: one shingle explode →
-# gram-keyed document-frequency table (narrow, vocab-sized) → join
-# back on gram → per-doc then per-source integer sums; no windows,
-# no broadcasts beyond Catalyst's own choices.
+# curation pipeline thresholds on.
+#
+# Scale shape (r6 rewrite, VERDICT r5 "what's wrong" #2 — the naive
+# ex-join-gdf on the raw gram key concentrates Zipf-hot trigrams
+# ("of the and"-class) into single tasks): one shingle explode → gram
+# document-frequency table, then THREE bounded paths instead of one
+# skew-exposed join:
+#   1. NOVEL (df = 1) needs no join at all — a df-1 gram's only
+#      holder rides the same aggregation as min(doc_id);
+#   2. COLD flags (2 <= df < _T30_HOT_DF) equi-join normally: no key
+#      exceeds _T30_HOT_DF rows, so hash partitioning spreads them;
+#   3. HOT flags (df >= _T30_HOT_DF) are salt-replicated
+#      (operators/skew.py:salted_join, _T30_SALT shards): at most
+#      total_grams/_T30_HOT_DF grams can be hot, so the replicated
+#      dimension is <= total/(HOT/SALT) rows — bounded by
+#      construction at ANY corpus size, and each hot gram's fact rows
+#      fan over _T30_SALT reducers.
+# Identical results to the single-join form (the oracle is unchanged);
+# only the physical plan is skew-proof.
 # --------------------------------------------------------------------------
 _T30_COMMON_DF = 10
+_T30_HOT_DF = 1024  # grams at or above this df take the salted path
+_T30_SALT = 32
 
 
 @register(
@@ -2370,8 +2387,14 @@ _T30_COMMON_DF = 10
 def t30_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source novelty profile: basis points of distinct 3-gram
     shingles unique to one doc (novel) vs shared by >= 10 docs
-    (common)."""
+    (common). Skew-proof three-path plan — see the block comment."""
+    from hyppo_worker_spark.operators.skew import salted_join
+
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # (measured: t22's md5-int gram trick is a LOSS here — this plan
+    # shuffles each gram twice at most, and md5+conv per occurrence
+    # costs more CPU than the string-width saving; t22 wins because
+    # its distinct/presence/self-join chain re-shuffles grams 4x)
     ex = (
         docs.select(
             "doc_id",
@@ -2380,16 +2403,53 @@ def t30_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    gdf = ex.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
-    per_doc = (
-        ex.join(gdf, "g")
-        .groupBy("doc_id", "source")
+    # shingles are per-doc distinct, so count(*) IS the document
+    # frequency and min(doc_id) identifies a df-1 gram's only holder.
+    # Persisted: three consumers (novel path, cold flags, hot flags)
+    # would otherwise re-aggregate the explode each time.
+    gdf = ex.groupBy("g").agg(
+        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc")
+    ).persist()
+    # path 1 — novel counts, holder-side (no join back at all)
+    novel_pd = (
+        gdf.filter(F.col("df") == 1)
+        .groupBy(F.col("only_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("novel"))
+    )
+    flags = gdf.filter(F.col("df") >= 2).select(
+        "g", "df", (F.col("df") >= _T30_COMMON_DF).alias("is_common")
+    )
+    # path 2 — cold grams: plain equi-join, per-key fanout < HOT_DF
+    cold = ex.join(
+        flags.filter(F.col("df") < _T30_HOT_DF).select("g", "is_common"),
+        "g",
+    ).select("doc_id", "is_common")
+    # path 3 — hot grams: salt-replicated flag rows (bounded:
+    # <= total_grams/HOT_DF grams qualify)
+    hot = salted_join(
+        ex,
+        flags.filter(F.col("df") >= _T30_HOT_DF).select("g", "is_common"),
+        "g",
+        salt=_T30_SALT,
+    ).select("doc_id", "is_common")
+    nonnovel_pd = (
+        cold.unionByName(hot)
+        .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("novel"),
-            F.sum(
-                F.when(F.col("df") >= _T30_COMMON_DF, 1).otherwise(0)
-            ).alias("common"),
+            F.sum(F.when(F.col("is_common"), 1).otherwise(0)).alias("common")
+        )
+    )
+    totals = ex.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    per_doc = (
+        totals.join(novel_pd, "doc_id", "left")
+        .join(nonnovel_pd, "doc_id", "left")
+        .select(
+            "source",
+            "n_grams",
+            F.coalesce("novel", F.lit(0)).alias("novel"),
+            F.coalesce("common", F.lit(0)).alias("common"),
         )
     )
     return (
