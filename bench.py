@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "p08_streaming_incremental_cc",
     "t30_ngram_novelty",
     "q61_sql_correlated_subquery",
+    # Round-6 additions:
+    "p09_scheduler_priority_ledger",
+    "q62_sql_text_dedup",
 ]
 
 

@@ -206,6 +206,14 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # checked (d09 composes it too); 2 green rounds archived
         "t14_sequence_packing",  # prefix-sum packing — t21 (padding
         # waste) keeps the packing-family driver row; 3 greens
+        # Slots for the two NEW round-6 rows (p09 scheduler ledger,
+        # q62 SQL-text dedup) so new surface lands WITH driver
+        # evidence instead of growing the never-checked backlog:
+        "q18_sessionize",  # gaps-and-islands sessionize — q58 (per-
+        # series windows) and q60 (sliding rollup) keep the time-
+        # series driver rows; 5 green rounds archived (r1-r5)
+        "q21_asof_join",  # as-of join — q52's point-in-time SCD2
+        # lookup keeps as-of semantics in-window; 5 greens archived
     }
 )
 

@@ -827,3 +827,167 @@ def p08_streaming_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_comps"))
         .orderBy("comp_size")
     )
+
+
+# --------------------------------------------------------------------------
+# p09 — the scheduler's priority/ack ledger under the driver's oracle:
+# the FIRST driver row for the §2.B control plane (reference:
+# ``WorkQueuePrioritizer.scala:14-75`` ordering chain,
+# ``QueueNaming.scala`` sanitize + integration naming,
+# ``TaskFSM.scala:102-115`` ack-after-completion). Work items derived
+# from `orders` run through the REAL broker (WorkQueueTable enqueue /
+# basic_get / ack — FIFO within a queue, unacked accounting) and the
+# REAL WorkQueuePrioritizer recursion, with two things pinned for
+# determinism: the clock (TTLs can't fire, idle_since constant) and
+# per-queue service rates (distinct primes larger than any queue's
+# backlog, standing in for the path-dependent rate EMA, which keeps
+# its own pytest property coverage).
+#
+# WHY an oracle can reproduce this: with ack-after-completion the
+# j-th service of queue q sees ready = n_q - j + 1, so q's
+# ExpectedCompletion key (ready/rate) is STRICTLY decreasing in j —
+# the prioritizer's greedy max-ETA drain is therefore exactly a
+# global descending sort of all (queue, j) pairs, and prime rates
+# larger than any backlog make cross-queue key ties impossible
+# (ready_a * p_b = ready_b * p_a would need p_a | ready_a). DuckDB
+# reproduces the full ledger with two window functions; any drift in
+# FIFO order, ready accounting, naming, or the ordering chain breaks
+# the value hash.
+# --------------------------------------------------------------------------
+_P09_N = 200
+_P09_PRIMES = (10007, 10009, 10037, 10039, 10061, 10067, 10069, 10079)
+
+
+@register(
+    "p09_scheduler_priority_ledger",
+    oracle=f"""
+    WITH items AS (
+        SELECT o_orderkey, o_orderpriority FROM orders
+        ORDER BY o_orderkey LIMIT {_P09_N}
+    ),
+    named AS (
+        SELECT o_orderkey,
+               -- mirrors source_name.replace('-',' ') -> sanitize_name
+               -- (' ' -> '_'): net effect '-' and ' ' both become '_'
+               -- ('4-NOT SPECIFIED' -> '4_NOT_SPECIFIED')
+               'hyppo.integration.'
+                   || replace(replace(o_orderpriority, '-', '_'), ' ', '_')
+                   || '-v1' AS queue_name
+        FROM items
+    ),
+    sized AS (
+        SELECT queue_name, count(*) AS n,
+               (list_value{_P09_PRIMES})[
+                   CAST(row_number() OVER (ORDER BY queue_name) AS INT)
+               ] AS rate
+        FROM named GROUP BY queue_name
+    ),
+    served AS (
+        SELECT nm.o_orderkey, nm.queue_name, s.n, s.rate,
+               row_number() OVER (
+                   PARTITION BY nm.queue_name ORDER BY nm.o_orderkey
+               ) AS j
+        FROM named nm JOIN sized s USING (queue_name)
+    )
+    SELECT row_number() OVER (
+               ORDER BY (n - j + 1) * 1.0 / rate DESC, queue_name
+           ) AS seq,
+           queue_name,
+           o_orderkey AS order_key,
+           CAST(n - j + 1 AS BIGINT) AS ready_at_decision,
+           CAST((n - j + 1) * 1000000 // rate AS BIGINT) AS eta_us
+    FROM served
+    ORDER BY seq
+    """,
+    tags=("pipeline", "control-plane", "scheduler", "priority"),
+)
+def p09_scheduler_priority_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Completion ledger of N order-derived work items drained through
+    the real broker + priority chain (pinned clock and rates)."""
+    from datetime import datetime, timezone
+
+    from hyppo_worker_spark.model import (
+        IntegrationDetails,
+        ValidateIntegrationRequest,
+    )
+    from hyppo_worker_spark.scheduler.priority import (
+        AbsoluteSizeOrdering,
+        ExpectedCompletionOrdering,
+        IdleSinceMinuteOrdering,
+        QueueDetails,
+        WorkQueuePrioritizer,
+    )
+    from hyppo_worker_spark.scheduler.queues import WorkQueueTable
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    items = (
+        orders.select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .limit(_P09_N)
+        .collect()  # bounded control-plane scale: _P09_N rows
+    )
+
+    qt = WorkQueueTable(clock=lambda: 0.0)  # pinned: no TTL can fire
+    for r in items:
+        # source name with a space exercises the real sanitize_name
+        # ('1 URGENT' -> queue '...integration.1_URGENT-v1')
+        details = IntegrationDetails(
+            source_name=r.o_orderpriority.replace("-", " "),
+            version_number=1,
+            is_raw_data_integration=False,
+        )
+        qt.enqueue(
+            ValidateIntegrationRequest(
+                integration=details,
+                execution_id=f"order-{r.o_orderkey}",
+            )
+        )
+
+    qnames = sorted(
+        n for n in (d.queue_name for d in qt.all_details())
+        if n != qt.naming.general
+    )
+    rates = {n: _P09_PRIMES[i] for i, n in enumerate(qnames)}
+    prioritizer = WorkQueuePrioritizer(
+        [
+            ExpectedCompletionOrdering(),
+            IdleSinceMinuteOrdering(),
+            AbsoluteSizeOrdering(),
+        ]
+    )
+    epoch = datetime(2024, 1, 1, tzinfo=timezone.utc)  # pinned clock
+    ledger = []
+    while True:
+        stats = [
+            QueueDetails(
+                queue_name=d.queue_name,
+                size=d.size,
+                rate=rates[d.queue_name],
+                ready=d.ready,
+                unacknowledged=d.unacknowledged,
+                idle_since=epoch,
+            )
+            for d in qt.all_details()
+            if d.queue_name != qt.naming.general and d.ready > 0
+        ]
+        if not stats:
+            break
+        head = next(iter(prioritizer.prioritize(stats)))
+        delivery = qt.basic_get(head.queue_name)
+        qt.ack(delivery)  # ack-after-completion: ready drops by one
+        ledger.append(
+            (
+                len(ledger) + 1,
+                head.queue_name,
+                int(delivery.item.input.execution_id.removeprefix("order-")),
+                head.ready,
+                head.ready * 1_000_000 // rates[head.queue_name],
+            )
+        )
+    return spark.createDataFrame(
+        ledger,
+        "seq long, queue_name string, order_key long, "
+        "ready_at_decision long, eta_us long",
+    )

@@ -3852,3 +3852,83 @@ def q61_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     through spark.sql() on the registered temp views."""
     load_tables(spark, sf_dir, ("part", "lineitem"))
     return spark.sql(_Q61_SQL)
+
+
+# --------------------------------------------------------------------------
+# q62 — the spark.sql() MULTI-STATEMENT surface over the dedup family
+# (VERDICT r5 item 8; q61 proved single-statement text): statement 1
+# creates a temp view (digest + quality signals per doc), statement 2
+# runs the exact-dedup + quality-aware canonical selection (the
+# d01/d15 semantics) as a CTE chain with window functions — all SQL
+# TEXT, no DataFrame calls. The keeper rule is d15's deterministic
+# argmax (longest text, then smallest doc_id); the oracle runs the
+# identical chain with the view inlined as a CTE, so a drift in text
+# parsing, view resolution, window semantics, or md5 breaks the hash.
+# --------------------------------------------------------------------------
+_Q62_VIEW = """
+    CREATE OR REPLACE TEMPORARY VIEW q62_digests AS
+    SELECT doc_id, source, md5(text) AS digest,
+           length(text) AS n_chars_exact
+    FROM documents
+"""
+
+_Q62_BODY = """
+    WITH ranked AS (
+        SELECT doc_id, source, digest,
+               row_number() OVER (
+                   PARTITION BY digest
+                   ORDER BY n_chars_exact DESC, doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY digest) AS group_size
+        FROM q62_digests
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(max(group_size) AS BIGINT) AS max_group
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register(
+    "q62_sql_text_dedup",
+    oracle="""
+    WITH q62_digests AS (
+        SELECT doc_id, source, md5(text) AS digest,
+               length(text) AS n_chars_exact
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, digest,
+               row_number() OVER (
+                   PARTITION BY digest
+                   ORDER BY n_chars_exact DESC, doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY digest) AS group_size
+        FROM q62_digests
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(max(group_size) AS BIGINT) AS max_group
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("relational", "sql-api", "dedup", "canonical-selection"),
+)
+def q62_sql_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup + canonical keeper selection per source, written
+    entirely as spark.sql() text: CREATE TEMP VIEW then a windowed
+    CTE chain."""
+    load_tables(spark, sf_dir, ("documents",))
+    spark.sql(_Q62_VIEW)
+    return spark.sql(_Q62_BODY)
