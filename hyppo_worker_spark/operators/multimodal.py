@@ -452,13 +452,21 @@ def ahash_bits_from_gray(gray: "np.ndarray") -> list[int]:
     s//n`` — that is what makes visually-identical-but-byte-different
     renditions collide at Hamming 0."""
     h, w = gray.shape
-    means = []
-    for by in range(8):
-        r0, r1 = by * h // 8, (by + 1) * h // 8
-        for bx in range(8):
-            c0, c1 = bx * w // 8, (bx + 1) * w // 8
-            block = gray[r0:r1, c0:c1]
-            means.append(int(block.sum()) // block.size)
+    if h % 8 == 0 and w % 8 == 0:
+        # vectorized fast path: one reshape-sum instead of 64 slice
+        # ops (measured ~3x on the m06 corpus); identical integer
+        # means, since uniform blocks == the boundary formula when
+        # 8 | h,w
+        sums = gray.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+        means = [int(s) // ((h // 8) * (w // 8)) for s in sums.ravel()]
+    else:
+        means = []
+        for by in range(8):
+            r0, r1 = by * h // 8, (by + 1) * h // 8
+            for bx in range(8):
+                c0, c1 = bx * w // 8, (bx + 1) * w // 8
+                block = gray[r0:r1, c0:c1]
+                means.append(int(block.sum()) // block.size)
     m = sum(means) // 64
     bands = [0, 0, 0, 0]
     for i, bm in enumerate(means):
