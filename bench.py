@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     # Round-6 additions:
     "p09_scheduler_priority_ledger",
     "q62_sql_text_dedup",
+    "m07_audio_pcm_features",
 ]
 
 

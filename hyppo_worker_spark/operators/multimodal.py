@@ -500,6 +500,87 @@ def bmp_ahash_bands(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(batches, AHASH_SCHEMA)
 
 
+def decode_wav_pcm(b: bytes) -> "np.ndarray | None":
+    """REAL sample decode of a 16-bit PCM WAV — pure ``struct``/numpy
+    (PCM sample data is raw little-endian int16 after the ``data``
+    chunk header; public format: RIFF/WAVE). Unlike the fixed-offset
+    header parser (:func:`parse_wav_headers`), this walks the RIFF
+    CHUNK LIST — a real file may carry LIST/fact/cue chunks between
+    ``fmt `` and ``data``, and odd-sized chunks are padded to even
+    offsets per the spec. Returns the samples as an int16 array
+    (channels interleaved, as stored), or ``None`` for anything that
+    is not an uncompressed 16-bit PCM WAV."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt_ok = False
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        csz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt " and csz >= 16:
+            code = int.from_bytes(b[body : body + 2], "little")
+            bits = int.from_bytes(b[body + 14 : body + 16], "little")
+            if code != 1 or bits != 16:  # PCM, 16-bit only
+                return None
+            fmt_ok = True
+        elif cid == b"data":
+            if not fmt_ok or len(b) < body + csz:
+                return None
+            return np.frombuffer(b, dtype="<i2", count=csz // 2, offset=body)
+        pos = body + csz + (csz & 1)  # chunks pad to even offsets
+    return None
+
+
+def audio_pcm_features(df: DataFrame) -> DataFrame:
+    """Integer-exact per-clip features over REAL decoded PCM samples
+    (``decoder="wav"``): sample count, energy (sum of squares),
+    zero-crossing count (strict sign product < 0), and peak absolute
+    amplitude — all int64, so an oracle recomputing from the same
+    sample values matches bit-for-bit. Rows whose payload is not
+    16-bit PCM WAV are dropped (fail-soft). Arrow-batched
+    mapInPandas, same stance as :func:`bmp_ahash_bands`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                s = decode_wav_pcm(bytes(r["content"]))
+                if s is None:
+                    continue
+                v = s.astype(np.int64)
+                rows.append(
+                    (
+                        int(r["media_id"]),
+                        len(v),
+                        int((v * v).sum()),
+                        int(((v[:-1] * v[1:]) < 0).sum()) if len(v) > 1 else 0,
+                        int(np.abs(v).max()) if len(v) else 0,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id",
+                        "n_samples",
+                        "sum_sq",
+                        "zero_crossings",
+                        "peak_abs",
+                    ],
+                )
+
+    return df.select("media_id", "content").mapInPandas(
+        batches, PCM_FEATURES_SCHEMA
+    )
+
+
+PCM_FEATURES_SCHEMA = (
+    "media_id long, n_samples long, sum_sq long, "
+    "zero_crossings long, peak_abs long"
+)
+
+
 AHASH_SCHEMA = "media_id long, b0 int, b1 int, b2 int, b3 int"
 
 

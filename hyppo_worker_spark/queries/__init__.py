@@ -214,6 +214,9 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # series driver rows; 5 green rounds archived (r1-r5)
         "q21_asof_join",  # as-of join — q52's point-in-time SCD2
         # lookup keeps as-of semantics in-window; 5 greens archived
+        "q03_shipping_priority",  # join+agg+topk — q41 keeps the
+        # join driver row, q01 rich aggs, t29 top-k; slot goes to the
+        # NEW m07 (real PCM sample decode); 5 greens archived
     }
 )
 

@@ -542,3 +542,97 @@ def m06_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 4)
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# m07 — REAL PCM sample decode: the audio twin of m06's pixel decode
+# (raw-byte formats need no codec library). Payloads are complete
+# 16-bit PCM WAV FILES built field-by-field JVM-side — RIFF sizes in
+# SQL, a deliberate odd-sized junk 'LIST' chunk BETWEEN fmt and data
+# (so a fixed-offset reader cannot find the samples; the decoder must
+# walk the chunk list and honor even-offset padding), and per-sample
+# little-endian two's-complement int16 bytes from a doc_id-seeded
+# formula. `operators/multimodal.py:decode_wav_pcm` walks the chunks
+# and returns real samples; features are ALL-INTEGER (count, energy
+# sum-of-squares, strict zero crossings, peak |amplitude|) so the
+# oracle recomputing from the same formula matches bit-for-bit. Any
+# drift — endianness, two's complement, chunk walk, padding — breaks
+# the hash.
+# --------------------------------------------------------------------------
+def _wav_pcm_sql(src: str) -> str:
+    """Spark SQL expression producing one complete 16-bit mono PCM WAV
+    with an odd-sized junk chunk before data."""
+    n = f"(64 + {src} % 64)"
+    samp = f"(pmod({src}*31 + i*7, 2048) - 1024)"
+    u16 = f"lpad(hex(pmod({samp}, 65536)), 4, '0')"
+    le = f"concat(substr({u16}, 3, 2), substr({u16}, 1, 2))"
+    data = f"array_join(transform(sequence(0, {n} - 1), i -> {le}), '')"
+    return (
+        f"concat(unhex('52494646'), {_le32(f'(50 + {n}*2)')}, "  # RIFF size
+        "unhex('57415645'), "  # WAVE
+        f"unhex('666D7420'), {_le32('16')}, "  # 'fmt ' + size
+        f"{_le16('1')}, {_le16('1')}, "  # PCM, mono
+        f"{_le32('16000')}, {_le32('32000')}, "  # rate, byte rate
+        f"{_le16('2')}, {_le16('16')}, "  # block align, bits
+        # odd-sized junk chunk: 'LIST' size 5, 5 bytes 'JUNK*', 1 pad
+        f"unhex('4C495354'), {_le32('5')}, unhex('4A554E4B2A00'), "
+        f"unhex('64617461'), {_le32(f'({n}*2)')}, unhex({data}))"
+    )
+
+
+@register(
+    "m07_audio_pcm_features",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS src, source, 64 + doc_id % 64 AS n
+        FROM documents
+    ),
+    idx AS (
+        SELECT src, source, unnest(range(0, n)) AS i FROM media
+    ),
+    samples AS (
+        SELECT src, source, i,
+               ((src*31 + i*7) % 2048) - 1024 AS s,
+               CASE WHEN i > 0
+                    THEN ((src*31 + (i-1)*7) % 2048) - 1024 END AS sp
+        FROM idx
+    )
+    SELECT source,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_clips,
+           CAST(count(*) AS BIGINT) AS total_samples,
+           CAST(sum(s*s) AS BIGINT) AS total_sum_sq,
+           CAST(sum(CASE WHEN sp*s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS total_zero_crossings,
+           CAST(max(abs(s)) AS BIGINT) AS max_peak
+    FROM samples
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("multimodal", "audio", "pcm", "decode", "mapInPandas"),
+)
+def m07_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source integer-exact audio stats over REAL decoded PCM
+    samples of JVM-built WAV files (chunk-walk decoder)."""
+    from hyppo_worker_spark.operators.multimodal import audio_pcm_features
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.selectExpr(
+        "doc_id AS media_id",
+        "source",
+        f"{_wav_pcm_sql('doc_id')} AS content",
+    )
+    feats = audio_pcm_features(media)
+    return (
+        feats.join(media.select("media_id", "source"), "media_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum("n_samples").cast("long").alias("total_samples"),
+            F.sum("sum_sq").cast("long").alias("total_sum_sq"),
+            F.sum("zero_crossings")
+            .cast("long")
+            .alias("total_zero_crossings"),
+            F.max("peak_abs").cast("long").alias("max_peak"),
+        )
+        .orderBy("source")
+    )

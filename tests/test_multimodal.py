@@ -247,3 +247,63 @@ def test_bmp_ahash_upscale_collides_at_hamming_zero(spark):
     assert got[1] != got[3], "different image must not collide"
     # and the local helper agrees with the distributed path
     assert tuple(ahash_bits_from_gray(decode_bmp_gray(_make_bmp(base)))) == got[1]
+
+
+def _make_wav(samples, junk_between=True, bits=16, code=1):
+    """Hand-build a PCM WAV; optional odd-sized junk chunk between
+    fmt and data (spec: chunks pad to even offsets)."""
+    import struct
+
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", code, 1, 16000, 32000, 2, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if junk_between:
+        chunks += b"LIST" + struct.pack("<I", 5) + b"JUNK*" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_pcm_chunk_walk():
+    """Samples decode exactly through an odd-sized intervening chunk —
+    a fixed-offset reader would read junk as data."""
+    import numpy as np
+
+    from hyppo_worker_spark.operators.multimodal import decode_wav_pcm
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    got = decode_wav_pcm(_make_wav(samples))
+    assert got is not None and got.tolist() == samples
+    got2 = decode_wav_pcm(_make_wav(samples, junk_between=False))
+    assert got2.tolist() == samples
+    assert got.dtype == np.dtype("<i2")
+
+
+def test_decode_wav_pcm_fail_soft():
+    from hyppo_worker_spark.operators.multimodal import decode_wav_pcm
+
+    assert decode_wav_pcm(b"") is None
+    assert decode_wav_pcm(b"RIFFxxxxWAVE") is None
+    # non-PCM format code and non-16-bit refuse (not claimed)
+    assert decode_wav_pcm(_make_wav([1, 2], code=3)) is None
+    assert decode_wav_pcm(_make_wav([1, 2], bits=8)) is None
+    # truncated data chunk
+    blob = _make_wav([1, 2, 3, 4])
+    assert decode_wav_pcm(blob[:-3]) is None
+
+
+def test_audio_pcm_features_integer_exact(spark):
+    from hyppo_worker_spark.operators.multimodal import audio_pcm_features
+
+    samples = [100, -50, 25, 0, -25]
+    df = spark.createDataFrame(
+        [(1, _make_wav(samples)), (2, b"not a wav")],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in audio_pcm_features(df).collect()}
+    assert list(rows) == [1]  # non-WAV dropped fail-soft
+    r = rows[1]
+    assert r.n_samples == 5
+    assert r.sum_sq == sum(s * s for s in samples)
+    # strict sign products: (100,-50),(-50,25),(25,0),(0,-25) -> 2
+    assert r.zero_crossings == 2
+    assert r.peak_abs == 100

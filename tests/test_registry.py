@@ -76,6 +76,10 @@ def test_driver_registry_covers_every_family():
         "t28_bigram_surprisal",
         "t29_bm25_retrieval",
         "t30_ngram_novelty",
+        # round-6 new rows land with immediate driver slots
+        "p09_scheduler_priority_ledger",
+        "q62_sql_text_dedup",
+        "m07_audio_pcm_features",
     ):
         assert must in names
 
