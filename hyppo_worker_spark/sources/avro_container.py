@@ -19,11 +19,14 @@ records zone carries:
 - binary encoding: zigzag-varint int/long, IEEE-LE float/double,
   length-prefixed utf8 strings / bytes, boolean as one byte, logical
   types date (int days) / timestamp-micros (long) / decimal (bytes,
-  big-endian two's complement), and nullable fields as the 2-branch
-  union ``[T, "null"]`` — the branch-index prefix follows the
-  DECLARED union order (value → zigzag(0), null → zigzag(1)); the
-  reader derives the null branch from each file's own schema so
-  foreign ``["null", T]`` files decode correctly too;
+  big-endian two's complement), complex types (block-encoded arrays
+  and string-keyed maps with zero-count terminators, nested
+  records), and nullable sites as the 2-branch union ``[T, "null"]``
+  — the branch-index prefix follows the DECLARED union order
+  (value → zigzag(0), null → zigzag(1)); the reader derives every
+  union site's null branch from each file's own schema (nested
+  included, via path-keyed indices) so foreign ``["null", T]`` files
+  decode correctly too;
 - codecs: ``null`` and ``deflate`` (raw RFC-1951 via zlib with
   negative wbits — the reference's default codec).
 
@@ -175,10 +178,84 @@ def _field_encoder(dt: T.DataType):
             out.extend(zz(len(b)))
             out.extend(b)
         return enc_dec
+    if isinstance(dt, T.ArrayType):
+        # Avro arrays: series of blocks (count, items...) ended by a
+        # zero count; one block per array here. Nullable elements are
+        # per-item [T,"null"] unions (value=\x00, null=\x02).
+        enc_item = _field_encoder(dt.elementType)
+        item_nullable = dt.containsNull
+
+        def enc_arr(v, out, zz=zz):
+            v = list(v)
+            if v:
+                out.extend(zz(len(v)))
+                for x in v:
+                    if item_nullable:
+                        if x is None:
+                            out.append(2)
+                            continue
+                        out.append(0)
+                    enc_item(x, out)
+            out.append(0)  # end of blocks
+        return enc_arr
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise NotImplementedError(
+                "avro maps require string keys (Avro spec)"
+            )
+        enc_val = _field_encoder(dt.valueType)
+        val_nullable = dt.valueContainsNull
+
+        def enc_map(v, out, zz=zz):
+            # Arrow map cells arrive as [(k, v), ...]; dicts accepted
+            items = list(v.items()) if isinstance(v, dict) else list(v)
+            if items:
+                out.extend(zz(len(items)))
+                for k, x in items:
+                    kb = str(k).encode()
+                    out.extend(zz(len(kb)))
+                    out.extend(kb)
+                    if val_nullable:
+                        if x is None:
+                            out.append(2)
+                            continue
+                        out.append(0)
+                    enc_val(x, out)
+            out.append(0)
+        return enc_map
+    if isinstance(dt, T.StructType):
+        encs = [
+            (f.name, f.nullable, _field_encoder(f.dataType))
+            for f in dt.fields
+        ]
+
+        def enc_struct(v, out):
+            get = v.get
+            for name, nullable, enc in encs:
+                x = get(name)
+                if nullable:
+                    if x is None:
+                        out.append(2)
+                        continue
+                    out.append(0)
+                enc(x, out)
+        return enc_struct
     raise NotImplementedError(f"avro container: unsupported type {dt}")
 
 
-def _field_decoder(dt: T.DataType):
+def _field_decoder(
+    dt: T.DataType,
+    nb: dict[str, int] | None = None,
+    path: str = "",
+):
+    """Build a decoder closure for one value site. ``nb`` maps schema
+    paths (see ``avro_schema.null_branch_indices``) to the null-branch
+    index DECLARED by the file being read; omitted → the writer
+    convention [T,"null"] (null index 1) everywhere."""
+
+    def _nb(sub: str) -> int:
+        return 1 if nb is None else nb.get(sub, 1)
+
     zz = zigzag_decode
     unpack = struct.unpack_from
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
@@ -222,6 +299,80 @@ def _field_decoder(dt: T.DataType):
             unscaled = int.from_bytes(bytes(buf[pos : pos + n]), "big", signed=True)
             return _Decimal(unscaled).scaleb(-scale), pos + n
         return dec_dec
+    if isinstance(dt, T.ArrayType):
+        dec_item = _field_decoder(dt.elementType, nb, path + "[]")
+        item_nb = _nb(path + "[]") if dt.containsNull else None
+
+        def dec_arr(buf, pos, zz=zz):
+            out = []
+            while True:
+                cnt, pos = zz(buf, pos)
+                if cnt == 0:
+                    break
+                if cnt < 0:  # spec: negative count precedes byte size
+                    cnt = -cnt
+                    _, pos = zz(buf, pos)
+                for _ in range(cnt):
+                    if item_nb is not None:
+                        br, pos = zz(buf, pos)
+                        if br == item_nb:
+                            out.append(None)
+                            continue
+                    x, pos = dec_item(buf, pos)
+                    out.append(x)
+            return out, pos
+        return dec_arr
+    if isinstance(dt, T.MapType):
+        dec_val = _field_decoder(dt.valueType, nb, path + "{}")
+        val_nb = _nb(path + "{}") if dt.valueContainsNull else None
+
+        def dec_map(buf, pos, zz=zz):
+            out = []
+            while True:
+                cnt, pos = zz(buf, pos)
+                if cnt == 0:
+                    break
+                if cnt < 0:
+                    cnt = -cnt
+                    _, pos = zz(buf, pos)
+                for _ in range(cnt):
+                    kl, pos = zz(buf, pos)
+                    k = bytes(buf[pos : pos + kl]).decode()
+                    pos += kl
+                    if val_nb is not None:
+                        br, pos = zz(buf, pos)
+                        if br == val_nb:
+                            out.append((k, None))
+                            continue
+                    x, pos = dec_val(buf, pos)
+                    out.append((k, x))
+            return out, pos
+        return dec_map
+    if isinstance(dt, T.StructType):
+        decs = [
+            (
+                f.name,
+                _nb(f"{path}.{f.name}" if path else f.name)
+                if f.nullable
+                else None,
+                _field_decoder(
+                    f.dataType, nb, f"{path}.{f.name}" if path else f.name
+                ),
+            )
+            for f in dt.fields
+        ]
+
+        def dec_struct(buf, pos, zz=zz):
+            row = {}
+            for name, fnb, dec in decs:
+                if fnb is not None:
+                    br, pos = zz(buf, pos)
+                    if br == fnb:
+                        row[name] = None
+                        continue
+                row[name], pos = dec(buf, pos)
+            return row, pos
+        return dec_struct
     raise NotImplementedError(f"avro container: unsupported type {dt}")
 
 
@@ -386,6 +537,18 @@ def read_container(data: bytes) -> tuple[T.StructType, str, list[dict]]:
     sync = bytes(buf[pos : pos + 16])
     pos += 16
     rows: list[dict] = []
+    # decoders built ONCE per file with the file's own null-branch
+    # map, so nested unions (array items, map values, struct fields)
+    # also honor the declared order
+    decs_nb = [
+        (
+            f.name,
+            null_branch.get(f.name, 1) if f.nullable else None,
+            _field_decoder(f.dataType, null_branch, f.name),
+        )
+        for f in schema.fields
+    ]
+    zz = zigzag_decode
     while pos < len(buf):
         count, pos = zigzag_decode(buf, pos)
         size, pos = zigzag_decode(buf, pos)
@@ -397,13 +560,6 @@ def read_container(data: bytes) -> tuple[T.StructType, str, list[dict]]:
             raise ValueError(f"unsupported avro codec {codec}")
         bview = memoryview(body)
         bpos = 0
-        _, decs = _row_codecs(schema)  # hoisted: schema.json() is slow
-        zz = zigzag_decode
-        # precompute each nullable field's null-branch index once
-        decs_nb = [
-            (name, null_branch.get(name, 1) if nullable else None, dec)
-            for name, nullable, dec in decs
-        ]
         append = rows.append
         for _ in range(count):
             row = {}

@@ -93,18 +93,43 @@ def _convert(avro: Any) -> tuple[T.DataType, bool]:
 
 
 def null_branch_indices(schema_json: str | dict) -> dict[str, int]:
-    """Per top-level field: the index of ``"null"`` within its union
-    (only fields whose declared type IS a union appear). The binary
-    branch prefix of a union value is the zigzag-encoded index into
-    the DECLARED union order, so a decoder must read this from the
-    file's own schema — ``["null",T]`` and ``[T,"null"]`` encode the
-    same logical value with different branch bytes."""
+    """Per nullable-union SITE in the schema: the index of ``"null"``
+    within its declared union. The binary branch prefix of a union
+    value is the zigzag-encoded index into the DECLARED union order,
+    so a decoder must read this from the file's own schema —
+    ``["null",T]`` and ``[T,"null"]`` encode the same logical value
+    with different branch bytes.
+
+    Keys are paths: top-level field ``name``, nested record field
+    ``outer.inner``, array element ``field[]``, map value
+    ``field{}`` — matching the path convention the container's
+    decoder builders use."""
     avro = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
     out: dict[str, int] = {}
+
+    def walk(node: Any, path: str) -> None:
+        if isinstance(node, list):
+            if "null" in node:
+                out[path] = node.index("null")
+            for t in node:
+                if t != "null":
+                    walk(t, path)
+            return
+        if isinstance(node, dict):
+            kind = node.get("type")
+            if kind == "record":
+                for f in node.get("fields", []):
+                    sub = f"{path}.{f['name']}" if path else f["name"]
+                    walk(f["type"], sub)
+            elif kind == "array":
+                walk(node["items"], path + "[]")
+            elif kind == "map":
+                walk(node["values"], path + "{}")
+            elif isinstance(kind, (dict, list)):
+                walk(kind, path)
+
     for f in avro.get("fields", []):
-        ftype = f["type"]
-        if isinstance(ftype, list) and "null" in ftype:
-            out[f["name"]] = ftype.index("null")
+        walk(f["type"], f["name"])
     return out
 
 

@@ -240,3 +240,106 @@ def test_distributed_round_trip_with_nulls(spark, tmp_path):
     other = T.StructType([T.StructField("id", T.LongType(), False)])
     with pytest.raises(Exception, match="schema mismatch"):
         AC.read_avro(spark, out, expected=other).collect()
+
+
+def test_array_block_encoding_spec_bytes():
+    # spec: array = blocks of (zigzag count, items...), zero-count end
+    sch = T.StructType(
+        [T.StructField("xs", T.ArrayType(T.LongType(), False), False)]
+    )
+    out = bytearray()
+    AC.encode_record(sch, {"xs": [1, 2]}, out)
+    assert bytes(out) == b"\x04\x02\x04\x00"  # count=2, zz(1), zz(2), end
+    empty = bytearray()
+    AC.encode_record(sch, {"xs": []}, empty)
+    assert bytes(empty) == b"\x00"
+    back, pos = AC.decode_record(sch, memoryview(bytes(out)), 0)
+    assert back == {"xs": [1, 2]} and pos == 4
+
+
+def test_nested_types_round_trip(spark, tmp_path):
+    # arrays (nullable elements), string-keyed maps, nested structs —
+    # the shapes the reference's arbitrary record schemas can carry
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField(
+                "emb", T.ArrayType(T.FloatType(), True), True
+            ),
+            T.StructField(
+                "props", T.MapType(T.StringType(), T.LongType(), True), True
+            ),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("w", T.IntegerType(), True),
+                        T.StructField("tag", T.StringType(), False),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    rows = [
+        (1, [1.5, None, -0.25], {"a": 1, "b": None}, (3, "x")),
+        (2, None, None, None),
+        (3, [], {}, (None, "y")),
+    ]
+    df = spark.createDataFrame(rows, sch)
+    out = str(tmp_path / "nested.avro")
+    assert AC.write_avro(df, out) == 3
+    back = AC.read_avro(spark, out)
+    assert back.schema == sch
+    got = {r.id: (r.emb, r.props, r.meta) for r in back.collect()}
+    want = {r.id: (r.emb, r.props, r.meta) for r in df.collect()}
+    assert got == want
+
+
+def test_embeddings_table_rides_avro(spark, tmp_path):
+    import os
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(src):
+        pytest.skip("testdata absent")
+    df = spark.read.parquet(src).limit(40).coalesce(1)
+    out = str(tmp_path / "emb.avro")
+    assert AC.write_avro(df, out) == 40
+    back = AC.read_avro(spark, out)
+    assert back.schema == df.schema
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_nested_union_order_from_file_schema():
+    # a foreign file declaring ["null", float] ARRAY ITEMS must decode
+    # with inverted branch bytes at the nested site too
+    import json
+
+    from hyppo_worker_spark.sources.avro_schema import (
+        null_branch_indices,
+        struct_to_avro,
+    )
+
+    sch = T.StructType(
+        [T.StructField("xs", T.ArrayType(T.LongType(), True), False)]
+    )
+    ours = json.loads(struct_to_avro(sch))
+    assert null_branch_indices(ours) == {"xs[]": 1}
+    foreign = json.loads(struct_to_avro(sch))
+    foreign["fields"][0]["type"]["items"] = ["null", "long"]
+    assert null_branch_indices(foreign) == {"xs[]": 0}
+    # hand-build: [7, None] under ["null",long] items ->
+    # count=2, branch zz(1)=\x02 then zz(7), branch zz(0)=\x00, end
+    sync = b"S" * 16
+    meta = AC._enc_meta_map(
+        {"avro.schema": json.dumps(foreign).encode(), "avro.codec": b"null"}
+    )
+    body = b"\x04" + b"\x02" + AC.zigzag_encode(7) + b"\x00" + b"\x00"
+    blob = (
+        AC.MAGIC + meta + sync
+        + AC.zigzag_encode(1) + AC.zigzag_encode(len(body)) + body + sync
+    )
+    _, _, rows = AC.read_container(blob)
+    assert rows == [{"xs": [7, None]}]
