@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "p09_scheduler_priority_ledger",
     "q62_sql_text_dedup",
     "m07_audio_pcm_features",
+    "p10_ttl_redelivery_ledger",
 ]
 
 

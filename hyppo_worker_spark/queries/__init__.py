@@ -217,6 +217,9 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q03_shipping_priority",  # join+agg+topk — q41 keeps the
         # join driver row, q01 rich aggs, t29 top-k; slot goes to the
         # NEW m07 (real PCM sample decode); 5 greens archived
+        "t11_decontamination",  # train/eval decontamination — d14's
+        # leakage-safe splits keep the family in-window (t22 local);
+        # slot goes to the NEW p10 (TTL/redelivery ledger); 3 greens
     }
 )
 

@@ -991,3 +991,122 @@ def p09_scheduler_priority_ledger(
         "seq long, queue_name string, order_key long, "
         "ready_at_decision long, eta_us long",
     )
+
+
+# --------------------------------------------------------------------------
+# p10 — TTL / dead-letter / redelivery semantics under the driver's
+# oracle: the second §2.B control-plane row (p09 covers priorities;
+# this covers the lifecycle FSM — reference: TTL expiry to the
+# expired collection (``QueueNaming.scala`` expired queue,
+# ``reference.conf`` work_timeout), ``basicReject(requeue=true)``
+# redelivery with delivery counts/headers
+# (``TaskFSM.scala:135-140``, ``QueueItemHeaders.scala:11-26``)).
+# Work items from `customer` enqueue into per-market-segment queues
+# with DATA-DERIVED TTLs under a pinned manual clock; the clock then
+# advances once and the REAL broker decides every item's fate:
+#
+# - expired sweep: items whose ttl <= elapsed dead-letter to the
+#   expired collection (the broker's `>=` boundary is pinned by the
+#   oracle's `<=` — an off-by-one boundary flips ~1/40 of rows);
+# - survivors drain FIFO; every third customer is rejected-with-
+#   requeue once (appendleft → redelivered immediately, count 2).
+#
+# Every output column is a pure function of c_custkey, so DuckDB
+# reproduces the ledger with no simulation — what is under test is
+# that the broker's sweep boundary, requeue-to-front, delivery
+# counting, and redelivered flag agree with the spec exactly.
+# --------------------------------------------------------------------------
+_P10_N = 150
+
+
+@register(
+    "p10_ttl_redelivery_ledger",
+    oracle=f"""
+    WITH items AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        ORDER BY c_custkey LIMIT {_P10_N}
+    )
+    SELECT c_custkey AS cust_key,
+           'hyppo.integration.' || c_mktsegment || '-v1' AS queue_name,
+           CASE WHEN c_custkey % 40 <= 20 THEN 'expired'
+                ELSE 'delivered' END AS status,
+           CAST(CASE WHEN c_custkey % 40 <= 20 THEN 0
+                     WHEN c_custkey % 3 = 0 THEN 2
+                     ELSE 1 END AS BIGINT) AS delivery_count,
+           (c_custkey % 40 > 20 AND c_custkey % 3 = 0) AS redelivered
+    FROM items
+    ORDER BY cust_key
+    """,
+    tags=("pipeline", "control-plane", "scheduler", "ttl", "redelivery"),
+)
+def p10_ttl_redelivery_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle ledger of N customer-derived work items: data-derived
+    TTLs swept under a pinned clock, FIFO drain with one
+    reject-requeue per third item, through the real broker."""
+    from hyppo_worker_spark.model import (
+        IntegrationDetails,
+        ValidateIntegrationRequest,
+    )
+    from hyppo_worker_spark.scheduler.queues import WorkQueueTable
+
+    customer = load_tables(spark, sf_dir, ("customer",))["customer"]
+    items = (
+        customer.select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+        .limit(_P10_N)
+        .collect()
+    )
+
+    clock = [0.0]
+    qt = WorkQueueTable(clock=lambda: clock[0])
+    for r in items:
+        details = IntegrationDetails(
+            source_name=r.c_mktsegment,
+            version_number=1,
+            is_raw_data_integration=False,
+        )
+        qt.enqueue(
+            ValidateIntegrationRequest(
+                integration=details,
+                execution_id=f"cust-{r.c_custkey}",
+            ),
+            ttl_s=float(r.c_custkey % 40),
+        )
+
+    clock[0] = 20.0  # the single clock advance
+    ledger = []
+
+    def _key(delivery_or_item) -> int:
+        return int(
+            delivery_or_item.input.execution_id.removeprefix("cust-")
+        )
+
+    for qname, item in qt.sweep_expired():
+        ledger.append((_key(item), qname, "expired", 0, False))
+
+    for qname in sorted(
+        n for n in (d.queue_name for d in qt.all_details())
+        if n != qt.naming.general
+    ):
+        while True:
+            d = qt.basic_get(qname)
+            if d is None:
+                break
+            if _key(d.item) % 3 == 0 and not d.redelivered:
+                assert qt.reject_requeue(d) == "requeued"
+                continue  # comes straight back from the queue front
+            qt.ack(d)
+            ledger.append(
+                (
+                    _key(d.item),
+                    qname,
+                    "delivered",
+                    d.item.delivery_count,
+                    d.redelivered,
+                )
+            )
+    return spark.createDataFrame(
+        ledger,
+        "cust_key long, queue_name string, status string, "
+        "delivery_count long, redelivered boolean",
+    ).orderBy("cust_key")

@@ -78,6 +78,7 @@ def test_driver_registry_covers_every_family():
         "t30_ngram_novelty",
         # round-6 new rows land with immediate driver slots
         "p09_scheduler_priority_ledger",
+        "p10_ttl_redelivery_ledger",
         "q62_sql_text_dedup",
         "m07_audio_pcm_features",
     ):
