@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "q62_sql_text_dedup",
     "m07_audio_pcm_features",
     "p10_ttl_redelivery_ledger",
+    "s10_pca_power_iteration",
+    "q63_session_window_native",
 ]
 
 

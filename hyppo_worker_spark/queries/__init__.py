@@ -220,6 +220,14 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t11_decontamination",  # train/eval decontamination — d14's
         # leakage-safe splits keep the family in-window (t22 local);
         # slot goes to the NEW p10 (TTL/redelivery ledger); 3 greens
+        "d01_exact_dedup_groups",  # digest-groupBy exact dedup —
+        # q62 (SQL-text dedup) and d15 (canonical keeper) keep the
+        # exact-dedup family in-window; slot goes to the NEW s10
+        # (integer-exact PCA power iteration); 5 greens archived
+        "d07_dedup_clusters",  # batch CC clusters — p08 (incremental
+        # CC, driver row this round) and d14 (CC-atomic splits) keep
+        # the connected-components family in-window; slot goes to the
+        # NEW q63 (native session_window); 5 greens archived
     }
 )
 

@@ -3932,3 +3932,85 @@ def q62_sql_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ("documents",))
     spark.sql(_Q62_VIEW)
     return spark.sql(_Q62_BODY)
+
+
+# --------------------------------------------------------------------------
+# q63 — Spark's NATIVE session_window operator (batch form of the
+# Structured Streaming session windows), verified against a
+# gaps-and-islands oracle. Complements q18 (which builds sessions by
+# hand with lag/cumsum): this exercises the built-in SessionWindow
+# expression end-to-end — including its exact boundary semantics,
+# which DIFFER from q18's: session_window extends a session to
+# last_ts + gap and an event AT that boundary starts a NEW session
+# (split at diff >= gap), while q18's hand-rolled rule splits at
+# diff > gap. The oracle uses >= to pin the operator's contract; the
+# session end column (max ts + gap) pins the window-extension rule.
+# Scale shape: one shuffle on user_id; per-user session merge is
+# linear in the user's events (the same plan streaming session
+# windows use per key).
+# --------------------------------------------------------------------------
+@register(
+    "q63_session_window_native",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("window", "session-window", "events", "streaming-equivalent"),
+)
+def q63_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup via the built-in session_window (10-minute
+    inactivity gap): start, gap-extended end, event count, value
+    cents."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "10 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).cast("long").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -593,3 +593,144 @@ def s09_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rank", "neg_id", "cos_sim")
         .orderBy("q_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# s10 — distributed PCA head via integer-exact sufficient statistics:
+# the classic 100 TB shape for dimensionality reduction — each
+# executor reduces its Arrow batches to a d x d int64 partial X^T X
+# (embeddings scaled to integers at 1e6, so outer products and sums
+# are EXACT and order-independent), the d²-entry statistics table is
+# the only thing shuffled, and the 64x64 power iteration runs
+# driver-side in pure-integer arithmetic (matvec exact;
+# renormalization to max|component| = 1e6 by TRUNCATING division —
+# DuckDB's integer // truncates toward zero where Python's // floors,
+# so the Python side uses an explicit trunc-div to walk the identical
+# integer orbit; a floor/trunc mismatch showed up as ±5-unit drift
+# after 8 iterations before the fix). The
+# oracle rebuilds the covariance by unnesting vector pairs and
+# unrolls the same 8 iterations as chained CTEs. No float enters at
+# any point: rounding-order epsilon cannot exist. Overflow discipline
+# documented inline: scaled entries <= 1e8, matvec <= 64*1e8*1e6 =
+# 6.4e15 < 2^63 at ANY corpus size.
+# --------------------------------------------------------------------------
+_S10_D = 64
+_S10_ITERS = 8
+_S10_SCALE = 1_000_000
+
+
+def _s10_oracle() -> str:
+    d, scale = _S10_D, _S10_SCALE
+    # v0 = unit e0 scaled; unroll the iterations as chained CTEs
+    parts = [f"""
+    WITH x AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   e -> CAST(floor(e * {scale} + 0.5) AS BIGINT)) AS xi
+        FROM embeddings
+    ),
+    n AS (SELECT count(*) AS n FROM x),
+    pairs AS (
+        SELECT i.i, j.j, CAST(sum(xv.xi[i.i + 1] * xv.xi[j.j + 1]) AS BIGINT) AS s
+        FROM x xv, range(0, {d}) i(i), range(0, {d}) j(j)
+        GROUP BY i.i, j.j
+    ),
+    cov AS MATERIALIZED (
+        SELECT i, j, (s // (SELECT n FROM n)) // 10000 AS c FROM pairs
+    ),
+    v0 AS (
+        SELECT t.i, CAST(CASE WHEN t.i = 0 THEN {scale} ELSE 0 END AS BIGINT) AS v
+        FROM range(0, {d}) t(i)
+    )"""]
+    prev = "v0"
+    for k in range(1, _S10_ITERS + 1):
+        parts.append(f""",
+    mv{k} AS MATERIALIZED (
+        SELECT cov.i, CAST(sum(cov.c * p.v) AS BIGINT) AS raw
+        FROM cov JOIN {prev} p ON cov.j = p.i
+        GROUP BY cov.i
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT i, raw * {scale} // (SELECT max(abs(raw)) FROM mv{k}) AS v
+        FROM mv{k}
+    )""")
+        prev = f"v{k}"
+    parts.append(f"""
+    SELECT i AS component, CAST(v AS BIGINT) AS eigvec_scaled
+    FROM {prev} ORDER BY component
+    """)
+    return "".join(parts)
+
+
+@register(
+    "s10_pca_power_iteration",
+    oracle=_s10_oracle(),
+    tags=("similarity", "pca", "sufficient-statistics", "iterative",
+          "integer-exact"),
+)
+def s10_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus: executor-side
+    int64 X^T X partials (mapInPandas over Arrow batches), one
+    d²-entry reduce, pure-integer power iteration driver-side."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    d, scale = _S10_D, _S10_SCALE
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((d, d), dtype=np.int64)
+        n = 0
+        for pdf in it:
+            if pdf.empty:
+                continue
+            xs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            xi = np.floor(xs * scale + 0.5).astype(np.int64)
+            acc += xi.T @ xi  # exact: |entries| <= 1e12 * batch
+            n += len(xi)
+        if n:
+            ii, jj = np.meshgrid(range(d), range(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel(),
+                    "j": jj.ravel(),
+                    "s": acc.ravel(),
+                    "n": n,
+                }
+            )
+
+    stats = (
+        emb.select("embedding")
+        .mapInPandas(partials, "i int, j int, s long, n long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()  # d² = 4096 rows of sufficient statistics — bounded
+    )
+    def tdiv(a: int, b: int) -> int:
+        # DuckDB's integer `//` TRUNCATES toward zero (-7//2 = -3)
+        # where Python's floors (-4); covariance entries go negative,
+        # so the iteration must truncate to walk the oracle's orbit
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    n_total = stats[0]["n"]
+    cov = [[0] * d for _ in range(d)]
+    for r in stats:
+        # same downscale as the oracle: mean (// n), then // 1e4 so the
+        # matvec below stays < 2^63 for any corpus size
+        cov[r["i"]][r["j"]] = tdiv(tdiv(r["s"], n_total), 10000)
+    v = [scale if i == 0 else 0 for i in range(d)]
+    for _ in range(_S10_ITERS):
+        raw = [
+            sum(cov[i][j] * v[j] for j in range(d)) for i in range(d)
+        ]
+        m = max(abs(x) for x in raw)
+        v = [tdiv(x * scale, m) for x in raw]
+    return spark.createDataFrame(
+        [(i, int(v[i])) for i in range(d)],
+        "component int, eigvec_scaled long",
+    ).orderBy("component")

@@ -80,7 +80,9 @@ def test_driver_registry_covers_every_family():
         "p09_scheduler_priority_ledger",
         "p10_ttl_redelivery_ledger",
         "q62_sql_text_dedup",
+        "q63_session_window_native",
         "m07_audio_pcm_features",
+        "s10_pca_power_iteration",
     ):
         assert must in names
 
