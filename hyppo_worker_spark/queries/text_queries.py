@@ -2391,15 +2391,26 @@ def t30_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hyppo_worker_spark.operators.skew import salted_join
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    # (measured: t22's md5-int gram trick is a LOSS here — this plan
-    # shuffles each gram twice at most, and md5+conv per occurrence
-    # costs more CPU than the string-width saving; t22 wins because
-    # its distinct/presence/self-join chain re-shuffles grams 4x)
+    # Gram construction (measured at sf0.1, r6): TX.shingles(
+    # TX.tokens("text")) INLINE costs 8.9s for 260k grams — Catalyst
+    # collapses the projections and re-inlines the whole tokenize
+    # expression (lower+split+filter) into EVERY element_at of the
+    # shingle lambda, re-tokenizing each document once per gram
+    # position (the _minhash_banded lesson, which t30 had not
+    # applied). Materializing the token ARRAY as its own projection
+    # first drops the same explode to 0.4s — a 20x on this stage and
+    # 6x on the whole query. (Also measured and rejected: struct-
+    # tuple gram keys, 1.8s end-to-end vs 1.2s for strings; t22's
+    # md5-int gram trick, whose per-occurrence hash costs more than
+    # the width saving at <=2 shuffles per gram.)
+    words = docs.select(
+        "doc_id", "source", TX.tokens("text").alias("w")
+    )
     ex = (
-        docs.select(
+        words.select(
             "doc_id",
             "source",
-            F.explode(TX.shingles(TX.tokens("text"), 3)).alias("g"),
+            F.explode(TX.shingles(F.col("w"), 3)).alias("g"),
         )
         .persist()
     )
