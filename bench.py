@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "p10_ttl_redelivery_ledger",
     "s10_pca_power_iteration",
     "q63_session_window_native",
+    "p11_backoff_throttle_curves",
 ]
 
 

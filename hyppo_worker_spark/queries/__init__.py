@@ -228,6 +228,10 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # CC, driver row this round) and d14 (CC-atomic splits) keep
         # the connected-components family in-window; slot goes to the
         # NEW q63 (native session_window); 5 greens archived
+        "q40_recursive_month_spine",  # WITH RECURSIVE spine — t16
+        # (BPE iterations) and s10 (power iteration) keep iterative
+        # driver rows; slot goes to the NEW p11 (backoff/throttle
+        # curves); 3 greens archived
     }
 )
 

@@ -1110,3 +1110,88 @@ def p10_ttl_redelivery_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_key long, queue_name string, status string, "
         "delivery_count long, redelivered boolean",
     ).orderBy("cust_key")
+
+
+# --------------------------------------------------------------------------
+# p11 — backoff + throttle curves under the driver's oracle: the
+# third §2.B row, covering the two resource-contention mechanisms
+# p09/p10 do not touch (reference: the Gompertz re-attempt curve
+# ``Sigmoid.scala:21-49`` with the reference.conf:84-88 parameter
+# shape, and the token-bucket ThrottledWorkResource
+# ``WorkResource.scala:27-43``). Per nation row:
+#
+# - the REAL `gompertz_backoff_factor` evaluated at data-derived
+#   seconds (scale 0.2, delay 5.0 — the configured-minimum-delay /
+#   growth-factor semantics), rounded to 9 decimals on both engines
+#   (values are pure functions of small ints, identical at every SF
+#   — any libm last-ulp divergence would show as a stable, not
+#   flaky, mismatch);
+# - the k-th acquisition time of a 250 ms token-bucket resource
+#   drained sequentially through the REAL ResourcePool under a
+#   pinned manual clock (acquire → release schedules the next token
+#   at now + rate → clock jumps to readiness): closed form
+#   (k-1) * 250 ms, which pins the bucket's release-schedules-refill
+#   contract and the all-or-nothing acquire path.
+# --------------------------------------------------------------------------
+_P11_SCALE = 0.2
+_P11_DELAY = 5.0
+_P11_RATE_MS = 250
+
+
+@register(
+    "p11_backoff_throttle_curves",
+    oracle=f"""
+    SELECT n_nationkey AS nationkey,
+           CAST(n_nationkey * 4 AS BIGINT) AS backoff_s,
+           round(exp(-({_P11_DELAY} * exp(-{_P11_SCALE} * (n_nationkey * 4)))), 9)
+               AS reattempt_p,
+           CAST(n_nationkey * {_P11_RATE_MS} AS BIGINT) AS acquire_ms
+    FROM nation
+    ORDER BY nationkey
+    """,
+    tags=("pipeline", "control-plane", "backoff", "throttle", "gompertz"),
+)
+def p11_backoff_throttle_curves(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gompertz re-attempt probabilities at data-derived delays plus
+    the token-bucket acquisition schedule, both produced by the real
+    scheduler components under a pinned clock."""
+    from hyppo_worker_spark.model import ThrottledWorkResource
+    from hyppo_worker_spark.scheduler.resources import ResourcePool
+    from hyppo_worker_spark.scheduler.sigmoid import gompertz_backoff_factor
+
+    nation = load_tables(spark, sf_dir, ("nation",))["nation"]
+    keys = sorted(
+        r.n_nationkey for r in nation.select("n_nationkey").collect()
+    )
+
+    clock = [0.0]
+    pool = ResourcePool(clock=lambda: clock[0])
+    bucket = ThrottledWorkResource(
+        name="api", throttle_rate_ms=_P11_RATE_MS
+    )
+    rows = []
+    for k in keys:
+        leases = pool.acquire_all([bucket])  # k-th token
+        acquire_ms = int(round(clock[0] * 1000))
+        pool.release_all(leases)  # schedules the next token
+        clock[0] = pool._throttle_next["api"]  # jump to readiness
+        rows.append(
+            (
+                int(k),
+                int(k) * 4,
+                round(
+                    gompertz_backoff_factor(
+                        int(k) * 4, _P11_SCALE, _P11_DELAY
+                    ),
+                    9,
+                ),
+                acquire_ms,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "nationkey long, backoff_s long, reattempt_p double, "
+        "acquire_ms long",
+    ).orderBy("nationkey")

@@ -79,6 +79,7 @@ def test_driver_registry_covers_every_family():
         # round-6 new rows land with immediate driver slots
         "p09_scheduler_priority_ledger",
         "p10_ttl_redelivery_ledger",
+        "p11_backoff_throttle_curves",
         "q62_sql_text_dedup",
         "q63_session_window_native",
         "m07_audio_pcm_features",
