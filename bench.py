@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "s10_pca_power_iteration",
     "q63_session_window_native",
     "p11_backoff_throttle_curves",
+    "p12_format_roundtrips",
 ]
 
 

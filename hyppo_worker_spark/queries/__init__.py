@@ -232,6 +232,10 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # (BPE iterations) and s10 (power iteration) keep iterative
         # driver rows; slot goes to the NEW p11 (backoff/throttle
         # curves); 3 greens archived
+        "s04_knn_ivf",  # IVF ANN — s07 (PQ), s08 (range), s09 (hard
+        # negatives), s10 (PCA) keep similarity in-window and s05
+        # keeps the IVF shape locally checked; slot goes to the NEW
+        # p12 (format round-trip matrix); 4 greens archived
     }
 )
 

@@ -1195,3 +1195,101 @@ def p11_backoff_throttle_curves(
         "nationkey long, backoff_s long, reattempt_p double, "
         "acquire_ms long",
     ).orderBy("nationkey")
+
+
+# --------------------------------------------------------------------------
+# p12 — source/sink format matrix under one driver row: a documents
+# slice round-trips through every batch file format the engine
+# exposes (parquet, orc, csv, json, xml via the Spark 4 built-in,
+# and the pure-Python Avro container with deflate), and each leg
+# reports identical value-sensitive statistics — row count, key sum,
+# and 52-bit md5 digest sums over the text column AND a synthesized
+# HOSTILE column carrying a comma, double quote, XML specials and an
+# embedded newline (built by the same expression in both engines),
+# so CSV quoting+multiLine, JSON escaping, and XML entity encoding
+# actually have to defend. The oracle computes the same stats
+# straight off the table once per format label — any encoding,
+# quoting, escaping, type, or null defect in any leg breaks exactly
+# that leg's row. (sources/formats.py schema-required readers; the
+# avro leg exercises sources/avro_container.py end-to-end.)
+# --------------------------------------------------------------------------
+_P12_FORMATS = ("avro", "csv", "json", "orc", "parquet", "xml")
+
+
+@register(
+    "p12_format_roundtrips",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, lang, text,
+               substr(text, 1, 20) || ',"x&<y>' || chr(10) || '''z'''
+                   AS hostile
+        FROM documents
+    )
+    SELECT fmt,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS key_sum,
+           CAST(sum(('0x' || substr(md5(text), 1, 13))::BIGINT)
+               AS BIGINT) AS text_digest_sum,
+           CAST(sum(('0x' || substr(md5(hostile), 1, 13))::BIGINT)
+               AS BIGINT) AS hostile_digest_sum
+    FROM src, (
+        SELECT unnest(['avro','csv','json','orc','parquet','xml']) AS fmt
+    ) f
+    GROUP BY fmt
+    ORDER BY fmt
+    """,
+    tags=("pipeline", "sources", "sinks", "formats", "roundtrip"),
+)
+def p12_format_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write+read a documents slice through all six batch formats and
+    report per-leg value-sensitive statistics (including a
+    quote/comma/newline/XML-special hostile column)."""
+    import os
+    import tempfile
+
+    from hyppo_worker_spark.sources import avro_container as AC
+    from hyppo_worker_spark.sources import formats as FMT
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hostile = F.concat(
+        F.substring("text", 1, 20), F.lit(',"x&<y>\n\'z\'')
+    )
+    src = docs.select("doc_id", "lang", "text", hostile.alias("hostile"))
+    schema = src.schema
+    base = tempfile.mkdtemp(prefix="hyppo-p12-")
+    legs = []
+    for fmt in _P12_FORMATS:
+        path = os.path.join(base, fmt)
+        if fmt == "avro":
+            AC.write_avro(src, path, codec="deflate")
+            back = AC.read_avro(spark, path)
+        elif fmt == "csv":
+            src.write.option("header", "true").csv(path)
+            back = FMT.read_csv(spark, path, schema, multiLine="true")
+        elif fmt == "json":
+            src.write.json(path)
+            back = FMT.read_json(spark, path, schema)
+        elif fmt == "orc":
+            FMT.write_orc(src, path)
+            back = FMT.read_orc(spark, path)
+        elif fmt == "parquet":
+            FMT.write_parquet(src, path)
+            back = FMT.read_parquet(spark, path)
+        else:
+            FMT.write_xml(src, path, row_tag="doc")
+            back = FMT.read_xml(spark, path, schema, row_tag="doc")
+        digest = lambda c: F.sum(  # noqa: E731
+            F.conv(F.substring(F.md5(c), 1, 13), 16, 10).cast("bigint")
+        ).cast("bigint")
+        legs.append(
+            back.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("doc_id").cast("bigint").alias("key_sum"),
+                digest("text").alias("text_digest_sum"),
+                digest("hostile").alias("hostile_digest_sum"),
+            ).select(F.lit(fmt).alias("fmt"), "*")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("fmt")

@@ -34,7 +34,6 @@ def test_driver_registry_covers_every_family():
         assert any(n.startswith(prefix) for n in names), f"family {prefix} evicted"
     # the load-bearing representatives must stay in the window
     for must in (
-        "s04_knn_ivf",
         "t01_language_id",
         "t16_bpe_merges",
         "q41_bucketed_colocated_join",
@@ -80,6 +79,7 @@ def test_driver_registry_covers_every_family():
         "p09_scheduler_priority_ledger",
         "p10_ttl_redelivery_ledger",
         "p11_backoff_throttle_curves",
+        "p12_format_roundtrips",
         "q62_sql_text_dedup",
         "q63_session_window_native",
         "m07_audio_pcm_features",
