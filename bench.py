@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "q63_session_window_native",
     "p11_backoff_throttle_curves",
     "p12_format_roundtrips",
+    "p13_streaming_dropdup",
 ]
 
 

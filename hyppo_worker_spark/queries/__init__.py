@@ -236,6 +236,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # negatives), s10 (PCA) keep similarity in-window and s05
         # keeps the IVF shape locally checked; slot goes to the NEW
         # p12 (format round-trip matrix); 4 greens archived
+        # NEW round-6 query without a window slot (50 full after the
+        # eight r6 promotions): locally oracle-checked; FIRST in line
+        # for the r7 rotation.
+        "p13_streaming_dropdup",  # native stateful dropDuplicates
+        # with cross-batch planted dupes — p05/p07/p08 keep the
+        # streaming driver rows this round
     }
 )
 

@@ -1293,3 +1293,107 @@ def p12_format_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("fmt")
+
+
+# --------------------------------------------------------------------------
+# p13 — native streaming deduplication: Structured Streaming's
+# stateful dropDuplicates under the driver's oracle (the one built-in
+# stateful operator the streaming suite had not yet exercised as a
+# registry row — funnel/retention/CC/sketch sinks are custom
+# operators). Planted exact duplicates of every 7th event are routed
+# to a DIFFERENT micro-batch file than their originals (md5-bucket
+# +1 mod 3), so the drop requires CROSS-BATCH state, not per-batch
+# distinct; the stream drains availableNow with a watermark bounding
+# the dedup state, foreachBatch appends survivors, and the result
+# must equal the original per-type counts exactly — any state loss
+# double-counts, any over-dedup under-counts. Local-evidence row
+# this round (window full at 50 after eight promotions); first in
+# line for the r7 rotation.
+# --------------------------------------------------------------------------
+@register(
+    "p13_streaming_dropdup",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT event_id) AS n_ids
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("pipeline", "streaming", "dedup", "dropDuplicates", "stateful"),
+)
+def p13_streaming_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a 3-batch event stream with planted cross-batch exact
+    duplicates through stateful dropDuplicates; per-type survivor
+    counts must equal the duplicate-free originals."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from hyppo_worker_spark.functions import text as TX2
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    dupes = ev.filter(F.col("event_id") % 7 == 0)
+    bucket = TX2.md5_bucket(F.col("event_id"), 3)
+    staged_rows = ev.withColumn("bucket", bucket).unionByName(
+        dupes.withColumn("bucket", (bucket + 1) % 3)
+    )
+
+    work = tempfile.mkdtemp(prefix="hyppo-p13-")
+    src_dir = os.path.join(work, "events")
+    os.makedirs(src_dir)
+    now = time.time()
+    for i in range(3):
+        batch = staged_rows.filter(F.col("bucket") == i).drop("bucket")
+        staged = os.path.join(work, f"stage-{i}")
+        batch.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = os.path.join(src_dir, f"batch{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * i,) * 2)
+
+    out_dir = os.path.join(work, "deduped")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    # The watermark must span the full event-time range of the
+    # corpus: batches are md5-bucketed (NOT time-ordered), so a tight
+    # watermark would classify most of batches 2-3 as late and
+    # silently DROP them inside dropDuplicates (observed: ~30% loss
+    # at "1 hour"). With time-ordered arrival a production pipeline
+    # tightens this to its real disorder bound; the state-bounding
+    # mechanism is identical.
+    deduped = stream.withWatermark("ts", "60 days").dropDuplicates(
+        ["event_id"]
+    )
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        .orderBy("event_type")
+    )
