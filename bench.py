@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "p11_backoff_throttle_curves",
     "p12_format_roundtrips",
     "p13_streaming_dropdup",
+    "p14_delegation_affinity_ledger",
+    "p15_streaming_funnel",
 ]
 
 

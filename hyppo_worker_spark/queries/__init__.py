@@ -242,6 +242,17 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "p13_streaming_dropdup",  # native stateful dropDuplicates
         # with cross-batch planted dupes — p05/p07/p08 keep the
         # streaming driver rows this round
+        # Slots for the two later round-6 rows (p14 delegation/
+        # affinity ledger — the §2.B subsystem p09-p11 don't cover —
+        # and p15, the streaming funnel's first driver row), each
+        # retiree with 2 archived green driver rounds (r4+r5) and an
+        # in-window family representative:
+        "q44_hll_shard_rollup",  # HLL union-at-query — q60 (sliding
+        # HLL rollup), p05 (streaming HLL maintenance) and the
+        # q46-q49 sketch suite keep the family in-window; 2 greens
+        "q51_scd2_history",  # SCD2 build — q52 (point-in-time SCD2
+        # join, first driver row this round) and p07 (streaming CDC
+        # to SCD2) keep the family in-window; 2 greens archived
     }
 )
 

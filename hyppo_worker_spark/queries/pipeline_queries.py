@@ -1397,3 +1397,360 @@ def p13_streaming_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# p14 — delegation strategy + worker affinity + contention filter
+# under the driver's oracle: the fourth §2.B control-plane row,
+# covering the one scheduler subsystem p09-p11 do not (reference:
+# ``DelegationStrategy.scala:35-114`` — affinity-first segment
+# ordering, the general-queue interleave, and the probabilistic
+# Gompertz contention filter with its per-resource memoized verdict).
+# A 25×5 scenario grid (nation × region) drives the REAL
+# ``DefaultDelegationStrategy`` once per scenario: five integration
+# queues (real QueueNaming over region names — MIDDLE EAST exercises
+# sanitize), data-derived ready counts, per-queue resources with
+# data-derived contention ages (queues 1 and 2 SHARE one resource, so
+# the one-verdict-per-resource memoization is load-bearing), a
+# rotating warm-affinity target, and a general queue whose has_work
+# toggles. Everything nondeterministic is pinned: the clock (ages are
+# exact small integers) and the rng (a constant-0.5 stub), which
+# makes the filter verdict the pure inequality
+# ``age >= 5 AND 0.5 <= e^(-5·e^(-0.2·age))`` — the oracle states the
+# same curve with exp() (nearest integer age sits 8e-3 from the 0.5
+# boundary, 13 orders of magnitude above cross-libm ulp drift).
+# WHY the oracle can reproduce the full ordering: distinct prime
+# rates larger than any ready count make ExpectedCompletion keys
+# tie-free (ready_a·p_b = ready_b·p_a would need p_a | ready_a), so
+# the strategy's segment-wise greedy order equals
+# ORDER BY (segment, ready/rate DESC) — two window functions in SQL.
+# Any drift in segment order, affinity matching, contention
+# hard-minimum, curve shape, sanitize, or FIFO-of-segments breaks
+# the value hash.
+# --------------------------------------------------------------------------
+_P14_PRIMES = (10007, 10009, 10037, 10061, 10067)
+
+
+class _HalfRng:
+    """Pinned rng: the contention coin always lands on 0.5."""
+
+    def random(self) -> float:  # noqa: D102 - rng protocol
+        return 0.5
+
+
+@register(
+    "p14_delegation_affinity_ledger",
+    oracle=f"""
+    WITH q AS (
+        SELECT r_regionkey AS q,
+               'hyppo.integration.'
+                   || replace(replace(trim(r_name), '.', '-'), ' ', '_')
+                   || '-v1' AS queue_name,
+               (list_value{_P14_PRIMES})[CAST(r_regionkey + 1 AS INT)]
+                   AS rate,
+               CASE WHEN r_regionkey IN (1, 2) THEN 1 ELSE r_regionkey
+                   END AS q_eff
+        FROM region
+    ),
+    grid AS (
+        SELECT n.n_nationkey AS s, q.q, q.queue_name, q.rate,
+               (n.n_nationkey * 7 + q.q * 3) % 5 AS ready,
+               (n.n_nationkey * 5 + q.q_eff * 4) % 21 AS age,
+               ((n.n_nationkey + q.q_eff) % 4) <> 0 AS contended,
+               CASE WHEN q.q = n.n_nationkey % 5 THEN 0 ELSE 2
+                   END AS segment
+        FROM nation n, q
+    ),
+    ints AS (
+        SELECT s, segment, queue_name,
+               CAST(ready * 1000000 // rate AS BIGINT) AS eta_us,
+               ready * 1.0 / rate AS key
+        FROM grid
+        WHERE ready > 0
+          AND (NOT contended
+               OR (age >= 5
+                   AND 0.5 <= exp(-(5.0 * exp(-0.2 * age)))))
+    ),
+    gen AS (
+        SELECT n_nationkey AS s, 1 AS segment,
+               'hyppo.general' AS queue_name,
+               CAST(0 AS BIGINT) AS eta_us, 0.0 AS key
+        FROM nation WHERE n_nationkey % 3 = 0
+    ),
+    merged AS (
+        SELECT * FROM ints UNION ALL SELECT * FROM gen
+    )
+    SELECT CAST(s AS BIGINT) AS scenario,
+           row_number() OVER (
+               PARTITION BY s ORDER BY segment, key DESC
+           ) AS pos,
+           CAST(segment AS BIGINT) AS segment,
+           queue_name, eta_us
+    FROM merged
+    ORDER BY scenario, pos
+    """,
+    tags=("pipeline", "control-plane", "scheduler", "delegation",
+          "affinity", "contention"),
+)
+def p14_delegation_affinity_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delegation order produced by the real affinity-first strategy
+    (contention-filtered, prioritized) over a 25-scenario grid with
+    pinned clock and rng."""
+    from datetime import datetime, timezone
+
+    from hyppo_worker_spark.model import ConcurrencyWorkResource
+    from hyppo_worker_spark.scheduler.delegation import (
+        BackoffConfig,
+        DefaultDelegationStrategy,
+        WorkQueueMetrics,
+    )
+    from hyppo_worker_spark.scheduler.priority import (
+        AbsoluteSizeOrdering,
+        ExpectedCompletionOrdering,
+        IdleSinceMinuteOrdering,
+        QueueDetails,
+        WorkQueuePrioritizer,
+    )
+    from hyppo_worker_spark.scheduler.queues import QueueNaming
+    from hyppo_worker_spark.scheduler.resources import (
+        RecentResourceContention,
+    )
+
+    tables = load_tables(spark, sf_dir, ("nation", "region"))
+    scenarios = sorted(
+        r.n_nationkey for r in tables["nation"].select("n_nationkey").collect()
+    )
+    regions = {
+        r.r_regionkey: r.r_name
+        for r in tables["region"].select("r_regionkey", "r_name").collect()
+    }
+    naming = QueueNaming()
+    epoch = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    now = 1000.0  # pinned clock: ages below are exact small ints
+    ledger = []
+    for s in scenarios:
+        qkeys = sorted(regions)
+        q_eff = {q: (1 if q in (1, 2) else q) for q in qkeys}
+        resources = {
+            e: ConcurrencyWorkResource(name=f"res-{e}", concurrency=1)
+            for e in sorted(set(q_eff.values()))
+        }
+        tnow = [now]
+        contention = RecentResourceContention(
+            retention_max_s=1e9, clock=lambda: tnow[0]
+        )
+        for e, res in resources.items():
+            if (s + e) % 4 != 0:  # this resource saw contention
+                tnow[0] = now - float((s * 5 + e * 4) % 21)
+                contention.failed_to_acquire(res)
+        tnow[0] = now
+        strategy = DefaultDelegationStrategy(
+            WorkQueuePrioritizer(
+                [
+                    ExpectedCompletionOrdering(),
+                    IdleSinceMinuteOrdering(),
+                    AbsoluteSizeOrdering(),
+                ]
+            ),
+            contention,
+            BackoffConfig(),  # scale 0.2, min delay 5s (reference.conf)
+            rng=_HalfRng(),
+            clock=lambda: tnow[0],
+        )
+        names = {
+            q: naming.integration(regions[q], 1) for q in qkeys
+        }
+        integrations = [
+            WorkQueueMetrics(
+                details=QueueDetails(
+                    queue_name=names[q],
+                    size=(s * 7 + q * 3) % 5,
+                    rate=float(_P14_PRIMES[q]),
+                    ready=(s * 7 + q * 3) % 5,
+                    unacknowledged=0,
+                    idle_since=epoch,
+                ),
+                resources=(resources[q_eff[q]],),
+            )
+            for q in qkeys
+        ]
+        general = WorkQueueMetrics(
+            details=QueueDetails(
+                queue_name=naming.general,
+                size=1 if s % 3 == 0 else 0,
+                rate=1.0,
+                ready=1 if s % 3 == 0 else 0,
+                unacknowledged=0,
+                idle_since=epoch,
+            ),
+            resources=(),
+        )
+        affinity_name = names[s % 5]
+        rate_of = {names[q]: _P14_PRIMES[q] for q in qkeys}
+        ready_of = {names[q]: (s * 7 + q * 3) % 5 for q in qkeys}
+        order = list(
+            strategy.priority_order_with_preference(
+                lambda qn: qn == affinity_name, general, integrations
+            )
+        )
+        for pos, details in enumerate(order, start=1):
+            if details.queue_name == naming.general:
+                seg, eta = 1, 0
+            else:
+                seg = 0 if details.queue_name == affinity_name else 2
+                eta = (
+                    ready_of[details.queue_name]
+                    * 1_000_000
+                    // rate_of[details.queue_name]
+                )
+            ledger.append((s, pos, seg, details.queue_name, eta))
+    return spark.createDataFrame(
+        ledger,
+        "scenario long, pos long, segment long, queue_name string, "
+        "eta_us long",
+    ).orderBy("scenario", "pos")
+
+
+# --------------------------------------------------------------------------
+# p15 — the streaming conversion funnel under the driver's oracle:
+# until now the exact stateful funnel (streaming/funnel.py — chained
+# conditional MINs with watermark-finality state compaction via
+# applyInPandasWithState) had pytest-only evidence. This row EXECUTES
+# it for real: events drained as a 3-file bounded stream (repartition
+# scatters events across micro-batches with unbounded disorder, so
+# late-arriving signups genuinely revise downstream stages — the
+# failure mode a naive furthest-stage state machine gets wrong), each
+# micro-batch's emissions appended with their batch id, and each
+# user's FINAL emission (argmax batch id — state is cumulative, so
+# the last emission reflects all of the user's events) aggregated
+# into a per-stage census: user counts plus the SUM of completion
+# epoch-seconds, which makes every per-user completion timestamp
+# value-bearing. The oracle recomputes the funnel relationally
+# (q43's chained-min recurrence, extended with the stage-0 LEFT
+# JOINs). A dropped batch, a non-revising state update, a wrong
+# strict-ordering comparison, or a truncated candidate list breaks
+# the hash. Watermark delay exceeds the corpus span: with unordered
+# replay, exactness REQUIRES admitting all disorder (a tight delay
+# provably drops events — pinned in tests); compaction under a tight
+# watermark keeps its own pure funnel_step coverage.
+# --------------------------------------------------------------------------
+@register(
+    "p15_streaming_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1
+    ),
+    s4 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+    ),
+    per_user AS (
+        SELECT u.user_id,
+               CASE WHEN s4.t IS NOT NULL THEN 4
+                    WHEN s3.t IS NOT NULL THEN 3
+                    WHEN s2.t IS NOT NULL THEN 2
+                    WHEN s1.t IS NOT NULL THEN 1
+                    ELSE 0 END AS stage_reached,
+               coalesce(s4.t, s3.t, s2.t, s1.t) AS completed
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+    )
+    SELECT CAST(stage_reached AS BIGINT) AS stage_reached,
+           coalesce(strftime(CAST(completed AS DATE), '%Y-%m-%d'), 'NONE')
+               AS completed_day,
+           count(*) AS n_users,
+           CAST(sum(coalesce(CAST(floor(epoch(completed)) AS BIGINT), -1))
+               AS BIGINT) AS sum_completed_s
+    FROM per_user GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("pipeline", "streaming", "stateful", "funnel", "events"),
+)
+def p15_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage census of each user's final streaming-funnel state
+    after draining events through the real applyInPandasWithState
+    operator in 3 disorder-scattered micro-batches."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from hyppo_worker_spark.streaming.funnel import streaming_funnel
+    from hyppo_worker_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    work = tempfile.mkdtemp(prefix="hyppo-p15-")
+    src_dir = os.path.join(work, "stream-src")
+    out_dir = os.path.join(work, "emissions")
+    (
+        events.select(
+            "event_id", "user_id", "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        batch.withColumn("batch_id", F.lit(bid)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        streaming_funnel(stream, delay="365 days")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emissions = spark.read.parquet(out_dir)
+    final = (
+        emissions.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("batch_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        final.groupBy(
+            F.col("stage_reached").cast("bigint").alias("stage_reached"),
+            F.coalesce(
+                F.date_format(F.to_date("completed_ts"), "yyyy-MM-dd"),
+                F.lit("NONE"),
+            ).alias("completed_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                F.coalesce(
+                    F.unix_timestamp("completed_ts"), F.lit(-1)
+                )
+            )
+            .cast("bigint")
+            .alias("sum_completed_s"),
+        )
+        .orderBy("stage_reached", "completed_day")
+    )

@@ -127,3 +127,32 @@ def test_shared_resource_single_verdict():
         s.rng = trial_rng
         order = [q.queue_name for q in s.priority_order_without_affinity(general, ints)]
         assert len(order) in (0, 2)  # both or neither
+
+
+class _HalfRng:
+    def random(self):
+        return 0.5
+
+
+def test_half_coin_gompertz_boundary():
+    """The p14 driver row pins its oracle on this exact rule: with the
+    contention coin fixed at 0.5 and reference backoff params
+    (scale 0.2, min delay 5s), integer waits 0-9 are filtered and
+    waits >= 10 pass (0.5 <= e^(-5 e^(-0.2 t)) first holds at t=10)."""
+    for age, expect in ((4, False), (5, False), (9, False), (10, True), (20, True)):
+        clock = FakeClock()
+        contention = RecentResourceContention(1e9, clock=clock)
+        res = ConcurrencyWorkResource(name="r", concurrency=1)
+        contention.failed_to_acquire(res)
+        clock.advance(float(age))
+        s = DefaultDelegationStrategy(
+            WorkQueuePrioritizer.default(random.Random(7)),
+            contention,
+            BackoffConfig(),
+            rng=_HalfRng(),
+            clock=clock,
+        )
+        general = _metrics("hyppo.general", ready=0)
+        q = _metrics("hyppo.integration.x-v1", ready=1, resources=(res,))
+        got = [d.queue_name for d in s.priority_order_without_affinity(general, [q])]
+        assert (len(got) == 1) is expect, f"age={age}"

@@ -37,9 +37,7 @@ def test_driver_registry_covers_every_family():
         "t01_language_id",
         "t16_bpe_merges",
         "q41_bucketed_colocated_join",
-        "q44_hll_shard_rollup",
         "q50_zorder_skipping",
-        "q51_scd2_history",
         # round-5 promotions keep accumulating driver evidence
         # (1 green round each as of r5)
         "d11_semantic_dedup",
@@ -84,6 +82,8 @@ def test_driver_registry_covers_every_family():
         "q63_session_window_native",
         "m07_audio_pcm_features",
         "s10_pca_power_iteration",
+        "p14_delegation_affinity_ledger",
+        "p15_streaming_funnel",
     ):
         assert must in names
 
