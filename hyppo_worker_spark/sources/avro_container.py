@@ -327,7 +327,12 @@ def _field_decoder(
         val_nb = _nb(path + "{}") if dt.valueContainsNull else None
 
         def dec_map(buf, pos, zz=zz):
-            out = []
+            # Decode to a real dict: callers see the natural Python
+            # shape (read_container round-trips what write_container
+            # accepted), and Arrow's from_pylist takes dicts for map
+            # columns. Duplicate keys (legal bytes, undefined per the
+            # Avro spec) collapse last-wins like every map consumer.
+            out = {}
             while True:
                 cnt, pos = zz(buf, pos)
                 if cnt == 0:
@@ -342,10 +347,10 @@ def _field_decoder(
                     if val_nb is not None:
                         br, pos = zz(buf, pos)
                         if br == val_nb:
-                            out.append((k, None))
+                            out[k] = None
                             continue
                     x, pos = dec_val(buf, pos)
-                    out.append((k, x))
+                    out[k] = x
             return out, pos
         return dec_map
     if isinstance(dt, T.StructType):
