@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "p13_streaming_dropdup",
     "p14_delegation_affinity_ledger",
     "p15_streaming_funnel",
+    "p16_dropdup_within_watermark",
 ]
 
 

@@ -253,6 +253,9 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q51_scd2_history",  # SCD2 build — q52 (point-in-time SCD2
         # join, first driver row this round) and p07 (streaming CDC
         # to SCD2) keep the family in-window; 2 greens archived
+        "p16_dropdup_within_watermark",  # bounded-state streaming
+        # dedup (window full at 50): locally oracle-checked; queued
+        # with p13 at the front of the r7 rotation
     }
 )
 

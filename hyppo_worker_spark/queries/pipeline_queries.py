@@ -1754,3 +1754,126 @@ def p15_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_reached", "completed_day")
     )
+
+
+# --------------------------------------------------------------------------
+# p16 — bounded-state streaming dedup: dropDuplicatesWithinWatermark,
+# the operator that makes streaming dedup viable at 100 TB. p13's
+# plain dropDuplicates keeps EVERY key forever (its md5-bucketed
+# arrival forces a corpus-spanning watermark, documented there); this
+# row drains the same corpus TIME-ORDERED (three consecutive
+# event-time blocks, file mtimes pinned so the source replays them in
+# order), plants exact duplicates both within-block and ACROSS the
+# block boundary (originals in the last 12 h of block i, copies
+# arriving one batch later), and dedups with a 2-DAY delay — state
+# for a key lives only until the watermark passes ts+delay, so the
+# store holds the disorder horizon, not the corpus. Correctness needs
+# delay > boundary disorder (12 h) for lateness and >= 6 h for
+# state overlap at the dupe's arrival — 2 days clears both with
+# margin while evicting ~80% of each drained block. Eviction is
+# asserted IN-PLAN from the query's own state-operator metrics
+# (final numRowsTotal must stay under half the distinct originals —
+# at full retention it equals ALL originals + planted dupes), and the
+# oracle states the bound as literal TRUE alongside the exact
+# per-type survivor counts: any state loss double-counts survivors,
+# any over-dedup under-counts, any eviction failure flips the bound.
+# --------------------------------------------------------------------------
+@register(
+    "p16_dropdup_within_watermark",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT event_id) AS n_ids,
+           TRUE AS state_bounded
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("pipeline", "streaming", "dedup", "watermark", "bounded-state"),
+)
+def p16_dropdup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-ordered 3-batch drain through dropDuplicatesWithinWatermark
+    (2-day delay): planted within-block and cross-boundary duplicates
+    all dropped, per-type survivors exact, state provably evicted."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    # three consecutive event-time blocks (corpus spans one month)
+    block = F.least(
+        (F.dayofmonth("ts") - 1) / F.lit(10), F.lit(2)
+    ).cast("int")
+    base = ev.withColumn("blk", block)
+    same_block = base.filter(F.col("event_id") % 7 == 0)
+    boundary = base.filter(
+        (F.col("event_id") % 11 == 0)
+        & (F.col("blk") < 2)
+        # last 12 h of the block: disorder stays under the 2-day delay
+        & (F.dayofmonth("ts") % 10 == 0)
+        & (F.hour("ts") >= 12)
+    ).withColumn("blk", F.col("blk") + 1)
+    staged = base.unionByName(same_block).unionByName(boundary)
+
+    work = tempfile.mkdtemp(prefix="hyppo-p16-")
+    src_dir = os.path.join(work, "events")
+    os.makedirs(src_dir)
+    now = time.time()
+    for i in range(3):
+        part_dir = os.path.join(work, f"stage-{i}")
+        staged.filter(F.col("blk") == i).drop("blk").coalesce(
+            1
+        ).write.parquet(part_dir)
+        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dest = os.path.join(src_dir, f"batch{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * i,) * 2)
+
+    out_dir = os.path.join(work, "deduped")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    deduped = stream.withWatermark(
+        "ts", "2 days"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    prog = [p for p in q.recentProgress if p.get("stateOperators")]
+    last_state = (
+        prog[-1]["stateOperators"][0]["numRowsTotal"] if prog else -1
+    )
+    n_orig = ev.count()
+    bounded = 0 <= last_state < n_orig // 2
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        .withColumn("state_bounded", F.lit(bounded))
+        .orderBy("event_type")
+    )
