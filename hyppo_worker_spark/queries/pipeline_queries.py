@@ -1618,23 +1618,28 @@ def p14_delegation_affinity_ledger(
 # until now the exact stateful funnel (streaming/funnel.py — chained
 # conditional MINs with watermark-finality state compaction via
 # applyInPandasWithState) had pytest-only evidence. This row EXECUTES
-# it for real: events drained as a 3-file bounded stream (repartition
-# scatters events across micro-batches with unbounded disorder, so
-# late-arriving signups genuinely revise downstream stages — the
-# failure mode a naive furthest-stage state machine gets wrong), each
-# micro-batch's emissions appended with their batch id, and each
-# user's FINAL emission (argmax batch id — state is cumulative, so
-# the last emission reflects all of the user's events) aggregated
-# into a per-stage census: user counts plus the SUM of completion
-# epoch-seconds, which makes every per-user completion timestamp
-# value-bearing. The oracle recomputes the funnel relationally
-# (q43's chained-min recurrence, extended with the stage-0 LEFT
-# JOINs). A dropped batch, a non-revising state update, a wrong
-# strict-ordering comparison, or a truncated candidate list breaks
-# the hash. Watermark delay exceeds the corpus span: with unordered
-# replay, exactness REQUIRES admitting all disorder (a tight delay
-# provably drops events — pinned in tests); compaction under a tight
-# watermark keeps its own pure funnel_step coverage.
+# it in the PRODUCTION configuration — time-ordered arrival with a
+# bounded disorder horizon and a TIGHT watermark, so the finality
+# cascade genuinely compacts state (p13's lesson applied: a blanket
+# corpus-spanning delay would keep every candidate forever). The
+# corpus drains as three consecutive event-time blocks (pinned file
+# mtimes fix replay order); a deterministic md5-gated subset of each
+# block's last-12-hours funnel events is ROUTED into the next file,
+# so later micro-batches carry genuinely earlier events — bounded
+# (12 h) disorder under a 2-day delay, and those late signups/views
+# must REVISE downstream stages computed in the previous batch (the
+# failure mode a naive furthest-stage state machine gets wrong, and
+# exactly what the compaction rule must never break: it may only
+# drop candidates <= watermark, which no admissible late event can
+# beat). Each user's FINAL emission (argmax batch id — state is
+# cumulative) is aggregated into a per-(stage, completion-day)
+# census with per-user completion epochs summed, so every timestamp
+# is value-bearing. The oracle recomputes the funnel relationally
+# (q43's chained-min recurrence + stage-0 LEFT JOINs): a dropped or
+# late-classified event, a non-revising update, an over-eager
+# compaction, or a wrong strict-ordering comparison breaks the hash.
+# Unbounded-disorder exactness keeps its pytest twin
+# (tests/test_streaming_funnel.py, 365-day delay over md5 scatter).
 # --------------------------------------------------------------------------
 @register(
     "p15_streaming_funnel",
@@ -1689,18 +1694,49 @@ def p15_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hyppo_worker_spark.streaming.funnel import streaming_funnel
     from hyppo_worker_spark.streaming.pipeline import EVENTS_SCHEMA
 
+    import glob
+    import shutil
+    import time
+
     events = load_tables(spark, sf_dir, ("events",))["events"]
     work = tempfile.mkdtemp(prefix="hyppo-p15-")
     src_dir = os.path.join(work, "stream-src")
+    os.makedirs(src_dir)
     out_dir = os.path.join(work, "emissions")
-    (
-        events.select(
-            "event_id", "user_id", "event_type",
-            F.col("ts").cast("timestamp").alias("ts"),
-        )
-        .repartition(3)
-        .write.parquet(src_dir)
+    ev = events.select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
     )
+    # three consecutive event-time blocks (corpus spans one month),
+    # then bounded disorder: funnel events from the last 12 h of
+    # blocks 0/1 for an md5-gated 1-in-5 user subset arrive one
+    # batch LATE (well inside the 2-day delay) and must revise the
+    # previous batch's funnel state.
+    from hyppo_worker_spark.functions import text as TX2
+
+    block = F.least(
+        (F.dayofmonth("ts") - 1) / F.lit(10), F.lit(2)
+    ).cast("int")
+    late = (
+        (TX2.md5_bucket(F.col("user_id"), 5) == 0)
+        & (block < 2)
+        & (F.dayofmonth("ts") % 10 == 0)
+        & (F.hour("ts") >= 12)
+    )
+    staged = ev.withColumn(
+        "blk", F.when(late, block + 1).otherwise(block)
+    )
+    now = time.time()
+    for i in range(3):
+        part_dir = os.path.join(work, f"stage-{i}")
+        staged.filter(F.col("blk") == i).drop("blk").coalesce(
+            1
+        ).write.parquet(part_dir)
+        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dest = os.path.join(src_dir, f"batch{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * i,) * 2)
+
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -1713,7 +1749,7 @@ def p15_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(out_dir)
 
     q = (
-        streaming_funnel(stream, delay="365 days")
+        streaming_funnel(stream, delay="2 days")
         .writeStream.outputMode("append")
         .foreachBatch(sink)
         .option("checkpointLocation", os.path.join(work, "ckpt"))
