@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "p14_delegation_affinity_ledger",
     "p15_streaming_funnel",
     "p16_dropdup_within_watermark",
+    "m08_video_frame_sample",
 ]
 
 

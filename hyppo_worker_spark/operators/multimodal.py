@@ -629,3 +629,136 @@ def perceptual_ahash_bands(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "content").mapInPandas(batches, AHASH_SCHEMA)
+
+
+def decode_avi_dib(b: bytes) -> "dict | None":
+    """REAL frame decode of a minimal uncompressed AVI — pure
+    ``struct``/numpy, no codec library (raw 'DIB ' frames are
+    bottom-up BGR pixel rows, the same layout as BMP pixel data;
+    public format: RIFF/AVI, Microsoft AVI RIFF reference).
+
+    Walks the RIFF CHUNK TREE rather than assuming fixed offsets — a
+    real file carries nested LISTs (``hdrl`` → ``strl``) before
+    ``movi`` and alignment ``JUNK`` chunks between frames, and every
+    odd-sized chunk pads to an even offset per the spec. Reads the
+    frame cadence (``dwMicroSecPerFrame``) and declared frame count
+    from ``avih``, dimensions + bit depth from the stream-format
+    BITMAPINFOHEADER, then collects ``00db``/``00dc`` frames in movi
+    order. Returns ``{us_per_frame, n_frames, frames: [(h, w) int64
+    grayscale arrays (Rec.601 integer luma, top-down)]}``, or
+    ``None`` for anything that is not a 24-bpp DIB AVI (fail-soft,
+    like the other parsers)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    us_per_frame = n_declared = None
+    w = h = None
+    frames: list = []
+
+    def walk(pos: int, end: int, in_movi: bool) -> bool:
+        nonlocal us_per_frame, n_declared, w, h
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            csz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if body + csz > end:
+                return False  # truncated chunk
+            if cid == b"LIST":
+                ltype = b[body : body + 4]
+                if not walk(
+                    body + 4, body + csz, in_movi or ltype == b"movi"
+                ):
+                    return False
+            elif cid == b"avih" and csz >= 56:
+                us_per_frame = int.from_bytes(b[body : body + 4], "little")
+                n_declared = int.from_bytes(
+                    b[body + 16 : body + 20], "little"
+                )
+            elif cid == b"strf" and csz >= 40:
+                w = int.from_bytes(b[body + 4 : body + 8], "little", signed=True)
+                h = int.from_bytes(b[body + 8 : body + 12], "little", signed=True)
+                bitcount = int.from_bytes(b[body + 14 : body + 16], "little")
+                if bitcount != 24:
+                    return False
+            elif in_movi and cid in (b"00db", b"00dc"):
+                frames.append((body, csz))
+            pos = body + csz + (csz & 1)  # even-offset padding
+        return True
+
+    if not walk(12, len(b), False):
+        return None
+    if us_per_frame is None or not frames or not w or not h or h <= 0:
+        return None
+    rowsize = ((w * 3 + 3) // 4) * 4
+    gray_frames = []
+    for body, csz in frames:
+        if csz < rowsize * h:
+            return None
+        raw = np.frombuffer(b, dtype=np.uint8, count=rowsize * h, offset=body)
+        rows = raw.reshape(h, rowsize)[:, : w * 3].reshape(h, w, 3)[::-1]
+        blue = rows[..., 0].astype(np.int64)
+        green = rows[..., 1].astype(np.int64)
+        red = rows[..., 2].astype(np.int64)
+        gray_frames.append((77 * red + 151 * green + 28 * blue) >> 8)
+    if n_declared is not None and n_declared != len(gray_frames):
+        return None  # header/stream disagreement
+    return {
+        "us_per_frame": us_per_frame,
+        "n_frames": len(gray_frames),
+        "frames": gray_frames,
+    }
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, frame_idx int, mean_gray long, peak_gray long, "
+    "n_frames int, dur_ms long"
+)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 120) -> DataFrame:
+    """Deterministic every-k-th frame sampling over REAL decoded AVI
+    frames: the sampling stride comes from the file's own declared
+    cadence (``ceil(every_ms / frame_ms)``), so the operator reads
+    metadata, not a constant. Per sampled frame: integer mean and
+    peak luma (exact — the oracle recomputes both from the pixel
+    formula). One row per sampled frame; fail-soft rows are dropped
+    (undecodable payloads produce nothing, like the header parsers).
+
+    Scale shape: mapInPandas over (media_id, content) only — each
+    video decodes once inside its Arrow batch, emits a handful of
+    integer rows, and nothing is ever collected driver-side."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                dec = decode_avi_dib(bytes(r["content"]))
+                if dec is None or dec["us_per_frame"] <= 0:
+                    continue
+                frame_ms = dec["us_per_frame"] // 1000
+                step = max(
+                    1, -(-every_ms // max(1, frame_ms))
+                )  # ceil division
+                nf = dec["n_frames"]
+                for f in range(0, nf, step):
+                    g = dec["frames"][f]
+                    rows.append(
+                        (
+                            int(r["media_id"]),
+                            f,
+                            int(g.sum()) // g.size,
+                            int(g.max()),
+                            nf,
+                            nf * frame_ms,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "mean_gray", "peak_gray",
+                    "n_frames", "dur_ms",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        batches, FRAME_SAMPLE_SCHEMA
+    )

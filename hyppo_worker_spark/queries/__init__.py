@@ -256,6 +256,9 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "p16_dropdup_within_watermark",  # bounded-state streaming
         # dedup (window full at 50): locally oracle-checked; queued
         # with p13 at the front of the r7 rotation
+        "m08_video_frame_sample",  # AVI chunk-walk + frame sampling
+        # (window full at 50): locally oracle-checked; m02/m06/m07
+        # keep the multimodal driver rows; queued for r7
     }
 )
 

@@ -636,3 +636,155 @@ def m07_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# m08 — video FRAME SAMPLING over a REAL container: completes the
+# multimodal quartet (decode m02/m06, feature-extract m07, resize
+# m06's upscale contract, frame-sample HERE) with raw bytes instead
+# of a codec gate. Each "video" is a minimal-but-real RIFF/AVI file
+# built ENTIRELY by Spark SQL expressions (so the Python parser is
+# independently verified, the m02/m06/m07 design): nested LISTs
+# (hdrl → strl with avih/strh/strf), an alignment JUNK chunk inside
+# movi, and 8-12 uncompressed bottom-up 24-bpp DIB '00db' frames
+# whose pixels follow a per-(doc, frame, x, y) formula with a
+# frame-dependent term. `operators.multimodal.decode_avi_dib` walks
+# the chunk TREE (fixed-offset readers break on the JUNK chunk and
+# on per-doc variable frame counts), cross-checks the avih declared
+# frame count against the movi stream, and the sampler derives its
+# stride from the file's OWN cadence metadata (40 ms/frame, 120 ms
+# sampling → every 3rd frame). The oracle recomputes every sampled
+# frame's integer mean/peak luma straight from the pixel formula —
+# a wrong stride, a skipped/duplicated frame, a bottom-up flip, a
+# BGR swap, or any mis-walked chunk boundary changes the values.
+# --------------------------------------------------------------------------
+def _le32_sql(expr: str) -> str:
+    """Hex of a 4-byte little-endian u32 built from a SQL int expr."""
+    return (
+        "concat("
+        + ", ".join(
+            f"lpad(hex(pmod(({expr}) div {256 ** i}, 256)), 2, '0')"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+def _avi_sql(src: str, nf: str) -> str:
+    """Spark SQL expression producing a complete RIFF/AVI file with
+    ``nf`` raw 16x16 24-bpp DIB frames for one row."""
+    import struct as _s
+
+    w = h = 16
+    rowsize = w * 3  # 48, already 4-byte aligned
+    frame_bytes = rowsize * h  # 768
+    avih_pre = _s.pack("<IIII", 40_000, 0, 0, 0)  # usPerFrame..flags
+    avih_post = _s.pack("<IIIIII", 0, 1, frame_bytes, w, h, 0) + b"\0" * 12
+    strh_pre = (
+        b"vids" + b"DIB " + _s.pack("<IHHIIII", 0, 0, 0, 0, 1, 25, 0)
+    )  # flags, prio, lang, initFrames, scale, rate, start
+    strh_post = _s.pack("<III", frame_bytes, 0, 0) + b"\0" * 8
+    strf = _s.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+    # constant hex segments between the nf-dependent LE32 splices
+    seg_a = (
+        b"AVI "
+        + b"LIST" + _s.pack("<I", 192) + b"hdrl"
+        + b"avih" + _s.pack("<I", 56) + avih_pre
+    ).hex().upper()
+    seg_b = (
+        avih_post
+        + b"LIST" + _s.pack("<I", 116) + b"strl"
+        + b"strh" + _s.pack("<I", 56) + strh_pre
+    ).hex().upper()
+    seg_c = (strh_post + b"strf" + _s.pack("<I", 40) + strf + b"LIST").hex().upper()
+    junk = (b"JUNK" + _s.pack("<I", 4) + b"\0" * 4).hex().upper()
+    frame_hdr = (b"00db" + _s.pack("<I", frame_bytes)).hex().upper()
+
+    p = (
+        f"pmod({src}*31 + x*7 + y*13 + pmod({src}, 13)*x*y"
+        f" + f*97 + pmod({src}, 7)*f, 256)"
+    )
+    pix = (
+        f"concat(lpad(hex(pmod({p} * 7, 256)), 2, '0'), "  # B
+        f"lpad(hex(pmod({p} * 3, 256)), 2, '0'), "  # G
+        f"lpad(hex({p}), 2, '0'))"  # R
+    )
+    row = f"array_join(transform(sequence(0, {w - 1}), x -> {pix}), '')"
+    frame = f"array_join(transform(sequence({h - 1}, 0, -1), y -> {row}), '')"
+    frames = (
+        f"array_join(transform(sequence(0, ({nf}) - 1), f -> "
+        f"concat('{frame_hdr}', {frame}, "
+        f"IF(f = 0, '{junk}', ''))), '')"
+    )
+    riff_size = f"228 + 776 * ({nf})"
+    movi_size = f"16 + 776 * ({nf})"
+    return (
+        "unhex(concat('52494646', "  # 'RIFF'
+        f"{_le32_sql(riff_size)}, '{seg_a}', {_le32_sql(nf)}, "
+        f"'{seg_b}', {_le32_sql(nf)}, '{seg_c}', "
+        f"{_le32_sql(movi_size)}, '6D6F7669', {frames}))"  # 'movi'
+    )
+
+
+_M08_P = (
+    "(src*31 + x*7 + y*13 + (src % 13)*x*y + f*97 + (src % 7)*f) % 256"
+)
+_M08_LUMA = (
+    f"(77 * ({_M08_P}) + 151 * ((3 * ({_M08_P})) % 256)"
+    f" + 28 * ((7 * ({_M08_P})) % 256)) // 256"
+)
+
+
+@register(
+    "m08_video_frame_sample",
+    oracle=f"""
+    WITH vids AS (
+        SELECT doc_id AS media_id, doc_id AS src,
+               CAST(8 + doc_id % 5 AS INT) AS nf
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    px AS (
+        SELECT media_id, f, nf, {_M08_LUMA} AS luma
+        FROM vids, range(0, 12) ff(f), range(0, 16) xx(x),
+             range(0, 16) yy(y)
+        WHERE f % 3 = 0 AND f < nf
+    )
+    SELECT media_id, CAST(f AS INT) AS frame_idx,
+           CAST(sum(luma) // 256 AS BIGINT) AS mean_gray,
+           CAST(max(luma) AS BIGINT) AS peak_gray,
+           nf AS n_frames,
+           CAST(nf * 40 AS BIGINT) AS dur_ms
+    FROM px GROUP BY media_id, f, nf
+    ORDER BY media_id, frame_idx
+    """,
+    tags=("multimodal", "video", "frame-sample", "avi", "mapInPandas"),
+)
+def m08_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-3rd-frame sampling (stride from the file's own cadence
+    metadata) over real chunk-walked AVI containers, with exact
+    integer per-frame luma features."""
+    from hyppo_worker_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    vids = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            _avi_sql("doc_id", "8 + doc_id % 5")
+        ).alias("content"),
+    )
+    return (
+        sample_video_frames(vids, every_ms=120)
+        .select(
+            "media_id",
+            "frame_idx",
+            F.col("mean_gray").cast("long").alias("mean_gray"),
+            F.col("peak_gray").cast("long").alias("peak_gray"),
+            "n_frames",
+            F.col("dur_ms").cast("long").alias("dur_ms"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
