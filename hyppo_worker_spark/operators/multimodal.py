@@ -121,8 +121,15 @@ def image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
 
 def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
     """Resize stage: same schema out as in, payload replaced by the
-    resized pseudo-render, metadata updated. Plumbing-real: batched,
-    schema-preserving, composes with writes."""
+    resized render, metadata updated. Plumbing-real: batched,
+    schema-preserving, composes with writes.
+
+    ``decoder="bmp"`` runs a REAL resize — :func:`resize_bmp`'s
+    integer box-mean downsample over actually-decoded 24-bpp BMP
+    pixels, re-encoded as a standard BMP (payloads that are not
+    exactly-divisible BMPs pass through unchanged, fail-soft).
+    ``decoder="fake"`` keeps the md5-chain pseudo-render for
+    compressed formats; ``"real"`` stays gated on PIL."""
     if decoder == "real":
         raise NotImplementedError("real resize needs PIL — not in this container")
 
@@ -133,8 +140,14 @@ def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake")
                 md = dict(r["metadata"])
                 content = bytes(r["content"])
                 if r["kind"] == "image":
-                    content = _fake_pixels(content, width * height).tobytes()
-                    md["width"], md["height"] = width, height
+                    if decoder == "bmp":
+                        resized = resize_bmp(content, width, height)
+                        if resized is not None:
+                            content = resized
+                            md["width"], md["height"] = width, height
+                    else:
+                        content = _fake_pixels(content, width * height).tobytes()
+                        md["width"], md["height"] = width, height
                 out.append((int(r["media_id"]), r["kind"], content, md))
             yield pd.DataFrame(out, columns=["media_id", "kind", "content", "metadata"])
 
@@ -417,6 +430,19 @@ def decode_bmp_gray(b: bytes) -> "np.ndarray | None":
     - integer luma ``(77r + 151g + 28b) >> 8`` (the Rec.601 weights in
       8-bit fixed point — deterministic across platforms).
     """
+    bgr = _decode_bmp_bgr(b)
+    if bgr is None:
+        return None
+    blue = bgr[..., 0].astype(np.int64)
+    green = bgr[..., 1].astype(np.int64)
+    red = bgr[..., 2].astype(np.int64)
+    return (77 * red + 151 * green + 28 * blue) >> 8
+
+
+def _decode_bmp_bgr(b: bytes) -> "np.ndarray | None":
+    """Shared 24-bpp BI_RGB pixel-array decode: ``(h, w, 3)`` uint8
+    in TOP-DOWN row order, BGR channel order as stored (the contract
+    every BMP consumer here builds on)."""
     if len(b) < 54 or b[:2] != b"BM":
         return None
     off = int.from_bytes(b[10:14], "little")
@@ -435,10 +461,52 @@ def decode_bmp_gray(b: bytes) -> "np.ndarray | None":
     rows = raw.reshape(h, rowsize)[:, : w * 3].reshape(h, w, 3)
     if not topdown:
         rows = rows[::-1]  # bottom-up file order -> top-down image
-    blue = rows[..., 0].astype(np.int64)
-    green = rows[..., 1].astype(np.int64)
-    red = rows[..., 2].astype(np.int64)
-    return (77 * red + 151 * green + 28 * blue) >> 8
+    return rows
+
+
+def encode_bmp(bgr: "np.ndarray") -> bytes:
+    """Encode an ``(h, w, 3)`` top-down BGR uint8 array as a
+    standard bottom-up 24-bpp BI_RGB BMP (4-byte row padding)."""
+    import struct as _s
+
+    h, w = bgr.shape[:2]
+    rowsize = ((w * 3 + 3) // 4) * 4
+    hdr = (
+        b"BM"
+        + _s.pack("<IHHI", 54 + rowsize * h, 0, 0, 54)
+        + _s.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, rowsize * h, 2835, 2835, 0, 0
+        )
+    )
+    pad = b"\0" * (rowsize - w * 3)
+    body = b"".join(
+        bgr[y].astype(np.uint8).tobytes() + pad for y in range(h - 1, -1, -1)
+    )
+    return hdr + body
+
+
+def resize_bmp(b: bytes, width: int, height: int) -> "bytes | None":
+    """REAL resize of a 24-bpp BMP: integer box-mean downsample per
+    channel (exact — every output pixel is ``sum // count`` over its
+    source box), re-encoded as a standard BMP. Requires the source
+    dimensions to be integer multiples of the target (the exactness
+    contract: fractional boxes would need rounding policy that no
+    SQL oracle could reproduce bit-for-bit); anything else — or any
+    non-BMP payload — fails soft with ``None``."""
+    bgr = _decode_bmp_bgr(b)
+    if bgr is None:
+        return None
+    h, w = bgr.shape[:2]
+    if width <= 0 or height <= 0 or w % width or h % height:
+        return None
+    ky, kx = h // height, w // width
+    small = (
+        bgr.astype(np.int64)
+        .reshape(height, ky, width, kx, 3)
+        .sum(axis=(1, 3))
+        // (kx * ky)
+    )
+    return encode_bmp(small)
 
 
 def ahash_bits_from_gray(gray: "np.ndarray") -> list[int]:

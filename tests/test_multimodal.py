@@ -307,3 +307,89 @@ def test_audio_pcm_features_integer_exact(spark):
     # strict sign products: (100,-50),(-50,25),(25,0),(0,-25) -> 2
     assert r.zero_crossings == 2
     assert r.peak_abs == 100
+
+
+def test_resize_bmp_integer_box_mean():
+    from hyppo_worker_spark.operators.multimodal import (
+        _decode_bmp_bgr,
+        resize_bmp,
+    )
+
+    # 4x4 with distinct per-pixel channels; resize to 2x2
+    rgb = [
+        [((4 * y + x) * 3, (4 * y + x) * 5 % 256, (4 * y + x) * 7 % 256)
+         for x in range(4)]
+        for y in range(4)
+    ]
+    src = _make_bmp(rgb, pad_fill=0x5A)  # padding garbage must not leak
+    out = resize_bmp(src, 2, 2)
+    assert out is not None
+    small = _decode_bmp_bgr(out)
+    assert small.shape == (2, 2, 3)
+    big = _decode_bmp_bgr(src).astype(int)
+    for by in range(2):
+        for bx in range(2):
+            block = big[2 * by : 2 * by + 2, 2 * bx : 2 * bx + 2]
+            for c in range(3):
+                assert small[by, bx, c] == int(block[..., c].sum()) // 4
+
+
+def test_resize_bmp_upscaled_rendition_resizes_identically():
+    """The operator-level twin of m06's perceptual contract: a
+    pixel-doubled rendition box-meaned to the same target dims yields
+    byte-identical output ((K^2*s)//(K^2*n) == s//n)."""
+    from hyppo_worker_spark.operators.multimodal import resize_bmp
+
+    rgb = [
+        [((y * 31 + x * 7) % 256, (y * 13 + x * 3) % 256, (x * y) % 256)
+         for x in range(8)]
+        for y in range(8)
+    ]
+    doubled = [
+        [rgb[y // 2][x // 2] for x in range(16)] for y in range(16)
+    ]
+    a = resize_bmp(_make_bmp(rgb), 4, 4)
+    b = resize_bmp(_make_bmp(doubled), 4, 4)
+    assert a is not None and a == b
+
+
+def test_resize_bmp_fail_soft():
+    from hyppo_worker_spark.operators.multimodal import resize_bmp
+
+    rgb = [[(1, 2, 3)] * 6 for _ in range(6)]
+    src = _make_bmp(rgb)
+    assert resize_bmp(src, 4, 4) is None  # 6 not divisible by 4
+    assert resize_bmp(b"nope", 2, 2) is None
+    assert resize_bmp(src, 0, 2) is None
+
+
+def test_resize_images_bmp_decoder(spark):
+    from hyppo_worker_spark.operators.multimodal import (
+        _decode_bmp_bgr,
+        resize_images,
+    )
+
+    rgb = [[((x + y) % 256, x % 256, y % 256) for x in range(8)]
+           for y in range(8)]
+    bmp = _make_bmp(rgb)
+    from hyppo_worker_spark.operators.multimodal import MEDIA_SCHEMA
+
+    md = {"width": 8, "height": 8, "sample_rate": None,
+          "duration_ms": None, "format": "BMP"}
+    rows = [
+        (1, "image", bmp, md),
+        (2, "image", b"not-a-bmp", md),
+        (3, "audio", b"wav-ish", dict(md, format="WAV")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r.media_id: r
+        for r in resize_images(df, 4, 4, decoder="bmp").collect()
+    }
+    out = _decode_bmp_bgr(bytes(got[1].content))
+    assert out.shape == (4, 4, 3)
+    assert got[1].metadata["width"] == 4
+    # non-BMP image and non-image rows pass through untouched
+    assert bytes(got[2].content) == b"not-a-bmp"
+    assert got[2].metadata["width"] == 8
+    assert bytes(got[3].content) == b"wav-ish"
