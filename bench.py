@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "p15_streaming_funnel",
     "p16_dropdup_within_watermark",
     "m08_video_frame_sample",
+    "t31_unicode_nfc_normalize",
 ]
 
 

@@ -259,6 +259,9 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "m08_video_frame_sample",  # AVI chunk-walk + frame sampling
         # (window full at 50): locally oracle-checked; m02/m06/m07
         # keep the multimodal driver rows; queued for r7
+        "t31_unicode_nfc_normalize",  # NFC normalization via the
+        # sanctioned mapInPandas slow path vs DuckDB nfc_normalize
+        # (window full at 50): locally oracle-checked; queued for r7
     }
 )
 

@@ -2477,3 +2477,103 @@ def t30_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# t31 — Unicode normalization (NFC): the one text-pipeline primitive
+# Spark has NO built-in for (exact-dedup digests, decontamination
+# joins, and tokenizers all silently fracture when "é" arrives both
+# precomposed U+00E9 and decomposed e+U+0301 — byte-different,
+# visually identical). The operator is the sanctioned slow-path
+# shape: an Arrow-batched mapInPandas stage running
+# unicodedata.normalize("NFC") — a per-row pure function with no
+# shuffle (the aggregation after it is the usual partial-agg +
+# one exchange). The corpus column is salted with a decomposed
+# suffix covering the three NFC behavior classes: combining marks
+# that COMPOSE (e+U+0301 → é, A+U+030A → Å), a singleton that
+# REMAPS (U+212B ANGSTROM SIGN → U+00C5), and a compatibility
+# ligature that NFC must PRESERVE (U+FB01 ﬁ — only NFKC folds it).
+# DuckDB's native nfc_normalize() reproduces the transform, so the
+# oracle checks real normalization semantics end-to-end: per-lang
+# codepoint counts before/after plus a 52-bit md5 digest sum over
+# the normalized strings — one wrongly composed (or wrongly folded)
+# character anywhere breaks the hash.
+# --------------------------------------------------------------------------
+_T31_DECOMP = " é Å ﬁ Å"
+
+
+@register(
+    "t31_unicode_nfc_normalize",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id, lang,
+               substr(text, 1, 12) || ' {_T31_DECOMP}' AS s
+        FROM documents
+    ),
+    n AS (SELECT lang, s, nfc_normalize(s) AS nfc FROM src)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(s)) AS BIGINT) AS raw_cp,
+           CAST(sum(length(nfc)) AS BIGINT) AS nfc_cp,
+           CAST(sum(('0x' || substr(md5(nfc), 1, 13))::BIGINT)
+               AS BIGINT) AS digest_sum
+    FROM n GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "normalization", "unicode", "nfc", "mapInPandas"),
+)
+def t31_unicode_nfc_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-lang census of NFC normalization over a decomposed-salted
+    corpus column: codepoint counts before/after + digest sum of the
+    normalized strings (Arrow-batched unicodedata stage; DuckDB's
+    nfc_normalize is the oracle)."""
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    src = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.substring("text", 1, 12), F.lit(" " + _T31_DECOMP)
+        ).alias("s"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            nfc = pdf["s"].map(
+                lambda x: unicodedata.normalize("NFC", x)
+            )
+            yield pd.DataFrame(
+                {
+                    "lang": pdf["lang"],
+                    "nfc": nfc,
+                    # python len == codepoints (Spark's length() would
+                    # count UTF-16 units — equal only for BMP input)
+                    "n_raw": pdf["s"].map(len),
+                    "n_nfc": nfc.map(len),
+                }
+            )
+
+    out = src.mapInPandas(
+        batches, "lang string, nfc string, n_raw long, n_nfc long"
+    )
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_raw").cast("long").alias("raw_cp"),
+            F.sum("n_nfc").cast("long").alias("nfc_cp"),
+            F.sum(
+                F.conv(F.substring(F.md5("nfc"), 1, 13), 16, 10).cast(
+                    "bigint"
+                )
+            )
+            .cast("long")
+            .alias("digest_sum"),
+        )
+        .orderBy("lang")
+    )

@@ -212,3 +212,15 @@ def test_t14_no_corpus_wide_window(spark, registry):
     df = registry["t14_sequence_packing"].spark_fn(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "hashpartitioning(_psum_bucket" in plan
+
+
+def test_m08_container_build_is_repartitioned(spark, registry):
+    """The AVI container-build expression expands each input row into
+    ~10 KB and burns per-pixel CPU; Catalyst sizes the stage by the
+    tiny documents scan, so WITHOUT an explicit pre-build exchange it
+    runs near-serial (measured 9 tasks / 62s at x10 vs 105 / 4.2s).
+    Pin that an Exchange sits in the plan ahead of the Python stage."""
+    df = registry["m08_video_frame_sample"].spark_fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("Exchange") >= 2  # pre-build hash + final sort
+    assert "hashpartitioning(doc_id" in plan
