@@ -2507,7 +2507,7 @@ _T31_DECOMP = " é Å ﬁ Å"
     oracle=f"""
     WITH src AS (
         SELECT doc_id, lang,
-               substr(text, 1, 12) || ' {_T31_DECOMP}' AS s
+               text || ' {_T31_DECOMP}' AS s
         FROM documents
     ),
     n AS (SELECT lang, s, nfc_normalize(s) AS nfc FROM src)
@@ -2538,7 +2538,7 @@ def t31_unicode_nfc_normalize(
         "doc_id",
         "lang",
         F.concat(
-            F.substring("text", 1, 12), F.lit(" " + _T31_DECOMP)
+            F.col("text"), F.lit(" " + _T31_DECOMP)
         ).alias("s"),
     )
 
