@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "p16_dropdup_within_watermark",
     "m08_video_frame_sample",
     "t31_unicode_nfc_normalize",
+    "q64_collated_aggregation",
 ]
 
 

@@ -262,6 +262,9 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t31_unicode_nfc_normalize",  # NFC normalization via the
         # sanctioned mapInPandas slow path vs DuckDB nfc_normalize
         # (window full at 50): locally oracle-checked; queued for r7
+        "q64_collated_aggregation",  # Spark-4 native UTF8_LCASE
+        # collation groupBy (window full at 50): locally
+        # oracle-checked; queued for r7
     }
 )
 

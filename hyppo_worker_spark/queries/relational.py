@@ -4023,3 +4023,68 @@ def q63_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# q64 — collation-aware aggregation: Spark 4's native string
+# collations (`collate(s, 'UTF8_LCASE')`) do case-insensitive
+# grouping INSIDE the hash aggregate — no lower() projection, no
+# lost original casing, and the same collated column drives joins
+# and distincts natively. The corpus synthesizes three case
+# renditions of each (source, lang) label; the collated groupBy
+# must merge them back into one class while the BINARY min/distinct
+# aggregates still see the raw variants (rep = binary min, i.e. the
+# uppercase rendition; n_variants counts the distinct raw strings
+# per class). The oracle reproduces the classes with lower()
+# grouping — a collation that under- or over-merges (or leaks into
+# the binary aggregates) splits rows or shifts counts.
+# --------------------------------------------------------------------------
+@register(
+    "q64_collated_aggregation",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                   WHEN 0 THEN upper(source || '_' || lang)
+                   WHEN 1 THEN lower(source || '_' || lang)
+                   ELSE source || '_' || lang END AS s
+        FROM documents
+    )
+    SELECT lower(s) AS key_lc,
+           min(s) AS rep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT s) AS BIGINT) AS n_variants,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM src GROUP BY lower(s) ORDER BY key_lc
+    """,
+    tags=("relational", "collation", "aggregation", "spark4-native"),
+)
+def q64_collated_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive label census via the native UTF8_LCASE
+    collation: collated grouping, binary min/distinct inside."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    label = F.concat_ws("_", "source", "lang")
+    src = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.upper(label))
+        .when(F.col("doc_id") % 3 == 1, F.lower(label))
+        .otherwise(label)
+        .alias("s"),
+    )
+    return (
+        src.groupBy(F.expr("collate(s, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.min("s").alias("rep"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("s").cast("long").alias("n_variants"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .select(
+            F.lower("rep").alias("key_lc"),
+            "rep",
+            "n_docs",
+            "n_variants",
+            "id_sum",
+        )
+        .orderBy("key_lc")
+    )
