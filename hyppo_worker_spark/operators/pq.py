@@ -94,11 +94,20 @@ def pq_codebooks(
         scored = subs.join(F.broadcast(cents), "m").withColumn(
             "__d", V.sqdist(F.col("sv"), F.col("cent"))
         )
-        w = W.partitionBy("__id", "m").orderBy(F.col("__d").asc(), "cent_id")
+        # argmin via min_by, not a window: identical assignment (same
+        # (__d, cent_id) tie-break as the orderBy it replaces), but
+        # map-side partial aggregation collapses the k candidates per
+        # (vector, subspace) BEFORE the exchange — the window form
+        # shuffles and sorts all k rows per key.
         assigned = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("__id", "m", "sv", F.col("cent_id").alias("cell"))
+            scored.groupBy("__id", "m")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("sv"), F.col("cent_id").alias("cell")),
+                    F.struct(F.col("__d"), F.col("cent_id")),
+                ).alias("a")
+            )
+            .select("__id", "m", F.col("a.sv").alias("sv"), "a.cell")
         )
         sums = (
             assigned.select("m", "cell", F.posexplode("sv").alias("pos", "x"))
@@ -151,11 +160,15 @@ def pq_encode(
     scored = subs.join(F.broadcast(codebooks), "m").withColumn(
         "__d", V.sqdist(F.col("sv"), F.col("cent"))
     )
-    w = W.partitionBy("__id", "m").orderBy(F.col("__d").asc(), "cent_id")
+    # same min_by argmin as training: k codes collapse map-side
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__id", "m", F.col("cent_id").alias("code"))
+        scored.groupBy("__id", "m")
+        .agg(
+            F.min_by(
+                "cent_id", F.struct(F.col("__d"), F.col("cent_id"))
+            ).alias("code")
+        )
+        .select("__id", "m", "code")
     )
 
 
