@@ -201,3 +201,94 @@ def test_compaction_never_changes_answers(wm):
     st, _, _ = funnel_step(EMPTY, first, wm)
     _, reached_i, done_i = funnel_step(st, second, wm)
     assert (reached_i, done_i) == (reached_w, done_w)
+
+
+# -- property: compaction never changes the final answer ------------------
+#
+# The watermark contract says an event with ts <= wm can never arrive
+# later. Under ANY partition of a user's events into batches and ANY
+# non-decreasing watermark sequence that RESPECTS that contract
+# (wm at each step < min ts still undelivered), iterating funnel_step
+# must converge to exactly the full-information chained-min answer —
+# i.e. the state compaction may only ever drop candidates that no
+# admissible future event could resurrect. Hypothesis drives this
+# with adversarial splits (duplicates, ties, empty batches, watermark
+# jumping right up against the next delivery).
+from hypothesis import given, settings, strategies as st_
+
+
+def _batch_funnel(by_stage):
+    prev = -(1 << 62)
+    reached, completed = 0, None
+    for lst in by_stage:
+        nxt = min((v for v in sorted(set(lst)) if v > prev), default=None)
+        if nxt is None:
+            break
+        reached += 1
+        completed = nxt
+        prev = nxt
+    return reached, completed
+
+
+@st_.composite
+def _scenario(draw):
+    n_stages = len(FUNNEL_STAGES)
+    events = []  # (stage, ts)
+    for stage in range(n_stages):
+        for ts in draw(
+            st_.lists(st_.integers(0, 200), min_size=0, max_size=6)
+        ):
+            events.append((stage, ts))
+    n_batches = draw(st_.integers(1, 4))
+    assignment = [
+        draw(st_.integers(0, n_batches - 1)) for _ in events
+    ]
+    # watermark after each batch: anywhere from previous wm up to the
+    # contract ceiling (one less than the earliest still-undelivered
+    # event time; unbounded after the last delivery)
+    wm_caps = []
+    for b in range(n_batches):
+        future = [
+            ts
+            for (s, ts), a in zip(events, assignment)
+            if a > b
+        ]
+        cap = (min(future) - 1) if future else 250
+        wm_caps.append(cap)
+    wm_fracs = [
+        draw(st_.integers(0, 100)) for _ in range(n_batches)
+    ]
+    return events, assignment, wm_caps, wm_fracs
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=_scenario())
+def test_funnel_step_exact_under_any_contract_respecting_replay(data):
+    events, assignment, wm_caps, wm_fracs = data
+    n_stages = len(FUNNEL_STAGES)
+    state = [[] for _ in range(n_stages)]
+    wm = -(1 << 62)
+    reached = completed = None
+    for b in range(len(wm_caps)):
+        batch = [[] for _ in range(n_stages)]
+        for (stage, ts), a in zip(events, assignment):
+            if a == b:
+                batch[stage].append(ts)
+        # non-decreasing wm, never past the contract ceiling
+        lo, hi = wm, max(wm, wm_caps[b])
+        wm = lo + (hi - lo) * wm_fracs[b] // 100
+        state, reached, completed = funnel_step(state, batch, wm)
+    by_stage = [[] for _ in range(n_stages)]
+    for stage, ts in events:
+        by_stage[stage].append(ts)
+    want_reached, want_completed = _batch_funnel(by_stage)
+    assert (reached, completed) == (want_reached, want_completed)
+    # and the state is genuinely bounded: every finalized stage holds
+    # at most one candidate
+    prev_final, prev_t = True, -(1 << 62)
+    for k, lst in enumerate(state):
+        t_k = min((v for v in lst if v > prev_t), default=None) if prev_t is not None else None
+        if prev_final and prev_t is not None:
+            assert len(lst) <= 1
+        prev_final = prev_final and t_k is not None and t_k <= wm
+        prev_t = t_k
