@@ -720,10 +720,11 @@ def decode_avi_dib(b: bytes) -> "dict | None":
         return None
     us_per_frame = n_declared = None
     w = h = None
+    stream_type = None  # fccType of the enclosing strl's strh
     frames: list = []
 
     def walk(pos: int, end: int, in_movi: bool) -> bool:
-        nonlocal us_per_frame, n_declared, w, h
+        nonlocal us_per_frame, n_declared, w, h, stream_type
         while pos + 8 <= end:
             cid = b[pos : pos + 4]
             csz = int.from_bytes(b[pos + 4 : pos + 8], "little")
@@ -732,6 +733,8 @@ def decode_avi_dib(b: bytes) -> "dict | None":
                 return False  # truncated chunk
             if cid == b"LIST":
                 ltype = b[body : body + 4]
+                if ltype == b"strl":
+                    stream_type = None  # each strl declares its own strh
                 if not walk(
                     body + 4, body + csz, in_movi or ltype == b"movi"
                 ):
@@ -741,12 +744,25 @@ def decode_avi_dib(b: bytes) -> "dict | None":
                 n_declared = int.from_bytes(
                     b[body + 16 : body + 20], "little"
                 )
+            elif cid == b"strh" and csz >= 4:
+                stream_type = b[body : body + 4]
             elif cid == b"strf" and csz >= 40:
-                w = int.from_bytes(b[body + 4 : body + 8], "little", signed=True)
-                h = int.from_bytes(b[body + 8 : body + 12], "little", signed=True)
-                bitcount = int.from_bytes(b[body + 14 : body + 16], "little")
-                if bitcount != 24:
-                    return False
+                # strf's layout depends on the stream: only a 'vids'
+                # strf is a BITMAPINFOHEADER — an audio stream's
+                # WAVEFORMATEX here would misread bitcount and a second
+                # video stream must not overwrite the first's w/h.
+                if stream_type == b"vids" and w is None:
+                    w = int.from_bytes(
+                        b[body + 4 : body + 8], "little", signed=True
+                    )
+                    h = int.from_bytes(
+                        b[body + 8 : body + 12], "little", signed=True
+                    )
+                    bitcount = int.from_bytes(
+                        b[body + 14 : body + 16], "little"
+                    )
+                    if bitcount != 24:
+                        return False
             elif in_movi and cid in (b"00db", b"00dc"):
                 frames.append((body, csz))
             pos = body + csz + (csz & 1)  # even-offset padding

@@ -316,13 +316,10 @@ def p03_integration_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hyppo_worker_spark.sources.integration_source import (
         FORMAT_NAME,
-        IntegrationDataSource,
+        register_integration_source,
     )
 
-    spark.dataSource.register(IntegrationDataSource)
-    # runtime-settable; the driver's own session won't have the
-    # builder-time default from session.get_spark
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_integration_source(spark)
     df = (
         spark.read.format(FORMAT_NAME)
         .schema("task_id int, day string, seq int, name string, score int")
@@ -380,11 +377,11 @@ def p04_integration_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 
     from hyppo_worker_spark.sources.integration_source import (
         FORMAT_NAME,
-        IntegrationDataSource,
         read_committed,
+        register_integration_source,
     )
 
-    spark.dataSource.register(IntegrationDataSource)
+    register_integration_source(spark)
     src = (
         spark.read.format(FORMAT_NAME)
         .schema("task_id int, day string, seq int, name string, score int")
@@ -567,11 +564,11 @@ def p06_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hyppo_worker_spark.sources.integration_source import (
         FORMAT_NAME,
-        IntegrationDataSource,
         read_committed,
+        register_integration_source,
     )
 
-    spark.dataSource.register(IntegrationDataSource)
+    register_integration_source(spark)
 
     def fetched(tasks):
         return (

@@ -3962,7 +3962,7 @@ def q62_sql_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q63_session_window_native",
     oracle="""
     WITH g AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
                     THEN 1 ELSE 0 END AS is_start
@@ -3971,8 +3971,11 @@ def q62_sql_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT user_id, ts, value,
+               -- event_id tie-break keeps the ROWS running sum
+               -- deterministic when equal timestamps straddle a
+               -- session boundary (same order as the lag CTE)
                sum(is_start) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS sid
         FROM g

@@ -421,12 +421,24 @@ def decode_record(
     pos: int,
     null_branch: dict[str, int] | None = None,
 ) -> tuple[dict, int]:
-    """Decode one record. ``null_branch`` maps field name → index of
-    "null" in that field's DECLARED union (from the file's own schema
-    via ``avro_schema.null_branch_indices``); when omitted, the
-    ``struct_to_avro`` order ``[T,"null"]`` (null index 1) is assumed
-    for every nullable field."""
-    _, decs = _row_codecs(schema)
+    """Decode one record. ``null_branch`` is the PATH-keyed map from
+    ``avro_schema.null_branch_indices`` over the file's own schema
+    (top-level field names, plus nested sites like ``f[]``, ``f{}``,
+    ``f.sub``) — the same map ``read_container`` uses, so nested union
+    sites honor the file's declared branch order too. When omitted,
+    the ``struct_to_avro`` writer convention ``[T,"null"]`` (null
+    index 1) is assumed at every union site."""
+    if null_branch is None:
+        _, decs = _row_codecs(schema)  # cached writer-convention path
+    else:
+        decs = [
+            (
+                f.name,
+                f.nullable,
+                _field_decoder(f.dataType, null_branch, f.name),
+            )
+            for f in schema.fields
+        ]
     row = {}
     for name, nullable, dec in decs:
         if nullable:

@@ -491,6 +491,25 @@ class IntegrationDataSource(DataSource):
         return IntegrationStreamWriter(schema, dict(self.options))
 
 
+def register_integration_source(spark) -> None:
+    """The ONE sanctioned way to make ``hyppo_integration`` usable on a
+    session. Registers the DataSource AND enables Python-source filter
+    pushdown together, because they are inseparable: IntegrationReader
+    implements ``pushFilters()`` (task-level pruning), and Spark 4.1
+    raises DATA_SOURCE_PUSHDOWN_DISABLED at read-planning time whenever
+    a reader pushes filters while
+    ``spark.sql.python.filterPushdown.enabled`` is false. The conf is
+    runtime-settable but off by default, and sessions built outside
+    ``session.get_spark`` (the driver harness's bare session) won't
+    have the builder-time default — so query code must never call
+    ``spark.dataSource.register(IntegrationDataSource)`` directly;
+    route through here (regression-pinned by
+    tests/test_integration_source.py::test_no_direct_register_in_queries).
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(IntegrationDataSource)
+
+
 # -- demo fetcher (used by tests; deterministic, no I/O) ----------------
 
 

@@ -27,8 +27,45 @@ def _frame_bytes(seed: int) -> bytes:
     return bytes(out)
 
 
+def _strl(strh_body: bytes, strf_body: bytes) -> bytes:
+    strh = b"strh" + struct.pack("<I", len(strh_body)) + strh_body
+    strf = b"strf" + struct.pack("<I", len(strf_body)) + strf_body
+    return (
+        b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf))
+        + b"strl" + strh + strf
+    )
+
+
+def _audio_strl() -> bytes:
+    # strh fccType 'auds'; strf is a WAVEFORMATEX (padded to 40 bytes so
+    # a type-blind parser would read its bytes 14:16 — wBitsPerSample=16
+    # — as a BITMAPINFOHEADER bitcount and hard-fail the file)
+    strh_body = (
+        b"auds" + b"\0\0\0\0" + struct.pack("<IHHIIII", 0, 0, 0, 0, 1, 8000, 0)
+        + struct.pack("<I", 8000) + struct.pack("<III", 16000, 0, 0)
+        + b"\0" * 8
+    )
+    wfx = struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0)
+    return _strl(strh_body, wfx + b"\0" * (40 - len(wfx)))
+
+
+def _second_video_strl() -> bytes:
+    # a second 'vids' stream with bogus 999x999 dimensions: must not
+    # overwrite the first stream's w/h
+    strh_body = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIII", 0, 0, 0, 0, 1, 25, 0)
+        + struct.pack("<I", 1) + struct.pack("<III", FRAME, 0, 0)
+        + b"\0" * 8
+    )
+    strf_body = struct.pack(
+        "<IiiHHIIiiII", 40, 999, 999, 1, 24, 0, FRAME, 2835, 2835, 0, 0
+    )
+    return _strl(strh_body, strf_body)
+
+
 def _avi(n_frames: int, *, junk_size: int | None = 4,
-         declared: int | None = None, us_per_frame: int = 40_000) -> bytes:
+         declared: int | None = None, us_per_frame: int = 40_000,
+         extra_strls_pre: bytes = b"", extra_strls_post: bytes = b"") -> bytes:
     avih = (
         b"avih" + struct.pack("<I", 56)
         + struct.pack("<IIII", us_per_frame, 0, 0, 0)
@@ -48,7 +85,12 @@ def _avi(n_frames: int, *, junk_size: int | None = 4,
         + struct.pack("<IiiHHIIiiII", 40, W, H, 1, 24, 0, FRAME,
                       2835, 2835, 0, 0)
     )
-    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    strl = (
+        extra_strls_pre
+        + b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf))
+        + b"strl" + strh + strf
+        + extra_strls_post
+    )
     hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
     movi = bytearray(b"movi")
     for f in range(n_frames):
@@ -88,6 +130,24 @@ def test_odd_sized_chunk_pads_to_even_offset():
 
 def test_declared_count_mismatch_fails_soft():
     assert decode_avi_dib(_avi(3, declared=5)) is None
+
+
+def test_audio_stream_strf_is_ignored():
+    # an 'auds' strl ahead of the video strl: its WAVEFORMATEX strf
+    # must not be misread as a BITMAPINFOHEADER (whose bitcount check
+    # would hard-fail the file)
+    plain = decode_avi_dib(_avi(4))
+    with_audio = decode_avi_dib(_avi(4, extra_strls_pre=_audio_strl()))
+    assert with_audio is not None
+    assert with_audio["n_frames"] == 4
+    for fa, fb in zip(plain["frames"], with_audio["frames"]):
+        assert np.array_equal(fa, fb)
+
+
+def test_second_video_strf_does_not_overwrite_dimensions():
+    dec = decode_avi_dib(_avi(3, extra_strls_post=_second_video_strl()))
+    assert dec is not None and dec["n_frames"] == 3
+    assert dec["frames"][0].shape == (H, W)
 
 
 def test_truncated_file_fails_soft():

@@ -11,8 +11,8 @@ import os
 import pytest
 
 from hyppo_worker_spark.sources.integration_source import (
-    IntegrationDataSource,
     read_committed,
+    register_integration_source,
 )
 
 SCHEMA = "task_id int, day string, seq int, name string, score int"
@@ -24,7 +24,7 @@ FETCHER = "hyppo_worker_spark.sources.integration_source:synthetic_events_fetche
 
 @pytest.fixture(scope="module")
 def registered(spark):
-    spark.dataSource.register(IntegrationDataSource)
+    register_integration_source(spark)
     return spark
 
 

@@ -13,7 +13,7 @@ import os
 import pytest
 
 from hyppo_worker_spark.sources.integration_source import (
-    IntegrationDataSource,
+    register_integration_source,
 )
 from hyppo_worker_spark.streaming.ingest_dedup import (
     DedupIngestSink,
@@ -29,7 +29,7 @@ FETCHER = (
 
 @pytest.fixture(scope="module")
 def registered(spark):
-    spark.dataSource.register(IntegrationDataSource)
+    register_integration_source(spark)
     return spark
 
 

@@ -11,8 +11,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from hyppo_worker_spark.sources.integration_source import (
-    IntegrationDataSource,
     read_committed,
+    register_integration_source,
 )
 
 SCHEMA = "task_id long, name string, score long"
@@ -20,7 +20,7 @@ SCHEMA = "task_id long, name string, score long"
 
 @pytest.fixture(scope="module")
 def registered(spark):
-    spark.dataSource.register(IntegrationDataSource)
+    register_integration_source(spark)
     return spark
 
 

@@ -5,8 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from hyppo_worker_spark.sources.integration_source import (
-    IntegrationDataSource,
     IntegrationReader,
+    register_integration_source,
     resolve_fetcher,
 )
 
@@ -21,9 +21,36 @@ FETCHER = "hyppo_worker_spark.sources.integration_source:synthetic_events_fetche
 
 @pytest.fixture(scope="module")
 def registered(spark):
-    spark.dataSource.register(IntegrationDataSource)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_integration_source(spark)
     return spark
+
+
+def test_no_direct_register_in_queries():
+    """Queries must route through register_integration_source: a direct
+    dataSource.register leaves spark.sql.python.filterPushdown.enabled
+    unset on a bare (driver-harness) session and Spark 4.1 then raises
+    DATA_SOURCE_PUSHDOWN_DISABLED because IntegrationReader implements
+    pushFilters() (the round-6 p06 driver failure)."""
+    import pathlib
+
+    import hyppo_worker_spark.queries as q
+
+    qdir = pathlib.Path(q.__file__).parent
+    offenders = [
+        p.name
+        for p in qdir.glob("*.py")
+        if "dataSource.register(" in p.read_text(encoding="utf-8")
+    ]
+    assert offenders == [], (
+        f"direct dataSource.register call in query modules {offenders}; "
+        "use sources.integration_source.register_integration_source"
+    )
+
+
+def test_register_helper_sets_pushdown_conf(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    register_integration_source(spark)
+    assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
 
 
 def _read(spark, tasks=TASKS):

@@ -1,6 +1,14 @@
 """Drive __spark_entry__.py exactly as the driver does: fresh process,
 import the module, run entry(spark) + every queries() entry vs its
-oracle_sql() on DuckDB. This is the repo's end-to-end surface."""
+oracle_sql() on DuckDB. This is the repo's end-to-end surface.
+
+``--bare`` runs the same window on a session with NO engine configs
+(``SparkSession.builder.master("local[N]")`` and nothing else) — the
+regression mode for the round-6 p06 failure class, where a query
+silently depended on a ``session.get_spark``-only builder config
+(spark.sql.python.filterPushdown.enabled) that the driver harness's
+own session doesn't set. Every query must pass bare.
+"""
 
 from __future__ import annotations
 
@@ -14,11 +22,25 @@ import duckdb  # noqa: E402
 
 import __spark_entry__ as mod  # noqa: E402
 from check import value_hash  # noqa: E402
-from hyppo_worker_spark.session import get_spark  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+args = [a for a in sys.argv[1:] if a != "--bare"]
+BARE = "--bare" in sys.argv[1:]
+SF_DIR = args[0] if args else "/root/testdata/sf0.01"
 
-spark = get_spark("drive_entry")
+if BARE:
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("drive_entry_bare")
+        .getOrCreate()
+    )
+    print(f"BARE session: local[{cpus}], no engine configs")
+else:
+    from hyppo_worker_spark.session import get_spark
+
+    spark = get_spark("drive_entry")
 
 # 1. smoke: entry()
 df = mod.entry(spark)
@@ -37,8 +59,13 @@ for t in ("region nation customer supplier part orders lineitem events "
 
 bad = []
 for name, fn in qs.items():
-    sdf = fn(spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
+    try:
+        sdf = fn(spark, SF_DIR)
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:  # a bare-session config dependency surfaces here
+        print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:200]}")
+        bad.append(name)
+        continue
     spark.catalog.clearCache()
     if name not in oracles:
         print(f"  {name}: rows-only, {len(srows)} rows")
