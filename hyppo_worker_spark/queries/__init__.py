@@ -57,7 +57,6 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # q35 (conditional agg) keep the shape; retired to give the
         # recursive-CTE surface (q40) a driver row
         "s05_knn_ivf_multiprobe",  # same IVF index as in-window s04, nprobe=2
-        "s06_int8_quantization",  # vector compression stats; s-family keeps s01/s02/s04 in-window
         "t08_token_chunks",
         "t09_bigram_collocations",
         "t12_repetition_signals",  # repetition family: t11/t02 carry the
@@ -85,30 +84,14 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # connector (p03) gets a driver row
         "t17_bpe_encoding",  # tokenizer family — t16 keeps the driver
         # row; t17 (encode with learned merges) is locally checked
-        "q42_retention_cohorts",  # events analytics — q18/q40 keep the
-        # time-series families in-window; q42 is locally checked
-        "q43_conversion_funnel",  # sequential-pattern funnel — locally
-        # checked; q18 sessionize keeps the events family in-window
-        "q45_variant_ingestion",  # VARIANT semi-structured — q24 keeps
-        # the JSON driver row; q45 is locally checked
-        "p04_integration_sink_roundtrip",  # connector WRITE path —
-        # p01/p03/p05 keep the pipeline driver rows; p04 locally checked
         "t19_unigram_surprisal",  # LM-surprisal quality — t18 keeps
         # the quality driver row; t19 is locally checked
-        "m03_audio_header_decode",  # audio header decode — m01/m02 keep
-        # the multimodal driver rows; m03 is locally checked
         "t20_textrank_keywords",  # TextRank keywords — t16/q40 keep
         # the iterative driver rows; t20 is locally checked
-        "m04_video_header_decode",  # video header decode — m01/m02 keep
-        # the multimodal driver rows; m04 is locally checked
         "t22_source_overlap",  # cross-source contamination matrix —
         # t11 keeps the decontamination driver row; t22 locally checked
         "t23_term_retrieval",  # inverted-index retrieval — t05 keeps
         # the token-stats driver row; t23 is locally checked
-        "q54_zonemap_pruning",  # footer-manifest skipping — q50 keeps
-        # the layout/skipping driver row; q54 is locally checked
-        "q57_interval_bin_join",  # binned interval equi-join — q17
-        # keeps the range-join driver row; q57 is locally checked
         "q33_array_agg",  # array functions — exercised throughout the
         # s-/t-suites (arrays are the embedding/token medium); q24/q31
         # keep the semi-structured/set-op driver rows
@@ -116,23 +99,10 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # q29/t18/q49-style sums cover the shape; q01 keeps rich aggs
         "q37_edit_distance_drift",  # string-distance scalar — d03
         # minhash keeps the string-similarity driver row
-        "m05_fused_features",  # multimodal fusion join — m01/m02 keep
-        # the multimodal driver rows; m05 is locally checked
         "t24_vocab_coverage",  # tokenizer-sizing curve — t16 keeps
         # the tokenizer driver row; t24 is locally checked
         "t25_source_drift",  # mix drift guard — t15/t22 keep the
         # mixing/overlap local reps; t25 is locally checked
-        "q59_month_over_month",  # PoP deltas — q29's window suite
-        # keeps the lag/window driver row; q59 is locally checked
-        # Round-5 WINDOW ROTATION (VERDICT r4 item 1): driver evidence
-        # must ACCUMULATE across rounds — the same 50 entries were
-        # driver-checked in r3 and r4 while 13 families had zero driver
-        # history. These 16 retirees each had >= 2 green driver rounds
-        # (CORRECTNESS_r03 + r04, archived) and leave an in-window
-        # family representative; their slots go to the never-driver-
-        # checked entries un-retired above (q46-q49 sketches, q53/q55/
-        # q56/q58, d11-d13, t18/t21, m02, s07) plus the new streaming
-        # maintenance row (p05).
         "d02_exact_dedup_kept",  # exact-dedup family — d01 keeps the
         # digest-groupBy driver row (2 green driver rounds archived)
         "d04_simhash_sketches",  # banded-sketch family — d03 minhash
@@ -239,32 +209,62 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # NEW round-6 query without a window slot (50 full after the
         # eight r6 promotions): locally oracle-checked; FIRST in line
         # for the r7 rotation.
-        "p13_streaming_dropdup",  # native stateful dropDuplicates
-        # with cross-batch planted dupes — p05/p07/p08 keep the
-        # streaming driver rows this round
-        # Slots for the two later round-6 rows (p14 delegation/
-        # affinity ledger — the §2.B subsystem p09-p11 don't cover —
-        # and p15, the streaming funnel's first driver row), each
-        # retiree with 2 archived green driver rounds (r4+r5) and an
-        # in-window family representative:
         "q44_hll_shard_rollup",  # HLL union-at-query — q60 (sliding
         # HLL rollup), p05 (streaming HLL maintenance) and the
         # q46-q49 sketch suite keep the family in-window; 2 greens
         "q51_scd2_history",  # SCD2 build — q52 (point-in-time SCD2
         # join, first driver row this round) and p07 (streaming CDC
         # to SCD2) keep the family in-window; 2 greens archived
-        "p16_dropdup_within_watermark",  # bounded-state streaming
-        # dedup (window full at 50): locally oracle-checked; queued
-        # with p13 at the front of the r7 rotation
-        "m08_video_frame_sample",  # AVI chunk-walk + frame sampling
-        # (window full at 50): locally oracle-checked; m02/m06/m07
-        # keep the multimodal driver rows; queued for r7
-        "t31_unicode_nfc_normalize",  # NFC normalization via the
-        # sanctioned mapInPandas slow path vs DuckDB nfc_normalize
-        # (window full at 50): locally oracle-checked; queued for r7
-        "q64_collated_aggregation",  # Spark-4 native UTF8_LCASE
-        # collation groupBy (window full at 50): locally
-        # oracle-checked; queued for r7
+        # Round-7 WINDOW ROTATION (VERDICT r6 item 3): promote the 16
+        # never-driver-checked entries the verdict named (p13, p16,
+        # m08, t31, q64, p04 — post filterPushdown fix — q42, q43,
+        # q45, q54, q57, q59, m03, m04, m05, s06) plus a slot for the
+        # NEW p17 queue-rollup ledger. The 17 retirees below each have
+        # >= 2 archived green driver rounds and an in-window family
+        # representative. One substitution vs the verdict's list: d11
+        # (2 greens) retires instead of d15 (only 1 archived green —
+        # the >= 2-greens retirement rule holds; d16 keeps the
+        # semantic-dedup family in-window and d15 keeps canonical
+        # selection accumulating evidence).
+        "q46_cms_heavy_hitters",  # CMS sketch — q60/p05 keep the
+        # sketch family in-window; 2 greens archived (r5, r6)
+        "q47_quantile_sketch",  # log2-histogram quantiles — q60/p05
+        # keep sketches in-window; 2 greens archived (r5, r6)
+        "q48_kmv_set_sketch",  # KMV distinct/overlap — q60/p05 keep
+        # sketches in-window; 2 greens archived (r5, r6); slot goes
+        # to the NEW p17 (logical queue rollup + stats EMA ledger)
+        "q49_bloom_runtime_filter",  # Bloom semi-join filter — q41
+        # keeps the join-strategy row; 2 greens archived (r5, r6)
+        "q50_zorder_skipping",  # z-order layout/skipping — q54
+        # (zonemap pruning, promoted) keeps the layout family; 3
+        # greens archived (r4-r6)
+        "q53_mad_outliers",  # MAD anomaly gate — the promoted q59/
+        # q42 event analytics keep robust-stats queries in-window; 2
+        # greens archived (r5, r6)
+        "q55_ab_experiment",  # A/B + SRM gates — t26 (temperature
+        # mix) keeps sampling/experiment gates in-window; 2 greens
+        "q56_integer_ols_trend",  # integer OLS trend — s10 (PCA
+        # power iteration) keeps integer-exact linear algebra; 2
+        "q58_gap_fill_interpolate",  # resample/gap-fill — q63
+        # (session windows) + q60 keep time-series in-window; 2
+        "d03_minhash_lsh_pairs",  # MinHash+LSH — d13 retires but
+        # d14/d16 + p08's streaming LSH keep dedup in-window; 6
+        # greens archived (r1-r6), the registry's most-evidenced row
+        "d11_semantic_dedup",  # embedding cosine near-dup — d16
+        # (two-level SemDeDup) keeps the family in-window; 2 greens
+        "d12_snapshot_diff",  # corpus diff — p06 (time travel, must
+        # re-green this round) keeps corpus versioning in-window; 2
+        "d13_exact_substring_repeats",  # Lee-et-al boilerplate —
+        # d15 (canonical selection) + q62 keep exact-dedup; 2 greens
+        "t01_language_id",  # n-gram lang-id — t28 (bigram surprisal)
+        # + t31 (NFC, promoted) keep the text family; 5 greens
+        "t16_bpe_merges",  # BPE training — t29/t30 keep token-stats
+        # in-window; t17 encoding stays locally checked; 3 greens
+        "t18_quality_classifier",  # hashing-trick classifier — t28
+        # keeps the quality-scoring family in-window; 2 greens
+        "m02_media_header_decode",  # header decode — m03/m04
+        # (audio/video headers, promoted) + m06-m08 keep multimodal
+        # in-window; 2 greens archived (r5, r6)
     }
 )
 

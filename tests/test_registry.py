@@ -18,7 +18,7 @@ from hyppo_worker_spark.queries import (
 )
 
 # One prefix per family that must never lose driver coverage.
-FAMILY_PREFIXES = ("d0", "m0", "p0", "q0", "s0", "t0")
+FAMILY_PREFIXES = ("d1", "m0", "p0", "q4", "s0", "t2")
 
 
 def test_driver_registry_fits_check_window():
@@ -34,34 +34,13 @@ def test_driver_registry_covers_every_family():
         assert any(n.startswith(prefix) for n in names), f"family {prefix} evicted"
     # the load-bearing representatives must stay in the window
     for must in (
-        "t01_language_id",
-        "t16_bpe_merges",
         "q41_bucketed_colocated_join",
-        "q50_zorder_skipping",
-        # round-5 promotions keep accumulating driver evidence
-        # (1 green round each as of r5)
-        "d11_semantic_dedup",
-        "d12_snapshot_diff",
-        "d13_exact_substring_repeats",
-        "m02_media_header_decode",
-        "q46_cms_heavy_hitters",
-        "q47_quantile_sketch",
-        "q48_kmv_set_sketch",
-        "q49_bloom_runtime_filter",
-        "q53_mad_outliers",
-        "q55_ab_experiment",
-        "q56_integer_ols_trend",
-        "q58_gap_fill_interpolate",
-        "s07_pq_adc_topk",
-        "t18_quality_classifier",
-        "t21_padding_waste",
-        # round-6 rotation (VERDICT r5 item 1): every round-5 addition
-        # plus q52 gets its FIRST driver row this round
+        # 1-green round-6 rows keep accumulating driver evidence
         "d14_split_assignment",
         "d15_canonical_selection",
         "d16_semantic_dedup_two_level",
         "m06_perceptual_neardup",
-        "p06_manifest_time_travel",
+        "p06_manifest_time_travel",  # r6 driver-FAIL: MUST re-green in r7
         "p07_streaming_scd2_cdc",
         "p08_streaming_incremental_cc",
         "q52_temporal_scd2_join",
@@ -73,7 +52,6 @@ def test_driver_registry_covers_every_family():
         "t28_bigram_surprisal",
         "t29_bm25_retrieval",
         "t30_ngram_novelty",
-        # round-6 new rows land with immediate driver slots
         "p09_scheduler_priority_ledger",
         "p10_ttl_redelivery_ledger",
         "p11_backoff_throttle_curves",
@@ -84,6 +62,24 @@ def test_driver_registry_covers_every_family():
         "s10_pca_power_iteration",
         "p14_delegation_affinity_ledger",
         "p15_streaming_funnel",
+        # round-7 rotation (VERDICT r6 item 3): 16 never-driver-checked
+        # promotions get their FIRST driver rows this round
+        "p13_streaming_dropdup",
+        "p16_dropdup_within_watermark",
+        "m08_video_frame_sample",
+        "t31_unicode_nfc_normalize",
+        "q64_collated_aggregation",
+        "p04_integration_sink_roundtrip",
+        "q42_retention_cohorts",
+        "q43_conversion_funnel",
+        "q45_variant_ingestion",
+        "q54_zonemap_pruning",
+        "q57_interval_bin_join",
+        "q59_month_over_month",
+        "m03_audio_header_decode",
+        "m04_video_header_decode",
+        "m05_fused_features",
+        "s06_int8_quantization",
     ):
         assert must in names
 
