@@ -139,7 +139,28 @@ BENCH_QUERIES = [
     "m08_video_frame_sample",
     "t31_unicode_nfc_normalize",
     "q64_collated_aggregation",
+    # Round-7 additions:
+    "p17_queue_rollup_ledger",
+    "p18_stream_stream_join",
 ]
+
+# Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN
+# run extra work to prove a bound in-plan (d16 runs BOTH the flat and
+# two-level SemDeDup assignments; p12 writes+reads six formats) or pay
+# streaming micro-batch fixed costs (trigger + checkpoint + commit per
+# batch) that amortize at real batch sizes (p13/p15/p16 — the r6
+# analysis the verdict accepted). Reported separately so the headline
+# total tracks engine cost, not harness-proof cost. p05/p07/p08 stay
+# headline for cross-round continuity (benched there since r5/r6).
+VALIDATION_QUERIES = frozenset(
+    {
+        "d16_semantic_dedup_two_level",
+        "p12_format_roundtrips",
+        "p13_streaming_dropdup",
+        "p15_streaming_funnel",
+        "p16_dropdup_within_watermark",
+    }
+)
 
 
 def main() -> None:
@@ -226,6 +247,10 @@ def main() -> None:
     common20 = round(
         sum(timings.get(n, 0.0) for n in BENCH_QUERIES[:20]), 3
     )
+    validation_total = round(
+        sum(t for n, t in timings.items() if n in VALIDATION_QUERIES), 3
+    )
+    headline_total = round(total - validation_total, 3)
     # KEY ORDER IS LOAD-BEARING (VERDICT r4 item 3): the driver
     # archives only the LAST 2000 chars of stdout, so the big
     # per-query dicts go FIRST and every scalar total goes LAST —
@@ -241,6 +266,11 @@ def main() -> None:
                 "n_queries": len(timings),
                 "overhead_probe_s": round(probe, 3),
                 "common20_total_s": common20,
+                # sub-totals (VERDICT r6 item 6): engine cost vs
+                # validation/harness-proof cost; value stays the full
+                # total for cross-round comparability
+                "headline_total_s": headline_total,
+                "validation_total_s": validation_total,
                 "metric": "headline_queries_total_wall",
                 "unit": "sec",
                 "value": total,

@@ -265,6 +265,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "m02_media_header_decode",  # header decode — m03/m04
         # (audio/video headers, promoted) + m06-m08 keep multimodal
         # in-window; 2 greens archived (r5, r6)
+        # Slot for the NEW round-7 p18 (watermarked stream-stream
+        # join — the one streaming operator category without a row):
+        "p05_streaming_sketch_rollup",  # foreachBatch sketch
+        # maintenance — p07 (CDC/SCD2) and p08 (incremental CC) keep
+        # the foreachBatch-maintenance family in-window, q60/q46-q48
+        # archived rows keep sketches evidenced; 2 greens (r5, r6)
     }
 )
 

@@ -1910,3 +1910,307 @@ def p16_dropdup_within_watermark(
         .withColumn("state_bounded", F.lit(bounded))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# p17 — logical queue rollup + stats EMA ledger: the last §2.B surface
+# without a driver row (VERDICT r6 item 7). Exercises, through the REAL
+# broker, the reference's queue-statistics aggregation plane:
+#   - per-queue completion-rate EMA (rate = 0.3/dt after one pinned
+#     completion pair; the engine's analog of the polled RabbitMQ rate),
+#   - QueueNaming.toLogicalQueueDetails grouping (base queue + every
+#     md5-resource-suffixed variant fold into one logical entry;
+#     single-member groups pass through unchanged — seq.head),
+#   - MultiQueueDetails merge (QueueDetails.scala:50-92): summed
+#     size/ready/unacked, size-WEIGHTED mean rate — the oracle states
+#     the weighted mean verbatim, so a plain rate SUM (the bug this
+#     round fixed) breaks the value hash,
+#   - unknownQueueDetails stub (zeros for a never-declared queue).
+# Scenario grid from the nation table: nation n gets 1 + n%3 queues
+# (base + resource variants), each with formulaic ready/unacked counts
+# and a distinct-prime EMA interval, all under a pinned clock.
+# --------------------------------------------------------------------------
+def _first_primes(k: int) -> list[int]:
+    out, c = [], 2
+    while len(out) < k:
+        if all(c % p for p in out if p * p <= c):
+            out.append(c)
+        c += 1
+    return out
+
+
+_P17_PRIMES = _first_primes(75)
+_P17_PRIMES_SQL = ", ".join(
+    f"({i}, {p})" for i, p in enumerate(_P17_PRIMES)
+)
+
+
+@register(
+    "p17_queue_rollup_ledger",
+    oracle=f"""
+    WITH primes(idx, p) AS (VALUES {_P17_PRIMES_SQL}),
+    members AS (
+        SELECT n.n_nationkey AS nk, j.j AS j,
+               2 + (n.n_nationkey + j.j) % 3 AS ready,
+               3 + (n.n_nationkey + j.j) % 3 AS msize,
+               0.3 / pr.p AS rate
+        FROM nation n,
+             LATERAL unnest(range(0, n.n_nationkey % 3 + 1)) AS j(j)
+             JOIN primes pr ON pr.idx = n.n_nationkey * 3 + j.j
+    ),
+    logical_q AS (
+        SELECT nk,
+               'hyppo.integration.SRC' || nk || '-v1' AS logical_name,
+               count(*) AS n_queues,
+               sum(msize) AS qsize,
+               sum(ready) AS qready,
+               count(*) AS qunacked,
+               round(CASE WHEN count(*) = 1 THEN min(rate)
+                          ELSE sum(rate * msize) / sum(msize)
+                     END, 9) AS rate_r9
+        FROM members GROUP BY nk
+    )
+    SELECT CAST(nk AS BIGINT) AS nationkey, logical_name,
+           CAST(n_queues AS BIGINT) AS n_queues,
+           CAST(qsize AS BIGINT) AS qsize,
+           CAST(qready AS BIGINT) AS qready,
+           CAST(qunacked AS BIGINT) AS qunacked,
+           rate_r9
+    FROM logical_q
+    UNION ALL
+    SELECT -1, 'hyppo.resource.concurrency.ghost', 0, 0, 0, 0, 0.0
+    ORDER BY nationkey
+    """,
+    tags=("pipeline", "control-plane", "scheduler", "rollup", "ema"),
+)
+def p17_queue_rollup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical-rollup stats ledger: nation-derived queue families driven
+    through the real broker (enqueue / basic_get / ack under a pinned
+    clock), then ``logical_rollup()`` — one row per logical queue plus
+    the unknown-queue stub row."""
+    from hyppo_worker_spark.model import (
+        ConcurrencyWorkResource,
+        IntegrationDetails,
+        ValidateIntegrationRequest,
+    )
+    from hyppo_worker_spark.scheduler.queues import (
+        WorkQueueTable,
+        stub_details,
+    )
+
+    nations = sorted(
+        r.n_nationkey
+        for r in load_tables(spark, sf_dir, ("nation",))["nation"]
+        .select("n_nationkey")
+        .collect()  # bounded control-plane scale: 25 rows
+    )
+    tnow = [0.0]
+    qt = WorkQueueTable(clock=lambda: tnow[0])
+    base_of: dict[int, str] = {}
+    for n in nations:
+        for j in range(n % 3 + 1):
+            details = IntegrationDetails(
+                source_name=f"SRC{n}",
+                version_number=1,
+                is_raw_data_integration=False,
+            )
+            resources = (
+                (ConcurrencyWorkResource(name=f"r{n}_{j}", concurrency=1),)
+                if j > 0
+                else ()
+            )
+            item = ValidateIntegrationRequest(
+                integration=details, resources=resources
+            )
+            ready_keep = 2 + (n + j) % 3
+            # ready_keep left in queue + 1 left unacked + 2 acked for
+            # the EMA pair; huge TTL so the advancing clock can't
+            # expire anything mid-scenario
+            name = None
+            for _ in range(ready_keep + 3):
+                name = qt.enqueue(item, ttl_s=1e12)
+            if j == 0:
+                base_of[n] = name
+            qt.ack(qt.basic_get(name))  # 1st completion: rate stays 0
+            tnow[0] += float(_P17_PRIMES[n * 3 + j])
+            qt.ack(qt.basic_get(name))  # 2nd: rate = 0.3/prime
+            qt.basic_get(name)  # left unacked
+    rollup = qt.logical_rollup()
+    ledger = []
+    for n in nations:
+        d = rollup[base_of[n]]
+        ledger.append(
+            (n, base_of[n], n % 3 + 1, d.size, d.ready,
+             d.unacknowledged, d.rate)
+        )
+    ghost = stub_details("hyppo.resource.concurrency.ghost")
+    ledger.append(
+        (-1, ghost.queue_name, 0, ghost.size, ghost.ready,
+         ghost.unacknowledged, ghost.rate)
+    )
+    return (
+        spark.createDataFrame(
+            ledger,
+            "nationkey long, logical_name string, n_queues long, "
+            "qsize long, qready long, qunacked long, rate double",
+        )
+        .select(
+            "nationkey", "logical_name", "n_queues", "qsize", "qready",
+            "qunacked", F.round("rate", 9).alias("rate_r9"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# p18 — watermarked STREAM-STREAM inner join: the one streaming
+# operator category the registry didn't cover (p05/p07/p08 foreachBatch
+# maintenance, p13/p16 stateful dedup, p15 applyInPandasWithState —
+# none exercise Spark's symmetric hash join with two watermarked
+# sources). Attribution shape: every purchase within 2 hours of a view
+# by the same user. Both sides drain as three TIME-ORDERED blocks
+# (days 1-10 / 11-20 / 21-30, pinned mtimes, maxFilesPerTrigger=1 +
+# availableNow pulls one file PER SOURCE per trigger), watermarked at
+# 3 days — tight enough that the join state provably evicts (the
+# in-plan state_bounded column: final numRowsTotal across both join
+# sides must stay under 60% of the input rows, where blanket retention
+# holds ~100%), wide enough that no cross-boundary match is dropped
+# (a boundary pair spans at most 2 hours; the watermark when block
+# i+1 processes is max_ts(block_i) - 3 days, far below the partner's
+# timestamp). The oracle is the equivalent batch range-join — any
+# dropped late row, double-emitted match, or mis-bounded range breaks
+# row counts or the cents sum. Money rides integer cents.
+# --------------------------------------------------------------------------
+@register(
+    "p18_stream_stream_join",
+    oracle="""
+    WITH v AS (
+        SELECT event_id AS vid, user_id, ts AS vts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT v.vid, p.pid, v.user_id, v.vts, p.cents
+        FROM v JOIN p ON v.user_id = p.user_id
+            AND p.pts >= v.vts
+            AND p.pts <= v.vts + INTERVAL 2 HOUR
+    )
+    SELECT strftime(vts, '%Y-%m-%d') AS view_day,
+           count(*) AS n_pairs,
+           count(DISTINCT vid) AS n_views,
+           count(DISTINCT user_id) AS n_buyers,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           TRUE AS state_bounded
+    FROM pairs GROUP BY view_day ORDER BY view_day
+    """,
+    tags=("pipeline", "streaming", "stream-stream-join", "watermark"),
+)
+def p18_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two watermarked event streams (views, purchases) joined inside
+    Structured Streaming's symmetric hash join; per-view-day matched
+    pairs, distinct views/buyers, and purchase cents must equal the
+    batch range-join oracle, with join state provably evicted."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("vuser"),
+        F.col("ts").cast("timestamp").alias("vts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("ts").cast("timestamp").alias("pts"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+
+    work = tempfile.mkdtemp(prefix="hyppo-p18-")
+    now = time.time()
+    dirs = {}
+    for label, df, ts_col in (
+        ("views", views, "vts"), ("purchases", purchases, "pts")
+    ):
+        src = os.path.join(work, label)
+        os.makedirs(src)
+        blk = F.least(
+            (F.dayofmonth(ts_col) - 1) / F.lit(10), F.lit(2)
+        ).cast("int")
+        staged = df.withColumn("blk", blk)
+        for i in range(3):
+            part_dir = os.path.join(work, f"stage-{label}-{i}")
+            staged.filter(F.col("blk") == i).drop("blk").coalesce(
+                1
+            ).write.parquet(part_dir)
+            part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+            dest = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(part, dest)
+            os.utime(dest, (now - 300 + 100 * i,) * 2)
+        dirs[label] = src
+
+    vstream = (
+        spark.readStream.schema("vid long, vuser long, vts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["views"])
+        .withWatermark("vts", "3 days")
+    )
+    pstream = (
+        spark.readStream.schema(
+            "pid long, puser long, pts timestamp, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["purchases"])
+        .withWatermark("pts", "3 days")
+    )
+    joined = vstream.join(
+        pstream,
+        (F.col("vuser") == F.col("puser"))
+        & (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select("vid", "pid", "vuser", "vts", "cents")
+
+    out_dir = os.path.join(work, "pairs")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    prog = [p for p in q.recentProgress if p.get("stateOperators")]
+    last_state = (
+        prog[-1]["stateOperators"][0]["numRowsTotal"] if prog else -1
+    )
+    n_inputs = views.count() + purchases.count()
+    # blanket retention would hold ~100% of both sides; the 3-day
+    # watermark must have evicted everything older than ~day 17 by the
+    # final batch (days 17-30 of a 30-day corpus ~= 47% retained)
+    bounded = 0 <= last_state < n_inputs * 6 // 10
+
+    return (
+        spark.read.parquet(out_dir)
+        .dropDuplicates(["vid", "pid"])  # idempotent re-read guard
+        .groupBy(F.date_format("vts", "yyyy-MM-dd").alias("view_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("vid").alias("n_views"),
+            F.countDistinct("vuser").alias("n_buyers"),
+            F.sum("cents").alias("cents"),
+        )
+        .withColumn("state_bounded", F.lit(bounded))
+        .orderBy("view_day")
+    )

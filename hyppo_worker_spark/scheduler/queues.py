@@ -44,6 +44,49 @@ def sanitize_name(name: str) -> str:
     return name.strip().replace(".", "-").replace(" ", "_")
 
 
+def merge_queue_details(name: str, ds: list[QueueDetails]) -> QueueDetails:
+    """``MultiQueueDetails`` aggregate semantics
+    (``QueueDetails.scala:50-92``): size/ready/unacknowledged are sums;
+    rate is the size-WEIGHTED mean ``Σ rate_i · size_i / Σ size_i``
+    (a large slow queue drags the logical rate down — a plain sum
+    would say two half-speed queues equal one full-speed one, which is
+    false for the ETA ordering that consumes this); idleSince is the
+    EARLIEST member's (the logical queue has been non-idle since any
+    member was). A zero total size yields rate 0.0 (defined here; the
+    Scala division produces NaN in that case, which no caller can use
+    — ``estimatedCompletionTime`` short-circuits on ``isEmpty`` first).
+    """
+    size = sum(d.size for d in ds)
+    if size > 0:
+        rate = sum(d.rate * (d.size / size) for d in ds)
+    else:
+        rate = 0.0
+    return QueueDetails(
+        queue_name=name,
+        size=size,
+        rate=rate,
+        ready=sum(d.ready for d in ds),
+        unacknowledged=sum(d.unacknowledged for d in ds),
+        idle_since=min(d.idle_since for d in ds),
+    )
+
+
+def stub_details(name: str) -> QueueDetails:
+    """Stats for a queue the tracker has never seen — zeros with a
+    fresh idleSince (``QueueMetricsTracker.unknownQueueDetails``:
+    size 0, rate 0.0, ready 0, unacked 0, idleSince = now). The
+    scheduler consults this when a resource names a queue that hasn't
+    been declared yet, instead of erroring."""
+    return QueueDetails(
+        queue_name=name,
+        size=0,
+        rate=0.0,
+        ready=0,
+        unacknowledged=0,
+        idle_since=datetime.now(timezone.utc),
+    )
+
+
 @dataclass(frozen=True)
 class QueueNaming:
     prefix: str = "hyppo"
@@ -598,24 +641,28 @@ class WorkQueueTable:
             return q.resources if q else ()
 
     def logical_rollup(self) -> dict[str, QueueDetails]:
-        """Group per-resource-suffix integration queues into one
-        logical entry: summed sizes, rate-weighted aggregate
-        (``QueueDetails.scala:50-92``)."""
+        """Group integration queues that share a logical base into one
+        entry (``QueueNaming.toLogicalQueueDetails:62-77``: group key =
+        the first path segment after the integration prefix, so the
+        base queue AND every resource-suffixed variant fold together;
+        the reference discards the groupBy key — ``.values`` — so
+        keying the dict by the full logical base name is equivalent).
+        Single-member groups return their details unchanged, matching
+        ``seq.head``; multi-member groups merge with
+        ``merge_queue_details`` (``MultiQueueDetails``,
+        ``QueueDetails.scala:50-92``: summed sizes, size-WEIGHTED mean
+        rate, earliest idleSince)."""
         with self._lock:
+            prefix = f"{self.naming.prefix}.integration."
             groups: dict[str, list[QueueDetails]] = {}
             for name in self._queues:
-                base = name.rsplit(".", 1)[0] if self.naming.is_integration_queue(
-                    name
-                ) and name.count(".") > 2 else name
+                if name.startswith(prefix):
+                    seg = name[len(prefix) :].split(".", 1)[0]
+                    base = prefix + seg
+                else:
+                    base = name
                 groups.setdefault(base, []).append(self.details(name))
-            out = {}
-            for base, ds in groups.items():
-                out[base] = QueueDetails(
-                    queue_name=base,
-                    size=sum(d.size for d in ds),
-                    rate=sum(d.rate for d in ds),
-                    ready=sum(d.ready for d in ds),
-                    unacknowledged=sum(d.unacknowledged for d in ds),
-                    idle_since=max(d.idle_since for d in ds),
-                )
-            return out
+            return {
+                base: ds[0] if len(ds) == 1 else merge_queue_details(base, ds)
+                for base, ds in groups.items()
+            }

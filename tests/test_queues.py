@@ -112,6 +112,81 @@ def test_logical_rollup_groups_resource_suffixes():
     assert rollup[base].size == 2  # both queues folded into the base entry
 
 
+def test_merge_queue_details_reference_semantics():
+    """MultiQueueDetails (QueueDetails.scala:50-92): summed sizes,
+    size-WEIGHTED mean rate, EARLIEST idleSince."""
+    from datetime import datetime, timezone
+
+    from hyppo_worker_spark.scheduler.priority import QueueDetails
+    from hyppo_worker_spark.scheduler.queues import merge_queue_details
+
+    t1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t2 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+    a = QueueDetails("a", size=3, rate=2.0, ready=2, unacknowledged=1,
+                     idle_since=t2)
+    b = QueueDetails("b", size=1, rate=10.0, ready=1, unacknowledged=0,
+                     idle_since=t1)
+    m = merge_queue_details("logical", [a, b])
+    assert m.size == 4 and m.ready == 3 and m.unacknowledged == 1
+    # weighted: 2.0*(3/4) + 10.0*(1/4) = 4.0 — NOT the plain sum 12.0
+    assert m.rate == 4.0
+    assert m.idle_since == t1  # earliest, not latest
+
+
+def test_merge_queue_details_zero_size_rate_is_zero():
+    from hyppo_worker_spark.scheduler.priority import QueueDetails
+    from hyppo_worker_spark.scheduler.queues import merge_queue_details
+
+    empty = [
+        QueueDetails("a", size=0, rate=5.0, ready=0, unacknowledged=0),
+        QueueDetails("b", size=0, rate=7.0, ready=0, unacknowledged=0),
+    ]
+    assert merge_queue_details("l", empty).rate == 0.0
+
+
+def test_logical_rollup_single_member_passes_through_unchanged():
+    """Reference seq.head: a one-queue group IS its SingleQueueDetails,
+    original queue_name included."""
+    q = WorkQueueTable()
+    name = q.enqueue(_item("Solo"))
+    rollup = q.logical_rollup()
+    assert rollup[name].queue_name == name
+    assert rollup[name].size == 1
+
+
+def test_logical_rollup_weighted_rate(clock=None):
+    """Two same-source queues with different rates merge to the
+    size-weighted mean through the real broker path."""
+    clock = FakeClock()
+    q = WorkQueueTable(clock=clock)
+    r = ConcurrencyWorkResource(name="db", concurrency=1)
+    base = q.enqueue(_item("W"))
+    suff = q.enqueue(_item("W", resources=(r,)))
+    # drive each queue's EMA with one completion pair: rate = 0.3/dt
+    for name, dt in ((base, 2.0), (suff, 5.0)):
+        q.enqueue(_item("W") if name == base
+                  else _item("W", resources=(r,)))
+        d = q.basic_get(name)
+        q.ack(d)  # first ack: sets last_completion, rate stays 0
+        clock.advance(dt)
+        d = q.basic_get(name)
+        q.ack(d)
+    # both queues now have size 0 -> re-add one item each for weights
+    q.enqueue(_item("W"))
+    q.enqueue(_item("W", resources=(r,)))
+    got = q.logical_rollup()[base]
+    assert got.size == 2
+    assert got.rate == (0.3 / 2.0) * 0.5 + (0.3 / 5.0) * 0.5
+
+
+def test_stub_details_zeros():
+    from hyppo_worker_spark.scheduler.queues import stub_details
+
+    s = stub_details("never.created")
+    assert (s.size, s.rate, s.ready, s.unacknowledged) == (0, 0.0, 0, 0)
+    assert s.queue_name == "never.created"
+
+
 def test_reject_requeue_max_deliveries_dead_letters():
     """Poison-message policy: the Nth redelivery dead-letters to the
     expired collection instead of requeuing."""

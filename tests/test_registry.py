@@ -80,6 +80,9 @@ def test_driver_registry_covers_every_family():
         "m04_video_header_decode",
         "m05_fused_features",
         "s06_int8_quantization",
+        # NEW round-7 rows land with immediate driver slots
+        "p17_queue_rollup_ledger",
+        "p18_stream_stream_join",
     ):
         assert must in names
 
