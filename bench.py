@@ -159,6 +159,7 @@ VALIDATION_QUERIES = frozenset(
         "p13_streaming_dropdup",
         "p15_streaming_funnel",
         "p16_dropdup_within_watermark",
+        "p18_stream_stream_join",  # same micro-batch fixed-cost class
     }
 )
 
