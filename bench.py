@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     # Round-7 additions:
     "p17_queue_rollup_ledger",
     "p18_stream_stream_join",
+    "q65_native_sketch_rollup",
+    "q66_listagg_report",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

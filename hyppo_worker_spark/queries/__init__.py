@@ -271,6 +271,13 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # maintenance — p07 (CDC/SCD2) and p08 (incremental CC) keep
         # the foreachBatch-maintenance family in-window, q60/q46-q48
         # archived rows keep sketches evidenced; 2 greens (r5, r6)
+        # Slots for the NEW round-7 q65 (native DataSketches
+        # HLL/theta/bitmap stack) and q66 (native LISTAGG, SQL text):
+        "q41_bucketed_colocated_join",  # bucketed zero-exchange join
+        # — q52/q57/q61/p18 keep join strategies in-window and the
+        # bucketing tests stay; 3 greens archived (r4-r6)
+        "s07_pq_adc_topk",  # PQ/ADC ANN — s06/s08/s09/s10 keep the
+        # similarity family in-window; 2 greens archived (r5, r6)
     }
 )
 

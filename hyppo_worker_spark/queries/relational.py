@@ -4091,3 +4091,262 @@ def q64_collated_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_lc")
     )
+
+
+# --------------------------------------------------------------------------
+# q65 — NATIVE DataSketches surface (Spark 3.5+/4.x built-ins): the
+# production-grade mergeable-sketch stack the engine's own
+# operators/sketches.py mirrors, exercised end-to-end —
+#   - bitmap_construct_agg / bitmap_or_agg / bitmap_count: EXACT
+#     distinct counting via bucketed roaring-style bitmaps. The
+#     two-level shape (group by bucket_number, OR partial bitmaps,
+#     sum counts) is the 100 TB pattern: each bucket's bitmap is
+#     bounded, partials merge associatively, and no row set ever
+#     concentrates. These values hash-compare EXACTLY against the
+#     oracle's COUNT(DISTINCT).
+#   - hll_sketch_agg / hll_union_agg / hll_sketch_estimate: per-day
+#     HLL sketches unioned to a month estimate — the mergeability
+#     contract (build once per partition/day, union at query time).
+#     Estimates enter the comparison as in-plan accuracy booleans
+#     (|est - exact| <= max(exact/20, 5)), literal TRUE in the oracle
+#     — the q27/q44 contract.
+#   - theta_sketch_agg + theta_union/intersection/difference: set
+#     ALGEBRA on sketches (HLL can only union) — first-half vs
+#     second-half user sets; each estimate bounded against the exact
+#     relational answer the oracle recomputes.
+# Long output format: (metric, value, ok) where every value is
+# oracle-exact and every sketch estimate is an `ok` boolean.
+# --------------------------------------------------------------------------
+@register(
+    "q65_native_sketch_rollup",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               day(ts) <= 15 AS first_half
+        FROM events
+    ),
+    daily AS (
+        SELECT day, count(DISTINCT user_id) AS n FROM u GROUP BY day
+    ),
+    halves AS (
+        SELECT count(DISTINCT CASE WHEN first_half THEN user_id END)
+                   AS n_a,
+               count(DISTINCT CASE WHEN NOT first_half THEN user_id END)
+                   AS n_b,
+               count(DISTINCT user_id) AS n_union
+        FROM u
+    )
+    SELECT metric, value, ok FROM (
+        SELECT 'bitmap_daily_sum' AS metric,
+               CAST(sum(n) AS BIGINT) AS value, TRUE AS ok, 0 AS o
+        FROM daily
+        UNION ALL
+        SELECT 'bitmap_month', count(DISTINCT user_id), TRUE, 1 FROM u
+        UNION ALL
+        SELECT 'hll_month_union', count(DISTINCT user_id), TRUE, 2 FROM u
+        UNION ALL
+        SELECT 'theta_union', n_union, TRUE, 3 FROM halves
+        UNION ALL
+        SELECT 'theta_intersection', n_a + n_b - n_union, TRUE, 4
+        FROM halves
+        UNION ALL
+        SELECT 'theta_difference', n_union - n_b, TRUE, 5 FROM halves
+    ) ORDER BY o
+    """,
+    tags=("sketch", "native", "hll", "theta", "bitmap", "datasketches"),
+)
+def q65_native_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native sketch stack over events.user_id: bucketed-bitmap exact
+    distincts (hash-compared), per-day HLL sketches unioned to a month
+    estimate, and theta-sketch set algebra on the month halves — all
+    estimates bounded in-plan."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.dayofmonth("ts") <= 15).alias("first_half"),
+    )
+
+    def ok(est, exact):
+        return (
+            F.abs(est.cast("long") - exact)
+            <= F.greatest(exact / F.lit(20), F.lit(5))
+        ).alias("ok")
+
+    def row(metric, value, okcol, o):
+        return F.lit(metric).alias("metric"), value.cast("long").alias(
+            "value"
+        ), okcol, F.lit(o).alias("o")
+
+    # exact distincts via bucketed bitmaps (two-level merge)
+    partials = ev.groupBy(
+        "day", F.bitmap_bucket_number("user_id").alias("b")
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position("user_id")
+        ).alias("bm")
+    )
+    daily = partials.groupBy("day").agg(
+        F.sum(F.bitmap_count("bm")).alias("n")
+    )
+    r_daily_sum = daily.agg(
+        *row("bitmap_daily_sum", F.sum("n"), F.lit(True).alias("ok"), 0)
+    )
+    r_month = (
+        partials.groupBy("b")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("c"))
+        .agg(*row("bitmap_month", F.sum("c"), F.lit(True).alias("ok"), 1))
+    )
+
+    # HLL: per-day sketches -> month union estimate, bounded
+    exact_month = ev.agg(F.countDistinct("user_id").alias("x"))
+    hll_est = (
+        ev.groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+    )
+    r_hll = hll_est.crossJoin(exact_month).select(
+        *row(
+            "hll_month_union",
+            F.col("x"),
+            ok(F.col("est"), F.col("x")),
+            2,
+        )
+    )
+
+    # theta set algebra on month halves, each estimate bounded
+    th = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("first_half"), F.col("user_id"))
+        ).alias("a"),
+        F.theta_sketch_agg(
+            F.when(~F.col("first_half"), F.col("user_id"))
+        ).alias("b"),
+    )
+    exacts = ev.agg(
+        F.countDistinct(
+            F.when(F.col("first_half"), F.col("user_id"))
+        ).alias("n_a"),
+        F.countDistinct(
+            F.when(~F.col("first_half"), F.col("user_id"))
+        ).alias("n_b"),
+        F.countDistinct("user_id").alias("n_union"),
+    )
+    th_all = th.crossJoin(exacts)
+    r_union = th_all.select(
+        *row(
+            "theta_union",
+            F.col("n_union"),
+            ok(
+                F.theta_sketch_estimate(F.theta_union("a", "b")),
+                F.col("n_union"),
+            ),
+            3,
+        )
+    )
+    r_inter = th_all.select(
+        *row(
+            "theta_intersection",
+            F.col("n_a") + F.col("n_b") - F.col("n_union"),
+            ok(
+                F.theta_sketch_estimate(F.theta_intersection("a", "b")),
+                F.col("n_a") + F.col("n_b") - F.col("n_union"),
+            ),
+            4,
+        )
+    )
+    r_diff = th_all.select(
+        *row(
+            "theta_difference",
+            F.col("n_union") - F.col("n_b"),
+            ok(
+                F.theta_sketch_estimate(F.theta_difference("a", "b")),
+                F.col("n_union") - F.col("n_b"),
+            ),
+            5,
+        )
+    )
+
+    out = (
+        r_daily_sum.unionByName(r_month)
+        .unionByName(r_hll)
+        .unionByName(r_union)
+        .unionByName(r_inter)
+        .unionByName(r_diff)
+        .orderBy("o")
+        .drop("o")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# q66 — native LISTAGG (Spark 4.0 SQL:2016 surface): ordered,
+# DISTINCT, delimiter-bearing string aggregation — the reporting
+# primitive users previously hand-rolled with collect_list + sort +
+# concat_ws (which Spark cannot push into a partial aggregate the
+# same way). Exercised as SQL TEXT because the WITHIN GROUP (ORDER
+# BY) syntax is the surface users write; third SQL-text row after
+# q61/q62. Deterministic by construction: both engines sort the
+# aggregated values by the value itself.
+# --------------------------------------------------------------------------
+@register(
+    "q66_listagg_report",
+    oracle="""
+    WITH nat AS (
+        SELECT n_regionkey AS rk, count(*) AS n_nations,
+               string_agg(n_name, '|' ORDER BY n_name) AS nations_csv
+        FROM nation GROUP BY n_regionkey
+    ),
+    seg AS (
+        SELECT n_regionkey AS rk,
+               string_agg(DISTINCT c_mktsegment, ','
+                          ORDER BY c_mktsegment) AS segments_csv
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_regionkey
+    )
+    SELECT r_name AS region, n_nations, nations_csv, segments_csv
+    FROM region
+    JOIN nat ON nat.rk = r_regionkey
+    JOIN seg ON seg.rk = r_regionkey
+    ORDER BY region
+    """,
+    tags=("sql-text", "listagg", "aggregation", "native"),
+)
+def q66_listagg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region ordered listagg of nation names plus ordered
+    DISTINCT listagg of customer market segments (SQL:2016 WITHIN
+    GROUP syntax), one listagg per aggregate.
+
+    Deliberately structured as TWO aggregates joined: Spark 4.1's
+    distinct-aggregate rewrite crashes when an aggregate holds two
+    DISTINCT listaggs with different order keys
+    (ClassCastException AttributeReference -> SortOrder in
+    ListAgg.withNewChildrenInternal, collect.scala:543 — the Expand
+    rewrite replaces the SortOrder child with a plain attribute).
+    One listagg per aggregate sidesteps the rewrite and is also the
+    better plan (nations never join customers)."""
+    load_tables(spark, sf_dir, ("region", "nation", "customer"))
+    return spark.sql(
+        """
+        WITH nat AS (
+            SELECT n_regionkey AS rk, count(*) AS n_nations,
+                   listagg(n_name, '|')
+                       WITHIN GROUP (ORDER BY n_name) AS nations_csv
+            FROM nation GROUP BY n_regionkey
+        ),
+        seg AS (
+            SELECT n_regionkey AS rk,
+                   listagg(DISTINCT c_mktsegment, ',')
+                       WITHIN GROUP (ORDER BY c_mktsegment)
+                       AS segments_csv
+            FROM nation JOIN customer ON c_nationkey = n_nationkey
+            GROUP BY n_regionkey
+        )
+        SELECT r_name AS region, n_nations, nations_csv, segments_csv
+        FROM region
+        JOIN nat ON nat.rk = r_regionkey
+        JOIN seg ON seg.rk = r_regionkey
+        ORDER BY region
+        """
+    )

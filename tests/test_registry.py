@@ -34,7 +34,6 @@ def test_driver_registry_covers_every_family():
         assert any(n.startswith(prefix) for n in names), f"family {prefix} evicted"
     # the load-bearing representatives must stay in the window
     for must in (
-        "q41_bucketed_colocated_join",
         # 1-green round-6 rows keep accumulating driver evidence
         "d14_split_assignment",
         "d15_canonical_selection",
@@ -83,6 +82,8 @@ def test_driver_registry_covers_every_family():
         # NEW round-7 rows land with immediate driver slots
         "p17_queue_rollup_ledger",
         "p18_stream_stream_join",
+        "q65_native_sketch_rollup",
+        "q66_listagg_report",
     ):
         assert must in names
 
