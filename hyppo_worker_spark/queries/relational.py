@@ -4160,10 +4160,18 @@ def q65_native_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distincts (hash-compared), per-day HLL sketches unioned to a month
     estimate, and theta-sketch set algebra on the month halves — all
     estimates bounded in-plan."""
-    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd").alias("day"),
-        (F.dayofmonth("ts") <= 15).alias("first_half"),
+    # six metric branches aggregate the same narrow projection with
+    # DIFFERENT groupings, so no ReusedExchange can appear (the q48
+    # rule) — persist the 3-column projection once instead of
+    # re-scanning events per branch
+    ev = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            (F.dayofmonth("ts") <= 15).alias("first_half"),
+        )
+        .persist()
     )
 
     def ok(est, exact):
@@ -4177,13 +4185,17 @@ def q65_native_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value"
         ), okcol, F.lit(o).alias("o")
 
-    # exact distincts via bucketed bitmaps (two-level merge)
-    partials = ev.groupBy(
-        "day", F.bitmap_bucket_number("user_id").alias("b")
-    ).agg(
-        F.bitmap_construct_agg(
-            F.bitmap_bit_position("user_id")
-        ).alias("bm")
+    # exact distincts via bucketed bitmaps (two-level merge); the
+    # partial-bitmap table is day x bucket sized (tiny) and feeds two
+    # different re-aggregations — persist it too
+    partials = (
+        ev.groupBy("day", F.bitmap_bucket_number("user_id").alias("b"))
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position("user_id")
+            ).alias("bm")
+        )
+        .persist()
     )
     daily = partials.groupBy("day").agg(
         F.sum(F.bitmap_count("bm")).alias("n")

@@ -42,6 +42,9 @@ EXPECTED_NLJ = {
     # join), same as t09
     "q48_kmv_set_sketch",  # 1-row scalar frames crossJoined (exact
     # twins + sketch stats), same as q44
+    "q65_native_sketch_rollup",  # 1-row sketch/estimate frames
+    # crossJoined with 1-row exact aggregates (the accuracy-bound
+    # columns), same scalar-join pattern as q44/q48
     "q50_zorder_skipping",  # 1-row broadcast min/max scalars (the
     # range-scaling bounds), same scalar-join pattern as t15/t09
     "s07_pq_adc_topk",  # broadcast tiny query batch vs corpus in the
