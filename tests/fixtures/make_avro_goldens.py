@@ -82,6 +82,21 @@ def container(schema_json: str, codec: str, body: bytes, n_records: int,
     )
 
 
+def multiblock_container(schema_json: str, codec: str,
+                         blocks: list[tuple[int, bytes]],
+                         sync: bytes) -> bytes:
+    """Several (record_count, body) blocks, each framed and
+    sync-terminated — a real writer emits one block per flush."""
+    assert len(sync) == 16
+    out = bytearray(b"Obj\x01" + meta_map(schema_json, codec) + sync)
+    for n, body in blocks:
+        if codec == "deflate":
+            comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+            body = comp.compress(body) + comp.flush()
+        out += vlong(n) + vlong(len(body)) + body + sync
+    return bytes(out)
+
+
 SYNC = bytes(range(16))
 
 
@@ -168,6 +183,19 @@ def main() -> None:
             container(NESTED_SCHEMA, "null", NESTED_BODY, 1, SYNC),
         "golden_foreign_unions.avro":
             container(FOREIGN_SCHEMA, "null", FOREIGN_BODY, 2, SYNC),
+        # three blocks (2 + 1 + 2 records), deflate codec: exercises
+        # the block-framing loop + per-block sync verification with
+        # independently-compressed bodies
+        "golden_multiblock.avro": multiblock_container(
+            FLAT_SCHEMA, "deflate",
+            [
+                (2, FLAT_BODY),
+                (1, vlong(7) + avstr("solo") + vlong(0)
+                    + struct.pack("<d", -0.5)),
+                (2, FLAT_BODY),
+            ],
+            SYNC,
+        ),
     }
     for name, data in fixtures.items():
         with open(os.path.join(HERE, name), "wb") as fh:

@@ -79,6 +79,21 @@ def test_golden_foreign_unions_and_logicals():
     assert r2["arr"] == []
 
 
+def test_golden_multiblock_deflate():
+    """Three independently-deflated blocks (2+1+2 records), each
+    sync-terminated — the framing loop must decode all five records
+    in file order and verify every block's sync marker."""
+    schema, codec, rows = _read("golden_multiblock.avro")
+    assert codec == "deflate"
+    assert rows == [
+        {"a": 3, "b": "hi", "c": 2.5},
+        {"a": -1, "b": "", "c": None},
+        {"a": 7, "b": "solo", "c": -0.5},
+        {"a": 3, "b": "hi", "c": 2.5},
+        {"a": -1, "b": "", "c": None},
+    ]
+
+
 def test_writer_output_matches_checked_in_golden():
     schema = T.StructType([
         T.StructField("id", T.LongType(), False),

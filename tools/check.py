@@ -62,6 +62,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--show-diff", action="store_true")
+    ap.add_argument(
+        "--bare",
+        action="store_true",
+        help="run on a SparkSession with NO engine configs (the driver-"
+        "harness environment) — catches session.py-only config "
+        "dependencies in queries the 50-entry window doesn't cover",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -72,7 +79,18 @@ def main() -> int:
 
     registry = load_all()
     names = args.names or list(registry)
-    spark = get_spark("check")
+    if args.bare:
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("check_bare")
+            .getOrCreate()
+        )
+        print(f"BARE session: local[{cpus}], no engine configs")
+    else:
+        spark = get_spark("check")
 
     con = duckdb.connect()
     for t in TABLES:
