@@ -133,6 +133,17 @@ def build_x10(spark) -> None:
             .write.mode("overwrite")
             .parquet(f"{X10_DIR}/embeddings.parquet")
         )
+    # dimension tables carry through UNAMPLIFIED — at a real 10x the
+    # fact tables grow while region/nation/supplier/part stay
+    # dimension-sized; queries joining them (q66, p17, p14…) need
+    # them present in the stress dir.
+    for dim in ("region", "nation", "supplier", "part"):
+        if not _done(f"{dim}.parquet"):
+            (
+                spark.read.parquet(f"{SF_DIR}/{dim}.parquet")
+                .write.mode("overwrite")
+                .parquet(f"{X10_DIR}/{dim}.parquet")
+            )
 
 
 def parse_event_log(app_dir: str) -> dict[str, float]:
