@@ -17,7 +17,12 @@ records zone carries:
   (deterministic: md5 of the schema JSON — reproducible files);
 - blocks: record-count varint, byte-size varint, payload, sync;
 - binary encoding: zigzag-varint int/long, IEEE-LE float/double,
-  length-prefixed utf8 strings / bytes, boolean as one byte, logical
+  length-prefixed utf8 strings / bytes, boolean as one byte, enum as
+  a zigzag index into the declared symbol list (→ string), fixed as
+  exactly N raw bytes with no length prefix (→ binary) — both decoded
+  per the FILE's own schema via path-keyed special codecs
+  (``avro_schema.special_codecs``), since the Spark types they map to
+  encode differently — logical
   types date (int days) / timestamp-micros (long) / decimal (bytes,
   big-endian two's complement), complex types (block-encoded arrays
   and string-keyed maps with zero-count terminators, nested
@@ -252,17 +257,40 @@ def _field_decoder(
     dt: T.DataType,
     nb: dict[str, int] | None = None,
     path: str = "",
+    special: dict[str, tuple] | None = None,
 ):
     """Build a decoder closure for one value site. ``nb`` maps schema
     paths (see ``avro_schema.null_branch_indices``) to the null-branch
     index DECLARED by the file being read; omitted → the writer
-    convention [T,"null"] (null index 1) everywhere."""
+    convention [T,"null"] (null index 1) everywhere. ``special`` maps
+    paths whose binary encoding differs from the mapped Spark type
+    (``avro_schema.special_codecs``): an Avro ``enum`` site maps to
+    StringType but is encoded as a zigzag index into the declared
+    symbol list, and a ``fixed`` site maps to BinaryType but is
+    exactly N raw bytes with no length prefix — decoding either by
+    the Spark type alone misreads the stream."""
 
     def _nb(sub: str) -> int:
         return 1 if nb is None else nb.get(sub, 1)
 
     zz = zigzag_decode
     unpack = struct.unpack_from
+    sp = None if special is None else special.get(path)
+    if sp is not None:
+        kind, arg = sp
+        if kind == "enum":
+            symbols = list(arg)
+
+            def dec_enum(buf, pos, zz=zz, symbols=symbols):
+                i, pos = zz(buf, pos)
+                return symbols[i], pos
+            return dec_enum
+        if kind == "fixed":
+            size = int(arg)
+
+            def dec_fixed(buf, pos, size=size):
+                return bytes(buf[pos : pos + size]), pos + size
+            return dec_fixed
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
         return zz
     if isinstance(dt, T.BooleanType):
@@ -305,7 +333,7 @@ def _field_decoder(
             return _Decimal(unscaled).scaleb(-scale), pos + n
         return dec_dec
     if isinstance(dt, T.ArrayType):
-        dec_item = _field_decoder(dt.elementType, nb, path + "[]")
+        dec_item = _field_decoder(dt.elementType, nb, path + "[]", special)
         item_nb = _nb(path + "[]") if dt.containsNull else None
 
         def dec_arr(buf, pos, zz=zz):
@@ -328,7 +356,7 @@ def _field_decoder(
             return out, pos
         return dec_arr
     if isinstance(dt, T.MapType):
-        dec_val = _field_decoder(dt.valueType, nb, path + "{}")
+        dec_val = _field_decoder(dt.valueType, nb, path + "{}", special)
         val_nb = _nb(path + "{}") if dt.valueContainsNull else None
 
         def dec_map(buf, pos, zz=zz):
@@ -366,7 +394,10 @@ def _field_decoder(
                 if f.nullable
                 else None,
                 _field_decoder(
-                    f.dataType, nb, f"{path}.{f.name}" if path else f.name
+                    f.dataType,
+                    nb,
+                    f"{path}.{f.name}" if path else f.name,
+                    special,
                 ),
             )
             for f in dt.fields
@@ -425,6 +456,7 @@ def decode_record(
     buf: memoryview,
     pos: int,
     null_branch: dict[str, int] | None = None,
+    special: dict[str, tuple] | None = None,
 ) -> tuple[dict, int]:
     """Decode one record. ``null_branch`` is the PATH-keyed map from
     ``avro_schema.null_branch_indices`` over the file's own schema
@@ -433,14 +465,14 @@ def decode_record(
     sites honor the file's declared branch order too. When omitted,
     the ``struct_to_avro`` writer convention ``[T,"null"]`` (null
     index 1) is assumed at every union site."""
-    if null_branch is None:
+    if null_branch is None and special is None:
         _, decs = _row_codecs(schema)  # cached writer-convention path
     else:
         decs = [
             (
                 f.name,
                 f.nullable,
-                _field_decoder(f.dataType, null_branch, f.name),
+                _field_decoder(f.dataType, null_branch, f.name, special),
             )
             for f in schema.fields
         ]
@@ -548,7 +580,10 @@ def read_container(data: bytes) -> tuple[T.StructType, str, list[dict]]:
             vl, pos = zigzag_decode(buf, pos)
             meta[k] = bytes(buf[pos : pos + vl])
             pos += vl
-    from hyppo_worker_spark.sources.avro_schema import null_branch_indices
+    from hyppo_worker_spark.sources.avro_schema import (
+        null_branch_indices,
+        special_codecs,
+    )
 
     schema_json = meta["avro.schema"].decode()
     codec = meta.get("avro.codec", b"null").decode()
@@ -556,6 +591,9 @@ def read_container(data: bytes) -> tuple[T.StructType, str, list[dict]]:
     # branch bytes follow the file's DECLARED union order — a foreign
     # ["null",T] file decodes correctly, not just our own [T,"null"]
     null_branch = null_branch_indices(schema_json)
+    # enum (zigzag symbol index) and fixed (raw N bytes) sites encode
+    # differently from the StringType/BinaryType they map to
+    special = special_codecs(schema_json)
     sync = bytes(buf[pos : pos + 16])
     pos += 16
     rows: list[dict] = []
@@ -566,7 +604,7 @@ def read_container(data: bytes) -> tuple[T.StructType, str, list[dict]]:
         (
             f.name,
             null_branch.get(f.name, 1) if f.nullable else None,
-            _field_decoder(f.dataType, null_branch, f.name),
+            _field_decoder(f.dataType, null_branch, f.name, special),
         )
         for f in schema.fields
     ]

@@ -133,6 +133,48 @@ def null_branch_indices(schema_json: str | dict) -> dict[str, int]:
     return out
 
 
+def special_codecs(schema_json: str | dict) -> dict[str, tuple]:
+    """Per schema SITE whose binary encoding differs from the Spark
+    type it maps to: Avro ``enum`` maps to StringType but is encoded
+    as a zigzag INT index into the declared symbol list, and
+    ``fixed`` maps to BinaryType but is encoded as exactly ``size``
+    raw bytes with NO length prefix. A decoder built purely from the
+    Spark schema misreads both; the container reader consults this
+    map (same path convention as ``null_branch_indices``) to build
+    the spec-correct decoder per site.
+
+    Values: ``("enum", [symbols...])`` or ``("fixed", size)``."""
+    avro = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    out: dict[str, tuple] = {}
+
+    def walk(node: Any, path: str) -> None:
+        if isinstance(node, list):
+            for t in node:
+                if t != "null":
+                    walk(t, path)
+            return
+        if isinstance(node, dict):
+            kind = node.get("type")
+            if kind == "enum":
+                out[path] = ("enum", list(node.get("symbols", [])))
+            elif kind == "fixed":
+                out[path] = ("fixed", int(node["size"]))
+            elif kind == "record":
+                for f in node.get("fields", []):
+                    sub = f"{path}.{f['name']}" if path else f["name"]
+                    walk(f["type"], sub)
+            elif kind == "array":
+                walk(node["items"], path + "[]")
+            elif kind == "map":
+                walk(node["values"], path + "{}")
+            elif isinstance(kind, (dict, list)):
+                walk(kind, path)
+
+    for f in avro.get("fields", []):
+        walk(f["type"], f["name"])
+    return out
+
+
 def avro_to_struct(schema_json: str | dict) -> T.StructType:
     """Avro record schema JSON → StructType."""
     avro = json.loads(schema_json) if isinstance(schema_json, str) else schema_json

@@ -173,6 +173,35 @@ FOREIGN_BODY = (
 )
 
 
+# -- fixture: enum + fixed — sites whose encoding differs from their
+# Spark mapping (enum -> string but encoded as a zigzag symbol INDEX;
+# fixed -> binary but encoded as raw N bytes with NO length prefix)
+ENUMFIXED_SCHEMA = json.dumps({
+    "type": "record", "name": "ef",
+    "fields": [
+        {"name": "status",
+         "type": {"type": "enum", "name": "st",
+                  "symbols": ["OK", "WARN", "FAIL"]}},
+        {"name": "tag", "type": {"type": "fixed", "name": "t4", "size": 4}},
+        {"name": "note",
+         "type": ["null", {"type": "enum", "name": "nt",
+                           "symbols": ["A", "B"]}]},
+        {"name": "arr",
+         "type": {"type": "array",
+                  "items": {"type": "enum", "name": "lv",
+                            "symbols": ["LOW", "MID", "HIGH"]}}},
+    ],
+})
+ENUMFIXED_BODY = (
+    # row 1: status=FAIL (idx 2), tag=4 raw bytes, note=A (branch 1 of
+    # ["null",enum], then idx 0), arr=[MID, LOW]
+    vlong(2) + b"\xde\xad\xbe\xef" + vlong(1) + vlong(0)
+    + vlong(2) + vlong(1) + vlong(0) + vlong(0)
+    # row 2: status=OK, tag="ABCD", note=null (branch 0), arr=[]
+    + vlong(0) + b"ABCD" + vlong(0) + vlong(0)
+)
+
+
 def main() -> None:
     fixtures = {
         "golden_null_flat.avro":
@@ -186,6 +215,8 @@ def main() -> None:
         # three blocks (2 + 1 + 2 records), deflate codec: exercises
         # the block-framing loop + per-block sync verification with
         # independently-compressed bodies
+        "golden_enum_fixed.avro":
+            container(ENUMFIXED_SCHEMA, "null", ENUMFIXED_BODY, 2, SYNC),
         "golden_multiblock.avro": multiblock_container(
             FLAT_SCHEMA, "deflate",
             [

@@ -79,6 +79,23 @@ def test_golden_foreign_unions_and_logicals():
     assert r2["arr"] == []
 
 
+def test_golden_enum_fixed():
+    """Enum sites decode as the DECLARED symbol (the stream carries a
+    zigzag index, not a string) and fixed sites as exactly N raw bytes
+    (no length prefix) — including an enum inside a ["null",enum]
+    union and enum array items. Decoding these by their mapped Spark
+    types (string/binary) would misread the stream — the round-7 bug
+    special_codecs fixed."""
+    schema, codec, rows = _read("golden_enum_fixed.avro")
+    assert isinstance(schema["status"].dataType, T.StringType)
+    assert isinstance(schema["tag"].dataType, T.BinaryType)
+    assert rows == [
+        {"status": "FAIL", "tag": b"\xde\xad\xbe\xef", "note": "A",
+         "arr": ["MID", "LOW"]},
+        {"status": "OK", "tag": b"ABCD", "note": None, "arr": []},
+    ]
+
+
 def test_golden_multiblock_deflate():
     """Three independently-deflated blocks (2+1+2 records), each
     sync-terminated — the framing loop must decode all five records
