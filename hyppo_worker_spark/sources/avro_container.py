@@ -32,8 +32,11 @@ records zone carries:
   union site's null branch from each file's own schema (nested
   included, via path-keyed indices) so foreign ``["null", T]`` files
   decode correctly too;
-- codecs: ``null`` and ``deflate`` (raw RFC-1951 via zlib with
-  negative wbits — the reference's default codec).
+- codecs: ``null``, ``deflate`` (raw RFC-1951 via zlib with negative
+  wbits — the reference's default codec), and the spec's optional
+  ``bzip2`` / ``xz`` (stdlib bz2/lzma; xz uses the spec's xz
+  container format). ``snappy``/``zstandard`` need libraries absent
+  from this environment (probed every round) and fail loud.
 
 Distributed use (no driver bottleneck):
 
@@ -61,8 +64,10 @@ same schema, so files exchange with real Avro tooling once present.
 
 from __future__ import annotations
 
+import bz2 as _bz2
 import datetime as _dtmod
 import hashlib
+import lzma as _lzma
 import os
 import struct
 import uuid
@@ -519,7 +524,7 @@ def write_container(
     """One Avro Object Container File as bytes."""
     from hyppo_worker_spark.sources.avro_schema import struct_to_avro
 
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "bzip2", "xz"):
         raise ValueError(f"unsupported avro codec {codec}")
     schema_json = struct_to_avro(schema)
     sync = _sync_marker(schema_json)
@@ -550,6 +555,10 @@ def write_container(
         if codec == "deflate":
             # RFC-1951 raw deflate (no zlib wrapper) per the spec
             body = zlib.compress(body, 6)[2:-4]
+        elif codec == "bzip2":
+            body = _bz2.compress(body)
+        elif codec == "xz":
+            body = _lzma.compress(body, format=_lzma.FORMAT_XZ)
         out += zigzag_encode(len(chunk))
         out += zigzag_encode(len(body))
         out += body
@@ -616,7 +625,13 @@ def read_container(data: bytes) -> tuple[T.StructType, str, list[dict]]:
         pos += size
         if codec == "deflate":
             body = zlib.decompress(body, wbits=-15)
+        elif codec == "bzip2":
+            body = _bz2.decompress(body)
+        elif codec == "xz":
+            body = _lzma.decompress(body)
         elif codec != "null":
+            # snappy / zstandard need libraries absent from this
+            # environment (probed every round) — fail loud
             raise ValueError(f"unsupported avro codec {codec}")
         bview = memoryview(body)
         bpos = 0

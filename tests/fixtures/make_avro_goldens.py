@@ -70,12 +70,25 @@ def meta_map(schema_json: str, codec: str) -> bytes:
     return bytes(out)
 
 
+def _compress(codec: str, body: bytes) -> bytes:
+    if codec == "deflate":
+        comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+        return comp.compress(body) + comp.flush()
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.compress(body)
+    if codec == "xz":
+        import lzma
+
+        return lzma.compress(body, format=lzma.FORMAT_XZ)
+    return body
+
+
 def container(schema_json: str, codec: str, body: bytes, n_records: int,
               sync: bytes) -> bytes:
     assert len(sync) == 16
-    if codec == "deflate":
-        comp = zlib.compressobj(9, zlib.DEFLATED, -15)
-        body = comp.compress(body) + comp.flush()
+    body = _compress(codec, body)
     return (
         b"Obj\x01" + meta_map(schema_json, codec) + sync
         + vlong(n_records) + vlong(len(body)) + body + sync
@@ -90,9 +103,7 @@ def multiblock_container(schema_json: str, codec: str,
     assert len(sync) == 16
     out = bytearray(b"Obj\x01" + meta_map(schema_json, codec) + sync)
     for n, body in blocks:
-        if codec == "deflate":
-            comp = zlib.compressobj(9, zlib.DEFLATED, -15)
-            body = comp.compress(body) + comp.flush()
+        body = _compress(codec, body)
         out += vlong(n) + vlong(len(body)) + body + sync
     return bytes(out)
 
@@ -217,6 +228,10 @@ def main() -> None:
         # independently-compressed bodies
         "golden_enum_fixed.avro":
             container(ENUMFIXED_SCHEMA, "null", ENUMFIXED_BODY, 2, SYNC),
+        "golden_bzip2_flat.avro":
+            container(FLAT_SCHEMA, "bzip2", FLAT_BODY, 2, SYNC),
+        "golden_xz_flat.avro":
+            container(FLAT_SCHEMA, "xz", FLAT_BODY, 2, SYNC),
         "golden_multiblock.avro": multiblock_container(
             FLAT_SCHEMA, "deflate",
             [

@@ -79,6 +79,21 @@ def test_golden_foreign_unions_and_logicals():
     assert r2["arr"] == []
 
 
+def test_golden_bzip2_and_xz_codecs():
+    """The spec's optional bzip2 / xz codecs (stdlib-backed) decode the
+    same rows as the null/deflate fixtures."""
+    for name, codec in (
+        ("golden_bzip2_flat.avro", "bzip2"),
+        ("golden_xz_flat.avro", "xz"),
+    ):
+        schema, got_codec, rows = _read(name)
+        assert got_codec == codec
+        assert rows == [
+            {"a": 3, "b": "hi", "c": 2.5},
+            {"a": -1, "b": "", "c": None},
+        ]
+
+
 def test_golden_enum_fixed():
     """Enum sites decode as the DECLARED symbol (the stream carries a
     zigzag index, not a string) and fixed sites as exactly N raw bytes

@@ -96,7 +96,10 @@ def _schema_and_rows(draw):
 
 
 @settings(max_examples=120, deadline=None)
-@given(data=_schema_and_rows(), codec=st.sampled_from(["null", "deflate"]))
+@given(
+    data=_schema_and_rows(),
+    codec=st.sampled_from(["null", "deflate", "bzip2", "xz"]),
+)
 def test_container_round_trips_random_schemas(data, codec):
     schema, rows = data
     blob = AC.write_container(schema, rows, codec=codec, block_records=1)
