@@ -49,6 +49,80 @@ class AvroSchemaError(ValueError):
     pass
 
 
+_IN_PROGRESS = object()
+
+
+def inline_named_types(schema_json: str | dict) -> dict:
+    """Resolve NAMED TYPE REFERENCES by inlining: the Avro spec lets a
+    schema define a record/enum/fixed once and refer to it by (bare or
+    namespace-qualified) name everywhere else — real ``DataFileWriter``
+    output does this whenever two fields share a type. The walkers
+    here (``avro_to_struct``, ``null_branch_indices``,
+    ``special_codecs``) all assume definitions appear in place, so
+    references are expanded into copies first. Recursive types (a
+    record referencing itself) are not representable as a Spark
+    schema and raise rather than loop."""
+    avro = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    named: dict[str, Any] = {}
+
+    def keys_for(name: str, namespace: str) -> list[str]:
+        return [name, f"{namespace}.{name}"] if namespace else [name]
+
+    def walk(node: Any, namespace: str) -> Any:
+        if isinstance(node, str):
+            if node in _PRIMITIVES:
+                return node
+            got = named.get(node)
+            if got is None and namespace:
+                got = named.get(f"{namespace}.{node}")
+            if got is _IN_PROGRESS:
+                raise AvroSchemaError(
+                    f"recursive named type {node!r} is not representable "
+                    "as a Spark schema"
+                )
+            if got is None:
+                raise AvroSchemaError(f"unknown avro type: {node!r}")
+            return got
+        if isinstance(node, list):
+            return [t if t == "null" else walk(t, namespace) for t in node]
+        if isinstance(node, dict):
+            kind = node.get("type")
+            ns = node.get("namespace", namespace)
+            if kind == "record":
+                for k in keys_for(node["name"], ns):
+                    named[k] = _IN_PROGRESS
+                out = dict(node)
+                out["fields"] = [
+                    {**f, "type": walk(f["type"], ns)}
+                    for f in node.get("fields", [])
+                ]
+                for k in keys_for(node["name"], ns):
+                    named[k] = out
+                return out
+            if kind in ("enum", "fixed"):
+                out = dict(node)
+                for k in keys_for(node["name"], ns):
+                    named[k] = out
+                return out
+            if kind == "array":
+                out = dict(node)
+                out["items"] = walk(node["items"], namespace)
+                return out
+            if kind == "map":
+                out = dict(node)
+                out["values"] = walk(node["values"], namespace)
+                return out
+            if isinstance(kind, str) and kind in _PRIMITIVES:
+                return node  # {"type": "long", "logicalType": ...} wrapper
+            if isinstance(kind, (str, list, dict)):
+                out = dict(node)
+                out["type"] = walk(kind, namespace)
+                return out
+        raise AvroSchemaError(f"unsupported avro schema node: {node!r}")
+
+    return walk(avro, "")
+
+
 def _convert(avro: Any) -> tuple[T.DataType, bool]:
     """Returns (spark_type, nullable)."""
     if isinstance(avro, str):
@@ -104,7 +178,7 @@ def null_branch_indices(schema_json: str | dict) -> dict[str, int]:
     ``outer.inner``, array element ``field[]``, map value
     ``field{}`` — matching the path convention the container's
     decoder builders use."""
-    avro = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    avro = inline_named_types(schema_json)
     out: dict[str, int] = {}
 
     def walk(node: Any, path: str) -> None:
@@ -144,7 +218,7 @@ def special_codecs(schema_json: str | dict) -> dict[str, tuple]:
     the spec-correct decoder per site.
 
     Values: ``("enum", [symbols...])`` or ``("fixed", size)``."""
-    avro = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    avro = inline_named_types(schema_json)
     out: dict[str, tuple] = {}
 
     def walk(node: Any, path: str) -> None:
@@ -176,8 +250,9 @@ def special_codecs(schema_json: str | dict) -> dict[str, tuple]:
 
 
 def avro_to_struct(schema_json: str | dict) -> T.StructType:
-    """Avro record schema JSON → StructType."""
-    avro = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+    """Avro record schema JSON → StructType. Named type references are
+    inlined first (``inline_named_types``)."""
+    avro = inline_named_types(schema_json)
     if not (isinstance(avro, dict) and avro.get("type") == "record"):
         raise AvroSchemaError("top-level schema must be an avro record")
     st, _ = _convert(avro)

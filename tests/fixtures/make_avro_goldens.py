@@ -213,6 +213,24 @@ ENUMFIXED_BODY = (
 )
 
 
+# -- fixture: named type reference — "level2" is DEFINED at field a
+# and REFERENCED by name at field b (how DataFileWriter emits shared
+# types); both sites must decode as enum indices
+NAMEDREF_SCHEMA = json.dumps({
+    "type": "record", "name": "nr",
+    "fields": [
+        {"name": "a",
+         "type": {"type": "enum", "name": "level2",
+                  "symbols": ["LO", "HI"]}},
+        {"name": "b", "type": "level2"},
+    ],
+})
+NAMEDREF_BODY = (
+    vlong(1) + vlong(0)   # row 1: a=HI, b=LO
+    + vlong(0) + vlong(1)  # row 2: a=LO, b=HI
+)
+
+
 def main() -> None:
     fixtures = {
         "golden_null_flat.avro":
@@ -228,6 +246,8 @@ def main() -> None:
         # independently-compressed bodies
         "golden_enum_fixed.avro":
             container(ENUMFIXED_SCHEMA, "null", ENUMFIXED_BODY, 2, SYNC),
+        "golden_named_reference.avro":
+            container(NAMEDREF_SCHEMA, "null", NAMEDREF_BODY, 2, SYNC),
         "golden_bzip2_flat.avro":
             container(FLAT_SCHEMA, "bzip2", FLAT_BODY, 2, SYNC),
         "golden_xz_flat.avro":

@@ -79,6 +79,17 @@ def test_golden_foreign_unions_and_logicals():
     assert r2["arr"] == []
 
 
+def test_golden_named_reference():
+    """Field b's type is a NAME REFERENCE to the enum defined at field
+    a — both sites decode as symbol indices through the inlined
+    definition."""
+    schema, codec, rows = _read("golden_named_reference.avro")
+    assert rows == [
+        {"a": "HI", "b": "LO"},
+        {"a": "LO", "b": "HI"},
+    ]
+
+
 def test_golden_bzip2_and_xz_codecs():
     """The spec's optional bzip2 / xz codecs (stdlib-backed) decode the
     same rows as the null/deflate fixtures."""

@@ -128,3 +128,80 @@ def test_rejects_multi_branch_union():
     )
     with pytest.raises(AvroSchemaError):
         avro_to_struct(schema)
+
+
+def test_named_type_references_inline():
+    """The spec lets a schema define a record/enum/fixed once and
+    reference it by name later — DataFileWriter emits this whenever
+    two fields share a type. All three walkers must see the
+    definition at every use site."""
+    import json
+
+    from hyppo_worker_spark.sources.avro_schema import (
+        avro_to_struct,
+        special_codecs,
+    )
+
+    schema = json.dumps({
+        "type": "record", "name": "top",
+        "fields": [
+            {"name": "a",
+             "type": {"type": "enum", "name": "color",
+                      "symbols": ["R", "G", "B"]}},
+            {"name": "b", "type": "color"},  # bare-name reference
+            {"name": "p",
+             "type": {"type": "record", "name": "point", "fields": [
+                 {"name": "x", "type": "long"},
+                 {"name": "y", "type": "long"},
+             ]}},
+            {"name": "q", "type": "point"},
+            {"name": "t",
+             "type": {"type": "fixed", "name": "t8", "size": 8}},
+            {"name": "u", "type": ["null", "t8"]},  # ref inside union
+        ],
+    })
+    st = avro_to_struct(schema)
+    assert st["b"].dataType == st["a"].dataType  # both enums -> string
+    assert st["q"].dataType == st["p"].dataType
+    sp = special_codecs(schema)
+    assert sp["a"] == ("enum", ["R", "G", "B"])
+    assert sp["b"] == ("enum", ["R", "G", "B"])  # via the reference
+    assert sp["t"] == ("fixed", 8)
+    assert sp["u"] == ("fixed", 8)
+
+
+def test_namespaced_reference_resolves():
+    import json
+
+    from hyppo_worker_spark.sources.avro_schema import special_codecs
+
+    schema = json.dumps({
+        "type": "record", "name": "top", "namespace": "com.x",
+        "fields": [
+            {"name": "a",
+             "type": {"type": "enum", "name": "e",
+                      "symbols": ["S"]}},
+            {"name": "b", "type": "com.x.e"},  # fully-qualified ref
+        ],
+    })
+    assert special_codecs(schema)["b"] == ("enum", ["S"])
+
+
+def test_recursive_named_type_raises():
+    import json
+
+    import pytest
+
+    from hyppo_worker_spark.sources.avro_schema import (
+        AvroSchemaError,
+        avro_to_struct,
+    )
+
+    schema = json.dumps({
+        "type": "record", "name": "node",
+        "fields": [
+            {"name": "next", "type": ["null", "node"]},
+        ],
+    })
+    with pytest.raises(AvroSchemaError, match="recursive"):
+        avro_to_struct(schema)
