@@ -33,6 +33,7 @@ from hyppo_worker_spark.model import (
     ProcessRawDataRequest,
 )
 from hyppo_worker_spark.queries import register
+from hyppo_worker_spark.streaming import drain_stream
 from hyppo_worker_spark.registry import (
     IntegrationRegistry,
     ProcessedDataIntegration,
@@ -474,7 +475,7 @@ def p05_streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = SketchRollupSink(spark, os.path.join(work, "store"))
     q = maintain_sketches(stream, sink, os.path.join(work, "ckpt"))
-    q.awaitTermination(300)
+    drain_stream(q, 300)
     n_batches = len(os.listdir(sink.marker_dir))
 
     base = events.select(
@@ -713,7 +714,7 @@ def p07_streaming_scd2_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(work, "store"), "k", ["seg", "bal"]
     )
     q = maintain_scd2(stream, sink, os.path.join(work, "ckpt"))
-    q.awaitTermination(300)
+    drain_stream(q, 300)
 
     return (
         sink.history()
@@ -814,7 +815,7 @@ def p08_streaming_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = IncrementalCCSink(spark, os.path.join(work, "store"))
     q = maintain_cc(stream, sink, os.path.join(work, "ckpt"))
-    q.awaitTermination(300)
+    drain_stream(q, 300)
 
     sizes = sink.state().groupBy("comp").agg(
         F.count(F.lit(1)).alias("sz")
@@ -1388,7 +1389,7 @@ def p13_streaming_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        drain_stream(q, 300)
 
     return (
         spark.read.parquet(out_dir)
@@ -1763,7 +1764,7 @@ def p15_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_stream(q, 300)
 
     emissions = spark.read.parquet(out_dir)
     final = (
@@ -1906,7 +1907,7 @@ def p16_dropdup_within_watermark(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        drain_stream(q, 300)
 
     prog = [p for p in q.recentProgress if p.get("stateOperators")]
     last_state = (
@@ -2216,7 +2217,7 @@ def p18_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        drain_stream(q, 300)
 
     prog = [p for p in q.recentProgress if p.get("stateOperators")]
     last_state = (

@@ -75,12 +75,18 @@ def scoped_conf(spark: SparkSession, key: str, value: str):
     4-5s, identical results. On a real cluster, size this to stream
     throughput — it cannot be AQE-coalesced after the checkpoint
     exists."""
-    prev = spark.conf.get(key)
+    # get(key) raises for keys with no default that were never set;
+    # a previously-UNSET key must be restored by unsetting it, not by
+    # writing some value back (which would leak the scoped setting).
+    prev = spark.conf.get(key, None)
     spark.conf.set(key, value)
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def clear_cache(spark: SparkSession) -> None:

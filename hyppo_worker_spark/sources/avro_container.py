@@ -296,6 +296,19 @@ def _field_decoder(
             def dec_fixed(buf, pos, size=size):
                 return bytes(buf[pos : pos + size]), pos + size
             return dec_fixed
+        if kind == "fixed-decimal":
+            # fixed annotated with logicalType decimal: the site maps
+            # to DecimalType but the wire form is exactly ``size`` raw
+            # bytes holding a big-endian two's-complement unscaled int
+            # — no length prefix (unlike bytes-decimal).
+            size, scale = int(arg[0]), int(arg[1])
+
+            def dec_fixdec(buf, pos, size=size, scale=scale):
+                unscaled = int.from_bytes(
+                    bytes(buf[pos : pos + size]), "big", signed=True
+                )
+                return _Decimal(unscaled).scaleb(-scale), pos + size
+            return dec_fixdec
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
         return zz
     if isinstance(dt, T.BooleanType):

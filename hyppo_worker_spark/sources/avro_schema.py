@@ -66,15 +66,29 @@ def inline_named_types(schema_json: str | dict) -> dict:
     named: dict[str, Any] = {}
 
     def keys_for(name: str, namespace: str) -> list[str]:
-        return [name, f"{namespace}.{name}"] if namespace else [name]
+        # Spec name resolution (Avro 1.11 "Names"): a name containing a
+        # dot IS a fullname; otherwise the definition's fullname is
+        # namespace.name. Definitions register ONLY under the fullname
+        # — registering the bare name too lets two types that share a
+        # bare name in different namespaces shadow each other.
+        if "." in name or not namespace:
+            return [name]
+        return [f"{namespace}.{name}"]
 
     def walk(node: Any, namespace: str) -> Any:
         if isinstance(node, str):
             if node in _PRIMITIVES:
                 return node
-            got = named.get(node)
-            if got is None and namespace:
-                got = named.get(f"{namespace}.{node}")
+            # References resolve in the ENCLOSING namespace first,
+            # falling back to the null namespace — mirroring the
+            # spec's resolve-relative-to-enclosing rule. A dotted
+            # reference is already a fullname.
+            if "." in node:
+                got = named.get(node)
+            else:
+                got = named.get(f"{namespace}.{node}") if namespace else None
+                if got is None:
+                    got = named.get(node)
             if got is _IN_PROGRESS:
                 raise AvroSchemaError(
                     f"recursive named type {node!r} is not representable "
@@ -232,7 +246,18 @@ def special_codecs(schema_json: str | dict) -> dict[str, tuple]:
             if kind == "enum":
                 out[path] = ("enum", list(node.get("symbols", [])))
             elif kind == "fixed":
-                out[path] = ("fixed", int(node["size"]))
+                # decimal may legally annotate fixed as well as bytes
+                # (spec "Decimal"): _convert maps the site to
+                # DecimalType, but the wire form is still exactly
+                # ``size`` raw bytes (two's-complement unscaled int),
+                # NOT the length-prefixed bytes-decimal encoding.
+                if node.get("logicalType") == "decimal":
+                    out[path] = (
+                        "fixed-decimal",
+                        (int(node["size"]), int(node.get("scale", 0))),
+                    )
+                else:
+                    out[path] = ("fixed", int(node["size"]))
             elif kind == "record":
                 for f in node.get("fields", []):
                     sub = f"{path}.{f['name']}" if path else f["name"]

@@ -231,6 +231,74 @@ NAMEDREF_BODY = (
 )
 
 
+# -- fixture: fixed-with-decimal — the spec lets logicalType decimal
+# annotate FIXED as well as bytes; the site maps to DecimalType but
+# the wire form stays exactly `size` raw bytes (big-endian
+# two's-complement unscaled int), NOT the length-prefixed
+# bytes-decimal encoding. A bytes-decimal field sits alongside for
+# contrast, plus a nullable fixed-decimal union.
+FIXDEC_SCHEMA = json.dumps({
+    "type": "record", "name": "fd",
+    "fields": [
+        {"name": "price",
+         "type": {"type": "fixed", "name": "p4", "size": 4,
+                  "logicalType": "decimal", "precision": 9, "scale": 2}},
+        {"name": "fee",
+         "type": {"type": "bytes", "logicalType": "decimal",
+                  "precision": 9, "scale": 2}},
+        {"name": "adj",
+         "type": ["null", {"type": "fixed", "name": "a2", "size": 2,
+                           "logicalType": "decimal", "precision": 4,
+                           "scale": 1}]},
+    ],
+})
+FIXDEC_BODY = (
+    # row 1: price=123.45 (unscaled 12345 in 4 bytes big-endian),
+    # fee=9.99 (bytes-decimal: length prefix + minimal bytes),
+    # adj=-0.5 (branch 1, unscaled -5 in 2 bytes)
+    (12345).to_bytes(4, "big", signed=True)
+    + avbytes((999).to_bytes(2, "big", signed=True))
+    + vlong(1) + (-5).to_bytes(2, "big", signed=True)
+    # row 2: price=-1.00 (unscaled -100 in 4 bytes), fee=0.00,
+    # adj=null (branch 0)
+    + (-100).to_bytes(4, "big", signed=True)
+    + avbytes((0).to_bytes(1, "big", signed=True))
+    + vlong(0)
+)
+
+
+# -- fixture: namespace shadowing — two enums share the bare name
+# "sym" in namespaces ns1 and ns2; per the spec's name-resolution
+# rule a bare reference resolves in the ENCLOSING namespace, so
+# field b's "sym" (inside the ns2 child record) means ns2.sym while
+# field c's "sym" (back at the ns1 outer record) means ns1.sym, and
+# field d references ns1.sym by fullname from inside ns2.
+NAMESPACED_SCHEMA = json.dumps({
+    "type": "record", "name": "outer", "namespace": "ns1",
+    "fields": [
+        {"name": "a",
+         "type": {"type": "enum", "name": "sym",
+                  "symbols": ["N1A", "N1B"]}},
+        {"name": "child",
+         "type": {"type": "record", "name": "inner", "namespace": "ns2",
+                  "fields": [
+                      {"name": "b",
+                       "type": {"type": "enum", "name": "sym",
+                                "symbols": ["N2X", "N2Y", "N2Z"]}},
+                      {"name": "b2", "type": "sym"},
+                      {"name": "d", "type": "ns1.sym"},
+                  ]}},
+        {"name": "c", "type": "sym"},
+    ],
+})
+NAMESPACED_BODY = (
+    # row 1: a=N1B(1), child={b=N2Z(2), b2=N2X(0), d=N1A(0)}, c=N1A(0)
+    vlong(1) + vlong(2) + vlong(0) + vlong(0) + vlong(0)
+    # row 2: a=N1A(0), child={b=N2Y(1), b2=N2Z(2), d=N1B(1)}, c=N1B(1)
+    + vlong(0) + vlong(1) + vlong(2) + vlong(1) + vlong(1)
+)
+
+
 def main() -> None:
     fixtures = {
         "golden_null_flat.avro":
@@ -248,6 +316,10 @@ def main() -> None:
             container(ENUMFIXED_SCHEMA, "null", ENUMFIXED_BODY, 2, SYNC),
         "golden_named_reference.avro":
             container(NAMEDREF_SCHEMA, "null", NAMEDREF_BODY, 2, SYNC),
+        "golden_fixed_decimal.avro":
+            container(FIXDEC_SCHEMA, "null", FIXDEC_BODY, 2, SYNC),
+        "golden_namespaced.avro":
+            container(NAMESPACED_SCHEMA, "null", NAMESPACED_BODY, 2, SYNC),
         "golden_bzip2_flat.avro":
             container(FLAT_SCHEMA, "bzip2", FLAT_BODY, 2, SYNC),
         "golden_xz_flat.avro":

@@ -151,3 +151,35 @@ def test_writer_output_matches_checked_in_golden():
     with open(os.path.join(FIX, "golden_writer_output.avro"), "rb") as fh:
         golden = fh.read()
     assert write_container(schema, rows, codec="null") == golden
+
+
+def test_golden_fixed_decimal():
+    """logicalType decimal may annotate FIXED as well as bytes (spec
+    "Decimal"): the site maps to DecimalType but the wire form stays
+    exactly `size` raw bytes of big-endian two's-complement unscaled
+    int — no length prefix. Decoding it as bytes-decimal (length
+    prefix first) misreads the stream; ADVICE r7 medium item."""
+    schema, codec, rows = _read("golden_fixed_decimal.avro")
+    assert isinstance(schema["price"].dataType, T.DecimalType)
+    assert isinstance(schema["fee"].dataType, T.DecimalType)
+    assert rows == [
+        {"price": Decimal("123.45"), "fee": Decimal("9.99"),
+         "adj": Decimal("-0.5")},
+        {"price": Decimal("-1.00"), "fee": Decimal("0.00"),
+         "adj": None},
+    ]
+
+
+def test_golden_namespace_shadowing():
+    """Two enums share the bare name "sym" in namespaces ns1/ns2; a
+    bare reference resolves in its ENCLOSING namespace (spec name
+    resolution), so the ns2 child's "sym" must decode with ns2's
+    symbol list and the ns1 outer's with ns1's — global bare-name
+    registration would shadow one with the other (ADVICE r7)."""
+    schema, codec, rows = _read("golden_namespaced.avro")
+    assert rows == [
+        {"a": "N1B", "child": {"b": "N2Z", "b2": "N2X", "d": "N1A"},
+         "c": "N1A"},
+        {"a": "N1A", "child": {"b": "N2Y", "b2": "N2Z", "d": "N1B"},
+         "c": "N1B"},
+    ]

@@ -23,3 +23,15 @@ def test_scoped_conf_restores_on_exception(spark):
         with scoped_conf(spark, key, "9"):
             raise RuntimeError("boom")
     assert spark.conf.get(key) == before
+
+
+def test_scoped_conf_restores_unset_key(spark):
+    """A key that was never set must end the block UNSET again (not
+    pinned to some readback value): conf.get raises for defaultless
+    keys, and always re-setting in finally would leak the scoped
+    value — ADVICE r7 item."""
+    key = "spark.hyppo.test.neverSetKey"
+    assert spark.conf.get(key, None) is None
+    with scoped_conf(spark, key, "x"):
+        assert spark.conf.get(key) == "x"
+    assert spark.conf.get(key, None) is None

@@ -288,3 +288,44 @@ def test_user_profile_processor_logic_jvm_free():
     b3 = pd.DataFrame({"event_type": ["click"], "value": [0.5]})
     out3 = list(p.handleInputRows((7,), iter([b3]), None))[0]
     assert out3.iloc[0].tolist() == [7, 5, 10.5, 2, "click"]
+
+
+def test_drain_stream_raises_on_timeout(spark):
+    """drain_stream must fail LOUDLY when the query outlives the
+    timeout (a rate stream never self-terminates) and stop the
+    straggler — silently reading a partial sink was the ADVICE r7
+    failure mode."""
+    from hyppo_worker_spark.streaming import drain_stream
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("noop")
+        .start()
+    )
+    try:
+        with pytest.raises(RuntimeError, match="did not drain"):
+            drain_stream(q, 1)
+        assert not q.isActive
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def test_drain_stream_returns_on_completion(spark, tmp_path):
+    """An availableNow query that drains inside the timeout returns
+    normally."""
+    from hyppo_worker_spark.streaming import drain_stream
+
+    src = str(tmp_path / "src")
+    spark.range(10).write.parquet(src)
+    q = (
+        spark.readStream.schema("id bigint")
+        .parquet(src)
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_stream(q, 120)
+    assert not q.isActive
