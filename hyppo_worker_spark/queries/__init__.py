@@ -56,16 +56,7 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q06_forecast_revenue",  # single filter-agg — q01 (richer agg) and
         # q35 (conditional agg) keep the shape; retired to give the
         # recursive-CTE surface (q40) a driver row
-        "s05_knn_ivf_multiprobe",  # same IVF index as in-window s04, nprobe=2
-        "t08_token_chunks",
-        "t09_bigram_collocations",
-        "t12_repetition_signals",  # repetition family: t11/t02 carry the
-        # quality-signal driver rows; t12 is registered + locally checked
-        "t15_source_mix",
-        # Retired to give the NEW operator families driver rows
-        # (decontamination t11, distributed prefix-sum packing t14):
         "q09_rollup_qty",  # rollup — q20 grouping-sets keeps the category
-        "d09_corpus_export_manifest",  # composes d06+t13+t14 (each in-window)
         "q16_pivot_status",  # pivot — q32 unpivot keeps the category
         # Round-4 re-curation (VERDICT r3 item 1): retire three redundant
         # relational variants so the sharding/export (t13), tokenizer-
@@ -77,21 +68,9 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q38_distribution_windows",  # percentile/window — q29 keeps it
         "q34_ship_latency",  # scalar/date family — q24 keeps it
         "q28_cheapest_supplier_per_nation",  # per-group extreme — q07 keeps it
-        "d10_incremental_neardup",  # incremental LSH — d03 keeps the
-        # minhash family in-window; d10 is registered + locally checked
         "q36_rolling_window_range_frame",  # window frames — q29's window
         # suite keeps the family; retired so the Python DataSource
         # connector (p03) gets a driver row
-        "t17_bpe_encoding",  # tokenizer family — t16 keeps the driver
-        # row; t17 (encode with learned merges) is locally checked
-        "t19_unigram_surprisal",  # LM-surprisal quality — t18 keeps
-        # the quality driver row; t19 is locally checked
-        "t20_textrank_keywords",  # TextRank keywords — t16/q40 keep
-        # the iterative driver rows; t20 is locally checked
-        "t22_source_overlap",  # cross-source contamination matrix —
-        # t11 keeps the decontamination driver row; t22 locally checked
-        "t23_term_retrieval",  # inverted-index retrieval — t05 keeps
-        # the token-stats driver row; t23 is locally checked
         "q33_array_agg",  # array functions — exercised throughout the
         # s-/t-suites (arrays are the embedding/token medium); q24/q31
         # keep the semi-structured/set-op driver rows
@@ -99,10 +78,6 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # q29/t18/q49-style sums cover the shape; q01 keeps rich aggs
         "q37_edit_distance_drift",  # string-distance scalar — d03
         # minhash keeps the string-similarity driver row
-        "t24_vocab_coverage",  # tokenizer-sizing curve — t16 keeps
-        # the tokenizer driver row; t24 is locally checked
-        "t25_source_drift",  # mix drift guard — t15/t22 keep the
-        # mixing/overlap local reps; t25 is locally checked
         "d02_exact_dedup_kept",  # exact-dedup family — d01 keeps the
         # digest-groupBy driver row (2 green driver rounds archived)
         "d04_simhash_sketches",  # banded-sketch family — d03 minhash
@@ -278,6 +253,47 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # bucketing tests stay; 3 greens archived (r4-r6)
         "s07_pq_adc_topk",  # PQ/ADC ANN — s06/s08/s09/s10 keep the
         # similarity family in-window; 2 greens archived (r5, r6)
+        # Round-8 ENDGAME ROTATION (VERDICT r7 item 1): promote the
+        # last 14 never-driver-checked entries (d09, d10, s05, t08,
+        # t09, t12, t15, t17, t19, t20, t22, t23, t24, t25) so every
+        # registry entry has >= 1 archived driver-green row. The 14
+        # retirees below each have >= 2 archived green driver rounds
+        # and an in-window family representative:
+        "q01_pricing_summary",  # rich aggs — q64 (collated agg) and
+        # q65 (native sketch rollup) keep aggregation in-window; 7
+        # greens archived (r1-r7), the registry's most-evidenced row;
+        # still the entry() flagship smoke query
+        "d14_split_assignment",  # leakage-safe splits — promoted t22
+        # (source-overlap contamination matrix) + in-window d15 keep
+        # decontamination/dedup; 2 greens archived (r6, r7)
+        "d16_semantic_dedup_two_level",  # embedding near-dup — d10
+        # (incremental LSH near-dup, promoted) + s06 (int8 embedding
+        # ops) keep the family; 2 greens archived (r6, r7)
+        "s08_range_search",  # radius search — s05 (IVF multiprobe,
+        # promoted) + s06/s10 keep similarity in-window; 2 greens
+        "s09_hard_negatives",  # hard-negative mining — s05/s06/s10
+        # keep similarity in-window; 2 greens archived (r6, r7)
+        "t26_temperature_mix",  # temperature sampling — t15 (source
+        # mix) + t25 (mix drift), both promoted, keep sampling/mixing
+        # in-window; 2 greens archived (r6, r7)
+        "t28_bigram_surprisal",  # LM surprisal — t19 (unigram
+        # surprisal, promoted) keeps the family; 2 greens (r6, r7)
+        "t29_bm25_retrieval",  # BM25 — t23 (inverted-index term
+        # retrieval, promoted) keeps retrieval; 2 greens (r6, r7)
+        "t30_ngram_novelty",  # n-gram novelty — t09 (collocations) +
+        # t12 (repetition), both promoted, keep n-gram statistics
+        # in-window; 2 greens archived (r6, r7)
+        "q60_sliding_distinct_rollup",  # sliding HLL windows — q65
+        # (native sketch stack) + q63 (session windows) keep
+        # sketch/window aggs in-window; 2 greens archived (r6, r7)
+        "q61_sql_correlated_subquery",  # SQL-text subqueries — q66
+        # (listagg report) keeps the SQL-text surface; 2 greens
+        "q62_sql_text_dedup",  # SQL-text dedup — q66 keeps SQL-text,
+        # d15 keeps exact-dedup canonical selection; 2 greens
+        "t21_padding_waste",  # batch shaping — t08 (token chunking,
+        # promoted) keeps chunking/packing in-window; 3 greens
+        "m06_perceptual_neardup",  # perceptual hash dedup — m03/m04/
+        # m05/m07/m08 keep multimodal in-window; 2 greens (r6, r7)
     }
 )
 

@@ -18,7 +18,7 @@ from hyppo_worker_spark.queries import (
 )
 
 # One prefix per family that must never lose driver coverage.
-FAMILY_PREFIXES = ("d1", "m0", "p0", "q4", "s0", "t2")
+FAMILY_PREFIXES = ("d0", "d1", "m0", "p0", "q4", "q5", "q6", "s0", "t0", "t1", "t2", "t3")
 
 
 def test_driver_registry_fits_check_window():
@@ -34,56 +34,58 @@ def test_driver_registry_covers_every_family():
         assert any(n.startswith(prefix) for n in names), f"family {prefix} evicted"
     # the load-bearing representatives must stay in the window
     for must in (
-        # 1-green round-6 rows keep accumulating driver evidence
-        "d14_split_assignment",
+        # 1-green round-7 rows keep accumulating driver evidence
         "d15_canonical_selection",
-        "d16_semantic_dedup_two_level",
-        "m06_perceptual_neardup",
-        "p06_manifest_time_travel",  # r6 driver-FAIL: MUST re-green in r7
+        "p04_integration_sink_roundtrip",
+        "p06_manifest_time_travel",
         "p07_streaming_scd2_cdc",
         "p08_streaming_incremental_cc",
-        "q52_temporal_scd2_join",
-        "q60_sliding_distinct_rollup",
-        "q61_sql_correlated_subquery",
-        "s08_range_search",
-        "s09_hard_negatives",
-        "t26_temperature_mix",
-        "t28_bigram_surprisal",
-        "t29_bm25_retrieval",
-        "t30_ngram_novelty",
         "p09_scheduler_priority_ledger",
         "p10_ttl_redelivery_ledger",
         "p11_backoff_throttle_curves",
         "p12_format_roundtrips",
-        "q62_sql_text_dedup",
-        "q63_session_window_native",
-        "m07_audio_pcm_features",
-        "s10_pca_power_iteration",
+        "p13_streaming_dropdup",
         "p14_delegation_affinity_ledger",
         "p15_streaming_funnel",
-        # round-7 rotation (VERDICT r6 item 3): 16 never-driver-checked
-        # promotions get their FIRST driver rows this round
-        "p13_streaming_dropdup",
         "p16_dropdup_within_watermark",
-        "m08_video_frame_sample",
-        "t31_unicode_nfc_normalize",
-        "q64_collated_aggregation",
-        "p04_integration_sink_roundtrip",
+        "p17_queue_rollup_ledger",
+        "p18_stream_stream_join",
         "q42_retention_cohorts",
         "q43_conversion_funnel",
         "q45_variant_ingestion",
+        "q52_temporal_scd2_join",
         "q54_zonemap_pruning",
         "q57_interval_bin_join",
         "q59_month_over_month",
+        "q63_session_window_native",
+        "q64_collated_aggregation",
+        "q65_native_sketch_rollup",
+        "q66_listagg_report",
         "m03_audio_header_decode",
         "m04_video_header_decode",
         "m05_fused_features",
+        "m07_audio_pcm_features",
+        "m08_video_frame_sample",
         "s06_int8_quantization",
-        # NEW round-7 rows land with immediate driver slots
-        "p17_queue_rollup_ledger",
-        "p18_stream_stream_join",
-        "q65_native_sketch_rollup",
-        "q66_listagg_report",
+        "s10_pca_power_iteration",
+        "t31_unicode_nfc_normalize",
+        # round-8 ENDGAME rotation (VERDICT r7 item 1): the final 14
+        # never-driver-checked entries get their FIRST driver rows —
+        # after this round every registry entry has archived evidence
+        "d09_corpus_export_manifest",
+        "d10_incremental_neardup",
+        "s05_knn_ivf_multiprobe",
+        "t08_token_chunks",
+        "t09_bigram_collocations",
+        "t12_repetition_signals",
+        "t15_source_mix",
+        "t17_bpe_encoding",
+        "t19_unigram_surprisal",
+        "t20_textrank_keywords",
+        "t22_source_overlap",
+        "t23_term_retrieval",
+        "t24_vocab_coverage",
+        "t25_source_drift",
     ):
         assert must in names
 
