@@ -16,8 +16,9 @@ data is durably in place:
 1. ``done(batch_id)`` — replayed MARKED batches are no-ops;
 2. ``recover()`` — heal any leftover from a previous crash (below);
 3. materialize the new table generation NEXT TO the current one
-   (``<table>.staging-<id>``), via an eager localCheckpoint so the
-   plan stops depending on the directory it is about to replace;
+   (``<table>.staging-<id>``) — the merge plan may read the current
+   generation while writing staging, and the swap renames only run
+   after the write action completes;
 4. swap: rename current → ``.old-<id>``, rename staging in;
 5. write the marker; drop the old generation.
 
@@ -88,10 +89,17 @@ class MarkedTableCommitter:
 
     def commit(self, df: DataFrame, batch_id: int) -> None:
         """Materialize ``df`` as the table's next generation, swap it
-        in, then mark the batch done."""
-        pinned = df.localCheckpoint(eager=True)
+        in, then mark the batch done.
+
+        The write goes DIRECTLY to the staging dir: the plan may read
+        the current table generation, but staging is a different
+        directory and the swap renames happen only after the write
+        action completes, so no localCheckpoint pin is needed — the
+        earlier eager-checkpoint-then-write shape materialized every
+        generation twice per batch for no safety gain (p08 cost
+        itemization, round 8)."""
         staging = self.table_dir + f".staging-{batch_id}"
-        pinned.write.mode("overwrite").parquet(staging)
+        df.write.mode("overwrite").parquet(staging)
         old = self.table_dir + f".old-{batch_id}"
         if os.path.isdir(self.table_dir):
             os.rename(self.table_dir, old)

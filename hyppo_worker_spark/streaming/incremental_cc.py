@@ -45,12 +45,31 @@ from hyppo_worker_spark.streaming.commit import MarkedTableCommitter
 
 
 class IncrementalCCSink:
-    """foreachBatch callable maintaining a (node, comp) state table."""
+    """foreachBatch callable maintaining a (node, comp) state table.
 
-    def __init__(self, spark: SparkSession, base_dir: str) -> None:
+    ``local_solve_max_edges`` bounds a size-adaptive fast path: when
+    the touched subgraph (new edges + affected-component membership
+    stars) fits under the bound, the CC recompute runs driver-side
+    with union-find instead of the distributed star-rounds operator.
+    Itemizing p08's cost at sf0.1 (tools/profile_p08.py) showed the
+    distributed recompute was 10.6s of the 12.8s sink total — ~8
+    star rounds x per-job fixed overhead over a few thousand edges;
+    the data volume is irrelevant at that size. The pull is bounded
+    (``limit(max+1)`` — 200k edges ≈ 3 MB driver-side) and the
+    distributed path remains for anything larger (e.g. the first
+    batch of a 100 TB ingest), exactly the broadcast-join shape:
+    size-adaptive physical strategy under one logical contract."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        local_solve_max_edges: int = 200_000,
+    ) -> None:
         self.spark = spark
         self.table_dir = os.path.join(base_dir, "cc_state")
         self.marker_dir = os.path.join(base_dir, "cc_markers")
+        self.local_solve_max_edges = local_solve_max_edges
         self._committer = MarkedTableCommitter(self.table_dir, self.marker_dir)
 
     def state(self) -> DataFrame:
@@ -98,7 +117,23 @@ class IncrementalCCSink:
             untouched = None
             sub_edges = new_edges
 
-        recomputed = connected_components(sub_edges)
+        # Size-adaptive recompute: one bounded job pulls up to max+1
+        # edges; getting max+1 back means "too big — go distributed".
+        cap = self.local_solve_max_edges
+        pulled = sub_edges.limit(cap + 1).collect()
+        if len(pulled) <= cap:
+            from hyppo_worker_spark.operators.dedup import (
+                local_connected_components,
+            )
+
+            labeled = local_connected_components(
+                [(r["a_id"], r["b_id"]) for r in pulled]
+            )
+            recomputed = self.spark.createDataFrame(
+                labeled, "node long, comp long"
+            )
+        else:
+            recomputed = connected_components(sub_edges)
         merged = (
             recomputed
             if untouched is None

@@ -71,3 +71,41 @@ def test_replay_of_marked_batch_is_noop(spark, tmp_path):
     s1 = _state(sink)
     sink(b0, 0)  # replay
     assert _state(sink) == s1
+
+
+def test_incremental_distributed_fallback_matches(spark, tmp_path):
+    """local_solve_max_edges=0 forces every batch over the bound, so
+    the distributed star-rounds path runs — results must be identical
+    to the default (local union-find) path on the same batches,
+    including the bridge-merge case."""
+    sink = IncrementalCCSink(
+        spark, str(tmp_path / "cc"), local_solve_max_edges=0
+    )
+    seen: list[tuple[int, int]] = []
+    batches = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(3, 10)],  # bridge
+        [(50, 51), (51, 1)],
+    ]
+    for i, b in enumerate(batches):
+        seen.extend(b)
+        sink(spark.createDataFrame(b, "a_id long, b_id long"), i)
+        assert _state(sink) == _full(spark, seen), f"batch {i}"
+
+
+def test_local_cc_matches_distributed_operator(spark):
+    """The driver-side union-find and the distributed operator agree
+    on random graphs (chains, merges, duplicate + reversed edges)."""
+    from hyppo_worker_spark.operators.dedup import (
+        local_connected_components,
+    )
+
+    rng = random.Random(7)
+    for trial in range(5):
+        edges = [
+            (rng.randrange(40), rng.randrange(40)) for _ in range(60)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = set(local_connected_components(edges))
+        want = _full(spark, edges)
+        assert got == want, f"trial {trial}"
