@@ -150,6 +150,8 @@ def parse_event_log(app_dir: str) -> dict[str, float]:
     """Max per-task input / shuffle-read bytes across the app's tasks."""
     max_input = 0
     max_sread = 0
+    max_run = 0
+    sum_run = 0
     n_tasks = 0
     paths = [p for p in glob.glob(app_dir) if os.path.isfile(p)]
     for path in paths:
@@ -168,10 +170,19 @@ def parse_event_log(app_dir: str) -> dict[str, float]:
                     max_sread,
                     sr.get("Local Bytes Read", 0) + sr.get("Remote Bytes Read", 0),
                 )
+                rt = tm.get("Executor Run Time", 0)
+                max_run = max(max_run, rt)
+                sum_run += rt
     return {
         "tasks": n_tasks,
         "max_task_input_mb": round(max_input / 1e6, 2),
         "max_task_shuffle_read_mb": round(max_sread / 1e6, 2),
+        # compute-skew evidence byte metrics can miss: a hot join key's
+        # pair-emission work shows up as one task's run time dominating
+        # the app's total (p18 hot-key stress: 42% of all task-seconds
+        # in a single task before the pre-split)
+        "max_task_run_s": round(max_run / 1000, 1),
+        "sum_task_run_s": round(sum_run / 1000, 1),
     }
 
 
