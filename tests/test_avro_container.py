@@ -343,3 +343,38 @@ def test_nested_union_order_from_file_schema():
     )
     _, _, rows = AC.read_container(blob)
     assert rows == [{"xs": [7, None]}]
+
+
+def test_distributed_declared_schema_roundtrip(spark, tmp_path):
+    """write_avro with a DECLARED enum/fixed schema: every part file
+    embeds the declared JSON verbatim (fingerprint-preserving) and
+    enum/fixed wire forms hold; read_avro decodes the values back."""
+    import glob
+    import json
+
+    declared = json.dumps({
+        "type": "record", "name": "ef",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "status",
+             "type": {"type": "enum", "name": "st",
+                      "symbols": ["OK", "WARN", "FAIL"]}},
+            {"name": "tag",
+             "type": {"type": "fixed", "name": "t4", "size": 4}},
+        ],
+    })
+    from hyppo_worker_spark.sources.avro_schema import avro_to_struct
+
+    st = avro_to_struct(declared)
+    df = spark.createDataFrame(
+        [(1, "OK", b"AAAA"), (2, "FAIL", b"\x00\x01\x02\x03")], st
+    )
+    out = str(tmp_path / "declared")
+    assert AC.write_avro(df, out, codec="null", declared_schema=declared) == 2
+    for part in glob.glob(out + "/part-*.avro"):
+        with open(part, "rb") as fh:
+            blob = fh.read()
+        assert declared.encode() in blob  # embedded verbatim
+    back = AC.read_avro(spark, out)
+    got = {(r.id, r.status, bytes(r.tag)) for r in back.collect()}
+    assert got == {(1, "OK", b"AAAA"), (2, "FAIL", b"\x00\x01\x02\x03")}

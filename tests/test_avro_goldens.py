@@ -183,3 +183,118 @@ def test_golden_namespace_shadowing():
         {"a": "N1A", "child": {"b": "N2Y", "b2": "N2Z", "d": "N1B"},
          "c": "N1B"},
     ]
+
+
+def _varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Independent zigzag-varint decode for test-side framing."""
+    shift = u = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _split_container(data: bytes) -> tuple[str, list[bytes]]:
+    """(embedded schema JSON, [block body bytes...]) for a null-codec
+    container — test-side framing parser, no engine code."""
+    assert data[:4] == b"Obj\x01"
+    pos = 4
+    schema = ""
+    while True:
+        n, pos = _varint(data, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _, pos = _varint(data, pos)
+        for _ in range(n):
+            kl, pos = _varint(data, pos)
+            k = data[pos : pos + kl].decode()
+            pos += kl
+            vl, pos = _varint(data, pos)
+            if k == "avro.schema":
+                schema = data[pos : pos + vl].decode()
+            pos += vl
+    pos += 16  # sync
+    bodies = []
+    while pos < len(data):
+        _, pos = _varint(data, pos)
+        size, pos = _varint(data, pos)
+        bodies.append(data[pos : pos + size])
+        pos += size + 16
+    return schema, bodies
+
+
+def test_declared_schema_writer_emits_spec_bytes():
+    """write_container(declared_schema=...) must (a) embed the declared
+    JSON verbatim — so the reference's MD5 fingerprint identity
+    (IntegrationSchema.scala:25-28) survives a round-trip — and (b)
+    re-encode the decoded rows to EXACTLY the hand-assembled golden
+    body bytes: enum as zigzag symbol index, fixed as raw N bytes,
+    fixed-decimal as the N-byte unscaled int, unions in the declared
+    ["null",T] / [T,"null"] order (VERDICT r7 item 4)."""
+    from hyppo_worker_spark.model import compute_schema_fingerprint
+
+    for name in (
+        "golden_enum_fixed.avro",
+        "golden_fixed_decimal.avro",
+        "golden_namespaced.avro",
+        "golden_foreign_unions.avro",
+    ):
+        with open(os.path.join(FIX, name), "rb") as fh:
+            raw = fh.read()
+        declared, want_bodies = _split_container(raw)
+        schema, codec, rows = read_container(memoryview(raw))
+        out = write_container(
+            schema, rows, codec="null", declared_schema=declared
+        )
+        got_schema, got_bodies = _split_container(out)
+        assert got_schema == declared, name
+        assert compute_schema_fingerprint(
+            got_schema
+        ) == compute_schema_fingerprint(declared), name
+        assert b"".join(got_bodies) == b"".join(want_bodies), name
+        # and the engine re-reads its own declared-schema output
+        schema2, _, rows2 = read_container(memoryview(out))
+        assert rows2 == rows, name
+        assert schema2 == schema, name
+
+
+def test_declared_schema_writer_rejects_mismatched_struct():
+    with open(os.path.join(FIX, "golden_enum_fixed.avro"), "rb") as fh:
+        raw = fh.read()
+    declared, _ = _split_container(raw)
+    wrong = T.StructType([T.StructField("x", T.LongType(), False)])
+    try:
+        write_container(wrong, [], codec="null", declared_schema=declared)
+    except ValueError as e:
+        assert "declared_schema" in str(e)
+    else:
+        raise AssertionError("mismatched StructType accepted")
+
+
+def test_declared_schema_writer_rejects_bad_enum_and_fixed_values():
+    with open(os.path.join(FIX, "golden_enum_fixed.avro"), "rb") as fh:
+        raw = fh.read()
+    declared, _ = _split_container(raw)
+    schema, _, rows = read_container(memoryview(raw))
+    bad_enum = [dict(rows[0], status="NOT_A_SYMBOL")]
+    try:
+        write_container(schema, bad_enum, codec="null",
+                        declared_schema=declared)
+    except ValueError as e:
+        assert "not a declared symbol" in str(e)
+    else:
+        raise AssertionError("undeclared enum symbol accepted")
+    bad_fixed = [dict(rows[0], tag=b"toolongvalue")]
+    try:
+        write_container(schema, bad_fixed, codec="null",
+                        declared_schema=declared)
+    except ValueError as e:
+        assert "exactly" in str(e)
+    else:
+        raise AssertionError("wrong-size fixed accepted")
