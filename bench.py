@@ -219,7 +219,7 @@ def main() -> None:
                     f"warmup {name} failed: {type(e).__name__}",
                     file=sys.stderr,
                 )
-            clear_cache(spark)
+            clear_cache(spark, include_rdd_blocks=True)
         # Driver-side share: build + analyze only (no jobs run). The
         # timed runs below include this; reporting it separately splits
         # "query got slower" from "planning/py4j got slower".
@@ -227,7 +227,7 @@ def main() -> None:
         df = q.spark_fn(spark, sf_dir)
         _ = df.schema
         plan_times[name] = round(time.time() - t0, 3)
-        clear_cache(spark)
+        clear_cache(spark, include_rdd_blocks=True)
         # Min of three timed runs: single-run numbers at local[32]
         # swing up to 8x on identical plans (JIT recompilation + GC
         # pauses land on whichever query is executing); the minimum is
@@ -240,7 +240,7 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
             del n
-            clear_cache(spark)
+            clear_cache(spark, include_rdd_blocks=True)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -24,6 +24,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hyppo_worker_spark.session import tracked_persist
+
 from hyppo_worker_spark.functions import text as TX
 from hyppo_worker_spark.functions import vectors as V
 
@@ -224,10 +226,10 @@ def _minhash_banded(
     # shingle expression referencing a plain column — the collapsed
     # single-expression form generates pathologically large codegen
     # (measured ~15x slower to compile than executing it).
-    words = df.select(F.col(id_col).alias("did"), toks.alias("w")).persist()
+    words = df.select(F.col(id_col).alias("did"), toks.alias("w")).transform(tracked_persist)
     docs = words.select(
         "did", TX.shingles(F.col("w"), shingle_n).alias("sh")
-    ).persist()
+    ).transform(tracked_persist)
 
     # ONE md5 per shingle, parsed into TWO 28-bit base fields (hex
     # digits 1-7 and 8-14), then the ``num_hashes`` signature elements
@@ -277,7 +279,7 @@ def _minhash_banded(
     banded = (
         per_doc.select("did", F.explode(band_structs).alias("bb"))
         .select("did", "bb.band_id", "bb.band_key")
-    ).persist()
+    ).transform(tracked_persist)
     return docs, banded
 
 
@@ -414,10 +416,10 @@ def ngram_jaccard_pairs(
     for midsize corpora)."""
     toks = TX.tokens(text_col)
     # Two-level persist, same rationale as minhash_lsh_pairs.
-    words = df.select(F.col(id_col).alias("did"), toks.alias("w")).persist()
+    words = df.select(F.col(id_col).alias("did"), toks.alias("w")).transform(tracked_persist)
     docs = words.select(
         "did", TX.shingles(F.col("w"), shingle_n).alias("sh")
-    ).persist()
+    ).transform(tracked_persist)
     docs = docs.withColumn(
         "mins", F.slice(F.array_sort(F.transform(F.col("sh"), F.md5)), 1, bucket_hashes)
     )
@@ -463,7 +465,7 @@ def embedding_neardup_pairs(
     v = (
         df.select(F.col(id_col).alias("did"), V.as_double(F.col(vec_col)).alias("vv"))
         .withColumn("nrm", V.norm(F.col("vv")))
-        .persist()
+        .transform(tracked_persist)
     )
     banded = v.select(
         "did", F.explode(V.banded_sign_buckets(F.col("vv"), bands, bits)).alias("bb")
@@ -587,7 +589,7 @@ def semantic_dedup_components(
         assigned = (
             v.join(cells.withColumnRenamed("__id", "did"), "did")
             .select("did", "vv", "nrm", "cell")
-            .persist()
+            .transform(tracked_persist)
         )
     else:
         scored = v.join(F.broadcast(cents)).withColumn(
@@ -600,7 +602,7 @@ def semantic_dedup_components(
             scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("did", "vv", "nrm", F.col("cent_id").alias("cell"))
-            .persist()
+            .transform(tracked_persist)
         )
     a = assigned.select(
         F.col("did").alias("a_id"), F.col("vv").alias("av"),

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from hyppo_worker_spark.functions import text as TX
 from hyppo_worker_spark.operators import dedup as D
 from hyppo_worker_spark.queries import register
-from hyppo_worker_spark.session import load_tables
+from hyppo_worker_spark.session import load_tables, tracked_persist
 
 # Shared DuckDB CTE: tokenization + 3-gram shingles, mirroring
 # functions/text.py::tokens + shingles.
@@ -978,21 +978,21 @@ def d13_exact_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = base.select(
         "doc_id", "source", TX.tokens("text").alias("w")
-    ).persist()
+    ).transform(tracked_persist)
     # TX.pos_ngram_hashes carries the size<k guard (ADVICE r4): an
     # unguarded sequence(1, size-7) is DESCENDING for <8-token docs.
     gram = TX.pos_ngram_hashes(F.col("w"), _D13_K)
     grams = (
         tok.select("doc_id", "source", F.explode(gram).alias("g"))
         .select("doc_id", "source", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-        .persist()
+        .transform(tracked_persist)
     )
     dup = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     )
     flagged = grams.join(dup.select("h"), "h").select(
         "doc_id", "source", "pos"
-    ).persist()
+    ).transform(tracked_persist)
     covered = (
         flagged.select(
             "doc_id",
@@ -1144,7 +1144,7 @@ def d14_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canon",
         gate(F.col("canon")).alias("split"),
         gate(F.col("doc_id")).alias("naive_split"),
-    ).persist()
+    ).transform(tracked_persist)
     leak = (
         assigned.groupBy("canon")
         .agg(F.countDistinct("naive_split").alias("k"))
@@ -1311,7 +1311,7 @@ def d16_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
         "label",
     )
-    corpus = base.unionByName(planted).persist()
+    corpus = base.unionByName(planted).transform(tracked_persist)
 
     def dropped(assignment):
         comp = D.semantic_dedup_components(
@@ -1322,7 +1322,7 @@ def d16_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("vec_id")
         )
 
-    flat_d = dropped("flat").persist()
+    flat_d = dropped("flat").transform(tracked_persist)
     two_total = dropped("two_level").agg(
         F.count(F.lit(1)).cast("long").alias("tt")
     )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from hyppo_worker_spark.operators.multimodal import synth_media_df
 from hyppo_worker_spark.queries import register
-from hyppo_worker_spark.session import load_tables
+from hyppo_worker_spark.session import load_tables, tracked_persist
 
 _MANIFEST_SCHEMA = (
     "media_id long, kind string, n_bytes long, digest string, fmt string"
@@ -491,7 +491,7 @@ def m06_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_bmp_sql('doc_id', 32, 32, scale=2)} AS content",
         )
     )
-    bands = bmp_ahash_bands(media).persist()
+    bands = bmp_ahash_bands(media).transform(tracked_persist)
     eb = bands.select(
         "media_id",
         F.explode(

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hyppo_worker_spark.queries import register
-from hyppo_worker_spark.session import load_tables
+from hyppo_worker_spark.session import load_tables, tracked_persist
 
 
 # --------------------------------------------------------------------------
@@ -2189,8 +2189,8 @@ def q46_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the probe both read it.
     tc_src = toks.groupBy("source", "token").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).persist()
-    tc = tc_src.groupBy("token").agg(F.sum("cnt").cast("long").alias("cnt")).persist()
+    ).transform(tracked_persist)
+    tc = tc_src.groupBy("token").agg(F.sum("cnt").cast("long").alias("cnt")).transform(tracked_persist)
 
     # Shard-wise sketches (one per source) merged by addition, all in
     # ONE lazy plan: the per-source counter table is the shard sketch,
@@ -2451,7 +2451,7 @@ def q48_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("user_id") % 2 == 0).select(
             (F.col("user_id") + 1000000).alias("user_id")
         )
-    ).distinct().persist()
+    ).distinct().transform(tracked_persist)
     sb = (
         base.filter(F.col("user_id") % 3 != 0)
         .unionByName(
@@ -2460,13 +2460,13 @@ def q48_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
-    ha = sa.select(kmv_hash("user_id").alias("h")).distinct().persist()
-    hb = sb.select(kmv_hash("user_id").alias("h")).distinct().persist()
+    ha = sa.select(kmv_hash("user_id").alias("h")).distinct().transform(tracked_persist)
+    hb = sb.select(kmv_hash("user_id").alias("h")).distinct().transform(tracked_persist)
     ka = ha.orderBy("h").limit(_KMV_K)
     kb = hb.orderBy("h").limit(_KMV_K)
-    merged = kmv_merge(ka, kb, k=_KMV_K).persist()
+    merged = kmv_merge(ka, kb, k=_KMV_K).transform(tracked_persist)
     m = merged.agg(
         F.count(F.lit(1)).alias("n_m"), F.max("h").alias("t")
     )
@@ -2754,7 +2754,7 @@ def q50_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("ys").alias("min_y"),
                 F.max("ys").alias("max_y"),
             )
-            .persist()
+            .transform(tracked_persist)
         )
 
     ez, el = extents("zb"), extents("lb")
@@ -3184,7 +3184,7 @@ def q54_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, path, "xr", "yr", bits=_Z_BITS, file_bits=_Q54_FILE_BITS
     )
 
-    zm = build_zonemap(spark, path, ["xr", "yr"]).persist()
+    zm = build_zonemap(spark, path, ["xr", "yr"]).transform(tracked_persist)
     mm = base.agg(
         F.min("xr").alias("xmin"),
         F.max("xr").alias("xmax"),
@@ -4171,7 +4171,7 @@ def q65_native_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd").alias("day"),
             (F.dayofmonth("ts") <= 15).alias("first_half"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
 
     def ok(est, exact):
@@ -4195,7 +4195,7 @@ def q65_native_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.bitmap_bit_position("user_id")
             ).alias("bm")
         )
-        .persist()
+        .transform(tracked_persist)
     )
     daily = partials.groupBy("day").agg(
         F.sum(F.bitmap_count("bm")).alias("n")

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from hyppo_worker_spark.functions import text as TX
 from hyppo_worker_spark.queries import register
-from hyppo_worker_spark.session import load_tables
+from hyppo_worker_spark.session import load_tables, tracked_persist
 
 _SQL_TOK = """
     tok AS (
@@ -719,13 +719,13 @@ def t11_decontamination(
             (bucket < _DECON_EVAL_PCT).alias("is_eval"),
             TX.tokens("text").alias("w"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     grams = words.select(
         "doc_id",
         "is_eval",
         TX.shingles(F.col("w"), _DECON_N).alias("grams"),
-    ).persist()
+    ).transform(tracked_persist)
     eval_grams = grams.filter(F.col("is_eval")).select(
         F.explode("grams").alias("gram")
     )
@@ -1443,7 +1443,7 @@ def t20_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = und.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
     ws = edges.groupBy("u").agg(F.sum("w").cast("long").alias("ws"))
-    e = edges.join(ws, "u").persist()
+    e = edges.join(ws, "u").transform(tracked_persist)
     ranks = e.select("u").distinct().select(
         F.col("u").alias("token"), F.lit(_TR_SCALE).cast("long").alias("r")
     )
@@ -1629,7 +1629,7 @@ def t22_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lesson, operators/dedup.py): inlined, the tokenize expression is
     # collapsed into every one of the 5 element_at() calls per gram
     # position and codegen slows ~15x.
-    words = docs.select("source", TX.tokens("text").alias("w")).persist()
+    words = docs.select("source", TX.tokens("text").alias("w")).transform(tracked_persist)
     dg = (
         words.select(
             "source",
@@ -1645,14 +1645,14 @@ def t22_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persisted: dg feeds BOTH the presence count and the kept
         # join — without the barrier the tokenize+shingle explode (the
         # expensive stage) runs twice
-        .persist()
+        .transform(tracked_persist)
     )
     presence = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
     kept = (
         dg.join(presence, "gram")
         .filter(F.col("c") <= _T22_CAP)
         .select("source", "gram")
-        .persist()
+        .transform(tracked_persist)
     )
     sizes = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
@@ -1826,7 +1826,7 @@ def t24_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(TX.tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+        .transform(tracked_persist)
     )
     tot = tc.agg(
         F.sum("cnt").cast("long").alias("total"),
@@ -1914,7 +1914,7 @@ def t25_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(TX.tokens("text")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+        .transform(tracked_persist)
     )
     g = tc.groupBy("token").agg(F.sum("cnt").cast("long").alias("gcnt"))
     gt = g.agg(F.sum("gcnt").cast("long").alias("total"))
@@ -2129,7 +2129,7 @@ def t28_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
             F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     train = pairs.filter(F.col("held_in"))
     bi = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
@@ -2262,7 +2262,7 @@ def t29_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} BM25 docs per query with whole-bit idf and fixed-point
     saturation — every score an exact int64."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    tok = docs.select("doc_id", TX.tokens("text").alias("w")).persist()
+    tok = docs.select("doc_id", TX.tokens("text").alias("w")).transform(tracked_persist)
     postings = tok.select("doc_id", F.explode("w").alias("term"))
     dl = tok.select("doc_id", F.size("w").alias("dl"))
     stats = dl.agg(
@@ -2412,7 +2412,7 @@ def t30_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(TX.shingles(F.col("w"), 3)).alias("g"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     # shingles are per-doc distinct, so count(*) IS the document
     # frequency and min(doc_id) identifies a df-1 gram's only holder.
@@ -2420,7 +2420,7 @@ def t30_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise re-aggregate the explode each time.
     gdf = ex.groupBy("g").agg(
         F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc")
-    ).persist()
+    ).transform(tracked_persist)
     # path 1 — novel counts, holder-side (no join back at all)
     novel_pd = (
         gdf.filter(F.col("df") == 1)

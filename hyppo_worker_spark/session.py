@@ -89,12 +89,62 @@ def scoped_conf(spark: SparkSession, key: str, value: str):
             spark.conf.set(key, prev)
 
 
-def clear_cache(spark: SparkSession) -> None:
+# Queries persist narrow intermediates that the RETURNED plan still
+# references, so they cannot unpersist before returning; the consumer
+# releases them after materializing the result. tracked_persist keeps
+# the postfix call shape via DataFrame.transform:
+#     shared = expr.transform(tracked_persist)
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for ``release_persists`` — the
+    query-level cache hygiene contract (VERDICT r7 item 5): every
+    query-side ``persist()`` goes through here, and every consumer
+    (tools/check.py, drive_entry, bench, a long-lived engine session)
+    calls ``release_persists()`` after materializing a query's result
+    instead of letting cached partitions accumulate to LRU eviction."""
+    df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persists() -> int:
+    """Unpersist (blocking) everything registered by tracked_persist;
+    returns the count released. Safe mid-plan — unpersist only drops
+    cached blocks, later reuse recomputes from lineage."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist(True)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
+
+def clear_cache(spark: SparkSession, include_rdd_blocks: bool = False) -> None:
     """Drop all persisted intermediates. Operators like MinHash-LSH
     persist narrow projections as codegen/recompute barriers; a
     long-lived session (bench loops, the engine) should clear them
-    between unrelated queries."""
+    between unrelated queries.
+
+    ``include_rdd_blocks=True`` additionally drops RDD-level blocks —
+    i.e. ``localCheckpoint`` pins, which ``catalog.clearCache`` never
+    touches and the ContextCleaner only reclaims on a JVM GC cycle.
+    ONLY safe at a boundary where no in-flight plan will be reused:
+    a localCheckpointed RDD has truncated lineage, so dropping its
+    blocks while a consumer still needs them fails the job rather
+    than recomputing."""
+    release_persists()
     spark.catalog.clearCache()
+    if include_rdd_blocks:
+        # py4j exposes the Java map as a dict-like view
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            rdd.unpersist(True)
 
 
 TABLES = (

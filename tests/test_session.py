@@ -35,3 +35,36 @@ def test_scoped_conf_restores_unset_key(spark):
     with scoped_conf(spark, key, "x"):
         assert spark.conf.get(key) == "x"
     assert spark.conf.get(key, None) is None
+
+
+def test_tracked_persist_release_and_rdd_block_clear(spark):
+    """tracked_persist registers for release_persists; clear_cache
+    with include_rdd_blocks also drops localCheckpoint pins, which
+    catalog.clearCache never touches (VERDICT r7 item 5)."""
+    from pyspark.sql import functions as F
+
+    from hyppo_worker_spark.session import (
+        clear_cache,
+        release_persists,
+        tracked_persist,
+    )
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    clear_cache(spark, include_rdd_blocks=True)
+    base = n_cached()
+    df = spark.range(100).select((F.col("id") * 2).alias("x")).transform(
+        tracked_persist
+    )
+    assert df.count() == 100
+    pinned = spark.range(50).localCheckpoint(eager=True)
+    assert pinned.count() == 50
+    assert n_cached() > base
+    assert release_persists() >= 1
+    # the localCheckpoint pin survives release_persists + clearCache...
+    spark.catalog.clearCache()
+    assert n_cached() > base
+    # ...and only the boundary-time RDD-block clear drops it
+    clear_cache(spark, include_rdd_blocks=True)
+    assert n_cached() == 0

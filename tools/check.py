@@ -123,7 +123,21 @@ def main() -> int:
                 failures.append(name)
                 continue
             srows = [tuple(r) for r in sdf.collect()]
-            spark.catalog.clearCache()
+            # full cache hygiene between queries: tracked persists
+            # released, SQL cache cleared, localCheckpoint RDD blocks
+            # dropped — then ASSERT nothing stayed cached (VERDICT r7
+            # item 5: a long-lived session must not accumulate
+            # partitions toward LRU eviction)
+            from hyppo_worker_spark.session import clear_cache
+            clear_cache(spark, include_rdd_blocks=True)
+            n_cached = len(
+                spark.sparkContext._jsc.getPersistentRDDs()
+            )
+            if n_cached:
+                print(f"XX {name}: {n_cached} RDDs still cached after "
+                      "clear_cache — persist/localCheckpoint leak")
+                failures.append(name)
+                continue
         except Exception as e:
             print(f"!! {name}: SPARK ERROR {type(e).__name__}: {e}")
             failures.append(name)

@@ -66,7 +66,8 @@ for name, fn in qs.items():
         print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:200]}")
         bad.append(name)
         continue
-    spark.catalog.clearCache()
+    from hyppo_worker_spark.session import clear_cache
+    clear_cache(spark, include_rdd_blocks=True)
     if name not in oracles:
         print(f"  {name}: rows-only, {len(srows)} rows")
         continue

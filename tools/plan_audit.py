@@ -159,7 +159,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             rows.append({"name": name, "error": str(e)[:120]})
             print(f"  {name}: ERROR {e}")
-        clear_cache(spark)
+        clear_cache(spark, include_rdd_blocks=True)
 
     with open(args.out, "w", encoding="utf-8") as fh:
         fh.write(

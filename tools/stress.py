@@ -230,7 +230,7 @@ def main() -> None:
             q.spark_fn(spark, d).count()  # warm-up: codegen/JIT
             from hyppo_worker_spark.session import clear_cache
 
-            clear_cache(spark)
+            clear_cache(spark, include_rdd_blocks=True)
             # min-of-2: single-run walls swing with JIT/GC (bench.py
             # rationale); task maxima still cover every run in the app.
             wall = 9e9
@@ -238,7 +238,7 @@ def main() -> None:
                 t0 = time.time()
                 q.spark_fn(spark, d).count()
                 wall = min(wall, round(time.time() - t0, 2))
-                clear_cache(spark)
+                clear_cache(spark, include_rdd_blocks=True)
             app_id = spark.sparkContext.applicationId
             spark.stop()
             time.sleep(0.5)
