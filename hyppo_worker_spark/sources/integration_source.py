@@ -431,7 +431,12 @@ def read_committed(spark, path: str, schema: str, version: int | None = None):
         with open(snap, encoding="utf-8") as fh:
             entries.extend(json.load(fh)["files"])
     else:
-        for name in sorted(os.listdir(path)):
+        # a zone nothing was ever committed to may not even have a
+        # directory (an aborted first write can die before any task
+        # creates it) — that is a valid "0 committed rows" state, not
+        # an error
+        names = sorted(os.listdir(path)) if os.path.isdir(path) else []
+        for name in names:
             is_epoch = (
                 name.startswith("_MANIFEST-")
                 and name.endswith(".json")

@@ -201,3 +201,11 @@ def test_overwrite_truncates_history(registered, tmp_path):
     ).option("path", out).mode("overwrite").save()
     assert read_committed(registered, out, SCHEMA).count() == 4
     assert read_committed(registered, out, SCHEMA, version=2).count() == 4
+
+
+def test_read_committed_of_never_created_zone_is_empty(registered, tmp_path):
+    """An aborted FIRST write can die before any task creates the sink
+    directory; reading that zone is a valid 0-rows state, not a
+    FileNotFoundError (flake caught in the r8 full-suite run)."""
+    missing = str(tmp_path / "never-created")
+    assert read_committed(registered, missing, SCHEMA).count() == 0
