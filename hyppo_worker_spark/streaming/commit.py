@@ -106,3 +106,122 @@ class MarkedTableCommitter:
         os.rename(staging, self.table_dir)
         self.mark_only(batch_id)
         shutil.rmtree(old, ignore_errors=True)
+
+
+class BucketedMarkedTableCommitter:
+    """Marker-guarded commits for a maintained table partitioned into
+    hash BUCKETS (``<table>/bucket=<i>/``), rewriting ONLY the buckets
+    a batch touches.
+
+    The whole-table ``MarkedTableCommitter`` rewrites every state row
+    per micro-batch — O(state) write amplification that dominates at
+    100 TB, where a small batch touches a tiny key range. Bucketing by
+    a stable key hash bounds the rewrite to O(touched buckets +
+    batch): untouched bucket directories are not read, written, or
+    renamed. Spark reads the table back with ordinary partition
+    discovery (the ``bucket`` int column materializes from the
+    directory names), and scans that filter on ``bucket`` prune to
+    the matching directories.
+
+    Crash safety is the same marker-after-data invariant, applied
+    per generation root:
+
+    1. ``done(batch_id)`` — replayed MARKED batches are no-ops;
+    2. ``recover()`` — roll any UNMARKED generation back bucket-by-
+       bucket (the batch will be replayed; every touched bucket must
+       show its PRE-batch content), then GC stale roots;
+    3. one Spark job writes all touched buckets under
+       ``<table>.staging-<id>/bucket=<i>/`` (``partitionBy``);
+    4. swap each touched bucket: current → ``<table>.old-<id>/
+       bucket=<i>``, staging in;
+    5. marker, then drop the old root.
+
+    A crash mid-swap leaves some buckets swapped and some not; the
+    unmarked ``.old-<id>`` root records exactly which buckets moved,
+    so rollback is exact. Rows never migrate buckets (the bucket is a
+    pure function of the key), which is what makes per-bucket swap
+    sound: a batch's effect on an untouched bucket is provably empty.
+    """
+
+    BUCKET_COL = "bucket"
+
+    def __init__(self, table_dir: str, marker_dir: str) -> None:
+        self.table_dir = table_dir
+        self.marker_dir = marker_dir
+        os.makedirs(marker_dir, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.marker_dir, f"batch-{batch_id}.done")
+
+    def done(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def mark_only(self, batch_id: int) -> None:
+        with open(self._marker(batch_id), "w") as f:
+            f.write("done")
+
+    def _bucket_dirs(self, root: str) -> list[str]:
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            n for n in os.listdir(root) if n.startswith("bucket=")
+        )
+
+    def recover(self) -> None:
+        olds = sorted(
+            glob.glob(self.table_dir + ".old-*"),
+            key=lambda p: int(p.rsplit("-", 1)[1]),
+        )
+        while olds:
+            newest = olds[-1]
+            if self.done(int(newest.rsplit("-", 1)[1])):
+                break  # acked; remaining roots are stale
+            # unmarked generation: the batch WILL be replayed, so every
+            # touched bucket must show its PRE-batch content — restore
+            # each recorded bucket (dropping the post-batch dir if the
+            # swap got that far), and DELETE buckets the batch CREATED
+            # (tombstoned below: they had no pre-batch content, and a
+            # leftover post-batch dir would make the replayed merge
+            # read post-batch state = double-apply)
+            for bname in self._bucket_dirs(newest):
+                cur = os.path.join(self.table_dir, bname)
+                if os.path.isdir(cur):
+                    shutil.rmtree(cur)
+                os.rename(os.path.join(newest, bname), cur)
+            for tname in os.listdir(newest) if os.path.isdir(newest) else []:
+                if tname.startswith("created-"):
+                    created = os.path.join(
+                        self.table_dir, tname[len("created-"):]
+                    )
+                    shutil.rmtree(created, ignore_errors=True)
+            shutil.rmtree(olds.pop(), ignore_errors=True)
+        for stale in olds + glob.glob(self.table_dir + ".staging-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
+    def commit(self, df: DataFrame, batch_id: int) -> None:
+        """``df`` must hold the COMPLETE new content of every bucket
+        it mentions (and nothing for untouched buckets), with the
+        bucket id in the ``bucket`` column."""
+        staging = self.table_dir + f".staging-{batch_id}"
+        df.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
+            staging
+        )
+        old_root = self.table_dir + f".old-{batch_id}"
+        os.makedirs(old_root, exist_ok=True)
+        os.makedirs(self.table_dir, exist_ok=True)
+        for bname in self._bucket_dirs(staging):
+            cur = os.path.join(self.table_dir, bname)
+            if os.path.isdir(cur):
+                os.rename(cur, os.path.join(old_root, bname))
+            else:
+                # tombstone FIRST, then create: if we crashed between
+                # the two, recover's rmtree of a not-yet-created dir
+                # is a no-op
+                with open(
+                    os.path.join(old_root, f"created-{bname}"), "w"
+                ) as fh:
+                    fh.write("created")
+            os.rename(os.path.join(staging, bname), cur)
+        shutil.rmtree(staging, ignore_errors=True)
+        self.mark_only(batch_id)
+        shutil.rmtree(old_root, ignore_errors=True)

@@ -41,7 +41,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hyppo_worker_spark.streaming.commit import MarkedTableCommitter
+from hyppo_worker_spark.streaming.commit import (
+    BucketedMarkedTableCommitter,
+    MarkedTableCommitter,
+)
 
 
 class IncrementalCCSink:
@@ -65,15 +68,32 @@ class IncrementalCCSink:
         spark: SparkSession,
         base_dir: str,
         local_solve_max_edges: int = 200_000,
+        n_buckets: int | None = None,
     ) -> None:
         self.spark = spark
         self.table_dir = os.path.join(base_dir, "cc_state")
         self.marker_dir = os.path.join(base_dir, "cc_markers")
         self.local_solve_max_edges = local_solve_max_edges
-        self._committer = MarkedTableCommitter(self.table_dir, self.marker_dir)
+        self.n_buckets = n_buckets
+        if n_buckets is None:
+            self._committer = MarkedTableCommitter(
+                self.table_dir, self.marker_dir
+            )
+        else:
+            self._committer = BucketedMarkedTableCommitter(
+                self.table_dir, self.marker_dir
+            )
 
     def state(self) -> DataFrame:
-        return self.spark.read.parquet(self.table_dir)
+        df = self.spark.read.parquet(self.table_dir)
+        if self.n_buckets is not None:
+            df = df.select("node", "comp", "bucket")
+        return df
+
+    def _bucket_of(self, col: str):
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast(
+            "int"
+        )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from hyppo_worker_spark.operators.dedup import connected_components
@@ -100,13 +120,27 @@ class IncrementalCCSink:
                 .unionByName(new_edges.select(F.col("b_id").alias("node")))
                 .distinct()
             )
+            lookup = state
+            if self.n_buckets is not None:
+                # endpoint lookup prunes to the endpoints' own buckets
+                # (<= n_buckets small ints -- bounded driver pull)
+                ep_buckets = [
+                    r[0]
+                    for r in endpoints.select(
+                        self._bucket_of("node").alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                lookup = state.filter(F.col("bucket").isin(ep_buckets))
             touched = (
-                state.join(endpoints, "node")
+                lookup.join(endpoints, "node")
                 .select("comp")
                 .distinct()
             )
-            affected = state.join(touched, "comp")  # members of touched comps
-            untouched = state.join(touched, "comp", "left_anti")
+            # members of touched comps: full scan by comp (a comp's
+            # members span buckets), column-pruned to (node, comp)
+            affected = state.select("node", "comp").join(touched, "comp")
             # membership edges reproduce affected connectivity (star
             # on the canonical node, itself a member)
             member_edges = affected.select(
@@ -114,11 +148,12 @@ class IncrementalCCSink:
             ).filter(F.col("a_id") != F.col("b_id"))
             sub_edges = new_edges.unionByName(member_edges)
         else:
-            untouched = None
+            state = None
+            touched = None
             sub_edges = new_edges
 
         # Size-adaptive recompute: one bounded job pulls up to max+1
-        # edges; getting max+1 back means "too big — go distributed".
+        # edges; getting max+1 back means "too big -- go distributed".
         cap = self.local_solve_max_edges
         pulled = sub_edges.limit(cap + 1).collect()
         if len(pulled) <= cap:
@@ -134,11 +169,38 @@ class IncrementalCCSink:
             )
         else:
             recomputed = connected_components(sub_edges)
-        merged = (
-            recomputed
-            if untouched is None
-            else untouched.unionByName(recomputed)
+
+        if self.n_buckets is None:
+            untouched = (
+                None
+                if touched is None
+                else state.join(touched, "comp", "left_anti")
+            )
+            merged = (
+                recomputed
+                if untouched is None
+                else untouched.unionByName(recomputed)
+            )
+            self._committer.commit(merged, batch_id)
+            return
+
+        # bucketed: rewrite ONLY the buckets holding a recomputed node
+        recomputed = recomputed.withColumn(
+            "bucket", self._bucket_of("node")
+        ).localCheckpoint(eager=True)
+        if touched is None:
+            self._committer.commit(recomputed, batch_id)
+            return
+        touched_buckets = [
+            r[0] for r in recomputed.select("bucket").distinct().collect()
+        ]
+        untouched_in_touched = (
+            self.state()
+            .filter(F.col("bucket").isin(touched_buckets))
+            .join(touched, "comp", "left_anti")
+            .select("node", "comp", "bucket")
         )
+        merged = untouched_in_touched.unionByName(recomputed)
         self._committer.commit(merged, batch_id)
 
 

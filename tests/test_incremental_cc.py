@@ -109,3 +109,124 @@ def test_local_cc_matches_distributed_operator(spark):
         got = set(local_connected_components(edges))
         want = _full(spark, edges)
         assert got == want, f"trial {trial}"
+
+
+def test_bucketed_state_matches_full_recompute(spark, tmp_path):
+    """Bucketed mode (n_buckets=4): after every batch the union of
+    bucket partitions equals a from-scratch CC — including the bridge
+    case whose merge relabels rows in OTHER buckets than the new
+    edge's endpoints."""
+    sink = IncrementalCCSink(spark, str(tmp_path / "cc"), n_buckets=4)
+    seen: list[tuple[int, int]] = []
+    batches = [
+        [(1, 2), (2, 3), (10, 11), (20, 21)],
+        [(3, 4), (30, 31), (31, 32)],
+        [(4, 10)],  # bridge
+        [(21, 30)],
+    ]
+    for i, b in enumerate(batches):
+        seen.extend(b)
+        sink(spark.createDataFrame(b, "a_id long, b_id long"), i)
+        got = {
+            (r.node, r.comp)
+            for r in sink.state().select("node", "comp").collect()
+        }
+        assert got == _full(spark, seen), f"batch {i}"
+        # bucket column is consistent with the hash layout
+        from pyspark.sql import functions as F
+
+        bad = (
+            sink.state()
+            .filter(
+                F.col("bucket")
+                != F.pmod(F.xxhash64("node"), F.lit(4)).cast("int")
+            )
+            .count()
+        )
+        assert bad == 0
+
+
+def test_bucketed_touches_only_needed_buckets(spark, tmp_path):
+    """A batch whose endpoints all live in already-known components
+    must leave untouched buckets' files byte-identical (no rewrite)."""
+    import glob as g
+    import os
+
+    sink = IncrementalCCSink(spark, str(tmp_path / "cc"), n_buckets=8)
+    sink(spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "a_id long, b_id long"), 0)
+    table = sink.table_dir
+
+    def snapshot():
+        out = {}
+        for f in g.glob(os.path.join(table, "bucket=*", "*.parquet")):
+            out[f] = os.path.getmtime(f)
+        return out
+
+    before = snapshot()
+    # merge two known comps: touches only the buckets of their members
+    sink(spark.createDataFrame([(0, 2)], "a_id long, b_id long"), 1)
+    after = snapshot()
+    untouched_same = [
+        f for f in before if f in after and before[f] == after[f]
+    ]
+    assert untouched_same, "every bucket was rewritten — no pruning"
+    # and the contents are still right
+    got = {
+        (r.node, r.comp)
+        for r in sink.state().select("node", "comp").collect()
+    }
+    want = _full(
+        spark,
+        [(i, i + 1) for i in range(0, 40, 2)] + [(0, 2)],
+    )
+    assert got == want
+
+
+def test_bucketed_replay_and_rollback(spark, tmp_path):
+    """Marked replays are no-ops; an UNMARKED partially-swapped
+    generation (incl. a bucket the batch CREATED) rolls back to the
+    pre-batch table so the replay applies exactly once."""
+    import os
+    import shutil
+
+    sink = IncrementalCCSink(spark, str(tmp_path / "cc"), n_buckets=4)
+    b0 = spark.createDataFrame([(1, 2), (5, 6)], "a_id long, b_id long")
+    sink(b0, 0)
+    s0 = {
+        (r.node, r.comp)
+        for r in sink.state().select("node", "comp").collect()
+    }
+    sink(b0, 0)  # marked replay: no-op
+    assert {
+        (r.node, r.comp)
+        for r in sink.state().select("node", "comp").collect()
+    } == s0
+
+    # simulate a crash: batch 1 swapped some buckets + created one,
+    # but its marker never landed
+    table = sink.table_dir
+    old_root = table + ".old-1"
+    os.makedirs(old_root)
+    # move bucket dirs around as a half-finished swap would:
+    buckets = sorted(
+        n for n in os.listdir(table) if n.startswith("bucket=")
+    )
+    victim = buckets[0]
+    shutil.move(os.path.join(table, victim), os.path.join(old_root, victim))
+    # fake post-batch content for the victim bucket + a created bucket
+    os.makedirs(os.path.join(table, victim))
+    with open(os.path.join(table, victim, "junk.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    fake_new = "bucket=99"
+    os.makedirs(os.path.join(table, fake_new))
+    with open(os.path.join(old_root, f"created-{fake_new}"), "w") as fh:
+        fh.write("created")
+
+    sink._committer.recover()
+    assert not os.path.exists(os.path.join(table, fake_new))
+    got = {
+        (r.node, r.comp)
+        for r in sink.state().select("node", "comp").collect()
+    }
+    assert got == s0
