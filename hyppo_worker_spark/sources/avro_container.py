@@ -48,6 +48,15 @@ spec wire forms instead of the string/bytes downgrade the
 StructType-derived schema would imply (round-8; pinned byte-for-byte
 against the hand-assembled golden bodies).
 
+The read path supports SCHEMA RESOLUTION (spec "Schema
+Resolution"): ``read_container(data, reader_schema=...)`` /
+``read_avro(spark, path, reader_schema=...)`` decode every file under
+its OWN writer schema and resolve rows to the evolved reader shape —
+writer-only fields dropped, reader-only fields filled from declared
+defaults, primitive promotions, enum-symbol fallback — so one zone
+holding files from several schema versions reads as one DataFrame
+(``avro_schema.schema_resolver``).
+
 Distributed use (no driver bottleneck):
 
 - **write**: ``write_avro(df, path)`` — each Spark partition encodes
@@ -711,8 +720,15 @@ def write_container(
     return bytes(out)
 
 
-def read_container(data: bytes) -> tuple[T.StructType, str, list[dict]]:
-    """Decode one container file → (schema, codec, rows)."""
+def read_container(
+    data: bytes, reader_schema: str | dict | None = None
+) -> tuple[T.StructType, str, list[dict]]:
+    """Decode one container file → (schema, codec, rows).
+
+    With ``reader_schema`` (Avro record schema JSON), rows are decoded
+    under the file's own WRITER schema and then resolved to the
+    reader's shape per the spec's Schema Resolution rules; the
+    returned StructType is the reader's."""
     from hyppo_worker_spark.sources.avro_schema import avro_to_struct
 
     buf = memoryview(data)
@@ -794,6 +810,17 @@ def read_container(data: bytes) -> tuple[T.StructType, str, list[dict]]:
         if bytes(buf[pos : pos + 16]) != sync:
             raise ValueError("sync marker mismatch — corrupt container")
         pos += 16
+    if reader_schema is not None:
+        from hyppo_worker_spark.sources.avro_schema import schema_resolver
+
+        reader_json = (
+            reader_schema
+            if isinstance(reader_schema, str)
+            else json.dumps(reader_schema)
+        )
+        conv = schema_resolver(schema_json, reader_json)
+        rows = [conv(r) for r in rows]
+        schema = avro_to_struct(reader_json)
     return schema, codec, rows
 
 
@@ -852,16 +879,47 @@ def write_avro(
 
 
 def read_avro(
-    spark: SparkSession, path: str, expected: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    expected: T.StructType | None = None,
+    reader_schema: str | dict | None = None,
 ) -> DataFrame:
     """Distributed container read: binaryFile scan + mapInArrow
     decode; each file's header schema must match ``expected`` (or the
     first file's schema when omitted — resolved driver-side from ONE
     header, not a full read). Arrow-native for the same exact-int64
-    reason as ``write_avro``."""
+    reason as ``write_avro``.
+
+    ``reader_schema`` (Avro record schema JSON) enables SCHEMA
+    RESOLUTION (spec "Schema Resolution"): every file decodes under
+    its OWN writer schema, then each row resolves to the reader's
+    shape — writer-only fields dropped, reader-only fields filled
+    from declared defaults, primitive promotions and enum-symbol
+    fallbacks applied. This is how an integration reads a records
+    zone written across schema versions; files that cannot resolve
+    (missing default, illegal promotion) fail loud per file."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    from hyppo_worker_spark.sources.avro_schema import (
+        avro_to_struct,
+        schema_resolver,
+    )
+
+    if reader_schema is not None:
+        if expected is not None:
+            raise ValueError(
+                "pass either expected (exact-match read) or "
+                "reader_schema (resolving read), not both"
+            )
+        reader_json = (
+            reader_schema
+            if isinstance(reader_schema, str)
+            else json.dumps(reader_schema)
+        )
+        expected = avro_to_struct(reader_json)
+    else:
+        reader_json = None
     if expected is None:
         first = sorted(
             f for f in os.listdir(path) if f.endswith(".avro")
@@ -888,8 +946,17 @@ def read_avro(
     def dec(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in it:
             for r in batch.to_pylist():
-                schema, _codec, rows = read_container(bytes(r["content"]))
-                if schema != exp:
+                blob = bytes(r["content"])
+                schema, _codec, rows = read_container(blob)
+                if reader_json is not None:
+                    # per-file resolution: the writer schema comes from
+                    # the file's own header (extracted by read_container
+                    # already — re-parse the embedded JSON for the
+                    # resolver, which works on Avro JSON, not StructType)
+                    writer_json = _embedded_schema_json(blob)
+                    conv = schema_resolver(writer_json, reader_json)
+                    rows = [conv(row) for row in rows]
+                elif schema != exp:
                     raise ValueError(
                         f"avro schema mismatch in {r['path']}: "
                         f"{schema} != {exp}"
@@ -898,3 +965,28 @@ def read_avro(
                     yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
     return bin_df.mapInArrow(dec, exp)
+
+
+def _embedded_schema_json(data: bytes) -> str:
+    """The avro.schema metadata value of a container file, verbatim."""
+    buf = memoryview(data)
+    if bytes(buf[:4]) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    while True:
+        n, pos = zigzag_decode(buf, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _, pos = zigzag_decode(buf, pos)
+        for _ in range(n):
+            kl, pos = zigzag_decode(buf, pos)
+            k = bytes(buf[pos : pos + kl]).decode()
+            pos += kl
+            vl, pos = zigzag_decode(buf, pos)
+            v = bytes(buf[pos : pos + vl])
+            pos += vl
+            if k == "avro.schema":
+                return v.decode()
+    raise ValueError("container has no avro.schema metadata")

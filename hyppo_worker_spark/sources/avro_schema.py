@@ -13,7 +13,8 @@ Supported Avro forms: primitives (null/boolean/int/long/float/double/
 bytes/string), nullable unions (``["null", T]`` / ``["T","null"]``),
 record, array, map, enum (→ string), fixed (→ binary), and logical
 types timestamp-millis/micros (→ timestamp), date (→ date),
-decimal (→ decimal).
+decimal (→ decimal). ``schema_resolver`` implements the spec's
+Schema Resolution rules (reader/writer evolution).
 """
 
 from __future__ import annotations
@@ -355,3 +356,201 @@ def struct_to_avro(st: T.StructType, name: str = "record", namespace: str = "") 
     if namespace:
         rec["namespace"] = namespace
     return json.dumps(rec)
+
+
+# -- schema resolution (Avro spec "Schema Resolution") --------------------
+#
+# A reader with an EVOLVED schema must still decode files written under
+# older schemas: writer-only fields are skipped, reader-only fields are
+# filled from their declared defaults, primitives promote along the
+# spec's lattice (int -> long/float/double, long -> float/double,
+# float -> double, string <-> bytes), and enum symbols resolve by name
+# with the reader's declared default as the fallback. The engine
+# applies resolution AFTER decoding with the file's own writer schema
+# (the container reader already decodes every site spec-correctly), so
+# the resolver is a pure row-shape converter — no byte-level work.
+
+_PROMOTIONS: dict[str, set[str]] = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+    "boolean": {"boolean"},
+    "null": {"null"},
+}
+
+
+def _type_name(node: Any) -> str:
+    if isinstance(node, str):
+        return node
+    if isinstance(node, list):
+        return "union"
+    return node.get("type") if isinstance(node.get("type"), str) else "nested"
+
+
+def _default_value(node: Any, default: Any) -> Any:
+    """Convert a JSON default (Avro spec table) to the decoded-row
+    representation for ``node``."""
+    if isinstance(node, list):  # union: default applies to FIRST branch
+        first = node[0]
+        if first == "null":
+            return None
+        return _default_value(first, default)
+    if isinstance(node, str):
+        if node == "bytes":
+            return default.encode("latin-1") if isinstance(default, str) else default
+        if node in ("int", "long"):
+            return int(default)
+        if node in ("float", "double"):
+            return float(default)
+        return default
+    kind = node.get("type")
+    if kind == "bytes" or kind == "fixed":
+        return default.encode("latin-1") if isinstance(default, str) else default
+    if kind == "array":
+        return [_default_value(node["items"], d) for d in default]
+    if kind == "map":
+        return {k: _default_value(node["values"], v) for k, v in default.items()}
+    if kind == "record":
+        out = {}
+        for f in node.get("fields", []):
+            if f["name"] in default:
+                out[f["name"]] = _default_value(f["type"], default[f["name"]])
+            elif "default" in f:
+                out[f["name"]] = _default_value(f["type"], f["default"])
+            else:
+                raise AvroSchemaError(
+                    f"record default missing field {f['name']!r}"
+                )
+        return out
+    if kind in ("int", "long"):
+        return int(default)
+    if kind in ("float", "double"):
+        return float(default)
+    return default
+
+
+def _non_null(node: Any) -> Any:
+    """The value branch of a nullable union, or the node itself."""
+    if isinstance(node, list):
+        branches = [b for b in node if b != "null"]
+        if len(branches) != 1:
+            raise AvroSchemaError(f"only nullable unions supported: {node!r}")
+        return branches[0]
+    return node
+
+
+def _is_nullable(node: Any) -> bool:
+    return isinstance(node, list) and "null" in node
+
+
+def _resolver(writer: Any, reader: Any):
+    """Value converter writer-shape -> reader-shape, or raise
+    AvroSchemaError when the schemas don't resolve."""
+    if _is_nullable(writer) or _is_nullable(reader):
+        if _is_nullable(writer) and not _is_nullable(reader):
+            raise AvroSchemaError(
+                "writer nullable union cannot resolve to non-nullable "
+                f"reader {reader!r}"
+            )
+        inner = _resolver(_non_null(writer), _non_null(reader))
+        return lambda v: None if v is None else inner(v)
+
+    wname = _type_name(writer)
+    rname = _type_name(reader)
+
+    # primitives (possibly wrapped with logicalType): promotion lattice
+    w_prim = wname if wname in _PROMOTIONS else None
+    r_prim = rname if rname in _PROMOTIONS else None
+    if w_prim and r_prim:
+        if r_prim not in _PROMOTIONS[w_prim]:
+            raise AvroSchemaError(f"cannot promote {w_prim} -> {r_prim}")
+        if w_prim == r_prim:
+            return lambda v: v
+        if r_prim in ("float", "double"):
+            return lambda v: float(v)
+        if w_prim == "string" and r_prim == "bytes":
+            return lambda v: v.encode()
+        if w_prim == "bytes" and r_prim == "string":
+            return lambda v: v.decode()
+        return lambda v: v  # int -> long
+    # logical-typed wrappers decode to rich python values; require the
+    # same logical type on both sides (no cross-logical promotion)
+    wl = writer.get("logicalType") if isinstance(writer, dict) else None
+    rl = reader.get("logicalType") if isinstance(reader, dict) else None
+    if wl or rl:
+        if wl == rl:
+            return lambda v: v
+        raise AvroSchemaError(f"logicalType mismatch: {wl!r} -> {rl!r}")
+
+    if wname == "enum" and rname == "enum":
+        rsyms = set(reader.get("symbols", []))
+        rdefault = reader.get("default")
+
+        def conv_enum(v, rsyms=rsyms, rdefault=rdefault):
+            if v in rsyms:
+                return v
+            if rdefault is not None:
+                return rdefault
+            raise AvroSchemaError(
+                f"enum symbol {v!r} unknown to reader and no default"
+            )
+        return conv_enum
+    if wname == "fixed" and rname == "fixed":
+        if int(writer["size"]) != int(reader["size"]):
+            raise AvroSchemaError("fixed size mismatch")
+        return lambda v: v
+    if wname == "array" and rname == "array":
+        item = _resolver(writer["items"], reader["items"])
+        item_nullable = _is_nullable(writer["items"])
+        if item_nullable:
+            return lambda v: [None if x is None else item(x) for x in v]
+        return lambda v: [item(x) for x in v]
+    if wname == "map" and rname == "map":
+        val = _resolver(writer["values"], reader["values"])
+        return lambda v: {k: val(x) for k, x in v.items()}
+    if wname == "record" and rname == "record":
+        wfields = {f["name"]: f for f in writer.get("fields", [])}
+        plan: list[tuple[str, Any, Any]] = []  # (name, conv|None, default)
+        _MISSING = object()
+        for rf in reader.get("fields", []):
+            name = rf["name"]
+            wf = wfields.get(name)
+            if wf is not None:
+                plan.append((name, _resolver(wf["type"], rf["type"]), _MISSING))
+            elif "default" in rf:
+                plan.append(
+                    (name, None, _default_value(rf["type"], rf["default"]))
+                )
+            else:
+                raise AvroSchemaError(
+                    f"reader field {name!r} absent from writer and has "
+                    "no default"
+                )
+
+        def conv_rec(v, plan=plan):
+            out = {}
+            for name, conv, default in plan:
+                if conv is None:
+                    out[name] = default
+                else:
+                    x = v.get(name)
+                    out[name] = None if x is None else conv(x)
+            return out
+        return conv_rec
+    raise AvroSchemaError(f"cannot resolve {wname!r} -> {rname!r}")
+
+
+def schema_resolver(writer_json: str | dict, reader_json: str | dict):
+    """Row converter for decoded container rows: writer schema shape ->
+    reader schema shape per the spec's resolution rules. Identity-fast
+    when the schemas are equal."""
+    writer = inline_named_types(writer_json)
+    reader = inline_named_types(reader_json)
+    if writer == reader:
+        return lambda row: row
+    if not (writer.get("type") == "record" and reader.get("type") == "record"):
+        raise AvroSchemaError("schema resolution requires record schemas")
+    return _resolver(writer, reader)

@@ -1,0 +1,189 @@
+"""Avro schema resolution (spec "Schema Resolution"): files written
+under OLD schemas decode under an evolved reader schema — writer-only
+fields dropped, reader-only fields filled from declared defaults,
+primitive promotions (int->long/float/double, float->double,
+string<->bytes), enum symbols resolved by name with the reader's
+default as fallback. Failures (missing default, illegal promotion)
+raise AvroSchemaError instead of silently mis-shaping rows."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hyppo_worker_spark.sources.avro_container import (
+    read_container,
+    write_container,
+)
+from hyppo_worker_spark.sources.avro_schema import (
+    AvroSchemaError,
+    avro_to_struct,
+    schema_resolver,
+)
+
+V1 = json.dumps({
+    "type": "record", "name": "doc",
+    "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "title", "type": "string"},
+        {"name": "score", "type": "float"},
+        {"name": "legacy_flag", "type": "boolean"},
+        {"name": "status",
+         "type": {"type": "enum", "name": "st",
+                  "symbols": ["OK", "WARN"]}},
+        {"name": "tags", "type": {"type": "array", "items": "int"}},
+    ],
+})
+# v2: id promoted int->long, score float->double, legacy_flag dropped,
+# lang added with default, status enum gained FAIL and a default,
+# tags items promoted int->long
+V2 = json.dumps({
+    "type": "record", "name": "doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "title", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "lang", "type": "string", "default": "en"},
+        {"name": "status",
+         "type": {"type": "enum", "name": "st",
+                  "symbols": ["OK", "WARN", "FAIL"], "default": "OK"}},
+        {"name": "tags", "type": {"type": "array", "items": "long"}},
+        {"name": "note", "type": ["null", "string"], "default": None},
+    ],
+})
+
+ROWS_V1 = [
+    {"id": 1, "title": "a", "score": 1.5, "legacy_flag": True,
+     "status": "OK", "tags": [1, 2]},
+    {"id": 2, "title": "b", "score": -2.25, "legacy_flag": False,
+     "status": "WARN", "tags": []},
+]
+
+
+def _v1_blob() -> bytes:
+    schema = avro_to_struct(V1)
+    return write_container(schema, ROWS_V1, codec="null", declared_schema=V1)
+
+
+def test_old_file_resolves_under_evolved_reader():
+    schema, codec, rows = read_container(_v1_blob(), reader_schema=V2)
+    assert [f.name for f in schema.fields] == [
+        "id", "title", "score", "lang", "status", "tags", "note"
+    ]
+    assert rows == [
+        {"id": 1, "title": "a", "score": 1.5, "lang": "en",
+         "status": "OK", "tags": [1, 2], "note": None},
+        {"id": 2, "title": "b", "score": -2.25, "lang": "en",
+         "status": "WARN", "tags": [], "note": None},
+    ]
+    assert all(isinstance(r["id"], int) for r in rows)
+    assert all(isinstance(r["score"], float) for r in rows)
+
+
+def test_new_file_under_same_reader_is_identity():
+    schema2 = avro_to_struct(V2)
+    rows2 = [{"id": 9, "title": "x", "score": 0.5, "lang": "fr",
+              "status": "FAIL", "tags": [7], "note": "n"}]
+    blob = write_container(schema2, rows2, codec="null", declared_schema=V2)
+    _, _, rows = read_container(blob, reader_schema=V2)
+    assert rows == rows2
+
+
+def test_enum_symbol_unknown_to_reader_uses_default():
+    w = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": "s",
+                    "type": {"type": "enum", "name": "e",
+                             "symbols": ["A", "B", "NEW"]}}],
+    })
+    r_with_default = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": "s",
+                    "type": {"type": "enum", "name": "e",
+                             "symbols": ["A", "B"], "default": "A"}}],
+    })
+    r_without = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": "s",
+                    "type": {"type": "enum", "name": "e",
+                             "symbols": ["A", "B"]}}],
+    })
+    blob = write_container(
+        avro_to_struct(w), [{"s": "NEW"}, {"s": "B"}],
+        codec="null", declared_schema=w,
+    )
+    _, _, rows = read_container(blob, reader_schema=r_with_default)
+    assert [r["s"] for r in rows] == ["A", "B"]
+    conv = schema_resolver(w, r_without)
+    with pytest.raises(AvroSchemaError, match="no default"):
+        conv({"s": "NEW"})
+
+
+def test_string_bytes_promotions_both_ways():
+    w = json.dumps({"type": "record", "name": "r",
+                    "fields": [{"name": "a", "type": "string"},
+                               {"name": "b", "type": "bytes"}]})
+    r = json.dumps({"type": "record", "name": "r",
+                    "fields": [{"name": "a", "type": "bytes"},
+                               {"name": "b", "type": "string"}]})
+    conv = schema_resolver(w, r)
+    assert conv({"a": "hi", "b": b"yo"}) == {"a": b"hi", "b": "yo"}
+
+
+def test_missing_default_and_illegal_promotion_raise():
+    w = json.dumps({"type": "record", "name": "r",
+                    "fields": [{"name": "a", "type": "long"}]})
+    r_missing = json.dumps({"type": "record", "name": "r",
+                            "fields": [{"name": "a", "type": "long"},
+                                       {"name": "zz", "type": "string"}]})
+    with pytest.raises(AvroSchemaError, match="no default"):
+        schema_resolver(w, r_missing)
+    r_demote = json.dumps({"type": "record", "name": "r",
+                           "fields": [{"name": "a", "type": "int"}]})
+    with pytest.raises(AvroSchemaError, match="promote"):
+        schema_resolver(w, r_demote)
+
+
+def test_nullable_reader_accepts_non_nullable_writer():
+    w = json.dumps({"type": "record", "name": "r",
+                    "fields": [{"name": "a", "type": "int"}]})
+    r = json.dumps({"type": "record", "name": "r",
+                    "fields": [{"name": "a", "type": ["null", "long"]}]})
+    conv = schema_resolver(w, r)
+    assert conv({"a": 3}) == {"a": 3}
+    # ...but a nullable writer cannot resolve to a non-nullable reader
+    with pytest.raises(AvroSchemaError, match="non-nullable"):
+        schema_resolver(r, w)
+
+
+def test_distributed_resolving_read_across_mixed_versions(spark, tmp_path):
+    """A zone holding files from BOTH schema versions reads as one
+    DataFrame under the v2 reader — per-file resolution from each
+    file's own header."""
+    import os
+
+    from hyppo_worker_spark.sources.avro_container import (
+        read_avro,
+        write_avro,
+    )
+
+    out = str(tmp_path / "zone")
+    os.makedirs(out)
+    with open(os.path.join(out, "old.avro"), "wb") as fh:
+        fh.write(_v1_blob())
+    df2 = spark.createDataFrame(
+        [(9, "x", 0.5, "fr", "FAIL", [7], "n")], avro_to_struct(V2)
+    )
+    write_avro(df2, out, codec="null", declared_schema=V2)
+
+    back = read_avro(spark, out, reader_schema=V2)
+    got = {
+        (r.id, r.title, r.score, r.lang, r.status, tuple(r.tags), r.note)
+        for r in back.collect()
+    }
+    assert got == {
+        (1, "a", 1.5, "en", "OK", (1, 2), None),
+        (2, "b", -2.25, "en", "WARN", (), None),
+        (9, "x", 0.5, "fr", "FAIL", (7,), "n"),
+    }
