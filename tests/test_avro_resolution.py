@@ -187,3 +187,100 @@ def test_distributed_resolving_read_across_mixed_versions(spark, tmp_path):
         (2, "b", -2.25, "en", "WARN", (), None),
         (9, "x", 0.5, "fr", "FAIL", (7,), "n"),
     }
+
+
+# -- property: random evolutions resolve correctly (no Spark needed) ------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PRIM_POOL = ["int", "long", "float", "double", "string", "bytes", "boolean"]
+_PROMOTE = {
+    "int": ["int", "long", "float", "double"],
+    "long": ["long", "float", "double"],
+    "float": ["float", "double"],
+    "double": ["double"],
+    "string": ["string", "bytes"],
+    "bytes": ["bytes", "string"],
+    "boolean": ["boolean"],
+}
+_DEFAULTS = {
+    "int": 7, "long": 7, "float": 0.5, "double": 0.5,
+    "string": "d", "bytes": "d", "boolean": True,
+}
+_VALUES = {
+    "int": st.integers(-2**31, 2**31 - 1),
+    "long": st.integers(-2**53, 2**53),
+    "float": st.sampled_from([0.0, 1.5, -2.25, 1024.0]),
+    "double": st.floats(allow_nan=False, allow_infinity=False, width=64),
+    "string": st.text(max_size=8),
+    "bytes": st.binary(max_size=8),
+    "boolean": st.booleans(),
+}
+
+
+@st.composite
+def _evolution(draw):
+    n = draw(st.integers(2, 6))
+    fields = []
+    for i in range(n):
+        t = draw(st.sampled_from(_PRIM_POOL))
+        fields.append((f"f{i}", t))
+    # reader: each writer field either kept (possibly promoted) or
+    # dropped; plus 0-2 added fields with defaults
+    reader_fields = []
+    for name, t in fields:
+        if draw(st.booleans()):
+            reader_fields.append((name, draw(st.sampled_from(_PROMOTE[t]))))
+    for j in range(draw(st.integers(0, 2))):
+        t = draw(st.sampled_from(_PRIM_POOL))
+        reader_fields.append((f"added{j}", t))
+    rows = [
+        {name: draw(_VALUES[t]) for name, t in fields}
+        for _ in range(draw(st.integers(1, 4)))
+    ]
+    return fields, reader_fields, rows
+
+
+@settings(max_examples=60, deadline=None)
+@given(_evolution())
+def test_random_primitive_evolutions_resolve(case):
+    fields, reader_fields, rows = case
+    writer = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": n, "type": t} for n, t in fields],
+    })
+    rdict = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": n, "type": t}
+            | ({"default": _DEFAULTS[t]} if n.startswith("added") else {})
+            for n, t in reader_fields
+        ],
+    }
+    reader = json.dumps(rdict)
+    blob = write_container(
+        avro_to_struct(writer), rows, codec="null", declared_schema=writer
+    )
+    _, _, got = read_container(blob, reader_schema=reader)
+    wtypes = dict(fields)
+    for src, out in zip(rows, got):
+        assert set(out) == {n for n, _ in reader_fields}
+        for name, rt in reader_fields:
+            if name.startswith("added"):
+                want = _DEFAULTS[rt]
+                if rt == "bytes":
+                    want = b"d"
+                assert out[name] == want
+                continue
+            v = src[name]
+            wt = wtypes[name]
+            if rt in ("float", "double") and wt in ("int", "long",
+                                                    "float", "double"):
+                assert out[name] == float(v)
+            elif wt == "string" and rt == "bytes":
+                assert out[name] == v.encode()
+            elif wt == "bytes" and rt == "string":
+                assert out[name] == v.decode()
+            else:
+                assert out[name] == v
