@@ -294,6 +294,14 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # promoted) keeps chunking/packing in-window; 3 greens
         "m06_perceptual_neardup",  # perceptual hash dedup — m03/m04/
         # m05/m07/m08 keep multimodal in-window; 2 greens (r6, r7)
+        # Slot for the NEW round-8 p19 (schema-evolution round-trip
+        # through the Avro records zone — declared-schema writes +
+        # spec Schema Resolution reads), so the new surface lands
+        # WITH driver evidence:
+        "q52_temporal_scd2_join",  # point-in-time SCD2 join — p07
+        # (streaming CDC->SCD2) keeps the SCD2 family in-window,
+        # q21/q51 archived keep as-of/temporal joins evidenced; 2
+        # greens archived (r6, r7)
     }
 )
 

@@ -2246,3 +2246,122 @@ def p18_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("state_bounded", F.lit(bounded))
         .orderBy("view_day")
     )
+
+
+# --------------------------------------------------------------------------
+# p19 — SCHEMA-EVOLUTION round-trip through the Avro records zone: the
+# reference identifies every integration schema by MD5 fingerprint
+# (``IntegrationSchema.scala:11-31``), so each evolution is a new
+# version and old files stay on disk under old schemas. The engine's
+# declared-schema-preserving writer + spec Schema Resolution reader
+# (round 8) make that history readable: half of `orders` is written
+# under schema v1 (enum status, int cents, date day), half under v2
+# (cents promoted int->long, a `channel` string field added — v1
+# files must fill its declared default "legacy"), and the zone is
+# read back as ONE DataFrame under the v2 READER schema with
+# per-file resolution from each file's own header. The oracle
+# reproduces the same rows from `orders` directly: the md5 gate
+# decides which rows carry the default. Money rides integer cents
+# (p18 precedent: the floor(x*100+0.5) expression is stated
+# identically on both sides).
+# --------------------------------------------------------------------------
+@register(
+    "p19_schema_evolution_roundtrip",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey AS order_key,
+               o_orderstatus AS status,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN {gate} = 0 THEN 'legacy'
+                    ELSE lower(o_orderpriority) END AS channel
+        FROM orders
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN channel = 'legacy' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_legacy,
+           CAST(count(DISTINCT channel) AS BIGINT) AS n_channels
+    FROM src GROUP BY status ORDER BY status
+    """.replace(
+        "{gate}",
+        __import__(
+            "hyppo_worker_spark.functions.text", fromlist=["md5_bucket_sql"]
+        ).md5_bucket_sql("o_orderkey", 2),
+    ),
+    tags=("pipeline", "avro", "schema-evolution", "formats"),
+)
+def p19_schema_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write orders split across Avro schema versions v1/v2 (declared
+    schemas embedded verbatim — fingerprint-preserving), read the zone
+    back under the v2 reader with per-file Schema Resolution (v1 rows
+    promote cents int->long and fill channel's default), and aggregate
+    per status; must equal the direct SQL over orders."""
+    import json as _json
+    import tempfile
+
+    from hyppo_worker_spark.functions import text as TX3
+    from hyppo_worker_spark.sources.avro_container import (
+        read_avro,
+        write_avro,
+    )
+    v1 = _json.dumps({
+        "type": "record", "name": "order_rec",
+        "fields": [
+            {"name": "order_key", "type": "long"},
+            {"name": "status",
+             "type": {"type": "enum", "name": "order_status",
+                      "symbols": ["F", "O", "P"]}},
+            {"name": "cents", "type": "int"},
+        ],
+    })
+    v2 = _json.dumps({
+        "type": "record", "name": "order_rec",
+        "fields": [
+            {"name": "order_key", "type": "long"},
+            {"name": "status",
+             "type": {"type": "enum", "name": "order_status",
+                      "symbols": ["F", "O", "P"]}},
+            {"name": "cents", "type": "long"},
+            {"name": "channel", "type": "string", "default": "legacy"},
+        ],
+    })
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        F.lower("o_orderpriority").alias("channel"),
+        TX3.md5_bucket(F.col("o_orderkey"), 2).alias("gate"),
+    )
+    zone = tempfile.mkdtemp(prefix="hyppo-p19-")
+    old = base.filter(F.col("gate") == 0).select(
+        "order_key", "status", F.col("cents").cast("int").alias("cents")
+    )
+    new = base.filter(F.col("gate") == 1).select(
+        "order_key", "status", "cents", "channel"
+    )
+    # v1 files: int cents, NO channel column; v2 files: long cents +
+    # channel. Both writes embed their declared schema verbatim
+    # (write_avro validates the shape against the declared schema).
+    write_avro(old, zone, codec="deflate", declared_schema=v1)
+    write_avro(new, zone, codec="deflate", declared_schema=v2)
+
+    merged = read_avro(spark, zone, reader_schema=v2)
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum((F.col("channel") == "legacy").cast("long"))
+            .cast("long")
+            .alias("n_legacy"),
+            F.countDistinct("channel").cast("long").alias("n_channels"),
+        )
+        .orderBy("status")
+    )

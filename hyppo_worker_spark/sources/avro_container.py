@@ -656,12 +656,20 @@ def write_container(
             else json.dumps(declared_schema)
         )
         derived = avro_to_struct(schema_json)
-        if derived != schema:
+        # Spark marks most DataFrame columns nullable regardless of
+        # content, so compare SHAPES ignoring nullability: a declared
+        # non-null field fed an actual None still fails loud at encode
+        # time, and the union branch bytes follow the DECLARED
+        # nullability either way.
+        if _strip_nullability(derived) != _strip_nullability(schema):
             raise ValueError(
                 "declared_schema does not map to the given StructType: "
                 f"declared -> {derived.simpleString()}, "
                 f"got {schema.simpleString()}"
             )
+        # encode under the DECLARED nullability (branch bytes exist
+        # only where the avro schema has a union)
+        schema = derived
         nb = null_branch_indices(schema_json)
         special = special_codecs(schema_json)
     sync = _sync_marker(schema_json)
@@ -990,3 +998,23 @@ def _embedded_schema_json(data: bytes) -> str:
             if k == "avro.schema":
                 return v.decode()
     raise ValueError("container has no avro.schema metadata")
+
+
+def _strip_nullability(dt: T.DataType) -> T.DataType:
+    """Structural copy with every nullable/containsNull flag forced
+    True — shape comparison that ignores Spark's pessimistic column
+    nullability."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _strip_nullability(f.dataType), True)
+            for f in dt.fields
+        ])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_nullability(dt.keyType),
+            _strip_nullability(dt.valueType),
+            True,
+        )
+    return dt

@@ -53,7 +53,6 @@ def test_driver_registry_covers_every_family():
         "q42_retention_cohorts",
         "q43_conversion_funnel",
         "q45_variant_ingestion",
-        "q52_temporal_scd2_join",
         "q54_zonemap_pruning",
         "q57_interval_bin_join",
         "q59_month_over_month",
@@ -86,6 +85,8 @@ def test_driver_registry_covers_every_family():
         "t23_term_retrieval",
         "t24_vocab_coverage",
         "t25_source_drift",
+        # NEW round-8 row lands with an immediate driver slot
+        "p19_schema_evolution_roundtrip",
     ):
         assert must in names
 
