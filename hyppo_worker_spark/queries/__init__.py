@@ -302,6 +302,14 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # (streaming CDC->SCD2) keeps the SCD2 family in-window,
         # q21/q51 archived keep as-of/temporal joins evidenced; 2
         # greens archived (r6, r7)
+        # Slot for the NEW round-8 p20 (watermarked stream-stream
+        # LEFT OUTER join — null emission on watermark-proven expiry,
+        # sentinel-forced flush), so the new surface lands WITH
+        # driver evidence:
+        "q63_session_window_native",  # native session_window — 2
+        # greens archived (r6, r7); the window-function family stays
+        # in-window via q42/q43/q59, native-feature surfaces via
+        # q64/q65/q66
     }
 )
 

@@ -2365,3 +2365,198 @@ def p19_schema_evolution_roundtrip(
         )
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# p20 — watermarked stream-stream LEFT OUTER join: the outer variant has
+# semantics the p18 inner join never exercises — an unmatched left row
+# is EMITTED WITH NULLS only when the watermark proves no partner can
+# still arrive (state tracks a matched bit; eviction emits the null row
+# exactly once). Determinism needs the watermark to pass EVERY view's
+# join window before the stream ends, so each side stages a sentinel
+# file (user -1, max corpus ts + 30 days) processed last: the sentinel
+# batch advances the global watermark past all real rows and the
+# trailing no-data micro-batch (on by default) flushes every undecided
+# view. That also makes the eviction assertion strict: final join state
+# must hold only the sentinels' neighborhood (< 5% of input, vs p18's
+# 60% bound). The oracle is the equivalent batch LEFT JOIN — a dropped
+# null row, a double emission (null + match for one vid), or an
+# unflushed tail breaks n_rows / n_unmatched / the cents sum.
+# Reference: the reference's join operators declare inner/left/right
+# semantics in one enum (`JoinOp` surface, SURVEY.md §2.4 joins);
+# streaming left-outer is the Spark-native expression of that contract
+# over unbounded inputs.
+# --------------------------------------------------------------------------
+@register(
+    "p20_stream_stream_outer_join",
+    oracle="""
+    WITH v AS (
+        SELECT event_id AS vid, user_id, ts AS vts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT v.vid, p.pid, v.vts, p.cents
+        FROM v LEFT JOIN p ON v.user_id = p.user_id
+            AND p.pts >= v.vts
+            AND p.pts <= v.vts + INTERVAL 2 HOUR
+    )
+    SELECT strftime(vts, '%Y-%m-%d') AS view_day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT vid) AS BIGINT) AS n_views,
+           CAST(sum(CASE WHEN pid IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched,
+           CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents,
+           TRUE AS state_flushed
+    FROM pairs GROUP BY view_day ORDER BY view_day
+    """,
+    tags=("pipeline", "streaming", "stream-stream-join", "outer-join",
+          "watermark"),
+)
+def p20_stream_stream_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Views LEFT OUTER JOIN purchases (same user, purchase within 2h)
+    inside Structured Streaming: matched pairs stream out as they meet;
+    unmatched views emit null-padded rows on watermark-proven expiry,
+    forced complete by a far-future sentinel batch per side; per-day
+    rollup must equal the batch left join, with join state flushed to
+    <5% of input."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    max_ts = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("vuser"),
+        F.col("ts").cast("timestamp").alias("vts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("ts").cast("timestamp").alias("pts"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+
+    work = tempfile.mkdtemp(prefix="hyppo-p20-")
+    now = time.time()
+    dirs = {}
+    for label, df, cols in (
+        ("views", views, "vid long, vuser long, vts timestamp"),
+        ("purchases", purchases,
+         "pid long, puser long, pts timestamp, cents long"),
+    ):
+        src = os.path.join(work, label)
+        os.makedirs(src)
+        ts_col = cols.split(",")[2].strip().split(" ")[0]
+        blk = F.least(
+            (F.dayofmonth(ts_col) - 1) / F.lit(10), F.lit(2)
+        ).cast("int")
+        staged = df.withColumn("blk", blk)
+        for i in range(3):
+            part_dir = os.path.join(work, f"stage-{label}-{i}")
+            staged.filter(F.col("blk") == i).drop("blk").coalesce(
+                1
+            ).write.parquet(part_dir)
+            part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+            dest = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(part, dest)
+            os.utime(dest, (now - 300 + 100 * i,) * 2)
+        # sentinel: one far-future row, processed LAST — pushes the
+        # watermark past every real row's join window so all unmatched
+        # views are decided before the stream ends
+        sent_dir = os.path.join(work, f"stage-{label}-sentinel")
+        flush_ts = F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")
+        if label == "views":
+            sent = spark.range(1).select(
+                F.lit(-1).cast("long").alias("vid"),
+                F.lit(-1).cast("long").alias("vuser"),
+                flush_ts.alias("vts"),
+            )
+        else:
+            sent = spark.range(1).select(
+                F.lit(-1).cast("long").alias("pid"),
+                F.lit(-1).cast("long").alias("puser"),
+                flush_ts.alias("pts"),
+                F.lit(0).cast("long").alias("cents"),
+            )
+        sent.coalesce(1).write.parquet(sent_dir)
+        part = glob.glob(os.path.join(sent_dir, "part-*.parquet"))[0]
+        dest = os.path.join(src, "batch3-sentinel.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * 3,) * 2)
+        dirs[label] = src
+
+    vstream = (
+        spark.readStream.schema("vid long, vuser long, vts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["views"])
+        .withWatermark("vts", "3 days")
+    )
+    pstream = (
+        spark.readStream.schema(
+            "pid long, puser long, pts timestamp, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["purchases"])
+        .withWatermark("pts", "3 days")
+    )
+    joined = vstream.join(
+        pstream,
+        (F.col("vuser") == F.col("puser"))
+        & (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 2 HOURS")),
+        "leftOuter",
+    ).select("vid", "vuser", "vts", "pid", "cents")
+
+    out_dir = os.path.join(work, "pairs")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    from hyppo_worker_spark.session import scoped_conf
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+
+    prog = [p for p in q.recentProgress if p.get("stateOperators")]
+    last_state = (
+        prog[-1]["stateOperators"][0]["numRowsTotal"] if prog else -1
+    )
+    n_inputs = (
+        spark.read.parquet(dirs["views"]).count()
+        + spark.read.parquet(dirs["purchases"]).count()
+    )
+    # the sentinel flush must leave only the sentinels' neighborhood in
+    # state — far stricter than p18's 60% blanket-retention bound
+    flushed = 0 <= last_state < max(4, n_inputs // 20)
+
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("vuser") != -1)  # drop the sentinel's own row
+        .dropDuplicates(["vid", "pid"])  # idempotent re-read guard
+        .groupBy(F.date_format("vts", "yyyy-MM-dd").alias("view_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("vid").alias("n_views"),
+            F.sum(F.col("pid").isNull().cast("long")).alias(
+                "n_unmatched"
+            ),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"),
+        )
+        .withColumn("state_flushed", F.lit(flushed))
+        .orderBy("view_day")
+    )

@@ -56,7 +56,6 @@ def test_driver_registry_covers_every_family():
         "q54_zonemap_pruning",
         "q57_interval_bin_join",
         "q59_month_over_month",
-        "q63_session_window_native",
         "q64_collated_aggregation",
         "q65_native_sketch_rollup",
         "q66_listagg_report",
@@ -85,8 +84,9 @@ def test_driver_registry_covers_every_family():
         "t23_term_retrieval",
         "t24_vocab_coverage",
         "t25_source_drift",
-        # NEW round-8 row lands with an immediate driver slot
+        # NEW round-8 rows land with immediate driver slots
         "p19_schema_evolution_roundtrip",
+        "p20_stream_stream_outer_join",
     ):
         assert must in names
 
