@@ -310,6 +310,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # greens archived (r6, r7); the window-function family stays
         # in-window via q42/q43/q59, native-feature surfaces via
         # q64/q65/q66
+        # Slot for the NEW round-8 q67 (frontier recursion: multi-
+        # chain hierarchy walk + capped-accumulator fold), so the new
+        # surface lands WITH driver evidence:
+        "d15_canonical_selection",  # exact-dedup canonical pick — 2
+        # greens archived (r6, r7); dedup family stays in-window via
+        # d09 (export manifest) and d10 (incremental neardup)
     }
 )
 

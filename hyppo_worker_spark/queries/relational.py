@@ -4362,3 +4362,68 @@ def q66_listagg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY region
         """
     )
+
+
+_Q67_SQL = """
+WITH RECURSIVE edges AS (
+    SELECT o_orderkey AS okey, o_custkey AS cust,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           lag(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS parent
+    FROM orders
+),
+walk(okey, cust, depth, run_cents, reset) AS (
+    SELECT okey, cust, 0,
+           CASE WHEN cents >= 30000000 THEN 0 ELSE cents END,
+           CASE WHEN cents >= 30000000 THEN 1 ELSE 0 END
+    FROM edges WHERE parent IS NULL
+    UNION ALL
+    SELECT e.okey, e.cust, w.depth + 1,
+           CASE WHEN w.run_cents + e.cents >= 30000000 THEN 0
+                ELSE w.run_cents + e.cents END,
+           CASE WHEN w.run_cents + e.cents >= 30000000 THEN 1 ELSE 0 END
+    FROM walk w JOIN edges e ON e.parent = w.okey
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT cust) AS BIGINT) AS n_customers,
+       CAST(sum(run_cents) AS BIGINT) AS sum_run_cents,
+       CAST(sum(reset) AS BIGINT) AS n_resets
+FROM walk GROUP BY depth ORDER BY depth
+"""
+
+
+# --------------------------------------------------------------------------
+# q67 — FRONTIER recursion: a multi-chain hierarchy walk carrying
+# stateful arithmetic, the second native ``WITH RECURSIVE`` shape
+# (q40's spine is a single-row scalar recursion with an explicit
+# bound; this one advances ~1,500 per-customer chains simultaneously,
+# joins the recursive frontier against a derived edge table each
+# step, and terminates by join exhaustion — no depth guard at all).
+# The carried state is a capped accumulator: each customer's orders
+# (chained by lag() over date) accumulate integer cents and RESET to
+# zero whenever the running total crosses $300k — the bin-cutting /
+# batch-packing state that window functions cannot express (a running
+# sum with a data-dependent reset is not a frame aggregate; it is the
+# reference's sequential fold surface, SURVEY.md §2.4 aggregations).
+# Scale: each iteration is one hash join keyed on parent okey over a
+# frontier that only shrinks; total joined rows across all iterations
+# = |orders|, and depth is bounded by max orders per customer (~25 at
+# any SF — TPC-H scales customers, not orders-per-customer), far under
+# Spark's recursion limit (spark.sql.cteRecursionLevelLimit = 100).
+# Integer cents end-to-end; the identical SQL text runs on both
+# engines, so every depth histogram cell and both checksums pin the
+# fold order.
+# --------------------------------------------------------------------------
+@register(
+    "q67_recursive_chain_fold",
+    oracle=_Q67_SQL,
+    tags=("relational", "recursive-cte", "hierarchy", "stateful-fold"),
+)
+def q67_recursive_chain_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order chains (lag() edges) walked by a recursive
+    CTE whose carried accumulator resets at a $300k cap; per-depth
+    order counts, customers, surviving run totals, and reset counts
+    must equal DuckDB running the identical recursion."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_Q67_SQL)

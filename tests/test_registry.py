@@ -35,7 +35,6 @@ def test_driver_registry_covers_every_family():
     # the load-bearing representatives must stay in the window
     for must in (
         # 1-green round-7 rows keep accumulating driver evidence
-        "d15_canonical_selection",
         "p04_integration_sink_roundtrip",
         "p06_manifest_time_travel",
         "p07_streaming_scd2_cdc",
@@ -87,6 +86,7 @@ def test_driver_registry_covers_every_family():
         # NEW round-8 rows land with immediate driver slots
         "p19_schema_evolution_roundtrip",
         "p20_stream_stream_outer_join",
+        "q67_recursive_chain_fold",
     ):
         assert must in names
 
