@@ -144,6 +144,10 @@ BENCH_QUERIES = [
     "p18_stream_stream_join",
     "q65_native_sketch_rollup",
     "q66_listagg_report",
+    # round 8 additions
+    "p19_schema_evolution_roundtrip",
+    "p20_stream_stream_outer_join",
+    "q67_recursive_chain_fold",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN
