@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "p19_schema_evolution_roundtrip",
     "p20_stream_stream_outer_join",
     "q67_recursive_chain_fold",
+    "p21_stream_static_enrichment",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

@@ -316,6 +316,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "d15_canonical_selection",  # exact-dedup canonical pick — 2
         # greens archived (r6, r7); dedup family stays in-window via
         # d09 (export manifest) and d10 (incremental neardup)
+        # Slot for the NEW round-8 p21 (stream-static broadcast
+        # enrichment — the stateless streaming-join path), so the new
+        # surface lands WITH driver evidence:
+        "m07_audio_pcm_features",  # WAV PCM features — 2 greens
+        # archived (r6, r7); multimodal stays in-window via
+        # m03/m04/m05/m08
     }
 )
 

@@ -2560,3 +2560,137 @@ def p20_stream_stream_outer_join(
         .withColumn("state_flushed", F.lit(flushed))
         .orderBy("view_day")
     )
+
+
+# --------------------------------------------------------------------------
+# p21 — STREAM-STATIC broadcast enrichment join: the stateless third
+# streaming-join path (p18 inner and p20 outer both run the stateful
+# StreamingSymmetricHashJoin; joining a stream to a STATIC dimension
+# plans a plain BroadcastHashJoin inside every micro-batch — no
+# watermark, no state store, and the dimension is re-broadcast per
+# batch, which at 100 TB is exactly the "small dim enriches unbounded
+# fact" contract: dimension size bounds executor memory, stream size
+# bounds nothing). Events drain in three time-ordered blocks and each
+# batch left-joins user_id against a customer-derived segment
+# dimension (unmatched users keep 'unknown'); the in-plan
+# `stateless` column asserts the streaming progress reported ZERO
+# state operators — proof the planner chose the stateless path, which
+# blanket use of a stream-stream join would break. The oracle is the
+# equivalent batch left join; cents ride integers.
+# --------------------------------------------------------------------------
+@register(
+    "p21_stream_static_enrichment",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey AS user_id, c_mktsegment AS segment
+        FROM customer WHERE c_custkey < 150
+    ),
+    enriched AS (
+        SELECT e.event_id, e.user_id,
+               coalesce(d.segment, 'unknown') AS segment,
+               CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           TRUE AS stateless
+    FROM enriched GROUP BY segment ORDER BY segment
+    """,
+    tags=("pipeline", "streaming", "stream-static-join", "broadcast"),
+)
+def p21_stream_static_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event stream left-joined per micro-batch against a broadcast
+    customer-segment dimension (stateless — the progress log must show
+    zero state operators); per-segment rollup equals the batch left
+    join."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    tabs = load_tables(spark, sf_dir, ("events", "customer"))
+    ev = tabs["events"].select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    dim = (
+        tabs["customer"]
+        .filter(F.col("c_custkey") < 150)
+        .select(
+            F.col("c_custkey").alias("duser"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+    work = tempfile.mkdtemp(prefix="hyppo-p21-")
+    src_dir = os.path.join(work, "events")
+    os.makedirs(src_dir)
+    now = time.time()
+    blk = F.least(
+        (F.dayofmonth("ts") - 1) / F.lit(10), F.lit(2)
+    ).cast("int")
+    staged = ev.withColumn("blk", blk)
+    for i in range(3):
+        part_dir = os.path.join(work, f"stage-{i}")
+        staged.filter(F.col("blk") == i).drop("blk").coalesce(
+            1
+        ).write.parquet(part_dir)
+        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dest = os.path.join(src_dir, f"batch{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.duser, "left"
+    ).select(
+        "event_id",
+        "user_id",
+        F.coalesce("segment", F.lit("unknown")).alias("segment"),
+        "cents",
+    )
+
+    out_dir = os.path.join(work, "enriched")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        enriched.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_stream(q, 300)
+
+    # the stateless path reports NO state operators in any progress
+    # entry — a stream-stream plan (or an accidental stateful agg)
+    # would populate stateOperators and break the literal-TRUE column
+    stateless = all(
+        not p.get("stateOperators") for p in q.recentProgress
+    ) and len(q.recentProgress) > 0
+
+    return (
+        spark.read.parquet(out_dir)
+        .dropDuplicates(["event_id"])  # idempotent re-read guard
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("cents"),
+        )
+        .withColumn("stateless", F.lit(stateless))
+        .orderBy("segment")
+    )

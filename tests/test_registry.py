@@ -61,7 +61,6 @@ def test_driver_registry_covers_every_family():
         "m03_audio_header_decode",
         "m04_video_header_decode",
         "m05_fused_features",
-        "m07_audio_pcm_features",
         "m08_video_frame_sample",
         "s06_int8_quantization",
         "s10_pca_power_iteration",
@@ -86,6 +85,7 @@ def test_driver_registry_covers_every_family():
         # NEW round-8 rows land with immediate driver slots
         "p19_schema_evolution_roundtrip",
         "p20_stream_stream_outer_join",
+        "p21_stream_static_enrichment",
         "q67_recursive_chain_fold",
     ):
         assert must in names
