@@ -4386,11 +4386,15 @@ WITH RECURSIVE walk(okey, cust, depth, run_cents, reset) AS (
            CASE WHEN w.run_cents + e.cents >= 30000000 THEN 1 ELSE 0 END
     FROM walk w JOIN q67_edges e ON e.parent = w.okey
 )
+SELECT okey, cust, depth, run_cents, reset FROM walk
+"""
+
+_Q67_AGG_SQL = """
 SELECT depth, CAST(count(*) AS BIGINT) AS n_orders,
        CAST(count(DISTINCT cust) AS BIGINT) AS n_customers,
        CAST(sum(run_cents) AS BIGINT) AS sum_run_cents,
        CAST(sum(reset) AS BIGINT) AS n_resets
-FROM walk GROUP BY depth ORDER BY depth
+FROM q67_walk GROUP BY depth ORDER BY depth
 """
 
 _Q67_SQL = """
@@ -4462,9 +4466,26 @@ def q67_recursive_chain_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     Materializing it once behind a persisted temp view cuts that to
     5.2s; the remaining cost is the per-iteration loop floor
     (~0.2s x max-chain-length), which partition sizing does not move
-    (32/8/4 all within 0.2s)."""
+    (32/8/4 all within 0.2s).
+
+    The loop accumulates one row per order, and Spark caps a
+    recursive CTE's TOTAL rows at spark.sql.cteRecursionRowLimit
+    (default 1,000,000) — the 10x stress corpus (1.5M orders) hits
+    the cap (RECURSION_ROW_LIMIT_EXCEEDED), so the walk runs with
+    the limit disabled. scoped_conf restores on exit, which means
+    the loop must MATERIALIZE inside the block (the returned frame
+    is lazy; executing it after restore would re-apply the cap):
+    the walk persists and counts under the scoped conf, and the
+    returned aggregate reads the cache. Depth stays capped at the
+    level limit (100) as the runaway guard."""
+    from hyppo_worker_spark.session import scoped_conf
+
     load_tables(spark, sf_dir, ("orders",))
     edges = spark.sql(_Q67_EDGES_SQL).transform(tracked_persist)
     edges.count()  # materialize once, before the loop derives from it
     edges.createOrReplaceTempView("q67_edges")
-    return spark.sql(_Q67_WALK_SQL)
+    with scoped_conf(spark, "spark.sql.cteRecursionRowLimit", "-1"):
+        walk = spark.sql(_Q67_WALK_SQL).transform(tracked_persist)
+        walk.count()  # run the loop while the row cap is lifted
+    walk.createOrReplaceTempView("q67_walk")
+    return spark.sql(_Q67_AGG_SQL)
