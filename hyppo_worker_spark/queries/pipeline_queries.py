@@ -2340,10 +2340,15 @@ def p19_schema_evolution_roundtrip(
         TX3.md5_bucket(F.col("o_orderkey"), 2).alias("gate"),
     )
     zone = tempfile.mkdtemp(prefix="hyppo-p19-")
-    old = base.filter(F.col("gate") == 0).select(
+    # the Python encode in write_avro is CPU-bound per partition, and
+    # the gate filter inherits the parquet scan's partitioning (ONE
+    # task at 10x — m08 lesson: the planner sizes a stage by its scan
+    # input, not by downstream work); spread the encode explicitly
+    n_enc = max(8, spark.sparkContext.defaultParallelism // 4)
+    old = base.filter(F.col("gate") == 0).repartition(n_enc).select(
         "order_key", "status", F.col("cents").cast("int").alias("cents")
     )
-    new = base.filter(F.col("gate") == 1).select(
+    new = base.filter(F.col("gate") == 1).repartition(n_enc).select(
         "order_key", "status", "cents", "channel"
     )
     # v1 files: int cents, NO channel column; v2 files: long cents +
