@@ -474,7 +474,11 @@ def _resolver(writer: Any, reader: Any):
         if w_prim == "string" and r_prim == "bytes":
             return lambda v: v.encode()
         if w_prim == "bytes" and r_prim == "string":
-            return lambda v: v.decode()
+            # any byte sequence is a legal bytes value, so a legal
+            # bytes->string promotion must not crash on non-UTF-8
+            # payloads; Avro Java's Utf8 decodes with U+FFFD
+            # replacement, and we match that ecosystem behavior
+            return lambda v: v.decode("utf-8", errors="replace")
         return lambda v: v  # int -> long
     # logical-typed wrappers decode to rich python values; require the
     # same logical type on both sides (no cross-logical promotion)
