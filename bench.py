@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "p20_stream_stream_outer_join",
     "q67_recursive_chain_fold",
     "p21_stream_static_enrichment",
+    "p22_data_quality_gate",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

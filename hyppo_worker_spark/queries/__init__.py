@@ -322,6 +322,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "m07_audio_pcm_features",  # WAV PCM features — 2 greens
         # archived (r6, r7); multimodal stays in-window via
         # m03/m04/m05/m08
+        # Slot for the NEW round-8 p22 (data-quality gate: planted
+        # PK/FK/null/range/enum violations over a corrupted staged
+        # copy), so the new surface lands WITH driver evidence:
+        "s10_pca_power_iteration",  # iterative PCA — 2 greens
+        # archived (r6, r7); similarity stays in-window via s05
+        # (IVF multiprobe) and s06 (int8 quantization)
     }
 )
 

@@ -2699,3 +2699,152 @@ def p21_stream_static_enrichment(
         .withColumn("stateless", F.lit(stateless))
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# p22 — DATA-QUALITY GATE: the validation stage every training-data
+# ingest needs before a corpus is admitted (the reference gates
+# ingestion on schema fingerprints, `IntegrationSchema.scala:25-28`;
+# this is the row-level analog: PK uniqueness, FK integrity, required
+# non-null, numeric range, enum domain). A clean corpus yields all
+# zeros, which a value hash cannot discriminate — so the gate runs on
+# a deterministically CORRUPTED staged copy of orders (md5-gated 1%
+# slices each violating exactly one constraint: duplicated keys,
+# orphaned custkeys, nulled dates, negated totals, an off-domain
+# status), and every constraint must report its planted count.
+# Scale-first shapes: the five checks cost two shuffles total —
+# duplicate detection and FK orphan share nothing, but nulls/range/
+# enum fold into ONE conditional-aggregation pass over the staged
+# scan (no per-constraint rescans), and the FK anti-join keys on
+# custkey (broadcastable at dimension scale, SMJ beyond).
+# --------------------------------------------------------------------------
+@register(
+    "p22_data_quality_gate",
+    oracle="""
+    WITH staged AS (
+        SELECT o_orderkey,
+               CASE WHEN {g} = 1 THEN -o_custkey ELSE o_custkey END
+                   AS o_custkey,
+               CASE WHEN {g} = 2 THEN NULL ELSE o_orderdate END
+                   AS o_orderdate,
+               CASE WHEN {g} = 3 THEN -o_totalprice ELSE o_totalprice
+                   END AS o_totalprice,
+               CASE WHEN {g} = 4 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+               o_orderstatus
+        FROM orders WHERE {g} = 0
+    ),
+    pk AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT o_orderkey FROM staged
+            GROUP BY o_orderkey HAVING count(*) > 1
+        )
+    ),
+    fk AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM staged s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = s.o_custkey
+        )
+    ),
+    scan AS (
+        SELECT
+            CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_null,
+            CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_range,
+            CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_enum
+        FROM staged
+    )
+    SELECT 'enum_domain_orderstatus' AS constraint_name,
+           n_enum AS n_violations FROM scan
+    UNION ALL
+    SELECT 'fk_orders_customer', n FROM fk
+    UNION ALL
+    SELECT 'not_null_orderdate', n_null FROM scan
+    UNION ALL
+    SELECT 'pk_unique_orderkey', n FROM pk
+    UNION ALL
+    SELECT 'range_totalprice_nonnegative', n_range FROM scan
+    ORDER BY constraint_name
+    """.replace(
+        "{g}",
+        __import__(
+            "hyppo_worker_spark.functions.text", fromlist=["md5_bucket_sql"]
+        ).md5_bucket_sql("o_orderkey", 97),
+    ),
+    tags=("pipeline", "data-quality", "constraints", "validation"),
+)
+def p22_data_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-constraint quality gate over a deterministically corrupted
+    staged copy of orders: per-constraint violation counts (duplicate
+    PKs, FK orphans vs customer, null dates, negative totals, bad
+    status) must equal the oracle's planted counts."""
+    from hyppo_worker_spark.functions import text as TX4
+
+    tabs = load_tables(spark, sf_dir, ("orders", "customer"))
+    orders, customer = tabs["orders"], tabs["customer"]
+    g = TX4.md5_bucket(F.col("o_orderkey"), 97)
+    corrupted = orders.select(
+        "o_orderkey",
+        F.when(g == 1, -F.col("o_custkey"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(g == 2, F.lit(None)).otherwise(F.col("o_orderdate"))
+        .alias("o_orderdate"),
+        F.when(g == 3, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(g == 4, F.lit("X")).otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    staged = corrupted.unionByName(
+        orders.filter(g == 0).select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+            "o_orderstatus",
+        )
+    )
+
+    pk = (
+        staged.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .withColumn("constraint_name", F.lit("pk_unique_orderkey"))
+    )
+    fk = (
+        staged.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .withColumn("constraint_name", F.lit("fk_orders_customer"))
+    )
+    # nulls / range / enum share ONE pass over the staged scan
+    scan = staged.agg(
+        F.sum(F.col("o_orderdate").isNull().cast("long"))
+        .cast("long")
+        .alias("n_null"),
+        F.sum((F.col("o_totalprice") < 0).cast("long"))
+        .cast("long")
+        .alias("n_range"),
+        F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("long"))
+        .cast("long")
+        .alias("n_enum"),
+    )
+    folded = scan.selectExpr(
+        "stack(3, 'not_null_orderdate', n_null, "
+        "'range_totalprice_nonnegative', n_range, "
+        "'enum_domain_orderstatus', n_enum) "
+        "AS (constraint_name, n_violations)"
+    )
+    return (
+        pk.select("constraint_name", "n_violations")
+        .unionByName(fk.select("constraint_name", "n_violations"))
+        .unionByName(folded.select("constraint_name", "n_violations"))
+        .orderBy("constraint_name")
+    )

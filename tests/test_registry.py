@@ -63,7 +63,6 @@ def test_driver_registry_covers_every_family():
         "m05_fused_features",
         "m08_video_frame_sample",
         "s06_int8_quantization",
-        "s10_pca_power_iteration",
         "t31_unicode_nfc_normalize",
         # round-8 ENDGAME rotation (VERDICT r7 item 1): the final 14
         # never-driver-checked entries get their FIRST driver rows —
@@ -87,6 +86,7 @@ def test_driver_registry_covers_every_family():
         "p20_stream_stream_outer_join",
         "p21_stream_static_enrichment",
         "q67_recursive_chain_fold",
+        "p22_data_quality_gate",
     ):
         assert must in names
 
