@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "q67_recursive_chain_fold",
     "p21_stream_static_enrichment",
     "p22_data_quality_gate",
+    "p23_stream_checkpoint_resume",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

@@ -328,6 +328,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "s10_pca_power_iteration",  # iterative PCA — 2 greens
         # archived (r6, r7); similarity stays in-window via s05
         # (IVF multiprobe) and s06 (int8 quantization)
+        # Slot for the NEW round-8 p23 (checkpoint resume across a
+        # stream restart — state survival + batch-id continuation),
+        # so the new surface lands WITH driver evidence:
+        "p09_scheduler_priority_ledger",  # priority drain ledger —
+        # 2 greens archived (r6, r7); the scheduler control plane
+        # stays in-window via p10/p11/p14/p17
     }
 )
 

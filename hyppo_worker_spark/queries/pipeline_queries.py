@@ -2848,3 +2848,151 @@ def p22_data_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(folded.select("constraint_name", "n_violations"))
         .orderBy("constraint_name")
     )
+
+
+# --------------------------------------------------------------------------
+# p23 — CHECKPOINT RESUME across a stream restart: the exactly-once
+# property everything in production leans on — a stream is STOPPED,
+# new data arrives, and a NEW query (same checkpoint dir) must carry
+# on as if never interrupted: the file-source's seen-files log skips
+# phase-1 files, batch ids CONTINUE (first phase-2 batch id equals
+# the phase-1 file count — asserted in-plan), and dedup STATE
+# SURVIVES the restart. The discriminating plant: copies of rows
+# whose originals arrived in the last 12 h of phase 1 arrive in the
+# first phase-2 file — inside the 2-day watermark horizon, so the
+# resumed state MUST drop them; a fresh-state restart would pass
+# them through and inflate n_events per type (value-hash breakage,
+# not just a flag). A second plant crosses the phase-2 internal
+# boundary to prove dedup continues after resume, and the p16-style
+# eviction bound still holds at the end. Oracle: distinct counts
+# over the base corpus (every plant dropped) + the literal TRUE.
+# --------------------------------------------------------------------------
+@register(
+    "p23_stream_checkpoint_resume",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT event_id) AS n_ids,
+           TRUE AS resumed_and_bounded
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("pipeline", "streaming", "checkpoint", "recovery", "dedup"),
+)
+def p23_stream_checkpoint_resume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked streaming dedup stopped after two files and resumed
+    from its checkpoint over two later files; cross-restart duplicates
+    must drop (state survived), batch ids must continue, and the
+    eviction bound must hold."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    # four consecutive event-time blocks over the one-month corpus
+    block = F.least(
+        (F.dayofmonth("ts") - 1) / F.lit(8), F.lit(3)
+    ).cast("int")
+    base = ev.withColumn("blk", block)
+    # within-phase duplicate (blk0 rows re-sent in blk1)
+    dup_a = base.filter(
+        (F.col("blk") == 0) & (F.col("event_id") % 7 == 0)
+    ).withColumn("blk", F.lit(1))
+    # CROSS-RESTART duplicate: originals land in the last 12 h of
+    # phase 1 (blk1 = days 9-16), copies arrive in blk2 — the first
+    # file the RESUMED query reads
+    dup_b = base.filter(
+        (F.col("blk") == 1)
+        & (F.dayofmonth("ts") == 16)
+        & (F.hour("ts") >= 12)
+    ).withColumn("blk", F.lit(2))
+    # post-resume boundary duplicate (blk2 -> blk3)
+    dup_c = base.filter(
+        (F.col("blk") == 2)
+        & (F.dayofmonth("ts") == 24)
+        & (F.hour("ts") >= 12)
+    ).withColumn("blk", F.lit(3))
+    staged = (
+        base.unionByName(dup_a).unionByName(dup_b).unionByName(dup_c)
+    )
+
+    work = tempfile.mkdtemp(prefix="hyppo-p23-")
+    src_dir = os.path.join(work, "events")
+    os.makedirs(src_dir)
+    now = time.time()
+    for i in range(4):
+        part_dir = os.path.join(work, f"stage-{i}")
+        staged.filter(F.col("blk") == i).drop("blk").coalesce(
+            1
+        ).write.parquet(part_dir)
+        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dest = os.path.join(work, f"pending-batch{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * i,) * 2)
+
+    out_dir = os.path.join(work, "deduped")
+    ckpt = os.path.join(work, "ckpt")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    def run_phase(n_files: int) -> list:
+        """Move pending files into the source dir, drain, STOP."""
+        for f in sorted(glob.glob(os.path.join(work, "pending-*")))[
+            :n_files
+        ]:
+            shutil.move(
+                f, os.path.join(src_dir, os.path.basename(f)[8:])
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        deduped = stream.withWatermark(
+            "ts", "2 days"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+        return [p for p in q.recentProgress if p.get("stateOperators")]
+
+    from hyppo_worker_spark.session import scoped_conf
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        prog1 = run_phase(2)  # blk0, blk1 — then the query STOPS
+        prog2 = run_phase(2)  # blk2, blk3 under a NEW query, same ckpt
+
+    # batch ids continue across the restart: phase 1 consumed 2 files
+    # (batch ids 0,1), so the resumed query's first data batch is 2
+    batch_ids_2 = [p["batchId"] for p in prog2]
+    continued = bool(batch_ids_2) and min(batch_ids_2) >= 2
+    last_state = prog2[-1]["stateOperators"][0]["numRowsTotal"]
+    n_orig = ev.count()
+    bounded = 0 <= last_state < n_orig // 2
+    ok = continued and bounded
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        .withColumn("resumed_and_bounded", F.lit(ok))
+        .orderBy("event_type")
+    )
