@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "p21_stream_static_enrichment",
     "p22_data_quality_gate",
     "p23_stream_checkpoint_resume",
+    "p24_streaming_session_windows",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

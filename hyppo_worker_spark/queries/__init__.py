@@ -334,6 +334,13 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "p09_scheduler_priority_ledger",  # priority drain ledger —
         # 2 greens archived (r6, r7); the scheduler control plane
         # stays in-window via p10/p11/p14/p17
+        # Slot for the NEW round-8 p24 (native streaming session
+        # windows — the merging-session state operator), so the new
+        # surface lands WITH driver evidence:
+        "p10_ttl_redelivery_ledger",  # TTL/dead-letter/redelivery —
+        # 2 greens archived (r6, r7); the broker control plane stays
+        # in-window via p11 (backoff/throttle), p14 (delegation),
+        # p17 (queue rollup)
     }
 )
 

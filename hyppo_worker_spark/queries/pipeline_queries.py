@@ -2996,3 +2996,172 @@ def p23_stream_checkpoint_resume(
         .withColumn("resumed_and_bounded", F.lit(ok))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# p24 — native STREAMING session windows: `session_window` in a
+# streaming aggregation runs the merging-session state operator —
+# state rows are mutable [start, last+gap) ranges that MERGE when a
+# new event's range overlaps, and a session closes (emits, in append
+# mode) only when the watermark passes its end. None of the other
+# streaming rows touch this operator (q63 is the BATCH session
+# window; p15 hand-rolls funnel sessions in applyInPandasWithState).
+# Cross-batch merging is exercised for real: sessions spanning a
+# block boundary arrive in two pieces and must merge before close
+# (the 2-day watermark holds them open across the file boundary).
+# A far-future sentinel (p20's trick) closes every session before
+# the stream ends, making the batch gaps-and-islands oracle exact:
+# new session iff the gap >= 6 h — the same half-open-range
+# semantics session_window uses ([start, last+gap) ranges touching
+# at exactly gap do NOT overlap). Durations ride integer epoch
+# seconds. Reference: SURVEY.md §2.4 windows — sessionization is the
+# reference's session operator surface expressed stream-natively.
+# --------------------------------------------------------------------------
+@register(
+    "p24_streaming_session_windows",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL 6 HOUR
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM marked
+    ),
+    per_session AS (
+        SELECT user_id, sid,
+               min(ts) AS s_start, max(ts) AS s_end,
+               count(*) AS n_ev,
+               -- Spark's unix_timestamp TRUNCATES each endpoint to
+               -- whole seconds; DuckDB's epoch() keeps microseconds,
+               -- so floor both endpoints BEFORE differencing
+               CAST(floor(epoch(max(ts))) AS BIGINT)
+               - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT strftime(s_start, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(sum(dur) AS BIGINT) AS dur_s
+    FROM per_session GROUP BY day ORDER BY day
+    """,
+    tags=("pipeline", "streaming", "session-window", "watermark"),
+)
+def p24_streaming_session_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user 6-hour-gap sessions built by the streaming
+    session_window operator over three time-ordered blocks (sessions
+    spanning a boundary merge across batches), closed by a sentinel
+    watermark push; the per-day rollup must equal the batch
+    gaps-and-islands oracle."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    max_ts = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    base = ev.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+    )
+
+    work = tempfile.mkdtemp(prefix="hyppo-p24-")
+    src_dir = os.path.join(work, "events")
+    os.makedirs(src_dir)
+    now = time.time()
+    blk = F.least(
+        (F.dayofmonth("ts") - 1) / F.lit(10), F.lit(2)
+    ).cast("int")
+    staged = base.withColumn("blk", blk)
+    for i in range(3):
+        part_dir = os.path.join(work, f"stage-{i}")
+        staged.filter(F.col("blk") == i).drop("blk").coalesce(
+            1
+        ).write.parquet(part_dir)
+        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dest = os.path.join(src_dir, f"batch{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * i,) * 2)
+    # sentinel: advances the watermark past every session's end so
+    # append mode emits ALL sessions before the stream terminates
+    sent_dir = os.path.join(work, "stage-sentinel")
+    spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+    ).coalesce(1).write.parquet(sent_dir)
+    part = glob.glob(os.path.join(sent_dir, "part-*.parquet"))[0]
+    dest = os.path.join(src_dir, "batch3-sentinel.parquet")
+    shutil.move(part, dest)
+    os.utime(dest, (now - 300 + 100 * 3,) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sessions = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(
+            F.session_window("ts", "6 hours").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+        )
+        .select("user_id", "n_ev", "s_start", "s_end")
+    )
+
+    out_dir = os.path.join(work, "sessions")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    from hyppo_worker_spark.session import scoped_conf
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") != -1)  # drop the sentinel's session
+        .dropDuplicates(["user_id", "s_start"])  # idempotent re-read
+        .groupBy(F.date_format("s_start", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("n_ev").alias("n_events"),
+            F.sum(
+                F.unix_timestamp("s_end") - F.unix_timestamp("s_start")
+            ).alias("dur_s"),
+        )
+        .orderBy("day")
+    )

@@ -39,7 +39,6 @@ def test_driver_registry_covers_every_family():
         "p06_manifest_time_travel",
         "p07_streaming_scd2_cdc",
         "p08_streaming_incremental_cc",
-        "p10_ttl_redelivery_ledger",
         "p11_backoff_throttle_curves",
         "p12_format_roundtrips",
         "p13_streaming_dropdup",
@@ -87,6 +86,7 @@ def test_driver_registry_covers_every_family():
         "q67_recursive_chain_fold",
         "p22_data_quality_gate",
         "p23_stream_checkpoint_resume",
+        "p24_streaming_session_windows",
     ):
         assert must in names
 
