@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "p22_data_quality_gate",
     "p23_stream_checkpoint_resume",
     "p24_streaming_session_windows",
+    "p25_connector_streaming_loop",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

@@ -341,6 +341,13 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # 2 greens archived (r6, r7); the broker control plane stays
         # in-window via p11 (backoff/throttle), p14 (delegation),
         # p17 (queue rollup)
+        # Slot for the NEW round-8 p25 (connector streaming loop:
+        # task-log stream source -> per-epoch manifest sink over one
+        # checkpoint), so the new surface lands WITH driver evidence:
+        "p01_ingestion_pipeline",  # full engine run — 7 greens
+        # archived (r1-r7); the engine-run family stays in-window via
+        # p02 (raw path), and the driver still smoke-runs entry()
+        # (which IS p01's flagship shape) every round
     }
 )
 

@@ -40,7 +40,7 @@ from hyppo_worker_spark.registry import (
     RawDataIntegration,
 )
 from hyppo_worker_spark.scheduler.scheduler import EngineConfig, HyppoEngine
-from hyppo_worker_spark.session import load_tables
+from hyppo_worker_spark.session import load_tables, tracked_persist
 from hyppo_worker_spark.storage import DataFileHandler, StorageLayout
 
 N_TASKS = 4
@@ -3163,5 +3163,135 @@ def p24_streaming_session_windows(
                 F.unix_timestamp("s_end") - F.unix_timestamp("s_start")
             ).alias("dur_s"),
         )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# p25 — the connector STREAMING loop end-to-end: the reference's worker
+# polling cycle (SURVEY §3.2 WorkerFSM poll → fetch → persist → ack) as
+# ONE Structured Streaming query over the Python DataSource API — the
+# task-log stream source (`IntegrationStreamReader`, offsets = consumed
+# line counts) feeding the per-epoch manifest stream sink
+# (`IntegrationStreamWriter`, exactly-once visibility by epoch id).
+# Three coordinator "waves" append tasks to the log; each wave is
+# drained by a NEW availableNow query over the SAME checkpoint, so the
+# offset log must hand each drain exactly the new slice. A fourth
+# drain with no new tasks must ingest nothing. Exactly-once is
+# asserted in-plan: the read-back must contain zero duplicate
+# (task_id, seq) pairs. Tasks derive from `nation` (task_id =
+# n_nationkey, day/n_rows arithmetic-derived), so the DuckDB oracle
+# regenerates every fetched row with LATERAL unnest(range(...)) — the
+# fetcher's score formula (seq*7 + task_id) % 100 is stated verbatim.
+# Reference: FetchRawData/PersistProcessedData cycle
+# (ProcessRawDataOperation.java:73-80) run as a stream instead of a
+# request loop.
+# --------------------------------------------------------------------------
+@register(
+    "p25_connector_streaming_loop",
+    oracle="""
+    WITH t AS (
+        SELECT n_nationkey AS task_id,
+               '2024-01-0' || CAST(n_nationkey % 7 + 1 AS VARCHAR) AS day,
+               3 + (n_nationkey % 5) AS n_rows
+        FROM nation
+    ),
+    r AS (
+        SELECT task_id, day, u.seq
+        FROM t, LATERAL unnest(range(0, n_rows)) AS u(seq)
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT task_id) AS BIGINT) AS n_tasks,
+           CAST(sum((seq * 7 + task_id) % 100) AS BIGINT) AS score_sum,
+           TRUE AS exactly_once
+    FROM r GROUP BY day ORDER BY day
+    """,
+    tags=("pipeline", "streaming", "connector", "datasource", "manifest"),
+)
+def p25_connector_streaming_loop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nation-derived ingestion tasks appended to a task log in three
+    waves, each drained through the streaming Python DataSource into
+    the per-epoch manifest sink over one shared checkpoint; the
+    checksum-verified read-back must exactly equal the oracle's
+    regenerated rows, with zero duplicates across drains."""
+    import json
+    import os
+
+    from hyppo_worker_spark.sources.integration_source import (
+        read_committed,
+        register_integration_source,
+    )
+
+    register_integration_source(spark)
+    nat = load_tables(spark, sf_dir, ("nation",))["nation"]
+    # bounded control-plane pull: 25 nation rows become the task list
+    keys = sorted(r[0] for r in nat.select("n_nationkey").collect())
+    tasks = [
+        {
+            "task_id": int(k),
+            "day": f"2024-01-0{int(k) % 7 + 1}",
+            "n_rows": 3 + int(k) % 5,
+        }
+        for k in keys
+    ]
+
+    work = tempfile.mkdtemp(prefix="hyppo-p25-")
+    task_log = os.path.join(work, "task_log.jsonl")
+    out = os.path.join(work, "persisted")
+    ckpt = os.path.join(work, "ckpt")
+    schema = "task_id int, day string, seq int, name string, score int"
+    fetcher = (
+        "hyppo_worker_spark.sources.integration_source"
+        ":synthetic_events_fetcher"
+    )
+
+    def drain_new_tasks() -> None:
+        stream = (
+            spark.readStream.format("hyppo_integration")
+            .schema(schema)
+            .option("fetcher", fetcher)
+            .option("task_log", task_log)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("hyppo_integration")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+
+    # three coordinator waves + one empty poll over the same checkpoint
+    for wave in range(3):
+        with open(task_log, "a", encoding="utf-8") as fh:
+            for t in tasks:
+                if t["task_id"] % 3 == wave:
+                    fh.write(json.dumps(t) + "\n")
+        drain_new_tasks()
+    drain_new_tasks()  # no new tasks: must ingest nothing
+
+    back = read_committed(
+        spark,
+        out,
+        "task_id long, day string, seq long, name string, score long",
+    ).transform(tracked_persist)
+    n_total, n_distinct = back.agg(
+        F.count(F.lit(1)),
+        F.count_distinct("task_id", "seq"),
+    ).collect()[0]
+    exactly_once = bool(n_total == n_distinct == sum(t["n_rows"] for t in tasks))
+
+    return (
+        back.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("task_id").alias("n_tasks"),
+            F.sum("score").alias("score_sum"),
+        )
+        .withColumn("exactly_once", F.lit(exactly_once))
         .orderBy("day")
     )

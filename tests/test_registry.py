@@ -87,6 +87,7 @@ def test_driver_registry_covers_every_family():
         "p22_data_quality_gate",
         "p23_stream_checkpoint_resume",
         "p24_streaming_session_windows",
+        "p25_connector_streaming_loop",
     ):
         assert must in names
 
