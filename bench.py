@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "p23_stream_checkpoint_resume",
     "p24_streaming_session_windows",
     "p25_connector_streaming_loop",
+    "p26_chained_stateful_rollup",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

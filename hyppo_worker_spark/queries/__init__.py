@@ -348,6 +348,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # archived (r1-r7); the engine-run family stays in-window via
         # p02 (raw path), and the driver still smoke-runs entry()
         # (which IS p01's flagship shape) every round
+        # Slot for the NEW round-8 p26 (chained stateful operators:
+        # stream-stream join feeding a windowed aggregation in one
+        # query), so the new surface lands WITH driver evidence:
+        "p11_backoff_throttle_curves",  # Gompertz/token-bucket —
+        # 2 greens archived (r6, r7); the scheduler control plane
+        # stays in-window via p14 (delegation) and p17 (rollup)
     }
 )
 

@@ -3295,3 +3295,178 @@ def p25_connector_streaming_loop(
         .withColumn("exactly_once", F.lit(exactly_once))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# p26 — CHAINED stateful operators in ONE streaming query (Spark 3.5+
+# multiple-stateful-operator support): a watermarked stream-stream
+# time-interval join whose output flows DIRECTLY into a tumbling
+# 1-day window aggregation, both operators in the same micro-batch
+# plan — no intermediate sink. p18 proved the join and aggregated in
+# batch afterwards; here the rollup itself is stateful-streaming
+# (windows emit in append mode only when the propagated watermark —
+# join-delta-adjusted by Spark's watermark propagation — passes each
+# window end). Far-future sentinel rows on BOTH sides (p20's trick,
+# user_id -1 so they never join) force every window closed before the
+# stream drains. In-plan assertion: the final progress entry must
+# show exactly TWO stateOperators (symmetric hash join + window agg).
+# Oracle: the equivalent batch range join + per-view-day rollup.
+# Money rides integer cents (floor(value*100+0.5) stated verbatim on
+# both sides, p18 precedent).
+# --------------------------------------------------------------------------
+@register(
+    "p26_chained_stateful_rollup",
+    oracle="""
+    WITH v AS (
+        SELECT event_id AS vid, user_id, ts AS vts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT v.vid, v.vts, p.cents
+        FROM v JOIN p ON v.user_id = p.user_id
+            AND p.pts >= v.vts
+            AND p.pts <= v.vts + INTERVAL 2 HOUR
+    )
+    SELECT strftime(vts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           TRUE AS two_state_ops
+    FROM pairs GROUP BY day ORDER BY day
+    """,
+    tags=("pipeline", "streaming", "chained-stateful", "stream-stream-join",
+          "window", "watermark"),
+)
+def p26_chained_stateful_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Views joined to purchases inside Structured Streaming and rolled
+    up to per-day pair counts/cents by a second stateful operator in
+    the same query; the emitted windows must equal the batch
+    range-join rollup, with exactly two state operators in-plan."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    max_ts = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("vuser"),
+        F.col("ts").cast("timestamp").alias("vts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("ts").cast("timestamp").alias("pts"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+
+    work = tempfile.mkdtemp(prefix="hyppo-p26-")
+    now = time.time()
+    dirs = {}
+    for label, df, cols in (
+        ("views", views, ("vid", "vuser", "vts")),
+        ("purchases", purchases, ("pid", "puser", "pts", "cents")),
+    ):
+        src = os.path.join(work, label)
+        os.makedirs(src)
+        ts_col = cols[2]
+        blk = F.least(
+            (F.dayofmonth(ts_col) - 1) / F.lit(10), F.lit(2)
+        ).cast("int")
+        staged = df.withColumn("blk", blk)
+        for i in range(3):
+            part_dir = os.path.join(work, f"stage-{label}-{i}")
+            staged.filter(F.col("blk") == i).drop("blk").coalesce(
+                1
+            ).write.parquet(part_dir)
+            part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+            dest = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(part, dest)
+            os.utime(dest, (now - 300 + 100 * i,) * 2)
+        # sentinel: never joins (user -1) but advances this side's
+        # watermark past every window end before the stream drains
+        sent = [
+            F.lit(-1).cast("long").alias(cols[0]),
+            F.lit(-1).cast("long").alias(cols[1]),
+            (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias(ts_col),
+        ]
+        if label == "purchases":
+            sent.append(F.lit(0).cast("long").alias("cents"))
+        sent_dir = os.path.join(work, f"sent-{label}")
+        spark.range(1).select(*sent).coalesce(1).write.parquet(sent_dir)
+        part = glob.glob(os.path.join(sent_dir, "part-*.parquet"))[0]
+        dest = os.path.join(src, "batch3-sentinel.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * 3,) * 2)
+        dirs[label] = src
+
+    vstream = (
+        spark.readStream.schema("vid long, vuser long, vts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["views"])
+        .withWatermark("vts", "2 days")
+    )
+    pstream = (
+        spark.readStream.schema(
+            "pid long, puser long, pts timestamp, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["purchases"])
+        .withWatermark("pts", "2 days")
+    )
+    rolled = (
+        vstream.join(
+            pstream,
+            (F.col("vuser") == F.col("puser"))
+            & (F.col("pts") >= F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 2 HOURS")),
+            "inner",
+        )
+        .groupBy(F.window("vts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("cents").alias("cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+    out_dir = os.path.join(work, "rollup")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    from hyppo_worker_spark.session import scoped_conf
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            rolled.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+
+    prog = [p for p in q.recentProgress if p.get("stateOperators")]
+    two_ops = bool(prog) and len(prog[-1]["stateOperators"]) == 2
+
+    return (
+        spark.read.parquet(out_dir)
+        .dropDuplicates(["w"])  # idempotent re-read guard
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "n_pairs",
+            "cents",
+            "max_cents",
+        )
+        .withColumn("two_state_ops", F.lit(two_ops))
+        .orderBy("day")
+    )
