@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "p24_streaming_session_windows",
     "p25_connector_streaming_loop",
     "p26_chained_stateful_rollup",
+    "p27_state_store_introspection",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

@@ -354,6 +354,13 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "p11_backoff_throttle_curves",  # Gompertz/token-bucket —
         # 2 greens archived (r6, r7); the scheduler control plane
         # stays in-window via p14 (delegation) and p17 (rollup)
+        # Slot for the NEW round-8 p27 (state-store introspection:
+        # the state data source reading a checkpoint back, with
+        # batchId time travel), so the new surface lands WITH driver
+        # evidence:
+        "p12_format_roundtrips",  # six-format write/read matrix —
+        # 2 greens archived (r6, r7); formats stay in-window via
+        # p19 (Avro schema evolution) and the records zone in p02
     }
 )
 

@@ -3470,3 +3470,159 @@ def p26_chained_stateful_rollup(
         .withColumn("two_state_ops", F.lit(two_ops))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# p27 — STATE-STORE INTROSPECTION: Spark's state data source reads a
+# checkpoint's state stores back as DataFrames (format "statestore",
+# plus "state-metadata" for the operator manifest) — the engine's
+# debugger for exactly the maintenance state the streaming rows keep.
+# A per-(user, event_type) running aggregate (update mode, no
+# watermark, so state IS the full aggregate) drains 3 time-ordered
+# blocks; then the state itself is read back TWICE — option
+# batchId=0 (time-travel: state after the first block only) and the
+# final batch — and rolled up per event type. The oracle regenerates
+# both snapshots from `events` directly (block membership is the
+# same day-of-month decade arithmetic the staging used), so a wrong
+# key, a dropped state row, or a stale snapshot all hash-mismatch.
+# In-plan: the state-metadata row must show operator stateStoreSave,
+# 8 partitions (the scoped stream sizing), batches 0..2. Scale note:
+# reading state scales with STATE size, not input — it is the
+# observability path for 100 TB checkpoints (RocksDB-backed state
+# reads the same way).
+# --------------------------------------------------------------------------
+@register(
+    "p27_state_store_introspection",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type AS etype, ts,
+               least((CAST(date_part('day', ts) AS BIGINT) - 1) // 10, 2)
+                   AS blk
+        FROM events
+    ),
+    snap0 AS (
+        SELECT 'batch0' AS snap, user_id, etype,
+               count(*) AS n, max(ts) AS last_ts
+        FROM e WHERE blk = 0 GROUP BY user_id, etype
+    ),
+    snapf AS (
+        SELECT 'final' AS snap, user_id, etype,
+               count(*) AS n, max(ts) AS last_ts
+        FROM e GROUP BY user_id, etype
+    ),
+    u AS (SELECT * FROM snap0 UNION ALL SELECT * FROM snapf)
+    SELECT snap, etype,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           strftime(max(last_ts), '%Y-%m-%d %H:%M:%S') AS last_str,
+           TRUE AS metadata_ok
+    FROM u GROUP BY snap, etype ORDER BY snap, etype
+    """,
+    tags=("pipeline", "streaming", "statestore", "introspection",
+          "time-travel"),
+)
+def p27_state_store_introspection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Run a per-(user, event_type) running aggregate over 3 streamed
+    blocks, then read the checkpoint's state store back at batch 0 and
+    at the final batch via the state data source; both snapshots'
+    per-type rollups must equal the oracle's regenerated aggregates."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    base = ev.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        F.col("event_type").alias("etype"),
+    )
+
+    work = tempfile.mkdtemp(prefix="hyppo-p27-")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    now = time.time()
+    blk = F.least(
+        (F.dayofmonth("ts") - 1) / F.lit(10), F.lit(2)
+    ).cast("int")
+    staged = base.withColumn("blk", blk)
+    for i in range(3):
+        part_dir = os.path.join(work, f"stage-{i}")
+        staged.filter(F.col("blk") == i).drop("blk").coalesce(
+            1
+        ).write.parquet(part_dir)
+        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"batch{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * i,) * 2)
+
+    ckpt = os.path.join(work, "ckpt")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, etype string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy("user_id", "etype").agg(
+        F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts")
+    )
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        # the state IS the product here, but Spark 4.1's commit
+        # tracker requires foreachBatch to consume EVERY partition
+        # (limit/show fail with XXKST Missing commits) — noop does
+        batch.write.format("noop").mode("append").save()
+
+    from hyppo_worker_spark.session import scoped_conf
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    metadata_ok = (
+        len(md) == 1
+        and md[0]["operatorName"] == "stateStoreSave"
+        and md[0]["numPartitions"] == 8
+        and md[0]["minBatchId"] == 0
+        and md[0]["maxBatchId"] == 2
+    )
+
+    def snapshot(label: str, batch_id: int | None) -> DataFrame:
+        reader = spark.read.format("statestore")
+        if batch_id is not None:
+            reader = reader.option("batchId", batch_id)
+        return (
+            reader.load(ckpt)
+            .select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("key.etype").alias("etype"),
+                F.col("value.count").alias("n"),
+                F.col("value.max").alias("last_ts"),
+            )
+            .withColumn("snap", F.lit(label))
+        )
+
+    both = snapshot("batch0", 0).unionByName(snapshot("final", None))
+    return (
+        both.groupBy("snap", "etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_events"),
+            F.date_format(
+                F.max("last_ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("last_str"),
+        )
+        .withColumn("metadata_ok", F.lit(metadata_ok))
+        .orderBy("snap", "etype")
+    )

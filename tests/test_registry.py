@@ -39,7 +39,6 @@ def test_driver_registry_covers_every_family():
         "p06_manifest_time_travel",
         "p07_streaming_scd2_cdc",
         "p08_streaming_incremental_cc",
-        "p12_format_roundtrips",
         "p13_streaming_dropdup",
         "p14_delegation_affinity_ledger",
         "p15_streaming_funnel",
@@ -88,6 +87,7 @@ def test_driver_registry_covers_every_family():
         "p24_streaming_session_windows",
         "p25_connector_streaming_loop",
         "p26_chained_stateful_rollup",
+        "p27_state_store_introspection",
     ):
         assert must in names
 
