@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "p25_connector_streaming_loop",
     "p26_chained_stateful_rollup",
     "p27_state_store_introspection",
+    "t32_udtf_chunk_explode",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

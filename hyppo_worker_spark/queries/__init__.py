@@ -361,6 +361,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "p12_format_roundtrips",  # six-format write/read matrix —
         # 2 greens archived (r6, r7); formats stay in-window via
         # p19 (Avro schema evolution) and the records zone in p02
+        # Slot for the NEW round-8 t32 (Python UDTF: table-function
+        # fan-out via LATERAL), so the new surface lands WITH driver
+        # evidence:
+        "p14_delegation_affinity_ledger",  # delegation/affinity —
+        # 2 greens archived (r6, r7); the scheduler control plane
+        # stays in-window via p17 (queue rollup + EMA)
     }
 )
 

@@ -2577,3 +2577,79 @@ def t31_unicode_nfc_normalize(
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# t32 — Python UDTF surface: a user-defined TABLE function (Spark
+# 3.5+/4 `@udtf`, Arrow-optimized) exploding each document into
+# fixed-size 64-word chunks via a SQL LATERAL correlation — the
+# chunking operator (operators/packing.py does it with sequence/
+# explode JVM-side) re-expressed as the one UDF shape the registry
+# did not yet cover (scalar pandas UDFs: m03-m08/t31; UDAF via
+# applyInPandas: p15; UDTF: here). The UDTF is the right tool when
+# per-row fan-out needs imperative Python (a real tokenizer, a
+# sentence splitter); the oracle regenerates the same chunks with
+# pure SQL (list_filter + unnest(range)) so the UDTF's row fan-out,
+# per-chunk word counts, and chunk-initial words are all value-
+# checked. Scale: Arrow batches stream through the Python worker
+# once (no collect), and the fan-out happens BEFORE the aggregate's
+# exchange, so the shuffle carries only (chunk_id, doc) partials.
+# --------------------------------------------------------------------------
+@register(
+    "t32_udtf_chunk_explode",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(u.c AS INT) AS chunk_id,
+               least(64, len(ws) - CAST(u.c AS INT) * 64) AS n_words,
+               ws[CAST(u.c AS INT) * 64 + 1] AS first_word
+        FROM w, LATERAL unnest(range(0, (len(ws) + 63) // 64)) AS u(c)
+        WHERE len(ws) > 0
+    )
+    SELECT chunk_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_words) AS BIGINT) AS words,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(first_word) AS min_first,
+           max(first_word) AS max_first
+    FROM chunks GROUP BY chunk_id ORDER BY chunk_id
+    """,
+    tags=("text", "udtf", "chunking", "lateral"),
+)
+def t32_udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode documents into 64-word chunks with a Python UDTF joined
+    LATERALly in SQL; per-chunk-ordinal counts, word totals, and
+    chunk-initial words must equal the SQL-regenerated chunks."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_id int, n_words int, first_word string",
+        useArrow=True,
+    )
+    class ChunkWords:
+        def eval(self, text: str):
+            words = [w for w in text.split(" ") if w]
+            for ci, i in enumerate(range(0, len(words), 64)):
+                piece = words[i : i + 64]
+                yield ci, len(piece), piece[0]
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    spark.udtf.register("hyppo_chunk_words", ChunkWords)
+    docs.select("doc_id", "text").createOrReplaceTempView("t32_docs")
+    return spark.sql(
+        """
+        SELECT c.chunk_id,
+               count(*) AS n_chunks,
+               sum(c.n_words) AS words,
+               count(DISTINCT d.doc_id) AS n_docs,
+               min(c.first_word) AS min_first,
+               max(c.first_word) AS max_first
+        FROM t32_docs d, LATERAL hyppo_chunk_words(d.text) c
+        GROUP BY c.chunk_id ORDER BY c.chunk_id
+        """
+    )

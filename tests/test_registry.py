@@ -40,7 +40,6 @@ def test_driver_registry_covers_every_family():
         "p07_streaming_scd2_cdc",
         "p08_streaming_incremental_cc",
         "p13_streaming_dropdup",
-        "p14_delegation_affinity_ledger",
         "p15_streaming_funnel",
         "p16_dropdup_within_watermark",
         "p17_queue_rollup_ledger",
@@ -88,6 +87,7 @@ def test_driver_registry_covers_every_family():
         "p25_connector_streaming_loop",
         "p26_chained_stateful_rollup",
         "p27_state_store_introspection",
+        "t32_udtf_chunk_explode",
     ):
         assert must in names
 
