@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "p26_chained_stateful_rollup",
     "p27_state_store_introspection",
     "t32_udtf_chunk_explode",
+    "q68_lateral_table_subquery",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

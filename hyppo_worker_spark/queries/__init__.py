@@ -367,6 +367,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "p14_delegation_affinity_ledger",  # delegation/affinity —
         # 2 greens archived (r6, r7); the scheduler control plane
         # stays in-window via p17 (queue rollup + EMA)
+        # Slot for the NEW round-8 q68 (LATERAL table subquery —
+        # the decorrelated correlated-FROM surface), so the new
+        # surface lands WITH driver evidence:
+        "p07_streaming_scd2_cdc",  # streaming SCD2 maintenance —
+        # 2 greens archived (r6, r7); streaming maintenance sinks
+        # stay in-window via p08 (incremental CC, changed this round)
     }
 )
 

@@ -4489,3 +4489,55 @@ def q67_recursive_chain_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         walk.count()  # run the loop while the row cap is lifted
     walk.createOrReplaceTempView("q67_walk")
     return spark.sql(_Q67_AGG_SQL)
+
+
+# --------------------------------------------------------------------------
+# q68 — LATERAL table subquery in FROM (the third SQL-subquery
+# surface: q61 covered correlated SCALAR + EXISTS, q62 multi-
+# statement text; this is the correlated TABLE expression Spark
+# decorrelates via DecorrelateInnerQuery into a plain aggregate +
+# join — no per-outer-row re-execution survives in the physical
+# plan). Each order pulls a one-row aggregate summary of ITS
+# lineitems through the lateral correlation; orders with no
+# lineitems still yield one row (scalar-aggregate lateral = left
+# semantics, count 0, NULL max — the NULL-handling edge the oracle
+# states identically). Money rides integer cents; quantities are
+# integer-valued doubles cast to BIGINT on both engines. Scale: the
+# decorrelated plan is one shuffle on l_orderkey + one join —
+# identical cost to writing the join by hand, which is the point:
+# the correlated FORM is free at 100 TB because Catalyst rewrites
+# it, and the plan audit (PLANS.md) pins that no NLJ appears.
+# --------------------------------------------------------------------------
+_Q68_SQL = """
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(l.n_items) AS BIGINT) AS items,
+           CAST(sum(l.qty_sum) AS BIGINT) AS qty,
+           CAST(sum(l.max_price_cents) AS BIGINT) AS cents
+    FROM orders o,
+    LATERAL (
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+               max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS max_price_cents
+        FROM lineitem
+        WHERE l_orderkey = o.o_orderkey AND l_quantity >= 25
+    ) l
+    WHERE o.o_totalprice > 150000
+    GROUP BY priority
+    ORDER BY priority
+"""
+
+
+@register(
+    "q68_lateral_table_subquery",
+    oracle=_Q68_SQL,
+    tags=("relational", "sql-api", "lateral", "correlated-subquery"),
+)
+def q68_lateral_table_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority rollup of per-order lateral aggregate summaries
+    (count / qty / max price cents of each order's >=25-quantity
+    lineitems); the lateral correlation must decorrelate to an
+    aggregate+join and match the identical SQL on DuckDB."""
+    load_tables(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_Q68_SQL)

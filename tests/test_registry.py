@@ -37,7 +37,6 @@ def test_driver_registry_covers_every_family():
         # 1-green round-7 rows keep accumulating driver evidence
         "p04_integration_sink_roundtrip",
         "p06_manifest_time_travel",
-        "p07_streaming_scd2_cdc",
         "p08_streaming_incremental_cc",
         "p13_streaming_dropdup",
         "p15_streaming_funnel",
@@ -88,6 +87,7 @@ def test_driver_registry_covers_every_family():
         "p26_chained_stateful_rollup",
         "p27_state_store_introspection",
         "t32_udtf_chunk_explode",
+        "q68_lateral_table_subquery",
     ):
         assert must in names
 
