@@ -2640,7 +2640,12 @@ def t32_udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     spark.udtf.register("hyppo_chunk_words", ChunkWords)
-    docs.select("doc_id", "text").createOrReplaceTempView("t32_docs")
+    # The planner sizes this stage by the SCAN's bytes, but the cost
+    # is the Python fan-out per row (the m08 lesson): spread the rows
+    # before the UDTF or it runs near-serial on a small-file scan
+    # (measured 10x stress: max task 6.6s -> 0.9s with 32-way spread).
+    docs.select("doc_id", "text").repartition(32, "doc_id") \
+        .createOrReplaceTempView("t32_docs")
     return spark.sql(
         """
         SELECT c.chunk_id,
