@@ -175,6 +175,13 @@ VALIDATION_QUERIES = frozenset(
         "p15_streaming_funnel",
         "p16_dropdup_within_watermark",
         "p18_stream_stream_join",  # same micro-batch fixed-cost class
+        "p25_connector_streaming_loop",  # four availableNow drains of a
+        # 25-row nation-derived task list: the row proves the
+        # source/sink/checkpoint contract; its cost is ~100% trigger +
+        # Python-source startup fixed cost and does not scale with SF
+        "p26_chained_stateful_rollup",  # p18's micro-batch fixed-cost
+        # class (8 triggers x 2 stateful operators, both-side
+        # sentinels) — the chained-operator proof, not engine volume
     }
 )
 
