@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "p27_state_store_introspection",
     "t32_udtf_chunk_explode",
     "q68_lateral_table_subquery",
+    "q69_aqe_skew_join",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from hyppo_worker_spark.queries import register
-from hyppo_worker_spark.session import load_tables, tracked_persist
+from hyppo_worker_spark.session import (
+    load_tables,
+    scoped_conf,
+    tracked_persist,
+)
 
 
 # --------------------------------------------------------------------------
@@ -4541,3 +4545,95 @@ def q68_lateral_table_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate+join and match the identical SQL on DuckDB."""
     load_tables(spark, sf_dir, ("orders", "lineitem"))
     return spark.sql(_Q68_SQL)
+
+
+# --------------------------------------------------------------------------
+# q69 — AQE SKEW-JOIN handling, proven in-plan: a deterministically
+# skewed join key (30% of lineitem remapped onto ONE hot orderkey —
+# the q39 salting row handles this manually; here Spark's runtime
+# OptimizeSkewedJoin does it) must actually SPLIT the hot partition
+# (`skew=true` on the SortMergeJoin / `AQEShuffleRead skewed`),
+# asserted from the executed plan and returned as a literal column,
+# with the aggregate value-checked against DuckDB on the identical
+# remap expression. Two mechanisms this row pins (both bit a naive
+# draft): (1) AQE can only split a skewed REDUCE partition along
+# MAP-output boundaries, so a single-file scan (1 map task) is
+# unsplittable — the explicit repartition(16) before the join gives
+# the shuffle its mappers (at 100 TB the thousands of scan tasks
+# provide this for free; the knob matters only at test scale);
+# (2) the skew decision runs on COMPRESSED shuffle bytes, so
+# thresholds are scoped down (8KB) to fire at sf0.01-0.1 — a real
+# cluster keeps the 256MB default. The broadcast fallback is scoped
+# off on BOTH thresholds (static + adaptive) or AQE would just
+# demote the small dim side to BHJ and sidestep the skew machinery.
+# --------------------------------------------------------------------------
+_Q69_ORACLE = """
+    WITH lskew AS (
+        SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1 ELSE l_orderkey END
+                   AS k,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    )
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l.qty) AS BIGINT) AS qty,
+           CAST(sum(l.cents) AS BIGINT) AS cents,
+           TRUE AS skew_split
+    FROM lskew l JOIN orders o ON l.k = o.o_orderkey
+    GROUP BY priority ORDER BY priority
+"""
+
+
+@register(
+    "q69_aqe_skew_join",
+    oracle=_Q69_ORACLE,
+    tags=("relational", "aqe", "skew", "join", "scale"),
+)
+def q69_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join a 30%-on-one-key skewed lineitem remap to orders under
+    AQE with scoped skew thresholds; the per-priority rollup must
+    match DuckDB and the executed plan must show the hot partition
+    actually split (skew=true)."""
+    import contextlib
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    lskew = t["lineitem"].select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    ).repartition(16)  # the shuffle's mappers = skew-split granularity
+    agg = (
+        lskew.hint("merge")
+        .join(t["orders"], lskew["k"] == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").alias("qty"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("priority")
+    )
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    with contextlib.ExitStack() as stack:
+        for key, val in confs.items():
+            stack.enter_context(scoped_conf(spark, key, val))
+        rows = agg.collect()  # 5 priority rows — bounded pull
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    split = "skew=true" in plan
+    return (
+        spark.createDataFrame(rows, agg.schema)
+        .withColumn("skew_split", F.lit(split))
+        .orderBy("priority")
+    )
