@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "t32_udtf_chunk_explode",
     "q68_lateral_table_subquery",
     "q69_aqe_skew_join",
+    "q70_window_group_limit",
+    "p28_rebalance_write",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

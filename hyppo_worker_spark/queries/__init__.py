@@ -373,12 +373,14 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "p07_streaming_scd2_cdc",  # streaming SCD2 maintenance —
         # 2 greens archived (r6, r7); streaming maintenance sinks
         # stay in-window via p08 (incremental CC, changed this round)
-        # RESERVED r9 PROMOTION SLOT (not a retirement): q69 landed
+        # RESERVED r9 PROMOTION SLOTS (not retirements): these landed
         # after round 8 exhausted the >=2-green retiree pool (only
         # p02/p08/p15 remain multi-green and each is its family's
-        # last in-window representative). q69 is local+bare green
-        # (r8) and is first in line for the r9 rotation.
+        # last in-window representative). All are local+bare green
+        # (r8) and first in line for the r9 rotation.
         "q69_aqe_skew_join",
+        "q70_window_group_limit",
+        "p28_rebalance_write",
     }
 )
 

@@ -3626,3 +3626,78 @@ def p27_state_store_introspection(
         .withColumn("metadata_ok", F.lit(metadata_ok))
         .orderBy("snap", "etype")
     )
+
+
+# --------------------------------------------------------------------------
+# p28 — REBALANCE-on-write: the small-files control for partitioned
+# sinks. A partitionBy(key) write from an N-task stage emits up to
+# N x |keys| files (every task opens a writer per key it holds); the
+# REBALANCE hint lets AQE re-target the pre-write exchange at the
+# advisory partition size — merging undersized partitions AND
+# splitting oversized ones (OptimizeSkewInRebalancePartitions), so a
+# hot key cannot produce one giant file either. Measured here:
+# 32-task naive write = 160 files for 5 event types; rebalanced = 5.
+# At 100 TB this is the difference between a manifest of millions of
+# KB-sized files (every downstream scan pays per-file open cost) and
+# advisory-sized files per partition — the sink-side twin of q50's
+# read-side layout story. Evidence is filesystem-factual (file
+# counts, asserted in-plan as a literal column) and the rebalanced
+# zone must read back value-identical to the source. Reference:
+# PersistProcessedDataOperation writes one blob per task
+# (reference file layout); Spark's partitioned-parquet zone needs
+# this rebalance to keep that per-task discipline at scale.
+# --------------------------------------------------------------------------
+@register(
+    "p28_rebalance_write",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents,
+           TRUE AS files_balanced
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("pipeline", "sink", "rebalance", "small-files", "aqe"),
+)
+def p28_rebalance_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events partitioned by type twice — naive 32-task vs
+    REBALANCE-hinted — then read the rebalanced zone back: per-type
+    aggregates must equal the source table, and the rebalanced write
+    must produce at most one advisory-sized file per type where the
+    naive write produced tasks-x-types."""
+    import glob
+    import os
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="hyppo-p28-")
+    naive_dir = os.path.join(work, "naive")
+    reb_dir = os.path.join(work, "rebalanced")
+    ev.repartition(32).write.partitionBy("event_type").parquet(naive_dir)
+    ev.hint("rebalance", "event_type").write.partitionBy(
+        "event_type"
+    ).parquet(reb_dir)
+
+    def n_files(path: str) -> int:
+        return len(glob.glob(os.path.join(path, "*", "part-*.parquet")))
+
+    n_types = ev.select("event_type").distinct().count()
+    # every type coalesced to one advisory-sized file, vs the naive
+    # write's per-task-per-type fan-out
+    balanced = n_files(reb_dir) <= n_types < n_files(naive_dir)
+
+    return (
+        spark.read.parquet(reb_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.sum("cents").alias("cents"),
+        )
+        .withColumn("files_balanced", F.lit(balanced))
+        .orderBy("event_type")
+    )

@@ -4637,3 +4637,83 @@ def q69_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("skew_split", F.lit(split))
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# q70 — top-k-per-group via rank()<=k with the WindowGroupLimit
+# optimization PROVEN in-plan: since Spark 3.5 a rank/row_number
+# filter pushes a per-group limit BELOW the window sort (partial
+# WindowGroupLimit before the exchange, final after), so each map
+# task forwards at most k rows per group instead of sorting whole
+# partitions — the difference between "shuffle k rows per group" and
+# "shuffle everything" at 100 TB. q07 uses the same top-k shape for
+# its answer; this row pins the OPTIMIZATION itself (executed plan
+# must contain WindowGroupLimit) alongside the value check, so a
+# regression that silently falls back to a full window sort breaks
+# the hash. Ties are impossible by construction (rank orders by
+# cents DESC then s_suppkey ASC — a total order), so rank()<=3
+# yields exactly 3 rows per nation on both engines.
+# --------------------------------------------------------------------------
+_Q70_ORACLE = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+        SELECT n.n_name, s.s_suppkey, r.cents,
+               rank() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY r.cents DESC, s.s_suppkey ASC
+               ) AS rk
+        FROM supplier s
+        JOIN rev r ON s.s_suppkey = r.l_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT n_name, s_suppkey, cents,
+           CAST(rk AS INTEGER) AS rk,
+           TRUE AS group_limit_pushed
+    FROM ranked WHERE rk <= 3
+    ORDER BY n_name, rk, s_suppkey
+"""
+
+
+@register(
+    "q70_window_group_limit",
+    oracle=_Q70_ORACLE,
+    tags=("relational", "window", "top-k", "plan-optimization"),
+)
+def q70_window_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers per nation by lineitem revenue through a
+    rank()<=3 window filter; values must match DuckDB and the
+    executed plan must contain the WindowGroupLimit pushdown."""
+    t = load_tables(spark, sf_dir, ("supplier", "nation", "lineitem"))
+    rev = t["lineitem"].groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).alias("cents")
+    )
+    ranked = (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_suppkey", "cents")
+        .withColumn(
+            "rk",
+            F.rank().over(
+                W.partitionBy("n_name").orderBy(
+                    F.desc("cents"), F.asc("s_suppkey")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    rows = ranked.collect()  # ≤ 3 x n_nations rows — bounded pull
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    pushed = "WindowGroupLimit" in plan
+    return (
+        spark.createDataFrame(rows, ranked.schema)
+        .withColumn("group_limit_pushed", F.lit(pushed))
+        .orderBy("n_name", "rk", "s_suppkey")
+    )
