@@ -171,6 +171,18 @@ class IntegrationStreamReader(SimpleDataSourceStreamReader):
 
     The task log must be append-only: rewriting consumed lines breaks
     replay determinism (same rule as any replayable source).
+
+    ROTATION: ``task_log`` may also be a DIRECTORY of ``*.jsonl``
+    generation files. The consumed-line offset then counts across the
+    files in sorted-name order, so a coordinator can close a
+    generation and start a new one (name-sorted AFTER every closed
+    one) without unbounded single-file growth — the contract is that
+    closed generations are immutable and only the name-sorted-last
+    file may grow. A 100 TB ingest's task log is then prunable:
+    generations whose last line is below every retained checkpoint's
+    offset can be archived once their line counts are folded into a
+    base offset (operational runbook; the reader only needs the
+    files that cover [start, end)).
     """
 
     def __init__(self, schema: StructType, options: dict):
@@ -185,12 +197,26 @@ class IntegrationStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"index": 0}
 
+    def _log_files(self) -> list[str]:
+        if os.path.isdir(self._task_log):
+            return sorted(
+                os.path.join(self._task_log, name)
+                for name in os.listdir(self._task_log)
+                if name.endswith(".jsonl")
+            )
+        return [self._task_log]
+
     def _tasks(self) -> list[dict]:
-        try:
-            with open(self._task_log, encoding="utf-8") as fh:
-                return [json.loads(line) for line in fh if line.strip()]
-        except FileNotFoundError:
-            return []
+        out: list[dict] = []
+        for path in self._log_files():
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    out.extend(
+                        json.loads(line) for line in fh if line.strip()
+                    )
+            except FileNotFoundError:
+                continue
+        return out
 
     def _rows(self, tasks: list[dict]) -> list[tuple]:
         # materialized (not a generator): Spark's prefetch cache copies

@@ -87,3 +87,51 @@ def test_fetch_to_persist_streaming_loop(registered, tmp_path):
         json.load(open(os.path.join(out, m)))["total_rows"] for m in manifests
     )
     assert total == 12
+
+
+def test_rotated_task_log_directory(registered, tmp_path):
+    """The task log as a DIRECTORY of generation files: offsets count
+    across sorted-name files, so rotation (close gen-0, open gen-1)
+    is invisible to a checkpointed consumer."""
+    log_dir = str(tmp_path / "task_logs")
+    os.makedirs(log_dir)
+    out = str(tmp_path / "persisted")
+    ckpt = str(tmp_path / "ckpt")
+
+    _append_tasks(
+        os.path.join(log_dir, "gen-000.jsonl"),
+        [
+            {"task_id": 1, "day": "2024-01-01", "n_rows": 4},
+            {"task_id": 2, "day": "2024-01-02", "n_rows": 3},
+        ],
+    )
+    _run_loop(registered, log_dir, out, ckpt)
+    assert read_committed(registered, out, READBACK_SCHEMA).count() == 7
+
+    # ROTATE: gen-0 is now immutable; new tasks land in gen-1 (sorts
+    # after). The same checkpoint must ingest exactly the new slice.
+    _append_tasks(
+        os.path.join(log_dir, "gen-001.jsonl"),
+        [{"task_id": 3, "day": "2024-01-03", "n_rows": 5}],
+    )
+    _run_loop(registered, log_dir, out, ckpt)
+    back = read_committed(registered, out, READBACK_SCHEMA)
+    rows = back.collect()
+    assert len(rows) == 12
+    assert len({r.name for r in rows}) == 12  # no replays
+    assert {r.task_id for r in rows} == {1, 2, 3}
+
+    # a second rotation plus an append to the OPEN generation both
+    # flow through one drain
+    _append_tasks(
+        os.path.join(log_dir, "gen-001.jsonl"),
+        [{"task_id": 4, "day": "2024-01-04", "n_rows": 2}],
+    )
+    _append_tasks(
+        os.path.join(log_dir, "gen-002.jsonl"),
+        [{"task_id": 5, "day": "2024-01-05", "n_rows": 1}],
+    )
+    _run_loop(registered, log_dir, out, ckpt)
+    back3 = read_committed(registered, out, READBACK_SCHEMA)
+    assert back3.count() == 15
+    assert {r.task_id for r in back3.collect()} == {1, 2, 3, 4, 5}
