@@ -3030,7 +3030,7 @@ def p23_stream_checkpoint_resume(
     marked AS (
         SELECT user_id, ts, event_id,
                CASE WHEN prev_ts IS NULL
-                         OR ts - prev_ts >= INTERVAL 6 HOUR
+                         OR ts - prev_ts > INTERVAL 6 HOUR
                     THEN 1 ELSE 0 END AS new_sess
         FROM ordered
     ),

@@ -3968,7 +3968,7 @@ def q62_sql_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                     THEN 1 ELSE 0 END AS is_start
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
