@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "q69_aqe_skew_join",
     "q70_window_group_limit",
     "p28_rebalance_write",
+    "q71_sql_pipe_syntax",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

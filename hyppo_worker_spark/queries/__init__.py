@@ -381,6 +381,7 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q69_aqe_skew_join",
         "q70_window_group_limit",
         "p28_rebalance_write",
+        "q71_sql_pipe_syntax",
     }
 )
 

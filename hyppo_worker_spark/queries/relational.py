@@ -4717,3 +4717,64 @@ def q70_window_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("group_limit_pushed", F.lit(pushed))
         .orderBy("n_name", "rk", "s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q71 — SQL PIPE syntax (Spark 4.0's `|>` operators, SQL:2023-era
+# pipeline form): the fourth SQL-text surface (q61 correlated
+# scalar/EXISTS, q62 multi-statement, q68 LATERAL) — a five-stage
+# pipeline (WHERE |> EXTEND |> JOIN |> two chained AGGREGATEs |>
+# SELECT |> ORDER BY) that composes top-to-bottom in evaluation
+# order instead of SQL's inside-out nesting. Semantically it lowers
+# to exactly the nested form (Catalyst parses pipes into the same
+# logical plan), so the DuckDB oracle is the standard-SQL
+# equivalent: the row pins that the pipe surface is pure syntax —
+# same values, same plan class, no runtime cost. Money rides
+# integer cents (floor(x*100+0.5) stated identically both sides).
+# --------------------------------------------------------------------------
+_Q71_PIPE = """
+    FROM lineitem
+    |> WHERE l_quantity >= 30
+    |> EXTEND CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+    |> JOIN orders ON l_orderkey = o_orderkey
+    |> AGGREGATE count(*) AS n_items, sum(cents) AS cents
+       GROUP BY o_orderpriority, o_orderkey
+    |> AGGREGATE count(*) AS n_orders, sum(n_items) AS n_items,
+       sum(cents) AS cents, max(n_items) AS max_items
+       GROUP BY o_orderpriority
+    |> SELECT o_orderpriority AS priority, n_orders, n_items, cents,
+       max_items
+    |> ORDER BY priority
+"""
+
+_Q71_ORACLE = """
+    WITH per_order AS (
+        SELECT o.o_orderpriority, o.o_orderkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_quantity >= 30
+        GROUP BY o.o_orderpriority, o.o_orderkey
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_items) AS BIGINT) AS n_items,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(max(n_items) AS BIGINT) AS max_items
+    FROM per_order GROUP BY o_orderpriority ORDER BY priority
+"""
+
+
+@register(
+    "q71_sql_pipe_syntax",
+    oracle=_Q71_ORACLE,
+    tags=("relational", "sql-api", "pipe-syntax"),
+)
+def q71_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-stage |> pipeline (filter, extend, join, order-level then
+    priority-level aggregate) over lineitem x orders; must equal the
+    standard nested-SQL form on DuckDB — the pipe surface is pure
+    syntax over the same plan."""
+    load_tables(spark, sf_dir, ("lineitem", "orders"))
+    return spark.sql(_Q71_PIPE)
