@@ -25,7 +25,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.1"
-X10_DIR = "/tmp/hyppo-stress-x10"
 EVENT_DIR = "/tmp/hyppo-stress-events"
 DEFAULT_QUERIES = (
     "d06_training_corpus_pipeline",
@@ -33,7 +32,10 @@ DEFAULT_QUERIES = (
     "t13_shard_manifest",
     "t11_decontamination",
 )
+# --factor N amplifies N x instead (default 10); the corpus lands in
+# /tmp/hyppo-stress-x{N} and replica key remapping scales with N.
 REPLICAS = 10
+X10_DIR = f"/tmp/hyppo-stress-x{REPLICAS}"
 
 
 def build_x10(spark) -> None:
@@ -206,7 +208,14 @@ def _fresh_session():
 
 
 def main() -> None:
-    names = sys.argv[1:] or list(DEFAULT_QUERIES)
+    global REPLICAS, X10_DIR
+    args = sys.argv[1:]
+    if "--factor" in args:
+        i = args.index("--factor")
+        REPLICAS = int(args[i + 1])
+        X10_DIR = f"/tmp/hyppo-stress-x{REPLICAS}"
+        del args[i : i + 2]
+    names = args or list(DEFAULT_QUERIES)
     os.makedirs(EVENT_DIR, exist_ok=True)
 
     from hyppo_worker_spark.queries import load_all
@@ -222,12 +231,19 @@ def main() -> None:
     # restart cost is irrelevant to the measured walls (timed around
     # the query only, on a warm session).
     results: dict[str, dict] = {}
+    # materialize through the noop sink, NOT count(): count() lets
+    # Catalyst prune every column, so a map-shaped query (t14's
+    # tokenize+pack) collapses to reading parquet row-group counts —
+    # 0 input bytes, phantom walls. noop forces all output columns.
+    def _run(df) -> None:
+        df.write.format("noop").mode("append").save()
+
     for name in names:
         q = registry[name]
         row: dict[str, dict] = {}
-        for label, d in (("x1", SF_DIR), ("x10", X10_DIR)):
+        for label, d in (("x1", SF_DIR), (f"x{REPLICAS}", X10_DIR)):
             spark = _fresh_session()
-            q.spark_fn(spark, d).count()  # warm-up: codegen/JIT
+            _run(q.spark_fn(spark, d))  # warm-up: codegen/JIT
             from hyppo_worker_spark.session import clear_cache
 
             clear_cache(spark, include_rdd_blocks=True)
@@ -236,7 +252,7 @@ def main() -> None:
             wall = 9e9
             for _ in range(2):
                 t0 = time.time()
-                q.spark_fn(spark, d).count()
+                _run(q.spark_fn(spark, d))
                 wall = min(wall, round(time.time() - t0, 2))
                 clear_cache(spark, include_rdd_blocks=True)
             app_id = spark.sparkContext.applicationId
