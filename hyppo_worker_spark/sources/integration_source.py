@@ -50,8 +50,12 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -107,26 +111,55 @@ class IntegrationReader(DataSourceReader):
 
     # -- filter pushdown → task pruning --------------------------------
 
+    _RANGE_OPS = {
+        GreaterThan: lambda a, b: a > b,
+        GreaterThanOrEqual: lambda a, b: a >= b,
+        LessThan: lambda a, b: a < b,
+        LessThanOrEqual: lambda a, b: a <= b,
+    }
+
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Prune whole ingestion tasks with equality/IN filters on
-        constant-per-task columns; every other filter is returned to
-        Spark to evaluate above the scan."""
+        """Prune whole ingestion tasks with equality/IN/range filters
+        on constant-per-task columns (ranges are the date-window case:
+        ``day >= '2024-01-03'`` over a 10-year task list fetches only
+        the matching days); every other filter is returned to Spark to
+        evaluate above the scan. Range comparison uses the task
+        param's own Python ordering, so it is only accepted when every
+        task's value has the same type as the literal — mixed-type
+        task lists fall back to Spark-side evaluation (never wrong,
+        just unpruned)."""
         for flt in filters:
             accepted = False
-            if isinstance(flt, (EqualTo, In)) and len(flt.attribute) == 1:
+            pushable = isinstance(
+                flt, (EqualTo, In, *self._RANGE_OPS)
+            ) and len(flt.attribute) == 1
+            if pushable:
                 col = flt.attribute[0]
                 if col in self._param_cols and all(
                     col in t for t in self._tasks
                 ):
-                    wanted = (
-                        {flt.value}
-                        if isinstance(flt, EqualTo)
-                        else set(flt.value)  # In.value is a tuple
-                    )
-                    self._tasks = [
-                        t for t in self._tasks if t[col] in wanted
-                    ]
-                    accepted = True
+                    if isinstance(flt, (EqualTo, In)):
+                        wanted = (
+                            {flt.value}
+                            if isinstance(flt, EqualTo)
+                            else set(flt.value)  # In.value is a tuple
+                        )
+                        self._tasks = [
+                            t for t in self._tasks if t[col] in wanted
+                        ]
+                        accepted = True
+                    else:
+                        op = self._RANGE_OPS[type(flt)]
+                        if all(
+                            type(t[col]) is type(flt.value)
+                            for t in self._tasks
+                        ):
+                            self._tasks = [
+                                t
+                                for t in self._tasks
+                                if op(t[col], flt.value)
+                            ]
+                            accepted = True
             if not accepted:
                 yield flt
 

@@ -175,3 +175,39 @@ def test_streaming_polling_loop(registered, tmp_path):
     for r in rows:
         by_task[r.task_id] = by_task.get(r.task_id, 0) + 1
     assert by_task == {1: 3, 2: 4, 3: 5}  # no re-ingestion of 1/2
+
+
+def test_range_filter_prunes_tasks(registered):
+    """Range pushdown — the date-window case: day >= '2024-01-02'
+    must prune task 1's fetch entirely (string comparison matches
+    the ISO date ordering Spark itself uses)."""
+    df = _read(registered).filter(F.col("day") >= "2024-01-02")
+    rows = df.collect()
+    assert {r.task_id for r in rows} == {2, 3}
+    assert len(rows) == 8
+    n_parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts == 2
+
+
+def test_range_and_equality_compose(registered):
+    """day < upper bound composed with a residual Spark-side filter:
+    pruning keeps only in-range tasks, the seq predicate still
+    evaluates above the scan."""
+    df = _read(registered).filter(
+        (F.col("day") < "2024-01-02") & (F.col("seq") <= 1)
+    )
+    rows = df.collect()
+    assert sorted((r.task_id, r.seq) for r in rows) == [(1, 0), (1, 1)]
+    n_parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts == 1
+
+
+def test_range_on_mixed_type_params_falls_back(registered):
+    """task_id is int in the params; a >= filter against a LONG
+    literal from Spark still returns exact results whether or not the
+    source could prune (mixed/mismatched types fall back to
+    Spark-side evaluation — never wrong, just unpruned)."""
+    df = _read(registered).filter(F.col("task_id") >= 2)
+    rows = df.collect()
+    assert {r.task_id for r in rows} == {2, 3}
+    assert len(rows) == 8
