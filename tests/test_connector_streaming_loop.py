@@ -135,3 +135,47 @@ def test_rotated_task_log_directory(registered, tmp_path):
     back3 = read_committed(registered, out, READBACK_SCHEMA)
     assert back3.count() == 15
     assert {r.task_id for r in back3.collect()} == {1, 2, 3, 4, 5}
+
+
+def test_stream_reader_replay_across_rotation(tmp_path):
+    """Unit-level replay contract: readBetweenOffsets must return the
+    SAME slice as the original read even when the slice spans a
+    generation-file boundary (a crashed micro-batch replays from the
+    checkpointed offsets)."""
+    from pyspark.sql.types import StructType
+
+    from hyppo_worker_spark.sources.integration_source import (
+        IntegrationStreamReader,
+    )
+
+    log_dir = str(tmp_path / "logs")
+    os.makedirs(log_dir)
+    _append_tasks(
+        os.path.join(log_dir, "gen-000.jsonl"),
+        [{"task_id": 1, "day": "2024-01-01", "n_rows": 2},
+         {"task_id": 2, "day": "2024-01-02", "n_rows": 1}],
+    )
+    reader = IntegrationStreamReader(
+        StructType(), {"fetcher": FETCHER, "task_log": log_dir}
+    )
+    start = reader.initialOffset()
+    it1, end1 = reader.read(start)
+    first = list(it1)
+    assert end1 == {"index": 2}
+    assert len(first) == 3  # 2 + 1 rows
+
+    # rotate, then a second micro-batch spanning into the new file
+    _append_tasks(
+        os.path.join(log_dir, "gen-001.jsonl"),
+        [{"task_id": 3, "day": "2024-01-03", "n_rows": 4}],
+    )
+    it2, end2 = reader.read(end1)
+    second = list(it2)
+    assert end2 == {"index": 3}
+    assert len(second) == 4
+
+    # replay BOTH slices from offsets alone — byte-identical rows
+    assert list(reader.readBetweenOffsets(start, end1)) == first
+    assert list(reader.readBetweenOffsets(end1, end2)) == second
+    # and a spanning replay returns the concatenation
+    assert list(reader.readBetweenOffsets(start, end2)) == first + second
