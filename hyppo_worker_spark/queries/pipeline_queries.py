@@ -3011,9 +3011,10 @@ def p23_stream_checkpoint_resume(
 # (the 2-day watermark holds them open across the file boundary).
 # A far-future sentinel (p20's trick) closes every session before
 # the stream ends, making the batch gaps-and-islands oracle exact:
-# new session iff the gap >= 6 h — the same half-open-range
-# semantics session_window uses ([start, last+gap) ranges touching
-# at exactly gap do NOT overlap). Durations ride integer epoch
+# new session iff the gap is STRICTLY > 6 h — Spark merges session
+# ranges that overlap OR TOUCH (new.start <= prev.end), so two
+# events exactly 6 h apart share a session (pinned by
+# test_session_window_property.py). Durations ride integer epoch
 # seconds. Reference: SURVEY.md §2.4 windows — sessionization is the
 # reference's session operator surface expressed stream-natively.
 # --------------------------------------------------------------------------

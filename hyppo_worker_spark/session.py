@@ -9,6 +9,7 @@ cluster you'd raise it (or let AQE coalesce from a high initial value).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -94,34 +95,90 @@ def scoped_conf(spark: SparkSession, key: str, value: str):
 # releases them after materializing the result. tracked_persist keeps
 # the postfix call shape via DataFrame.transform:
 #     shared = expr.transform(tracked_persist)
-_TRACKED_PERSISTS: list[DataFrame] = []
+#
+# Ownership model: registration lands in the CALLING THREAD's
+# innermost persist_scope() when one is active, else in the
+# process-default registry. Thread-locality means a streaming
+# foreachBatch body (which Spark runs on its own thread) can never
+# have its persists stolen by a driver-thread release_persists(), and
+# two consumers that each wrap their query runs in persist_scope()
+# cannot release each other's frames.
+_DEFAULT_PERSISTS: list[DataFrame] = []
+_SCOPE_STACKS = threading.local()
+
+
+def _current_registry() -> list[DataFrame]:
+    stack = getattr(_SCOPE_STACKS, "stack", None)
+    return stack[-1] if stack else _DEFAULT_PERSISTS
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
-    """Persist ``df`` and register it for ``release_persists`` — the
-    query-level cache hygiene contract (VERDICT r7 item 5): every
-    query-side ``persist()`` goes through here, and every consumer
+    """Persist ``df`` and register it for release — the query-level
+    cache hygiene contract (VERDICT r7 item 5): every query-side
+    ``persist()`` goes through here, and every consumer
     (tools/check.py, drive_entry, bench, a long-lived engine session)
-    calls ``release_persists()`` after materializing a query's result
-    instead of letting cached partitions accumulate to LRU eviction."""
+    releases after materializing a query's result instead of letting
+    cached partitions accumulate to LRU eviction. Registration is
+    scoped: inside a ``persist_scope()`` block it lands in that
+    scope's own registry, otherwise in the process default drained by
+    ``release_persists()``."""
     df.persist()
-    _TRACKED_PERSISTS.append(df)
+    _current_registry().append(df)
     return df
 
 
-def release_persists() -> int:
-    """Unpersist (blocking) everything registered by tracked_persist;
-    returns the count released. Safe mid-plan — unpersist only drops
-    cached blocks, later reuse recomputes from lineage."""
+def _drain(registry: list[DataFrame]) -> int:
     n = 0
-    while _TRACKED_PERSISTS:
-        df = _TRACKED_PERSISTS.pop()
+    while registry:
+        df = registry.pop()
         try:
             df.unpersist(True)
             n += 1
         except Exception:  # session already stopped — nothing to free
             pass
     return n
+
+
+@contextmanager
+def persist_scope():
+    """Own the persists of a query run: frames registered by
+    ``tracked_persist`` inside the block (on this thread) are released
+    on exit, and ONLY those — concurrent consumers and streaming
+    threads are untouched. Use this instead of a bare
+    ``release_persists()`` whenever more than one query may be
+    in flight in the process::
+
+        with persist_scope():
+            result = fn(spark, sf_dir)
+            result.collect()   # materialize BEFORE the scope closes
+
+    The caller must fully materialize the result inside the block:
+    after release, re-executing the returned plan recomputes from
+    lineage under the AMBIENT session confs, which for plans built
+    under scoped_conf (q67's cteRecursionRowLimit) can fail or differ.
+    """
+    scope: list[DataFrame] = []
+    stack = getattr(_SCOPE_STACKS, "stack", None)
+    if stack is None:
+        stack = _SCOPE_STACKS.stack = []
+    stack.append(scope)
+    try:
+        yield scope
+    finally:
+        stack.pop()
+        _drain(scope)
+
+
+def release_persists() -> int:
+    """Unpersist (blocking) everything in the process-DEFAULT registry
+    (persist_scope registrations are not touched); returns the count
+    released. Only call at a quiescent boundary: when no other query
+    run is concurrently registering into the default registry, and no
+    previously-returned plan will be re-executed — unpersist drops
+    cached blocks and later reuse recomputes from lineage under the
+    ambient confs, which for scoped_conf-built plans (q67's recursive
+    walk) can fail where the cached result did not."""
+    return _drain(_DEFAULT_PERSISTS)
 
 
 def clear_cache(spark: SparkSession, include_rdd_blocks: bool = False) -> None:

@@ -461,7 +461,20 @@ def _resolver(writer: Any, reader: Any):
     wname = _type_name(writer)
     rname = _type_name(reader)
 
-    # primitives (possibly wrapped with logicalType): promotion lattice
+    # logical-typed wrappers decode to rich python values, so they must
+    # be matched BEFORE the primitive-promotion lattice: a one-sided
+    # logicalType whose underlying primitive happens to promote (writer
+    # plain long -> reader timestamp-millis, writer bytes-decimal ->
+    # reader string) would otherwise slip through and hand the reader
+    # raw ints / Decimal objects where it expects rich / plain values.
+    wl = writer.get("logicalType") if isinstance(writer, dict) else None
+    rl = reader.get("logicalType") if isinstance(reader, dict) else None
+    if wl or rl:
+        if wl == rl:
+            return lambda v: v
+        raise AvroSchemaError(f"logicalType mismatch: {wl!r} -> {rl!r}")
+
+    # primitives: promotion lattice
     w_prim = wname if wname in _PROMOTIONS else None
     r_prim = rname if rname in _PROMOTIONS else None
     if w_prim and r_prim:
@@ -480,14 +493,6 @@ def _resolver(writer: Any, reader: Any):
             # replacement, and we match that ecosystem behavior
             return lambda v: v.decode("utf-8", errors="replace")
         return lambda v: v  # int -> long
-    # logical-typed wrappers decode to rich python values; require the
-    # same logical type on both sides (no cross-logical promotion)
-    wl = writer.get("logicalType") if isinstance(writer, dict) else None
-    rl = reader.get("logicalType") if isinstance(reader, dict) else None
-    if wl or rl:
-        if wl == rl:
-            return lambda v: v
-        raise AvroSchemaError(f"logicalType mismatch: {wl!r} -> {rl!r}")
 
     if wname == "enum" and rname == "enum":
         rsyms = set(reader.get("symbols", []))

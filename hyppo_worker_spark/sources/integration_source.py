@@ -192,6 +192,83 @@ class IntegrationReader(DataSourceReader):
             yield row
 
 
+_BASE_OFFSET_NAME = "_BASE_OFFSET.json"
+
+
+def fold_task_log_generations(task_log: str, generations: list[str]) -> int:
+    """Archive CLOSED task-log generations: fold their line counts into
+    the directory's ``_BASE_OFFSET.json`` so checkpointed global offsets
+    keep their meaning, then unlink the files. Returns the new base.
+
+    Safety rules enforced here (offsets count lines across name-sorted
+    files, so only a clean PREFIX of that order may be folded):
+
+    - the archived set (previous + new) must be a name-sorted prefix of
+      ALL generations ever seen — folding a middle file would shift the
+      offsets of every retained line after it;
+    - the name-sorted-last (open, still-growing) generation can never
+      be archived.
+
+    Atomicity for a concurrent reader: the new base file — which both
+    carries the folded count AND lists the archived names the reader
+    must ignore — is ``os.replace``d BEFORE any unlink, so the reader
+    either sees (old base, files counted) or (new base, files ignored),
+    never a double- or under-count. The caller is responsible for the
+    checkpoint-retention rule: fold only generations whose last line is
+    below every retained checkpoint's offset (a replay into the folded
+    range fails loud in the reader).
+    """
+    if not os.path.isdir(task_log):
+        raise ValueError("fold requires a task-log DIRECTORY")
+    base_path = os.path.join(task_log, _BASE_OFFSET_NAME)
+    try:
+        with open(base_path, encoding="utf-8") as fh:
+            prev = json.load(fh)
+        prev_lines = int(prev["lines"])
+        prev_archived = list(prev.get("archived", []))
+    except FileNotFoundError:
+        prev_lines, prev_archived = 0, []
+
+    present = sorted(
+        n for n in os.listdir(task_log) if n.endswith(".jsonl")
+    )
+    new_names = sorted(set(generations))
+    for name in new_names:
+        if name in prev_archived:
+            raise ValueError(f"generation {name!r} already archived")
+        if name not in present:
+            raise ValueError(f"generation {name!r} not present")
+    archived_all = sorted(set(prev_archived) | set(new_names))
+    # prefix rule over the full historical order: every retained file
+    # must sort after every archived one, and the open (last) file
+    # must be retained
+    retained = [n for n in present if n not in archived_all]
+    if not retained:
+        raise ValueError("cannot archive the open (name-sorted-last) "
+                         "generation; at least one file must remain")
+    if max(archived_all) > min(retained):
+        raise ValueError(
+            "archived generations must be a name-sorted prefix: "
+            f"{max(archived_all)!r} sorts after retained {min(retained)!r}"
+        )
+
+    folded = 0
+    for name in new_names:
+        with open(os.path.join(task_log, name), encoding="utf-8") as fh:
+            folded += sum(1 for line in fh if line.strip())
+
+    new_base = {"lines": prev_lines + folded, "archived": archived_all}
+    tmp = base_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(new_base, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, base_path)  # atomic pointer flip, THEN unlink
+    for name in new_names:
+        os.unlink(os.path.join(task_log, name))
+    return new_base["lines"]
+
+
 class IntegrationStreamReader(SimpleDataSourceStreamReader):
     """The reference's worker POLLING loop (SURVEY §3.2:
     ``WorkerFSM``/requeue poll → execute) as a Structured Streaming
@@ -212,10 +289,16 @@ class IntegrationStreamReader(SimpleDataSourceStreamReader):
     one) without unbounded single-file growth — the contract is that
     closed generations are immutable and only the name-sorted-last
     file may grow. A 100 TB ingest's task log is then prunable:
-    generations whose last line is below every retained checkpoint's
-    offset can be archived once their line counts are folded into a
-    base offset (operational runbook; the reader only needs the
-    files that cover [start, end)).
+    :func:`fold_task_log_generations` archives a name-sorted PREFIX of
+    closed generations whose lines are below every retained
+    checkpoint's offset by folding their line counts into a
+    ``_BASE_OFFSET.json`` base the reader honors (global offset =
+    base + line index across retained files). The fold is atomic for
+    the reader — the base file lists the archived names and is
+    ``os.replace``d before any file is unlinked, so there is no window
+    where lines are double- or under-counted. Replaying an offset
+    below the base fails loud (the checkpoint predates the archive —
+    an operational contract violation, never silent data loss).
     """
 
     def __init__(self, schema: StructType, options: dict):
@@ -230,18 +313,33 @@ class IntegrationStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"index": 0}
 
-    def _log_files(self) -> list[str]:
+    def _base(self) -> tuple[int, frozenset[str]]:
+        """(folded line count, archived generation names) from the
+        directory's ``_BASE_OFFSET.json``, or (0, empty)."""
+        if not os.path.isdir(self._task_log):
+            return 0, frozenset()
+        try:
+            with open(
+                os.path.join(self._task_log, _BASE_OFFSET_NAME),
+                encoding="utf-8",
+            ) as fh:
+                base = json.load(fh)
+            return int(base["lines"]), frozenset(base.get("archived", []))
+        except FileNotFoundError:
+            return 0, frozenset()
+
+    def _log_files(self, archived: frozenset[str] = frozenset()) -> list[str]:
         if os.path.isdir(self._task_log):
             return sorted(
                 os.path.join(self._task_log, name)
                 for name in os.listdir(self._task_log)
-                if name.endswith(".jsonl")
+                if name.endswith(".jsonl") and name not in archived
             )
         return [self._task_log]
 
-    def _tasks(self) -> list[dict]:
+    def _tasks(self, archived: frozenset[str] = frozenset()) -> list[dict]:
         out: list[dict] = []
-        for path in self._log_files():
+        for path in self._log_files(archived):
             try:
                 with open(path, encoding="utf-8") as fh:
                     out.extend(
@@ -259,12 +357,28 @@ class IntegrationStreamReader(SimpleDataSourceStreamReader):
         fetcher = resolve_fetcher(self._fetcher_path)
         return [row for t in tasks for row in fetcher(t, self._schema)]
 
+    def _local(self, offset: int, base: int) -> int:
+        if offset < base:
+            raise ValueError(
+                f"task-log offset {offset} predates the folded base "
+                f"offset {base}: the requested lines were archived by "
+                "fold_task_log_generations while a checkpoint still "
+                "referenced them (archive only below every retained "
+                "checkpoint's offset)"
+            )
+        return offset - base
+
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        tasks = self._tasks()
-        return iter(self._rows(tasks[start["index"]:])), {"index": len(tasks)}
+        base, archived = self._base()
+        tasks = self._tasks(archived)
+        lo = self._local(start["index"], base)
+        return iter(self._rows(tasks[lo:])), {"index": base + len(tasks)}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return iter(self._rows(self._tasks()[start["index"]:end["index"]]))
+        base, archived = self._base()
+        lo = self._local(start["index"], base)
+        hi = self._local(end["index"], base)
+        return iter(self._rows(self._tasks(archived)[lo:hi]))
 
 
 # -- write path ----------------------------------------------------------

@@ -145,6 +145,53 @@ def test_missing_default_and_illegal_promotion_raise():
         schema_resolver(w, r_demote)
 
 
+def test_one_sided_logical_type_is_a_mismatch_not_a_promotion():
+    # A logicalType on only one side must NOT fall through to the
+    # primitive-promotion lattice: writer plain long -> reader
+    # timestamp-millis would hand raw ints to a timestamp column, and
+    # writer bytes-decimal -> reader string would crash decoding a
+    # Decimal. Both are schema mismatches and must raise.
+    w_long = json.dumps({"type": "record", "name": "r",
+                         "fields": [{"name": "a", "type": "long"}]})
+    r_ts = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": "a", "type": {
+            "type": "long", "logicalType": "timestamp-millis"}}],
+    })
+    with pytest.raises(AvroSchemaError, match="logicalType mismatch"):
+        schema_resolver(w_long, r_ts)
+    # and the reverse direction (writer logical, reader plain)
+    with pytest.raises(AvroSchemaError, match="logicalType mismatch"):
+        schema_resolver(r_ts, w_long)
+
+    w_dec = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": "a", "type": {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": 10, "scale": 2}}],
+    })
+    r_str = json.dumps({"type": "record", "name": "r",
+                        "fields": [{"name": "a", "type": "string"}]})
+    with pytest.raises(AvroSchemaError, match="logicalType mismatch"):
+        schema_resolver(w_dec, r_str)
+
+    # same logicalType on both sides still resolves (forced through
+    # _resolver, not the whole-schema identity fast path, by a
+    # reader-only defaulted field)
+    r_ts_plus = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "a", "type": {
+                "type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "z", "type": "string", "default": "d"},
+        ],
+    })
+    conv = schema_resolver(r_ts, r_ts_plus)
+    import datetime
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5)
+    assert conv({"a": ts}) == {"a": ts, "z": "d"}
+
+
 def test_nullable_reader_accepts_non_nullable_writer():
     w = json.dumps({"type": "record", "name": "r",
                     "fields": [{"name": "a", "type": "int"}]})

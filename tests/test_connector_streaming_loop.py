@@ -179,3 +179,71 @@ def test_stream_reader_replay_across_rotation(tmp_path):
     assert list(reader.readBetweenOffsets(end1, end2)) == second
     # and a spanning replay returns the concatenation
     assert list(reader.readBetweenOffsets(start, end2)) == first + second
+
+
+def test_fold_archives_prefix_and_preserves_offsets(tmp_path):
+    """fold_task_log_generations: folded generations disappear from
+    disk but checkpointed GLOBAL offsets keep their meaning (base +
+    retained lines), replay into the folded range fails loud, and the
+    prefix/open-file safety rules reject illegal folds."""
+    from pyspark.sql.types import StructType
+
+    from hyppo_worker_spark.sources.integration_source import (
+        IntegrationStreamReader,
+        fold_task_log_generations,
+    )
+
+    log_dir = str(tmp_path / "logs")
+    os.makedirs(log_dir)
+    _append_tasks(
+        os.path.join(log_dir, "gen-000.jsonl"),
+        [{"task_id": 1, "day": "2024-01-01", "n_rows": 2},
+         {"task_id": 2, "day": "2024-01-02", "n_rows": 1}],
+    )
+    _append_tasks(
+        os.path.join(log_dir, "gen-001.jsonl"),
+        [{"task_id": 3, "day": "2024-01-03", "n_rows": 4}],
+    )
+    reader = IntegrationStreamReader(
+        StructType(), {"fetcher": FETCHER, "task_log": log_dir}
+    )
+    it1, end1 = reader.read(reader.initialOffset())
+    consumed = list(it1)
+    assert end1 == {"index": 3}
+
+    # illegal folds fail before touching anything
+    with pytest.raises(ValueError, match="prefix"):
+        fold_task_log_generations(log_dir, ["gen-001.jsonl"])
+    with pytest.raises(ValueError, match="not present"):
+        fold_task_log_generations(log_dir, ["gen-999.jsonl"])
+    with pytest.raises(ValueError, match="at least one file"):
+        fold_task_log_generations(
+            log_dir, ["gen-000.jsonl", "gen-001.jsonl"]
+        )
+
+    # legal fold: gen-000's 2 lines move into the base offset
+    assert fold_task_log_generations(log_dir, ["gen-000.jsonl"]) == 2
+    assert not os.path.exists(os.path.join(log_dir, "gen-000.jsonl"))
+
+    # the checkpointed global offset still means the same position
+    _append_tasks(
+        os.path.join(log_dir, "gen-002.jsonl"),
+        [{"task_id": 4, "day": "2024-01-04", "n_rows": 2}],
+    )
+    it2, end2 = reader.read(end1)
+    assert end2 == {"index": 4}
+    second = list(it2)
+    assert len(second) == 2  # exactly task 4's rows, no replays
+    # replay of the post-fold slice from offsets alone still works
+    assert list(reader.readBetweenOffsets(end1, end2)) == second
+    # ...but a replay reaching into the folded range fails LOUD
+    with pytest.raises(ValueError, match="predates the folded base"):
+        list(reader.readBetweenOffsets({"index": 1}, end2))
+
+    # a second fold accumulates (gen-001: 1 line -> base 3)
+    assert fold_task_log_generations(log_dir, ["gen-001.jsonl"]) == 3
+    with pytest.raises(ValueError, match="already archived"):
+        fold_task_log_generations(log_dir, ["gen-001.jsonl"])
+    it3, end3 = reader.read(end2)
+    assert list(it3) == [] and end3 == {"index": 4}
+    assert len(consumed) == 7

@@ -68,3 +68,55 @@ def test_tracked_persist_release_and_rdd_block_clear(spark):
     # ...and only the boundary-time RDD-block clear drops it
     clear_cache(spark, include_rdd_blocks=True)
     assert n_cached() == 0
+
+
+def test_persist_scope_owns_its_frames_only(spark):
+    """persist_scope releases exactly the frames registered inside the
+    block on the same thread: an outer default-registry persist and a
+    concurrent thread's persists survive (ADVICE r8: no cross-consumer
+    unpersist), and scope exit is automatic even without an explicit
+    release_persists call."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from hyppo_worker_spark.session import (
+        clear_cache,
+        persist_scope,
+        release_persists,
+        tracked_persist,
+    )
+
+    clear_cache(spark, include_rdd_blocks=True)
+    outer = spark.range(10).select(F.col("id").alias("o")).transform(
+        tracked_persist
+    )
+    assert outer.count() == 10
+
+    seen = {}
+
+    def streaming_thread():
+        # simulates a foreachBatch body registering on its own thread
+        df = spark.range(20).select(F.col("id").alias("t")).transform(
+            tracked_persist
+        )
+        df.count()
+        seen["df"] = df
+
+    with persist_scope() as scope:
+        inner = spark.range(30).select(F.col("id").alias("i")).transform(
+            tracked_persist
+        )
+        inner.count()
+        t = threading.Thread(target=streaming_thread)
+        t.start()
+        t.join()
+        assert scope == [inner]  # the thread's frame landed elsewhere
+        assert inner.storageLevel.useMemory
+    # scope exit released ONLY inner
+    assert not inner.storageLevel.useMemory
+    assert outer.storageLevel.useMemory
+    assert seen["df"].storageLevel.useMemory
+    # the default registry still holds outer + the thread's frame
+    assert release_persists() == 2
+    assert not outer.storageLevel.useMemory
