@@ -373,15 +373,23 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "p07_streaming_scd2_cdc",  # streaming SCD2 maintenance —
         # 2 greens archived (r6, r7); streaming maintenance sinks
         # stay in-window via p08 (incremental CC, changed this round)
-        # RESERVED r9 PROMOTION SLOTS (not retirements): these landed
-        # after round 8 exhausted the >=2-green retiree pool (only
-        # p02/p08/p15 remain multi-green and each is its family's
-        # last in-window representative). All are local+bare green
-        # (r8) and first in line for the r9 rotation.
-        "q69_aqe_skew_join",
-        "q70_window_group_limit",
-        "p28_rebalance_write",
-        "q71_sql_pipe_syntax",
+        # Round-9 ROTATION (VERDICT r8 item 1): the four reserved r8
+        # slots (q69 AQE skew join, q70 WindowGroupLimit, p28
+        # rebalance write, q71 SQL pipe syntax) promote for their
+        # FIRST driver rows. The four retirees below each have 2
+        # archived green driver rounds (r7, r8) and an in-window
+        # family representative:
+        "m04_video_header_decode",  # video header decode — m08
+        # (video frame sample) keeps video+mapInPandas decode and
+        # m03 keeps header decode in-window; 2 greens (r7, r8)
+        "m05_fused_features",  # multimodal fusion join — m03/m08
+        # keep multimodal in-window, q57 keeps joins; 2 greens
+        "q43_conversion_funnel",  # batch funnel — p15 (streaming
+        # funnel) keeps funnel/sequence semantics in-window, q42
+        # keeps event analytics; 2 greens (r7, r8)
+        "q59_month_over_month",  # lag/period-over-period — q42
+        # (cohort windows) and the promoted q70 (WindowGroupLimit)
+        # keep window functions in-window; 2 greens (r7, r8)
     }
 )
 

@@ -44,17 +44,13 @@ def test_driver_registry_covers_every_family():
         "p17_queue_rollup_ledger",
         "p18_stream_stream_join",
         "q42_retention_cohorts",
-        "q43_conversion_funnel",
         "q45_variant_ingestion",
         "q54_zonemap_pruning",
         "q57_interval_bin_join",
-        "q59_month_over_month",
         "q64_collated_aggregation",
         "q65_native_sketch_rollup",
         "q66_listagg_report",
         "m03_audio_header_decode",
-        "m04_video_header_decode",
-        "m05_fused_features",
         "m08_video_frame_sample",
         "s06_int8_quantization",
         "t31_unicode_nfc_normalize",
@@ -88,6 +84,12 @@ def test_driver_registry_covers_every_family():
         "p27_state_store_introspection",
         "t32_udtf_chunk_explode",
         "q68_lateral_table_subquery",
+        # round-9 rotation (VERDICT r8 item 1): the four reserved r8
+        # slots get their FIRST driver rows
+        "q69_aqe_skew_join",
+        "q70_window_group_limit",
+        "p28_rebalance_write",
+        "q71_sql_pipe_syntax",
     ):
         assert must in names
 
