@@ -390,6 +390,15 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q59_month_over_month",  # lag/period-over-period — q42
         # (cohort windows) and the promoted q70 (WindowGroupLimit)
         # keep window functions in-window; 2 greens (r7, r8)
+        # Slot for the NEW round-9 q72 (q67's depth-independent
+        # scale twin: customer-keyed shuffle + in-partition
+        # sequential fold via mapInPandas, pinned to the identical
+        # recursion oracle), so the new surface lands WITH driver
+        # evidence:
+        "q64_collated_aggregation",  # native collation agg — 2
+        # greens archived (r7, r8); scalar/semi-structured stays
+        # in-window via q45 (VARIANT), aggregation via q65 (native
+        # sketch stack), SQL-text via q66/q68/q71
     }
 )
 

@@ -4778,3 +4778,109 @@ def q71_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     syntax over the same plan."""
     load_tables(spark, sf_dir, ("lineitem", "orders"))
     return spark.sql(_Q71_PIPE)
+
+
+# --------------------------------------------------------------------------
+# q72 — q67's SCALE-PATH TWIN (VERDICT r8 item 4): the same
+# reset-on-threshold chain fold computed WITHOUT recursion. q67's
+# recursive CTE costs per-iteration-floor x max-chain-length — at
+# 100 TB, chain length grows with per-customer history, so the loop
+# DEEPENS with data (x10 stress: 20.8s, iteration-bound). This twin
+# is depth-independent: ONE shuffle keyed by customer
+# (repartition + sortWithinPartitions), then a sequential fold
+# inside each partition via mapInPandas — Arrow-batched, with the
+# running (customer, depth, accumulator) carried across batch
+# boundaries inside a partition (a customer's rows are contiguous
+# because the partition is sorted by cust first). Cost scales with
+# DATA (rows per partition), not with the longest chain; adding
+# history deepens no loop. mapInPandas (not groupBy.applyInPandas):
+# one Python call per Arrow batch instead of one per customer —
+# per-group overhead x n_customers is exactly the fixed cost that
+# would dominate at scale. The oracle is the IDENTICAL recursive SQL
+# q67 runs (``_Q67_SQL``), so the driver pins fold == recursion
+# cell-for-cell; tests/test_q72_fold_twin.py additionally pins the
+# two Spark plans equal row-for-row before aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "q72_chain_fold_scale_twin",
+    oracle=_Q67_SQL,
+    tags=("relational", "stateful-fold", "mapInPandas", "scale-path",
+          "hierarchy"),
+)
+def q72_chain_fold_scale_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer $300k-reset chain fold as one customer-keyed
+    shuffle + in-partition sequential fold (mapInPandas with
+    cross-batch carry) — depth-independent scale twin of q67's
+    recursive CTE, pinned to the identical recursion oracle."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    base = t["orders"].select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.col("o_orderdate").alias("odate"),
+    )
+
+    cap = 30_000_000
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        # carry across Arrow batches WITHIN a partition: the partition
+        # is sorted by (cust, odate, okey), so a customer's chain is
+        # contiguous even when it straddles batch boundaries.
+        prev_cust = None
+        run = 0
+        depth = -1
+        for pdf in batches:
+            cust = pdf["cust"].to_numpy()
+            cents = pdf["cents"].to_numpy()
+            n = len(pdf)
+            run_out = np.empty(n, dtype=np.int64)
+            reset_out = np.empty(n, dtype=np.int32)
+            depth_out = np.empty(n, dtype=np.int32)
+            for i in range(n):
+                c = cust[i]
+                if c != prev_cust:
+                    prev_cust = c
+                    run = 0
+                    depth = 0
+                else:
+                    depth += 1
+                run += int(cents[i])
+                if run >= cap:
+                    run_out[i] = 0
+                    reset_out[i] = 1
+                    run = 0
+                else:
+                    run_out[i] = run
+                    reset_out[i] = 0
+                depth_out[i] = depth
+            yield pd.DataFrame(
+                {
+                    "okey": pdf["okey"],
+                    "cust": pdf["cust"],
+                    "depth": depth_out,
+                    "run_cents": run_out,
+                    "reset": reset_out,
+                }
+            )
+
+    walked = (
+        base.repartition("cust")
+        .sortWithinPartitions("cust", "odate", "okey")
+        .mapInPandas(
+            fold,
+            "okey long, cust long, depth int, run_cents long, reset int",
+        )
+    )
+    return (
+        walked.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("cust").alias("n_customers"),
+            F.sum("run_cents").alias("sum_run_cents"),
+            F.sum("reset").alias("n_resets"),
+        )
+        .orderBy("depth")
+    )

@@ -87,7 +87,9 @@ class MarkedTableCommitter:
         with open(self._marker(batch_id), "w") as f:
             f.write("done")
 
-    def commit(self, df: DataFrame, batch_id: int) -> None:
+    def commit(
+        self, df: DataFrame, batch_id: int, partition_by: str | None = None
+    ) -> None:
         """Materialize ``df`` as the table's next generation, swap it
         in, then mark the batch done.
 
@@ -97,9 +99,18 @@ class MarkedTableCommitter:
         action completes, so no localCheckpoint pin is needed — the
         earlier eager-checkpoint-then-write shape materialized every
         generation twice per batch for no safety gain (p08 cost
-        itemization, round 8)."""
+        itemization, round 8).
+
+        ``partition_by`` writes the generation hash-partitioned (used
+        once by the auto-layout MIGRATION commit: the full state swaps
+        in already laid out as ``bucket=<i>/`` dirs, after which the
+        per-bucket committer takes over). The swap/rollback protocol
+        is unchanged — the generation is still one whole-dir rename."""
         staging = self.table_dir + f".staging-{batch_id}"
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        if partition_by is not None:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(staging)
         old = self.table_dir + f".old-{batch_id}"
         if os.path.isdir(self.table_dir):
             os.rename(self.table_dir, old)

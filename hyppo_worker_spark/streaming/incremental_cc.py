@@ -36,6 +36,7 @@ step 1/2 joins are comp-keyed and touch only affected partitions.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +46,38 @@ from hyppo_worker_spark.streaming.commit import (
     BucketedMarkedTableCommitter,
     MarkedTableCommitter,
 )
+
+# Auto-layout thresholds (VERDICT r8 item 6), from the measured
+# crossover (tools/crossover_bucketed_commit.py, NOTES_r8): per-batch
+# steady-state commit walls for a 2-of-64-buckets-touched batch —
+#
+#   state ~140 MB (2M rows):  whole 0.5-0.6s, bucketed 0.6s  (wash)
+#   state ~1.4 GB (20M rows): whole 2.3-23s growing under cache
+#                             pressure, bucketed 0.7-1.1s FLAT
+#
+# Whole-table cost scales with STATE (full rewrite per batch);
+# bucketed scales with touched buckets + batch, at a fixed overhead
+# (two bounded bucket-list collects + partitioned write) that only
+# pays for itself once the state dwarfs a batch. 512 MB sits between
+# the measured wash point and the measured 3-4x win; below it (all
+# test/sf0.1 shapes, e.g. p08's 36k-row state where bucketing LOSES
+# 8.8s vs 4.5s because every batch touches all buckets) auto stays
+# whole-table. Migration is one-way (hysteresis): state tables grow
+# in maintenance workloads, and flip-flopping layouts would pay the
+# full-rewrite migration repeatedly.
+AUTO_N_BUCKETS = 64
+AUTO_BUCKET_MIN_BYTES = 512 * 1024 * 1024
+
+
+def _dir_bytes(root: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for name in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, name))
+            except OSError:
+                pass
+    return total
 
 
 class IncrementalCCSink:
@@ -61,32 +94,117 @@ class IncrementalCCSink:
     (``limit(max+1)`` — 200k edges ≈ 3 MB driver-side) and the
     distributed path remains for anything larger (e.g. the first
     batch of a 100 TB ingest), exactly the broadcast-join shape:
-    size-adaptive physical strategy under one logical contract."""
+    size-adaptive physical strategy under one logical contract.
+
+    ``n_buckets`` selects the committer layout:
+
+    - ``None`` — whole-table staged-swap commits (every batch
+      rewrites the full state);
+    - an int — hash-bucketed commits (only buckets holding a
+      recomputed node are rewritten), layout fixed at construction;
+    - ``"auto"`` — size-adaptive (the committer analog of the
+      local-solve bound): start whole-table, and MIGRATE to
+      ``AUTO_N_BUCKETS`` hash buckets at the first batch that finds
+      the committed state at or above ``auto_bucket_min_bytes``
+      (default ``AUTO_BUCKET_MIN_BYTES`` — see the measured-crossover
+      note above). The migration commit writes the full merged state
+      once, partitioned by bucket, through the whole-dir staged swap
+      (same cost as the whole-table commit it replaces); every later
+      batch prunes to touched buckets. The decision is re-derived
+      from the table itself (``bucket=`` dirs present → bucketed), so
+      restarts and crash rollbacks land on the correct layout without
+      a side manifest.
+    """
 
     def __init__(
         self,
         spark: SparkSession,
         base_dir: str,
         local_solve_max_edges: int = 200_000,
-        n_buckets: int | None = None,
+        n_buckets: int | str | None = None,
+        auto_bucket_min_bytes: int = AUTO_BUCKET_MIN_BYTES,
     ) -> None:
         self.spark = spark
         self.table_dir = os.path.join(base_dir, "cc_state")
         self.marker_dir = os.path.join(base_dir, "cc_markers")
         self.local_solve_max_edges = local_solve_max_edges
-        self.n_buckets = n_buckets
-        if n_buckets is None:
-            self._committer = MarkedTableCommitter(
-                self.table_dir, self.marker_dir
-            )
+        self.auto = n_buckets == "auto"
+        self.auto_bucket_min_bytes = auto_bucket_min_bytes
+        self.n_buckets = None if self.auto else n_buckets
+        self._whole_committer = MarkedTableCommitter(
+            self.table_dir, self.marker_dir
+        )
+        self._bucketed_committer = BucketedMarkedTableCommitter(
+            self.table_dir, self.marker_dir
+        )
+        if self.auto:
+            self._committer = None  # resolved per batch
+        elif n_buckets is None:
+            self._committer = self._whole_committer
         else:
-            self._committer = BucketedMarkedTableCommitter(
-                self.table_dir, self.marker_dir
-            )
+            self._committer = self._bucketed_committer
+
+    # ---- auto layout ----------------------------------------------------
+
+    def _table_is_bucketed(self) -> bool:
+        if not os.path.isdir(self.table_dir):
+            return False
+        return any(
+            name.startswith("bucket=") for name in os.listdir(self.table_dir)
+        )
+
+    def _recover_dispatch(self) -> None:
+        """Run the recovery protocol matching the newest UNMARKED
+        generation root's shape. A whole-dir generation is a complete
+        table (its root holds Spark's ``_SUCCESS`` / ``part-*`` files,
+        flat or partitioned); a per-bucket generation holds only the
+        swapped ``bucket=`` dirs + ``created-`` tombstones. Marked and
+        stale roots are GC'd identically by either recover."""
+        olds = sorted(
+            glob.glob(self.table_dir + ".old-*"),
+            key=lambda p: int(p.rsplit("-", 1)[1]),
+        )
+        committer = self._whole_committer
+        if olds:
+            newest = olds[-1]
+            if not self._whole_committer.done(
+                int(newest.rsplit("-", 1)[1])
+            ) and os.path.isdir(newest):
+                names = os.listdir(newest)
+                whole_shape = "_SUCCESS" in names or any(
+                    n.startswith("part-") for n in names
+                )
+                if not whole_shape:
+                    committer = self._bucketed_committer
+        committer.recover()
+
+    def _resolve_auto(self) -> bool:
+        """Pick this batch's layout (post-recovery table state); returns
+        True when THIS batch must migrate whole → bucketed."""
+        if self._table_is_bucketed():
+            self.n_buckets = AUTO_N_BUCKETS
+            self._committer = self._bucketed_committer
+            return False
+        self.n_buckets = None
+        self._committer = self._whole_committer
+        if (
+            os.path.isdir(self.table_dir)
+            and _dir_bytes(self.table_dir) >= self.auto_bucket_min_bytes
+        ):
+            self.n_buckets = AUTO_N_BUCKETS
+            return True
+        return False
+
+    # ---- state access ----------------------------------------------------
 
     def state(self) -> DataFrame:
+        if self.auto and self._committer is None:
+            # read before any batch ran: derive layout from the table
+            self.n_buckets = (
+                AUTO_N_BUCKETS if self._table_is_bucketed() else None
+            )
         df = self.spark.read.parquet(self.table_dir)
-        if self.n_buckets is not None:
+        if self.n_buckets is not None and self._table_is_bucketed():
             df = df.select("node", "comp", "bucket")
         return df
 
@@ -98,9 +216,15 @@ class IncrementalCCSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from hyppo_worker_spark.operators.dedup import connected_components
 
-        if self._committer.done(batch_id):
+        if self._whole_committer.done(batch_id):
             return
-        self._committer.recover()
+        migrate = False
+        if self.auto:
+            self._recover_dispatch()
+            migrate = self._resolve_auto()
+        else:
+            self._committer.recover()
+        bucketed_state = self.n_buckets is not None and not migrate
         new_edges = (
             batch_df.select(
                 F.col("a_id").cast("long"), F.col("b_id").cast("long")
@@ -121,7 +245,7 @@ class IncrementalCCSink:
                 .distinct()
             )
             lookup = state
-            if self.n_buckets is not None:
+            if bucketed_state:
                 # endpoint lookup prunes to the endpoints' own buckets
                 # (<= n_buckets small ints -- bounded driver pull)
                 ep_buckets = [
@@ -170,18 +294,30 @@ class IncrementalCCSink:
         else:
             recomputed = connected_components(sub_edges)
 
-        if self.n_buckets is None:
+        if self.n_buckets is None or migrate:
             untouched = (
                 None
                 if touched is None
-                else state.join(touched, "comp", "left_anti")
+                else state.select("node", "comp").join(
+                    touched, "comp", "left_anti"
+                )
             )
             merged = (
                 recomputed
                 if untouched is None
                 else untouched.unionByName(recomputed)
             )
-            self._committer.commit(merged, batch_id)
+            if migrate:
+                # one-time layout migration: the full merged state
+                # swaps in already bucket-partitioned (whole-dir
+                # protocol — same write volume as the whole-table
+                # commit it replaces); later batches prune
+                merged = merged.withColumn("bucket", self._bucket_of("node"))
+                self._whole_committer.commit(
+                    merged, batch_id, partition_by="bucket"
+                )
+            else:
+                self._whole_committer.commit(merged, batch_id)
             return
 
         # bucketed: rewrite ONLY the buckets holding a recomputed node
@@ -189,7 +325,7 @@ class IncrementalCCSink:
             "bucket", self._bucket_of("node")
         ).localCheckpoint(eager=True)
         if touched is None:
-            self._committer.commit(recomputed, batch_id)
+            self._bucketed_committer.commit(recomputed, batch_id)
             return
         touched_buckets = [
             r[0] for r in recomputed.select("bucket").distinct().collect()
@@ -201,7 +337,7 @@ class IncrementalCCSink:
             .select("node", "comp", "bucket")
         )
         merged = untouched_in_touched.unionByName(recomputed)
-        self._committer.commit(merged, batch_id)
+        self._bucketed_committer.commit(merged, batch_id)
 
 
 def maintain_cc(edges: DataFrame, sink: IncrementalCCSink, checkpoint_dir: str):

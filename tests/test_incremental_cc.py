@@ -230,3 +230,99 @@ def test_bucketed_replay_and_rollback(spark, tmp_path):
         for r in sink.state().select("node", "comp").collect()
     }
     assert got == s0
+
+
+def test_auto_layout_both_sides_of_crossover(spark, tmp_path):
+    """n_buckets="auto" (VERDICT r8 item 6): below the byte threshold
+    the sink stays whole-table; the first batch that finds the state
+    at/over it migrates to bucket=<i>/ dirs via one whole-dir swap;
+    later batches prune. Content equals full recompute throughout."""
+    import os
+
+    from hyppo_worker_spark.streaming.incremental_cc import AUTO_N_BUCKETS
+
+    # side 1: default threshold (512 MB) — tiny state stays whole
+    whole = IncrementalCCSink(spark, str(tmp_path / "a"), n_buckets="auto")
+    whole(spark.createDataFrame([(1, 2)], "a_id long, b_id long"), 0)
+    whole(spark.createDataFrame([(2, 3)], "a_id long, b_id long"), 1)
+    assert not any(
+        n.startswith("bucket=") for n in os.listdir(whole.table_dir)
+    ), "tiny state must keep the whole-table layout"
+    assert _state(whole) == _full(spark, [(1, 2), (2, 3)])
+
+    # side 2: 1-byte threshold — batch 1 finds the committed state
+    # over it and must migrate, batch 2 runs bucketed
+    sink = IncrementalCCSink(
+        spark, str(tmp_path / "b"), n_buckets="auto", auto_bucket_min_bytes=1
+    )
+    seen: list[tuple[int, int]] = []
+    batches = [
+        [(1, 2), (2, 3), (10, 11), (20, 21)],  # creates: whole (no table yet)
+        [(3, 4), (30, 31)],                    # migrates
+        [(4, 10)],                             # bucketed bridge merge
+    ]
+    for i, b in enumerate(batches):
+        seen.extend(b)
+        sink(spark.createDataFrame(b, "a_id long, b_id long"), i)
+        got = {
+            (r.node, r.comp)
+            for r in sink.state().select("node", "comp").collect()
+        }
+        assert got == _full(spark, seen), f"batch {i}"
+        bucketed = any(
+            n.startswith("bucket=") for n in os.listdir(sink.table_dir)
+        )
+        assert bucketed == (i >= 1), f"batch {i}: wrong layout"
+    assert sink.n_buckets == AUTO_N_BUCKETS
+
+    # restart (fresh sink object) lands on the bucketed layout and a
+    # marked replay is a no-op
+    sink2 = IncrementalCCSink(
+        spark, str(tmp_path / "b"), n_buckets="auto", auto_bucket_min_bytes=1
+    )
+    before = {(r.node, r.comp) for r in
+              sink2.state().select("node", "comp").collect()}
+    sink2(spark.createDataFrame([(4, 10)], "a_id long, b_id long"), 2)
+    after = {(r.node, r.comp) for r in
+             sink2.state().select("node", "comp").collect()}
+    assert before == after
+
+
+def test_auto_layout_rollback_of_unmarked_migration(spark, tmp_path):
+    """A migration generation whose marker never landed must roll the
+    table back to the FLAT pre-batch layout (whole-dir protocol), and
+    the replayed batch then re-migrates — exactly once overall."""
+    import os
+    import shutil
+
+    sink = IncrementalCCSink(
+        spark, str(tmp_path / "cc"), n_buckets="auto", auto_bucket_min_bytes=1
+    )
+    sink(spark.createDataFrame([(1, 2), (5, 6)], "a_id long, b_id long"), 0)
+
+    # snapshot the flat pre-migration table, run the migration batch,
+    # then forge the crash state: reinstate the pre-batch generation
+    # as .old-1 (the commit GC'd it) and delete the batch marker —
+    # exactly what a crash between swap and marker leaves behind
+    state_before = _state(sink)
+    table = sink.table_dir
+    flat_snapshot = str(tmp_path / "flat_snapshot")
+    shutil.copytree(table, flat_snapshot)
+    sink(spark.createDataFrame([(2, 3)], "a_id long, b_id long"), 1)
+    assert any(n.startswith("bucket=") for n in os.listdir(table))
+    shutil.copytree(flat_snapshot, table + ".old-1")
+    os.remove(os.path.join(sink.marker_dir, "batch-1.done"))
+
+    # restart: recovery must dispatch WHOLE-dir rollback (old root has
+    # _SUCCESS/part files), restoring the flat table
+    sink2 = IncrementalCCSink(
+        spark, str(tmp_path / "cc"), n_buckets="auto", auto_bucket_min_bytes=1
+    )
+    sink2._recover_dispatch()
+    assert not any(n.startswith("bucket=") for n in os.listdir(table))
+    assert _state(sink2) == state_before
+
+    # the replayed batch re-applies and re-migrates
+    sink2(spark.createDataFrame([(2, 3)], "a_id long, b_id long"), 1)
+    assert any(n.startswith("bucket=") for n in os.listdir(table))
+    assert _state(sink2) == _full(spark, [(1, 2), (5, 6), (2, 3)])

@@ -47,7 +47,6 @@ def test_driver_registry_covers_every_family():
         "q45_variant_ingestion",
         "q54_zonemap_pruning",
         "q57_interval_bin_join",
-        "q64_collated_aggregation",
         "q65_native_sketch_rollup",
         "q66_listagg_report",
         "m03_audio_header_decode",
@@ -90,6 +89,9 @@ def test_driver_registry_covers_every_family():
         "q70_window_group_limit",
         "p28_rebalance_write",
         "q71_sql_pipe_syntax",
+        # NEW round-9 row: q67's depth-independent scale twin lands
+        # with an immediate driver slot (q64 retired, 2 greens)
+        "q72_chain_fold_scale_twin",
     ):
         assert must in names
 
