@@ -3382,18 +3382,11 @@ def p26_chained_stateful_rollup(
         blk = F.least(
             (F.dayofmonth(ts_col) - 1) / F.lit(10), F.lit(2)
         ).cast("int")
-        staged = df.withColumn("blk", blk)
-        for i in range(3):
-            part_dir = os.path.join(work, f"stage-{label}-{i}")
-            staged.filter(F.col("blk") == i).drop("blk").coalesce(
-                1
-            ).write.parquet(part_dir)
-            part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-            dest = os.path.join(src, f"batch{i}.parquet")
-            shutil.move(part, dest)
-            os.utime(dest, (now - 300 + 100 * i,) * 2)
         # sentinel: never joins (user -1) but advances this side's
-        # watermark past every window end before the stream drains
+        # watermark past every window end before the stream drains;
+        # staged as blk=3 so ONE partitioned write materializes all
+        # four time-ordered files (the itemized r9 profile showed the
+        # original 4-jobs-per-side staging cost more than the stream)
         sent = [
             F.lit(-1).cast("long").alias(cols[0]),
             F.lit(-1).cast("long").alias(cols[1]),
@@ -3401,12 +3394,19 @@ def p26_chained_stateful_rollup(
         ]
         if label == "purchases":
             sent.append(F.lit(0).cast("long").alias("cents"))
-        sent_dir = os.path.join(work, f"sent-{label}")
-        spark.range(1).select(*sent).coalesce(1).write.parquet(sent_dir)
-        part = glob.glob(os.path.join(sent_dir, "part-*.parquet"))[0]
-        dest = os.path.join(src, "batch3-sentinel.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (now - 300 + 100 * 3,) * 2)
+        staged = df.withColumn("blk", blk).unionByName(
+            spark.range(1).select(*sent).withColumn("blk", F.lit(3))
+        )
+        stage_dir = os.path.join(work, f"stage-{label}")
+        staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
+        for i in range(4):
+            part = glob.glob(
+                os.path.join(stage_dir, f"blk={i}", "part-*.parquet")
+            )[0]
+            name = f"batch{i}.parquet" if i < 3 else "batch3-sentinel.parquet"
+            dest = os.path.join(src, name)
+            shutil.move(part, dest)
+            os.utime(dest, (now - 300 + 100 * i,) * 2)
         dirs[label] = src
 
     vstream = (
@@ -3446,7 +3446,7 @@ def p26_chained_stateful_rollup(
 
     from hyppo_worker_spark.session import scoped_conf
 
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
         q = (
             rolled.writeStream.outputMode("append")
             .foreachBatch(sink)
