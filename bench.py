@@ -161,6 +161,10 @@ BENCH_QUERIES = [
     "q70_window_group_limit",
     "p28_rebalance_write",
     "q71_sql_pipe_syntax",
+    # round 9 additions
+    "q72_chain_fold_scale_twin",
+    "p29_parquet_schema_drift",
+    "s11_truncated_retrieval",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

@@ -399,6 +399,19 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # greens archived (r7, r8); scalar/semi-structured stays
         # in-window via q45 (VARIANT), aggregation via q65 (native
         # sketch stack), SQL-text via q66/q68/q71
+        # Slot for the NEW round-9 p29 (parquet schema drift:
+        # mergeSchema over one zone holding two schema generations —
+        # the non-Avro evolution twin), so the new surface lands
+        # WITH driver evidence:
+        "m03_audio_header_decode",  # WAV header decode — 2 greens
+        # archived (r7, r8); multimodal stays in-window via m08
+        # (AVI chunk-walk frame sampling), m05/m07 archived
+        # Slot for the NEW round-9 s11 (truncated-embedding
+        # retrieval agreement — the Matryoshka prefix-scan quality
+        # gate), so the new surface lands WITH driver evidence:
+        "s06_int8_quantization",  # int8 quantization stats — 2
+        # greens archived (r7, r8); similarity stays in-window via
+        # s05 (IVF multiprobe) and the new s11
     }
 )
 

@@ -3702,3 +3702,109 @@ def p28_rebalance_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("files_balanced", F.lit(balanced))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# p29 — PARQUET SCHEMA DRIFT across one landing zone: the non-Avro
+# twin of p19's evolution story. Integrations evolve; a 100 TB zone
+# accumulates files written under different schema VERSIONS, and the
+# engine must read them as ONE frame without a rewrite. Orders land
+# in two generations inside the same directory: v1 files carry
+# (okey, cust, cents); v2 files add the columns (priority, channel).
+# The read uses mergeSchema=true (schema union at footer-merge time —
+# per-FILE reconciliation, exactly like p19's per-container Schema
+# Resolution, so heterogeneous mixes cost one footer pass and zero
+# per-row branching); v1 rows surface NULL for the drifted columns.
+# In-plan assertions ride literal columns: the merged schema must be
+# exactly the 5-column union, and every NULL-priority row must be a
+# v1 row (okey % 3 <> 0 — the generation split is arithmetic, which
+# is what lets the DuckDB oracle regenerate the expected frame from
+# `orders` directly without reading the staged files). Scale note:
+# mergeSchema's cost is footer-count-bound; production zones pin the
+# union schema in a catalog after first contact — the row proves the
+# read semantics that catalog entry encodes.
+# --------------------------------------------------------------------------
+@register(
+    "p29_parquet_schema_drift",
+    oracle="""
+    WITH staged AS (
+        SELECT o_orderkey AS okey, o_custkey AS cust,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END
+                   AS priority,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN 'ch' || CAST(o_orderkey % 4 AS VARCHAR) END
+                   AS channel
+        FROM orders
+    )
+    SELECT coalesce(priority, 'v1-missing') AS priority,
+           coalesce(channel, 'v1-missing') AS channel,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT cust) AS BIGINT) AS n_cust,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           TRUE AS schema_merged,
+           TRUE AS nulls_are_v1
+    FROM staged
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("pipeline", "formats", "schema-evolution", "mergeSchema",
+          "parquet"),
+)
+def p29_parquet_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two schema generations of orders written into one parquet zone
+    (v2 adds priority+channel), read back as one frame via
+    mergeSchema; per-(priority, channel) rollups must equal the
+    oracle's regenerated split, with the 5-column union schema and
+    the NULL-rows-are-v1 invariant asserted in-plan."""
+    import os
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("priority"),
+        F.concat(F.lit("ch"), (F.col("o_orderkey") % 4).cast("string")).alias(
+            "channel"
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="hyppo-p29-")
+    zone = os.path.join(work, "orders_zone")
+    v1 = base.filter(F.col("okey") % 3 != 0).select("okey", "cust", "cents")
+    v2 = base.filter(F.col("okey") % 3 == 0)
+    v1.write.parquet(zone)  # creates the zone (v1 generation)
+    v2.write.mode("append").parquet(zone)  # v2 generation lands beside it
+
+    merged = spark.read.option("mergeSchema", "true").parquet(zone)
+    schema_ok = sorted(merged.columns) == [
+        "cents", "channel", "cust", "okey", "priority",
+    ]
+    # bounded pull: one row of two counters proves the NULL pattern
+    bad = merged.agg(
+        F.sum(
+            (
+                F.col("priority").isNull() & (F.col("okey") % 3 == 0)
+            ).cast("long")
+        ).alias("null_v2"),
+        F.sum(
+            (
+                F.col("priority").isNotNull() & (F.col("okey") % 3 != 0)
+            ).cast("long")
+        ).alias("filled_v1"),
+    ).collect()[0]
+    nulls_are_v1 = bad["null_v2"] == 0 and bad["filled_v1"] == 0
+
+    return (
+        merged.groupBy(
+            F.coalesce("priority", F.lit("v1-missing")).alias("priority"),
+            F.coalesce("channel", F.lit("v1-missing")).alias("channel"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("cust").alias("n_cust"),
+            F.sum("cents").alias("cents"),
+        )
+        .withColumn("schema_merged", F.lit(schema_ok))
+        .withColumn("nulls_are_v1", F.lit(bool(nulls_are_v1)))
+        .orderBy("priority", "channel")
+    )

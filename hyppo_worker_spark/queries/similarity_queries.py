@@ -734,3 +734,121 @@ def s10_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, int(v[i])) for i in range(d)],
         "component int, eigvec_scaled long",
     ).orderBy("component")
+
+
+# --------------------------------------------------------------------------
+# s11 — TRUNCATED-embedding retrieval quality (Matryoshka-style
+# dimension cuts): at 100 TB the cheapest ANN speedup is storing /
+# scanning a PREFIX of each vector (half or quarter dims = 2-4x less
+# IO and FLOPs per candidate) and re-ranking survivors on the full
+# vector — but only if prefix rankings agree with full rankings. This
+# row MEASURES that agreement on the corpus instead of assuming it:
+# top-5 neighbor sets at 64, 32 and 16 dims for 10 query vectors,
+# reporting per-query overlap counts and top-1 agreement. One pass
+# computes all three cosines per (query, candidate) (slice + the same
+# sequential-fold dot both engines use — bit-identical doubles,
+# rounded to 6 before ranking exactly like s01), three window ranks,
+# then a per-query integer rollup — no extra shuffles over s01's
+# shape. The query side broadcasts; candidates never shuffle until
+# the 3x-rank window (partitioned by q_id — 10 partitions of
+# |corpus| rows; at 100 TB this is the standard per-query top-k
+# shuffle, and the prefix scan is the part that shrinks).
+# --------------------------------------------------------------------------
+@register(
+    "s11_truncated_retrieval",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < 10),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS nid,
+               round({_cos('q.qv', 'c.v')}, 6) AS cos_full,
+               round({_cos('(q.qv[1:32])', '(c.v[1:32])')}, 6) AS cos_h,
+               round({_cos('(q.qv[1:16])', '(c.v[1:16])')}, 6) AS cos_q
+        FROM q JOIN vecs c ON c.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, nid,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_full DESC, nid) AS rk_full,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_h DESC, nid) AS rk_h,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_q DESC, nid) AS rk_q
+        FROM scored
+    )
+    SELECT q_id,
+           CAST(sum(CASE WHEN rk_full <= 5 AND rk_h <= 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS overlap_half,
+           CAST(sum(CASE WHEN rk_full <= 5 AND rk_q <= 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS overlap_quarter,
+           CAST(max(CASE WHEN rk_full = 1 AND rk_h = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS top1_half,
+           CAST(max(CASE WHEN rk_full = 1 AND rk_q = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS top1_quarter
+    FROM ranked GROUP BY q_id ORDER BY q_id
+    """,
+    tags=("similarity", "knn", "matryoshka", "truncation", "quality"),
+)
+def s11_truncated_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query top-5 agreement between full (64-dim) and truncated
+    (32/16-dim prefix) cosine retrieval over the embedding corpus:
+    overlap counts and top-1 agreement, integer-exact per query."""
+    from pyspark.sql import Window as W
+
+    vecs = (
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    q = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def cos(a, b):
+        return F.round(
+            dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6
+        )
+
+    scored = (
+        vecs.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nid"),
+            cos(F.col("qv"), F.col("v")).alias("cos_full"),
+            cos(F.slice("qv", 1, 32), F.slice("v", 1, 32)).alias("cos_h"),
+            cos(F.slice("qv", 1, 16), F.slice("v", 1, 16)).alias("cos_q"),
+        )
+    )
+    ranked = scored.select(
+        "q_id",
+        "nid",
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(F.desc("cos_full"), "nid"))
+        .alias("rk_full"),
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(F.desc("cos_h"), "nid"))
+        .alias("rk_h"),
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(F.desc("cos_q"), "nid"))
+        .alias("rk_q"),
+    )
+    in5 = lambda c: (F.col("rk_full") <= 5) & (F.col(c) <= 5)  # noqa: E731
+    top1 = lambda c: (F.col("rk_full") == 1) & (F.col(c) == 1)  # noqa: E731
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.sum(in5("rk_h").cast("long")).alias("overlap_half"),
+            F.sum(in5("rk_q").cast("long")).alias("overlap_quarter"),
+            F.max(top1("rk_h").cast("long")).alias("top1_half"),
+            F.max(top1("rk_q").cast("long")).alias("top1_quarter"),
+        )
+        .orderBy("q_id")
+    )

@@ -49,9 +49,7 @@ def test_driver_registry_covers_every_family():
         "q57_interval_bin_join",
         "q65_native_sketch_rollup",
         "q66_listagg_report",
-        "m03_audio_header_decode",
         "m08_video_frame_sample",
-        "s06_int8_quantization",
         "t31_unicode_nfc_normalize",
         # round-8 ENDGAME rotation (VERDICT r7 item 1): the final 14
         # never-driver-checked entries get their FIRST driver rows —
@@ -89,9 +87,11 @@ def test_driver_registry_covers_every_family():
         "q70_window_group_limit",
         "p28_rebalance_write",
         "q71_sql_pipe_syntax",
-        # NEW round-9 row: q67's depth-independent scale twin lands
-        # with an immediate driver slot (q64 retired, 2 greens)
+        # NEW round-9 rows land with immediate driver slots (q64,
+        # m03, s06 retired — 2 greens each, family reps stay)
         "q72_chain_fold_scale_twin",
+        "p29_parquet_schema_drift",
+        "s11_truncated_retrieval",
     ):
         assert must in names
 

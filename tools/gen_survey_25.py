@@ -72,7 +72,8 @@ FAMILIES: list[tuple[str, list[str], str]] = [
     ("similarity search",
      ["s01_knn_cosine_bruteforce", "s02_knn_sign_bucket", "s04_knn_ivf",
       "s05_knn_ivf_multiprobe", "s06_int8_quantization", "s07_pq_adc_topk",
-      "s08_range_search", "s09_hard_negatives", "s10_pca_power_iteration"],
+      "s08_range_search", "s09_hard_negatives", "s10_pca_power_iteration",
+      "s11_truncated_retrieval"],
      "brute-force top-k; sign-bucket ANN; k-means IVF nprobe 1/2; int8 "
      "quantization stats; product-quantization ADC at 32x compression — "
      "m-keyed fixed-point Lloyd codebooks, integer lookup-table distances "
@@ -80,7 +81,10 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "primitive (`similarity.range_search`); contrastive hard-negative "
      "mining — top-k most-similar strictly below the near-dup band; "
      "distributed PCA head via integer-exact X^T X sufficient statistics "
-     "(executor-side int64 partials, pure-integer power iteration)"),
+     "(executor-side int64 partials, pure-integer power iteration); "
+     "Matryoshka-style truncated-prefix retrieval agreement (top-5 "
+     "overlap + top-1 match at 64/32/16 dims — the prefix-scan "
+     "cost-quality gate)"),
     # ---- text ----------------------------------------------------------
     ("language ID / quality",
      ["t01_language_id", "t02_quality_scores", "t12_repetition_signals",
@@ -255,12 +259,14 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "Structured Streaming query — task-log stream source (offsets = "
      "consumed line counts, rotation + base-offset archiving) into the "
      "exactly-once manifest sink across coordinator waves"),
-    ("Avro schema evolution",
-     ["p19_schema_evolution_roundtrip"],
+    ("schema evolution (Avro + parquet zones)",
+     ["p19_schema_evolution_roundtrip", "p29_parquet_schema_drift"],
      "declared schemas embedded verbatim (fingerprint-identical round "
      "trip) and full spec Schema Resolution — promotions, reader "
      "defaults, enum fallback (`sources/avro_schema.py`), golden-pinned "
-     "and property-tested; two writer versions read as one frame"),
+     "and property-tested; two writer versions read as one frame; the "
+     "parquet twin — mergeSchema over a zone holding two schema "
+     "generations, NULL-fill invariants asserted in-plan"),
     ("data-quality gate / observability",
      ["p22_data_quality_gate"],
      "five-constraint one-pass gate over a deterministically corrupted "
