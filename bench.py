@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "q72_chain_fold_scale_twin",
     "p29_parquet_schema_drift",
     "s11_truncated_retrieval",
+    "q73_dynamic_partition_pruning",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

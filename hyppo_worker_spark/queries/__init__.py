@@ -412,6 +412,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "s06_int8_quantization",  # int8 quantization stats — 2
         # greens archived (r7, r8); similarity stays in-window via
         # s05 (IVF multiprobe) and the new s11
+        # Slot for the NEW round-9 q73 (dynamic partition pruning
+        # proven in-plan — the runtime data-skipping path), so the
+        # new surface lands WITH driver evidence:
+        "q54_zonemap_pruning",  # zonemap file pruning — 2 greens
+        # archived (r7, r8); data-skipping stays in-window via q73
+        # (runtime DPP) and p28 (write shaping), q50 archived
     }
 )
 

@@ -4884,3 +4884,105 @@ def q72_chain_fold_scale_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+# --------------------------------------------------------------------------
+# q73 — DYNAMIC PARTITION PRUNING proven in-plan: the optimization
+# that makes dimensional filtering survive 100 TB. The fact table is
+# committed PARTITIONED BY ship month (84 month directories); the
+# query joins it to an orders-derived calendar dim filtered to
+# 1995-Q2. Statically the fact scan has NO partition filter — the
+# months to keep are only known after evaluating the dim side — so
+# without DPP Spark reads all 84 partitions and throws away 96% of
+# them after the join. With DPP the broadcast of the dim side is
+# REUSED as a partition-pruning subquery on the fact scan
+# (PartitionFilters: [dynamicpruning#...]), so only the 3 matching
+# month directories are read at all. The executed plan must contain
+# the dynamicpruning subquery (literal column, q69/q70 pattern) and
+# the per-month rollup must match DuckDB regenerating the same join
+# from the raw tables. Scale: partition-dir count is month-bounded
+# (84 at any SF); the pruning decision costs one broadcast the join
+# needed anyway — this is the read-side companion of q50 (static
+# min-max skipping) for filters that are only known at runtime.
+# --------------------------------------------------------------------------
+_Q73_ORACLE = """
+    WITH months AS (
+        SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month
+        FROM orders
+        WHERE date_part('year', o_orderdate) = 1995
+          AND date_part('quarter', o_orderdate) = 2
+    )
+    SELECT l.month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           TRUE AS dpp_fired
+    FROM (
+        SELECT strftime(l_shipdate, '%Y-%m') AS month,
+               l_quantity, l_extendedprice
+        FROM lineitem
+    ) l
+    JOIN months m ON l.month = m.month
+    GROUP BY l.month ORDER BY l.month
+"""
+
+
+@register(
+    "q73_dynamic_partition_pruning",
+    oracle=_Q73_ORACLE,
+    tags=("relational", "dpp", "join", "data-skipping", "scale",
+          "plan-optimization"),
+)
+def q73_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Month-partitioned lineitem joined to a 1995-Q2 calendar dim:
+    the per-month rollup must match DuckDB and the executed plan must
+    show the fact scan pruned by a dynamicpruning partition filter."""
+    import os
+    import tempfile
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    work = tempfile.mkdtemp(prefix="hyppo-q73-")
+    fact_dir = os.path.join(work, "lineitem_by_month")
+    (
+        t["lineitem"]
+        .select(
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        )
+        # one file per month dir: the write-side REBALANCE discipline
+        # (p28) — without it every task opens a writer per month
+        .repartition("month")
+        .write.partitionBy("month")
+        .parquet(fact_dir)
+    )
+    dim = (
+        t["orders"]
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .filter(F.col("month").between("1995-04", "1995-06"))
+        .distinct()
+    )
+    fact = spark.read.parquet(fact_dir)
+    agg = (
+        fact.join(F.broadcast(dim), "month")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").alias("qty"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("month")
+    )
+    rows = agg.collect()  # ≤ 3 month rows — bounded pull
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    fired = "dynamicpruning" in plan
+    return (
+        spark.createDataFrame(rows, agg.schema)
+        .withColumn("dpp_fired", F.lit(fired))
+        .orderBy("month")
+    )

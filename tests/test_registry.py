@@ -45,7 +45,6 @@ def test_driver_registry_covers_every_family():
         "p18_stream_stream_join",
         "q42_retention_cohorts",
         "q45_variant_ingestion",
-        "q54_zonemap_pruning",
         "q57_interval_bin_join",
         "q65_native_sketch_rollup",
         "q66_listagg_report",
@@ -92,6 +91,7 @@ def test_driver_registry_covers_every_family():
         "q72_chain_fold_scale_twin",
         "p29_parquet_schema_drift",
         "s11_truncated_retrieval",
+        "q73_dynamic_partition_pruning",
     ):
         assert must in names
 

@@ -157,14 +157,18 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "distinct union; native DataSketches HLL/theta/bitmap stack"),
     # ---- storage / layout ---------------------------------------------
     ("storage layout / data skipping",
-     ["q50_zorder_skipping", "q54_zonemap_pruning", "p28_rebalance_write"],
+     ["q50_zorder_skipping", "q54_zonemap_pruning", "p28_rebalance_write",
+      "q73_dynamic_partition_pruning"],
      "z-order (Morton) clustered export with min-max pruning on every "
      "clustered dimension verified from parquet footers "
      "(`operators/zorder.py`); distributed zonemap build from REAL "
      "footers via mapInPandas + manifest-based file pruning "
      "(`operators/zonemap.py`); REBALANCE-hinted write shaping — the "
      "small-files control, file counts asserted from the committed "
-     "directory; small-file compaction (`maintenance.compact`)"),
+     "directory; small-file compaction (`maintenance.compact`); DYNAMIC "
+     "partition pruning — the runtime skip path for filters only known "
+     "after evaluating the dim side, dynamicpruning subquery asserted "
+     "in the executed plan"),
     ("dimension history (SCD2) / merge",
      ["q30_merge_upsert", "q51_scd2_history", "q52_temporal_scd2_join"],
      "keyed upsert audit; type-2 close-and-append versioning with no-op "

@@ -27,6 +27,8 @@ EXPECTED_NLJ = {
     "s01_knn_cosine_bruteforce",  # broadcast tiny query batch vs corpus
     "s04_knn_ivf",  # broadcast n_centroids-row table scattered per vector
     "s05_knn_ivf_multiprobe",  # same broadcast centroid table, nprobe=2
+    "s11_truncated_retrieval",  # broadcast 10-row query batch vs corpus
+    # (s01's shape; the row measures prefix-truncation agreement)
     "t16_bpe_merges",  # per-round 1-row broadcast argmax (scalar join)
     "t17_bpe_encoding",  # same per-round 1-row broadcast argmax as t16
     "t15_source_mix",  # 1-row broadcast scalar (binding-stratum total)
