@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "p29_parquet_schema_drift",
     "s11_truncated_retrieval",
     "q73_dynamic_partition_pruning",
+    "p30_rocksdb_state_backend",
+    "q74_runtime_bloom_filter",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

@@ -418,6 +418,21 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "q54_zonemap_pruning",  # zonemap file pruning — 2 greens
         # archived (r7, r8); data-skipping stays in-window via q73
         # (runtime DPP) and p28 (write shaping), q50 archived
+        # Slot for the NEW round-9 p30 (RocksDB state backend
+        # end-to-end — the production state provider + statestore
+        # read-back), so the new surface lands WITH driver evidence:
+        "p13_streaming_dropdup",  # native stateful dropDuplicates —
+        # 2 greens archived (r7, r8); streaming dedup stays
+        # in-window via p16 (withinWatermark) and p23 (checkpoint
+        # resume), and p30 carries stateful aggregation
+        # Slot for the NEW round-9 q74 (injected runtime Bloom
+        # filter proven in-plan — the row-level runtime-filter
+        # twin of q73's DPP), so the new surface lands WITH driver
+        # evidence:
+        "q66_listagg_report",  # native listagg — 2 greens archived
+        # (r7, r8); the SQL-text surface stays in-window via q68
+        # (LATERAL) and q71 (pipe syntax); q57 keeps the q5x
+        # interval-join rep in-window
     }
 )
 

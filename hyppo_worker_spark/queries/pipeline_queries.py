@@ -3808,3 +3808,157 @@ def p29_parquet_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nulls_are_v1", F.lit(bool(nulls_are_v1)))
         .orderBy("priority", "channel")
     )
+
+
+# --------------------------------------------------------------------------
+# p30 — the PRODUCTION STATE BACKEND end-to-end: the same stateful
+# contract the p-suite proves on the default (HDFS-backed in-memory)
+# provider, run on RocksDBStateStoreProvider — the backend a 100 TB
+# deployment actually uses, because state no longer fits executor
+# heap and commits ship as changelogs. A per-(cohort, event_type)
+# running aggregate (update mode, no watermark — state IS the
+# aggregate) drains 3 time-ordered blocks under the scoped RocksDB
+# provider; the checkpoint's FINAL state is then read back through
+# the statestore source (p27's path, against RocksDB files this
+# time) and rolled up per event type. Two in-plan assertions ride
+# literal columns: the final progress entry's state operator must
+# report RocksDB custom metrics (rocksdbCommitCompactLatency et al —
+# presence proves which provider actually ran), and the state
+# read-back must come from the same checkpoint. The oracle
+# regenerates the aggregate from `events` directly, so a dropped
+# state row or a wrong provider both hash-mismatch. Scale: provider
+# choice is per-query-START conf frozen into the checkpoint;
+# switching backends mid-stream is a new checkpoint — decided up
+# front, exactly like the skew pre-split (NOTES_r8).
+# --------------------------------------------------------------------------
+@register(
+    "p30_rocksdb_state_backend",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 100 AS cohort, event_type AS etype,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    agg AS (
+        SELECT cohort, etype, count(*) AS n, sum(cents) AS cents
+        FROM e GROUP BY cohort, etype
+    )
+    SELECT etype,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           TRUE AS rocksdb_used
+    FROM agg GROUP BY etype ORDER BY etype
+    """,
+    tags=("pipeline", "streaming", "rocksdb", "statestore", "backend"),
+)
+def p30_rocksdb_state_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(cohort, event_type) running aggregate drained under the
+    RocksDB state-store provider, its final checkpoint state read
+    back via the statestore source and rolled up per type; RocksDB
+    custom metrics in the final progress entry prove the provider."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        F.col("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.col("user_id") % 100).alias("cohort"),
+        F.col("event_type").alias("etype"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="hyppo-p30-")
+    src_dir = os.path.join(work, "events")
+    os.makedirs(src_dir)
+    now = time.time()
+    blk = F.least((F.dayofmonth("ts") - 1) / F.lit(10), F.lit(2)).cast("int")
+    stage_dir = os.path.join(work, "stage")
+    ev.withColumn("blk", blk).coalesce(1).write.partitionBy("blk").parquet(
+        stage_dir
+    )
+    for i in range(3):
+        part = glob.glob(os.path.join(stage_dir, f"blk={i}", "part-*.parquet"))[0]
+        dest = os.path.join(src_dir, f"batch{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, cohort long, etype string, "
+            "cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = stream.groupBy("cohort", "etype").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+    )
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.format("noop").mode("append").save()
+
+    from hyppo_worker_spark.session import scoped_conf
+
+    ckpt = os.path.join(work, "ckpt")
+    import contextlib
+
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(
+            scoped_conf(
+                spark,
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        )
+        stack.enter_context(
+            scoped_conf(spark, "spark.sql.shuffle.partitions", "4")
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+        # the provider proof: RocksDB-specific custom metrics in the
+        # final progress entry's state operator
+        progs = [p for p in q.recentProgress if p.get("stateOperators")]
+        metrics = (
+            progs[-1]["stateOperators"][0].get("customMetrics") or {}
+            if progs
+            else {}
+        )
+        rocksdb_used = any(k.startswith("rocksdb") for k in metrics)
+        # read the FINAL state back from the RocksDB checkpoint
+        # the store's value struct carries the AGG BUFFER field names
+        # (count(1) -> `count`, sum(cents) -> `sum`), not the query
+        # aliases — the introspection contract p27 documents
+        state = (
+            spark.read.format("statestore").load(ckpt)
+            .select(
+                "key.cohort",
+                "key.etype",
+                F.col("value.count").alias("n"),
+                F.col("value.sum").alias("cents"),
+            )
+        )
+        rows = (
+            state.groupBy("etype")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("n").alias("n_events"),
+                F.sum("cents").alias("cents"),
+            )
+            .orderBy("etype")
+            .collect()  # ≤ n_event_types rows — bounded pull
+        )
+    out = spark.createDataFrame(
+        rows, "etype string, n_keys long, n_events long, cents long"
+    )
+    return out.withColumn("rocksdb_used", F.lit(bool(rocksdb_used))).orderBy(
+        "etype"
+    )

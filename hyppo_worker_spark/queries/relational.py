@@ -4986,3 +4986,92 @@ def q73_dynamic_partition_pruning(
         .withColumn("dpp_fired", F.lit(fired))
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# q74 — INJECTED RUNTIME BLOOM FILTER proven in-plan: q49 builds a
+# relational Bloom filter BY HAND; since 3.4 Spark's InjectRuntimeFilter
+# does it automatically — when one side of a shuffle join carries a
+# selective filter, the optimizer plants a bloom_filter_agg subquery
+# on that side and a bloom_filter_might_contain() predicate on the
+# OTHER side's scan, so non-joining fact rows die before the shuffle
+# instead of after it. At 100 TB that is the difference between
+# shuffling the whole fact table and shuffling the ~4% that can
+# match. This row forces the shuffle-join regime (broadcast off —
+# a broadcast join needs no pre-shuffle filter) and scopes the
+# application-side size gate to zero (the production default of
+# 10 GB is a real-cluster threshold; at test SF nothing reaches it),
+# then asserts might_contain on the executed fact scan and
+# value-checks the rollup against DuckDB running the plain join —
+# the filter must be invisible in the ANSWER (no false negatives by
+# bloom contract) and visible in the PLAN. The runtime-filter
+# family: q49 (persistable hand-built bloom), q73 (partition-level
+# DPP), q74 (row-level injected bloom).
+# --------------------------------------------------------------------------
+_Q74_ORACLE = """
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           TRUE AS bloom_injected
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 250000
+    GROUP BY priority ORDER BY priority
+"""
+
+
+@register(
+    "q74_runtime_bloom_filter",
+    oracle=_Q74_ORACLE,
+    tags=("relational", "runtime-filter", "bloom", "join", "scale",
+          "plan-optimization"),
+)
+def q74_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem joined to selectively-filtered orders under the
+    shuffle-join regime with runtime bloom filters enabled; the
+    executed plan must carry bloom_filter_might_contain on the fact
+    side and the rollup must equal the plain join on DuckDB."""
+    import contextlib
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    dim = t["orders"].filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 250000)
+    )
+    agg = (
+        t["lineitem"]
+        .hint("merge")
+        .join(dim, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("cents"),
+        )
+        .orderBy("priority")
+    )
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # production gate is 10GB of application-side scan — a real-
+        # cluster threshold; 0 lets the injection fire at test SF
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # force the shuffle-join regime the filter exists for
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    with contextlib.ExitStack() as stack:
+        for key, val in confs.items():
+            stack.enter_context(scoped_conf(spark, key, val))
+        rows = agg.collect()  # 1 priority row — bounded pull
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    injected = "might_contain" in plan
+    return (
+        spark.createDataFrame(rows, agg.schema)
+        .withColumn("bloom_injected", F.lit(injected))
+        .orderBy("priority")
+    )

@@ -38,7 +38,6 @@ def test_driver_registry_covers_every_family():
         "p04_integration_sink_roundtrip",
         "p06_manifest_time_travel",
         "p08_streaming_incremental_cc",
-        "p13_streaming_dropdup",
         "p15_streaming_funnel",
         "p16_dropdup_within_watermark",
         "p17_queue_rollup_ledger",
@@ -47,7 +46,6 @@ def test_driver_registry_covers_every_family():
         "q45_variant_ingestion",
         "q57_interval_bin_join",
         "q65_native_sketch_rollup",
-        "q66_listagg_report",
         "m08_video_frame_sample",
         "t31_unicode_nfc_normalize",
         # round-8 ENDGAME rotation (VERDICT r7 item 1): the final 14
@@ -92,6 +90,8 @@ def test_driver_registry_covers_every_family():
         "p29_parquet_schema_drift",
         "s11_truncated_retrieval",
         "q73_dynamic_partition_pruning",
+        "p30_rocksdb_state_backend",
+        "q74_runtime_bloom_filter",
     ):
         assert must in names
 

@@ -191,11 +191,13 @@ FAMILIES: list[tuple[str, list[str], str]] = [
       "q22_nation_coverage_full_outer", "q25_global_sales_opportunity",
       "q28_cheapest_supplier_per_nation", "q39_salted_hot_keys",
       "q41_bucketed_colocated_join", "q57_interval_bin_join",
-      "q69_aqe_skew_join"],
+      "q69_aqe_skew_join", "q74_runtime_bloom_filter"],
      "broadcast/SMJ/semi/anti/full-outer/range/as-of; scalar-subquery + "
      "anti; two-phase salted hot keys; zero-exchange bucketed co-located "
      "fact joins (`operators/bucketing.py`); bin-bucketed interval "
-     "overlap joins; AQE skew-join split proven in-plan"),
+     "overlap joins; AQE skew-join split proven in-plan; the INJECTED "
+     "runtime Bloom filter (bloom_filter_might_contain asserted on the "
+     "fact scan — rows die before the shuffle)"),
     ("relational: window functions",
      ["q07_top_suppliers_per_nation", "q08_user_running_state",
       "q18_sessionize", "q29_order_window_suite",
@@ -326,11 +328,14 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      ["p21_stream_static_enrichment"],
      "per-micro-batch broadcast join against a static dimension, proven "
      "stateless in-plan (zero stateOperators)"),
-    ("state-store introspection",
-     ["p27_state_store_introspection"],
+    ("state-store introspection / backends",
+     ["p27_state_store_introspection", "p30_rocksdb_state_backend"],
      "the statestore / state-metadata readers over a real checkpoint — "
-     "batchId time travel, operator manifest asserted; RocksDB-backed "
-     "state reads the same way (`tests/test_rocksdb_state.py`)"),
+     "batchId time travel, operator manifest asserted; the PRODUCTION "
+     "backend end-to-end — the same stateful contract under "
+     "RocksDBStateStoreProvider with rocksdb custom metrics proving "
+     "the provider in the query's own progress, and the RocksDB "
+     "checkpoint read back through the statestore source"),
     # ---- multimodal -----------------------------------------------------
     ("multimodal",
      ["m01_media_manifest", "m02_media_header_decode",
