@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "q73_dynamic_partition_pruning",
     "p30_rocksdb_state_backend",
     "q74_runtime_bloom_filter",
+    "p31_erasure_vs_time_travel",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

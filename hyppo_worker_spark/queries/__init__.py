@@ -433,6 +433,13 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # (r7, r8); the SQL-text surface stays in-window via q68
         # (LATERAL) and q71 (pipe syntax); q57 keeps the q5x
         # interval-join rep in-window
+        # Slot for the NEW round-9 p31 (GDPR erasure vs time travel
+        # — every retained snapshot re-stamped), so the new surface
+        # lands WITH driver evidence:
+        "p04_integration_sink_roundtrip",  # connector batch write —
+        # 2 greens archived (r7, r8); the connector/manifest family
+        # stays in-window via p06 (time travel), p25 (streaming
+        # sink loop) and p31 (erasure over the same zone machinery)
     }
 )
 

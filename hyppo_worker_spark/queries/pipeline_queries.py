@@ -3962,3 +3962,118 @@ def p30_rocksdb_state_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rocksdb_used", F.lit(bool(rocksdb_used))).orderBy(
         "etype"
     )
+
+
+# --------------------------------------------------------------------------
+# p31 — RIGHT-TO-BE-FORGOTTEN vs TIME TRAVEL: erasure that defeats
+# history. p06 proves append-mode snapshots keep every version
+# readable forever — which is exactly what a GDPR erasure request
+# must overcome: the subject's rows must vanish from EVERY retained
+# version, not just the head. `erase_rows` (integration_source.py)
+# rewrites each referenced data file once (shared files re-stamped in
+# all snapshots that list them), updates every manifest's (rows, md5)
+# entries — v1, v2, latest pointer — and keeps the fail-loud
+# ordering: data first, manifests second, so a crash in between makes
+# read_committed's checksum gate REFUSE half-erased state rather than
+# serve it (rerun converges; erasure is idempotent). This row stages
+# p06's two-version zone, erases the subject (score % 10 = 3 — the
+# oracle can state it), then time-travels to v1, v2 AND the current
+# pointer through the checksum-verified read: each must show zero
+# subject rows and the exact surviving aggregate the oracle
+# regenerates. Scale note: the rewrite loop is per-FILE with no
+# cross-file state — it distributes one task per file, the same
+# parallelism the original ingestion had.
+# --------------------------------------------------------------------------
+@register(
+    "p31_erasure_vs_time_travel",
+    oracle=f"""
+    WITH t1(task_id, day, n_rows) AS (VALUES {_P06_TASKS_V1_SQL}),
+    t2(task_id, day, n_rows) AS (VALUES {_P03_TASKS_SQL}),
+    r1 AS (
+        SELECT task_id, (seq * 7 + task_id) % 100 AS score
+        FROM t1, LATERAL unnest(range(0, n_rows)) AS u(seq)
+    ),
+    r2 AS (
+        SELECT task_id, (seq * 7 + task_id) % 100 AS score
+        FROM t2, LATERAL unnest(range(0, n_rows)) AS u(seq)
+    ),
+    erased AS (SELECT count(*) AS n FROM r2 WHERE score % 10 = 3),
+    per AS (
+        SELECT 'current' AS label, count(*) AS n_rows,
+               CAST(sum(score) AS BIGINT) AS sum_score
+        FROM r2 WHERE score % 10 <> 3
+        UNION ALL
+        SELECT 'v1', count(*), CAST(sum(score) AS BIGINT)
+        FROM r1 WHERE score % 10 <> 3
+        UNION ALL
+        SELECT 'v2', count(*), CAST(sum(score) AS BIGINT)
+        FROM r2 WHERE score % 10 <> 3
+    )
+    SELECT label, n_rows, sum_score,
+           CAST(0 AS BIGINT) AS n_subject_left,
+           (SELECT CAST(n AS BIGINT) FROM erased) AS n_erased_total,
+           TRUE AS checksums_verified
+    FROM per ORDER BY label
+    """,
+    tags=("pipeline", "manifest", "erasure", "gdpr", "time-travel",
+          "versioning"),
+)
+def p31_erasure_vs_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erase the data subject (score % 10 = 3) from a two-version
+    manifest zone, then time-travel to v1, v2 and the current pointer
+    through checksum-verified reads: zero subject rows anywhere, the
+    surviving aggregates exact, every manifest re-stamped."""
+    import json
+    import os
+
+    from hyppo_worker_spark.sources.integration_source import (
+        FORMAT_NAME,
+        erase_rows,
+        read_committed,
+        register_integration_source,
+    )
+
+    register_integration_source(spark)
+
+    def fetched(tasks):
+        return (
+            spark.read.format(FORMAT_NAME)
+            .schema("task_id int, day string, seq int, name string, score int")
+            .option(
+                "fetcher",
+                "hyppo_worker_spark.sources.integration_source:"
+                "synthetic_events_fetcher",
+            )
+            .option("tasks", json.dumps(tasks))
+            .load()
+        )
+
+    out = os.path.join(tempfile.mkdtemp(prefix="hyppo-p31-"), "zone")
+    for batch in (_P03_TASKS[:3], _P03_TASKS[3:]):
+        fetched(batch).write.format(FORMAT_NAME).option("path", out).mode(
+            "append"
+        ).save()
+
+    stats = erase_rows(out, lambda rec: rec["score"] % 10 == 3)
+
+    schema = "task_id long, day string, seq long, name string, score long"
+    parts = []
+    for label, ver in (("current", None), ("v1", 1), ("v2", 2)):
+        df = read_committed(spark, out, schema, version=ver)
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("score").alias("sum_score"),
+                F.sum((F.col("score") % 10 == 3).cast("long")).alias(
+                    "n_subject_left"
+                ),
+            ).select(F.lit(label).alias("label"), "*")
+        )
+    res = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        res.withColumn("n_erased_total", F.lit(stats["rows_erased"]).cast("long"))
+        .withColumn(
+            "checksums_verified", F.lit(True)  # read_committed is the gate
+        )
+        .orderBy("label")
+    )

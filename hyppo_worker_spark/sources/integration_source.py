@@ -716,3 +716,101 @@ def synthetic_documents_fetcher(params: dict, schema: StructType) -> Iterator[tu
         for j in range(int(n_changed)):
             words[10 + 7 * j] = f"chg{prefix}{j}"
         yield (doc_id, " ".join(words))
+
+
+def erase_rows(path: str, should_erase) -> dict:
+    """GDPR-style erasure ACROSS ALL RETAINED VERSIONS of a manifest
+    zone: rewrite every data file any snapshot references, dropping
+    records where ``should_erase(record) -> True``, then update every
+    manifest's (rows, md5) entries — latest pointer, every
+    ``_MANIFEST-v{n}`` snapshot, and streaming epoch manifests alike.
+
+    Time travel and erasure are in tension: append-mode snapshots
+    keep history readable forever (`_publish_manifest`), which is
+    exactly what a right-to-be-forgotten request must defeat —
+    ``read_committed(version=n)`` must NOT resurrect the subject's
+    rows for any retained n. Erasure therefore rewrites shared data
+    files IN PLACE (a file referenced by five snapshots is rewritten
+    once) and re-stamps all five manifests.
+
+    Ordering is load-bearing: data files first (atomic tmp +
+    os.replace per file), manifests second. A crash in between
+    leaves a manifest whose md5 no longer matches the rewritten
+    file — ``read_committed`` fails LOUD on checksum, never serving
+    half-erased state silently — and erasure is idempotent, so
+    rerunning converges. Scale: the loop is per-FILE with no
+    cross-file state — at a 100 TB zone it distributes as one task
+    per file (the zone's files are per-ingestion-task by
+    construction, so parallelism equals the original write's).
+
+    Returns {files_rewritten, rows_erased, manifests_updated}.
+    """
+    import hashlib
+
+    manifests: dict[str, dict] = {}
+    data_files: set[str] = set()
+    for name in sorted(os.listdir(path)):
+        if name.startswith("_MANIFEST") and name.endswith(".json"):
+            with open(os.path.join(path, name), encoding="utf-8") as fh:
+                m = json.load(fh)
+            manifests[name] = m
+            for e in m["files"]:
+                data_files.add(e["file"])
+
+    # Post-state of EVERY referenced file (not just changed ones): a
+    # crash of a PREVIOUS erasure between its data rewrite and its
+    # manifest re-stamp leaves a stale manifest entry with zero rows
+    # left to erase — reconciling every entry against the file's
+    # current content is what makes rerunning converge.
+    post_state: dict[str, dict] = {}
+    files_rewritten = 0
+    rows_erased = 0
+    for fname in sorted(data_files):
+        fpath = os.path.join(path, fname)
+        kept: list[str] = []
+        h = hashlib.md5()
+        n = 0
+        erased_here = 0
+        with open(fpath, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if should_erase(json.loads(line)):
+                    erased_here += 1
+                    continue
+                kept.append(line)
+                h.update(line.encode())
+                n += 1
+        if erased_here:
+            tmp = fpath + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                for line in kept:
+                    fh.write(line + "\n")
+            os.replace(tmp, fpath)
+            files_rewritten += 1
+            rows_erased += erased_here
+        post_state[fname] = {"rows": n, "md5": h.hexdigest()}
+
+    manifests_updated = 0
+    for mname, m in manifests.items():
+        changed = False
+        for e in m["files"]:
+            r = post_state.get(e["file"])
+            if r is not None and (e["rows"], e["md5"]) != (r["rows"], r["md5"]):
+                e["rows"] = r["rows"]
+                e["md5"] = r["md5"]
+                changed = True
+        if not changed:
+            continue
+        if "total_rows" in m:
+            m["total_rows"] = sum(e["rows"] for e in m["files"])
+        tmp = os.path.join(path, mname + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(m, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(path, mname))
+        manifests_updated += 1
+
+    return {
+        "files_rewritten": files_rewritten,
+        "rows_erased": rows_erased,
+        "manifests_updated": manifests_updated,
+    }

@@ -1,0 +1,110 @@
+"""erase_rows: GDPR erasure across all retained manifest versions —
+every snapshot re-stamped, shared files rewritten once, fail-loud
+crash window, idempotency, empty-file survivors."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+def _stage(spark, tmp_path):
+    from hyppo_worker_spark.sources.integration_source import (
+        FORMAT_NAME,
+        register_integration_source,
+    )
+
+    register_integration_source(spark)
+    tasks = [
+        {"task_id": k, "day": f"2024-01-0{k}", "n_rows": 6} for k in (1, 2, 3)
+    ]
+    out = str(tmp_path / "zone")
+    for batch in (tasks[:2], tasks[2:]):
+        (
+            spark.read.format(FORMAT_NAME)
+            .schema("task_id int, day string, seq int, name string, score int")
+            .option(
+                "fetcher",
+                "hyppo_worker_spark.sources.integration_source:"
+                "synthetic_events_fetcher",
+            )
+            .option("tasks", json.dumps(batch))
+            .load()
+            .write.format(FORMAT_NAME)
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+    return out
+
+
+def _read(spark, out, version=None):
+    from hyppo_worker_spark.sources.integration_source import read_committed
+
+    return read_committed(
+        spark,
+        out,
+        "task_id long, day string, seq long, name string, score long",
+        version=version,
+    )
+
+
+def test_erasure_hits_every_version_and_is_idempotent(spark, tmp_path):
+    from hyppo_worker_spark.sources.integration_source import erase_rows
+
+    out = _stage(spark, tmp_path)
+    before_v1 = _read(spark, out, 1).count()
+    stats = erase_rows(out, lambda r: r["seq"] % 3 == 0)
+    assert stats["rows_erased"] == 6  # 3 tasks x 6 rows, seq 0 and 3
+    assert stats["files_rewritten"] == 3
+    assert stats["manifests_updated"] >= 3  # v1, v2, latest pointer
+    for ver in (1, 2, None):
+        df = _read(spark, out, ver)  # checksum gate must pass
+        assert df.filter("seq % 3 = 0").count() == 0
+    assert _read(spark, out, 1).count() == before_v1 - 4  # 2 tasks x 2 rows
+    # idempotent: nothing left to erase, nothing rewritten
+    again = erase_rows(out, lambda r: r["seq"] % 3 == 0)
+    assert again == {
+        "files_rewritten": 0,
+        "rows_erased": 0,
+        "manifests_updated": 0,
+    }
+
+
+def test_erasure_crash_window_fails_loud(spark, tmp_path):
+    """Simulate the crash between data rewrite and manifest re-stamp:
+    a manifest whose md5 is stale must make read_committed REFUSE,
+    and rerunning the erasure converges (manifests re-stamped)."""
+    from hyppo_worker_spark.sources.integration_source import erase_rows
+
+    out = _stage(spark, tmp_path)
+    # capture a pre-erasure snapshot of manifest v1
+    with open(os.path.join(out, "_MANIFEST-v1.json"), encoding="utf-8") as fh:
+        v1_before = fh.read()
+    erase_rows(out, lambda r: r["seq"] == 5)
+    # forge the crash: v1's manifest reverts to the pre-erasure stamp
+    with open(os.path.join(out, "_MANIFEST-v1.json"), "w", encoding="utf-8") as fh:
+        fh.write(v1_before)
+    with pytest.raises(Exception, match="checksum|md5"):
+        _read(spark, out, 1).count()
+    # rerun the SAME erasure: zero rows left to erase, but every
+    # manifest entry is reconciled against the file's current content
+    # — the stale v1 re-stamps and the gate passes again (convergence)
+    stats = erase_rows(out, lambda r: r["seq"] == 5)
+    assert stats["rows_erased"] == 0
+    assert stats["files_rewritten"] == 0
+    assert stats["manifests_updated"] == 1  # exactly the forged v1
+    assert _read(spark, out, 1).filter("seq = 5").count() == 0
+
+
+def test_erasure_can_empty_a_file(spark, tmp_path):
+    from hyppo_worker_spark.sources.integration_source import erase_rows
+
+    out = _stage(spark, tmp_path)
+    erase_rows(out, lambda r: r["task_id"] == 3)  # task 3's whole file
+    assert _read(spark, out, 2).filter("task_id = 3").count() == 0
+    # v2 still readable (empty file md5 matches), totals consistent
+    assert _read(spark, out, 2).count() == 12
+    assert _read(spark, out, 1).count() == 12  # task 3 was only in v2

@@ -57,13 +57,17 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      ["d14_split_assignment"],
      "cluster-atomic 80/10/10 train/val/test split — near-dup components "
      "share one md5-gated split, naive-split leak count quantified"),
-    ("corpus versioning",
-     ["d12_snapshot_diff", "p06_manifest_time_travel"],
+    ("corpus versioning / erasure",
+     ["d12_snapshot_diff", "p06_manifest_time_travel",
+      "p31_erasure_vs_time_travel"],
      "snapshot-to-snapshot diff (added/removed/changed/unchanged) via "
      "full-outer id join on scan-side digests; manifest SNAPSHOT "
      "VERSIONING with checksum-verified time-travel reads — "
      "`read_committed(version=n)` reproduces the corpus AS OF any "
-     "retained version (`sources/integration_source.py`)"),
+     "retained version (`sources/integration_source.py`); GDPR-style "
+     "erasure that DEFEATS history — shared data files rewritten once, "
+     "every retained snapshot re-stamped, fail-loud crash window, "
+     "rerun-convergent (`erase_rows`)"),
     ("sharding / export",
      ["t13_shard_manifest", "d09_corpus_export_manifest"],
      "deterministic md5-bucket shard writer + manifest "
