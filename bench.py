@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "p30_rocksdb_state_backend",
     "q74_runtime_bloom_filter",
     "p31_erasure_vs_time_travel",
+    "q75_sorted_export",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

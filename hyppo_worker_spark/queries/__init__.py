@@ -440,6 +440,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # 2 greens archived (r7, r8); the connector/manifest family
         # stays in-window via p06 (time travel), p25 (streaming
         # sink loop) and p31 (erasure over the same zone machinery)
+        # Slot for the NEW round-9 q75 (globally-sorted range-shard
+        # export, disjointness proven from committed footers), so
+        # the new surface lands WITH driver evidence:
+        "p18_stream_stream_join",  # watermarked inner join — 2
+        # greens archived (r7, r8); stream-stream stays in-window
+        # via p20 (outer join) and p26 (chained stateful rollup)
     }
 )
 

@@ -5075,3 +5075,123 @@ def q74_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bloom_injected", F.lit(injected))
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# q75 — GLOBALLY-SORTED range-sharded export, proven from FOOTERS:
+# hash shards (t13) make even slices but destroy order; a corpus that
+# must be binary-searchable (id-range serves, merge-joins against
+# other sorted corpora, resumable range scans) needs RANGE shards
+# whose files are internally sorted and mutually disjoint. Spark's
+# repartitionByRange samples (nondeterministic boundaries — unusable
+# under a value-pinned oracle and unstable across reruns), so the
+# boundaries here are EXACT percentile_disc cutpoints (deterministic,
+# integer cents): shard = |{cuts < cents}|, ties land low. One
+# repartition("shard") + sortWithinPartitions gives one sorted file
+# per shard directory (p28's write discipline). The evidence is
+# physical, not claimed: the committed files' parquet FOOTERS (the
+# q54 zonemap reader) must show min/max ranges strictly disjoint in
+# shard order and exactly one file per shard — both ride literal
+# columns next to the oracle-pinned per-shard stats. Scale: exact
+# percentiles shuffle all values once (q23's note); production swaps
+# in quantile-sketch cutpoints (q47) and keeps everything else.
+# --------------------------------------------------------------------------
+_Q75_FRACS = [i / 8 for i in range(1, 8)]
+
+_Q75_ORACLE = f"""
+    WITH base AS (
+        SELECT o_orderkey AS okey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    cuts AS (
+        SELECT [{", ".join(f"quantile_disc(cents, {f})" for f in _Q75_FRACS)}]
+            AS c
+        FROM base
+    ),
+    assigned AS (
+        SELECT cents,
+               len(list_filter((SELECT c FROM cuts), x -> x < cents))
+                   AS shard
+        FROM base
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents,
+           TRUE AS one_file_per_shard,
+           TRUE AS ranges_disjoint
+    FROM assigned GROUP BY shard ORDER BY shard
+"""
+
+
+@register(
+    "q75_sorted_export",
+    oracle=_Q75_ORACLE,
+    tags=("layout", "sorted-export", "range-shards", "data-skipping",
+          "manifest"),
+)
+def q75_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders exported into 8 range shards at exact percentile_disc
+    cutpoints, one sorted file per shard; per-shard stats must match
+    the oracle and the committed footers must prove one file per
+    shard with strictly disjoint [min,max] ranges in shard order."""
+    import os
+    import tempfile
+
+    from hyppo_worker_spark.operators.zonemap import build_zonemap
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    base = t["orders"].select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    base.createOrReplaceTempView("q75_base")
+    pct = ", ".join(
+        f"percentile_disc({f}) WITHIN GROUP (ORDER BY cents)"
+        for f in _Q75_FRACS
+    )
+    cuts = [int(c) for c in spark.sql(f"SELECT {pct} FROM q75_base").first()]
+    cut_arr = ", ".join(f"{c}L" for c in cuts)
+    sharded = base.withColumn(
+        "shard", F.expr(f"size(filter(array({cut_arr}), x -> x < cents))")
+    )
+    export = os.path.join(tempfile.mkdtemp(prefix="hyppo-q75-"), "sorted")
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions("shard", "cents", "okey")
+        .write.partitionBy("shard")
+        .parquet(export)
+    )
+    # physical evidence from the committed footers (8 shard rows,
+    # bounded pulls)
+    zm = (
+        build_zonemap(spark, export, ["cents"])
+        .withColumn(
+            "shard", F.regexp_extract("file", r"shard=(\d+)", 1).cast("int")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.min(F.col("vmin").cast("long")).alias("fmin"),
+            F.max(F.col("vmax").cast("long")).alias("fmax"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    one_file = all(r["n_files"] == 1 for r in zm) and len(zm) == 8
+    disjoint = all(
+        zm[i]["fmax"] < zm[i + 1]["fmin"] for i in range(len(zm) - 1)
+    )
+    return (
+        spark.read.parquet(export)
+        .groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .withColumn("one_file_per_shard", F.lit(bool(one_file)))
+        .withColumn("ranges_disjoint", F.lit(bool(disjoint)))
+        .orderBy("shard")
+    )

@@ -40,7 +40,6 @@ def test_driver_registry_covers_every_family():
         "p15_streaming_funnel",
         "p16_dropdup_within_watermark",
         "p17_queue_rollup_ledger",
-        "p18_stream_stream_join",
         "q42_retention_cohorts",
         "q45_variant_ingestion",
         "q57_interval_bin_join",
@@ -92,6 +91,7 @@ def test_driver_registry_covers_every_family():
         "p30_rocksdb_state_backend",
         "q74_runtime_bloom_filter",
         "p31_erasure_vs_time_travel",
+        "q75_sorted_export",
     ):
         assert must in names
 

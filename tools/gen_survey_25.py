@@ -162,7 +162,7 @@ FAMILIES: list[tuple[str, list[str], str]] = [
     # ---- storage / layout ---------------------------------------------
     ("storage layout / data skipping",
      ["q50_zorder_skipping", "q54_zonemap_pruning", "p28_rebalance_write",
-      "q73_dynamic_partition_pruning"],
+      "q73_dynamic_partition_pruning", "q75_sorted_export"],
      "z-order (Morton) clustered export with min-max pruning on every "
      "clustered dimension verified from parquet footers "
      "(`operators/zorder.py`); distributed zonemap build from REAL "
@@ -172,7 +172,9 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "directory; small-file compaction (`maintenance.compact`); DYNAMIC "
      "partition pruning — the runtime skip path for filters only known "
      "after evaluating the dim side, dynamicpruning subquery asserted "
-     "in the executed plan"),
+     "in the executed plan; globally-sorted RANGE-shard export at exact "
+     "percentile_disc cutpoints — one sorted file per shard, strict "
+     "[min,max] disjointness proven from the committed parquet footers"),
     ("dimension history (SCD2) / merge",
      ["q30_merge_upsert", "q51_scd2_history", "q52_temporal_scd2_join"],
      "keyed upsert audit; type-2 close-and-append versioning with no-op "
