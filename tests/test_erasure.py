@@ -108,3 +108,39 @@ def test_erasure_can_empty_a_file(spark, tmp_path):
     # v2 still readable (empty file md5 matches), totals consistent
     assert _read(spark, out, 2).count() == 12
     assert _read(spark, out, 1).count() == 12  # task 3 was only in v2
+
+
+def test_erasure_random_predicates_match_filter(spark, tmp_path):
+    """Property-style sweep (deterministic seeds, no Spark restage per
+    case): for random erasure predicates over random task layouts, the
+    post-erasure zone at EVERY version equals filtering the regenerated
+    rows — and checksums stay green throughout successive erasures
+    applied to the same zone (composition: erase A then B == erase
+    A-or-B)."""
+    import random
+
+    from hyppo_worker_spark.sources.integration_source import erase_rows
+
+    rng = random.Random(9)
+    out = _stage(spark, tmp_path)  # v1: tasks 1,2 / v2: +task 3, 6 rows each
+
+    def rows_at(ver):
+        return {
+            (r.task_id, r.seq)
+            for r in _read(spark, out, ver).select("task_id", "seq").collect()
+        }
+
+    # ground truth: regenerate the fetcher's rows per version
+    full = {1: {(t, s) for t in (1, 2) for s in range(6)},
+            2: {(t, s) for t in (1, 2, 3) for s in range(6)}}
+    erased: set[tuple[int, int]] = set()
+    for _ in range(4):
+        t_pick = rng.choice([1, 2, 3])
+        s_pick = rng.randrange(6)
+        pred = lambda r, t=t_pick, s=s_pick: (
+            r["task_id"] == t and r["seq"] >= s
+        )
+        erased |= {(t_pick, s) for s in range(s_pick, 6)}
+        erase_rows(out, pred)
+        for ver in (1, 2):
+            assert rows_at(ver) == full[ver] - erased, (t_pick, s_pick)
