@@ -1382,7 +1382,7 @@ def p13_streaming_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (session.scoped_conf docstring: measured 3-6x drain cut)
     from hyppo_worker_spark.session import scoped_conf
 
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
         q = (
             deduped.writeStream.foreachBatch(sink)
             .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -1900,7 +1900,7 @@ def p16_dropdup_within_watermark(
     # (session.scoped_conf docstring: measured 3-6x drain cut)
     from hyppo_worker_spark.session import scoped_conf
 
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
         q = (
             deduped.writeStream.foreachBatch(sink)
             .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -2210,7 +2210,7 @@ def p18_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docstring has the measurements: 14-23s -> 4-5s at sf0.1).
     from hyppo_worker_spark.session import scoped_conf
 
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
         q = (
             joined.writeStream.foreachBatch(sink)
             .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -2464,20 +2464,11 @@ def p20_stream_stream_outer_join(
         blk = F.least(
             (F.dayofmonth(ts_col) - 1) / F.lit(10), F.lit(2)
         ).cast("int")
-        staged = df.withColumn("blk", blk)
-        for i in range(3):
-            part_dir = os.path.join(work, f"stage-{label}-{i}")
-            staged.filter(F.col("blk") == i).drop("blk").coalesce(
-                1
-            ).write.parquet(part_dir)
-            part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-            dest = os.path.join(src, f"batch{i}.parquet")
-            shutil.move(part, dest)
-            os.utime(dest, (now - 300 + 100 * i,) * 2)
         # sentinel: one far-future row, processed LAST — pushes the
         # watermark past every real row's join window so all unmatched
-        # views are decided before the stream ends
-        sent_dir = os.path.join(work, f"stage-{label}-sentinel")
+        # views are decided before the stream ends; staged as blk=3 so
+        # ONE partitioned write materializes all four time-ordered
+        # files (the p26 staging cut, r9 profile)
         flush_ts = F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")
         if label == "views":
             sent = spark.range(1).select(
@@ -2492,11 +2483,19 @@ def p20_stream_stream_outer_join(
                 flush_ts.alias("pts"),
                 F.lit(0).cast("long").alias("cents"),
             )
-        sent.coalesce(1).write.parquet(sent_dir)
-        part = glob.glob(os.path.join(sent_dir, "part-*.parquet"))[0]
-        dest = os.path.join(src, "batch3-sentinel.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (now - 300 + 100 * 3,) * 2)
+        staged = df.withColumn("blk", blk).unionByName(
+            sent.withColumn("blk", F.lit(3))
+        )
+        stage_dir = os.path.join(work, f"stage-{label}")
+        staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
+        for i in range(4):
+            part = glob.glob(
+                os.path.join(stage_dir, f"blk={i}", "part-*.parquet")
+            )[0]
+            name = f"batch{i}.parquet" if i < 3 else "batch3-sentinel.parquet"
+            dest = os.path.join(src, name)
+            shutil.move(part, dest)
+            os.utime(dest, (now - 300 + 100 * i,) * 2)
         dirs[label] = src
 
     vstream = (
@@ -2528,7 +2527,12 @@ def p20_stream_stream_outer_join(
 
     from hyppo_worker_spark.session import scoped_conf
 
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    # 4 state partitions: the outer join keeps FOUR state stores per
+    # partition, so store commits = 4 x partitions x triggers — the
+    # dominant task-time at test scale (r9 profile: 11-14 task-s at 8
+    # partitions, p26 precedent). At 100 TB this knob goes UP; state
+    # partition count freezes into the checkpoint (SCALE.md rule).
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
         q = (
             joined.writeStream.foreachBatch(sink)
             .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -2973,7 +2977,7 @@ def p23_stream_checkpoint_resume(
 
     from hyppo_worker_spark.session import scoped_conf
 
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
         prog1 = run_phase(2)  # blk0, blk1 — then the query STOPS
         prog2 = run_phase(2)  # blk2, blk3 under a NEW query, same ckpt
 
@@ -3091,28 +3095,28 @@ def p24_streaming_session_windows(
     blk = F.least(
         (F.dayofmonth("ts") - 1) / F.lit(10), F.lit(2)
     ).cast("int")
-    staged = base.withColumn("blk", blk)
-    for i in range(3):
-        part_dir = os.path.join(work, f"stage-{i}")
-        staged.filter(F.col("blk") == i).drop("blk").coalesce(
-            1
-        ).write.parquet(part_dir)
-        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-        dest = os.path.join(src_dir, f"batch{i}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (now - 300 + 100 * i,) * 2)
     # sentinel: advances the watermark past every session's end so
-    # append mode emits ALL sessions before the stream terminates
-    sent_dir = os.path.join(work, "stage-sentinel")
-    spark.range(1).select(
+    # append mode emits ALL sessions before the stream terminates;
+    # staged as blk=3 so ONE partitioned write materializes all four
+    # time-ordered files (the p26 staging cut, r9 profile)
+    sent = spark.range(1).select(
         F.lit(-1).cast("long").alias("event_id"),
         (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
         F.lit(-1).cast("long").alias("user_id"),
-    ).coalesce(1).write.parquet(sent_dir)
-    part = glob.glob(os.path.join(sent_dir, "part-*.parquet"))[0]
-    dest = os.path.join(src_dir, "batch3-sentinel.parquet")
-    shutil.move(part, dest)
-    os.utime(dest, (now - 300 + 100 * 3,) * 2)
+    )
+    staged = base.withColumn("blk", blk).unionByName(
+        sent.withColumn("blk", F.lit(3))
+    )
+    stage_dir = os.path.join(work, "stage")
+    staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
+    for i in range(4):
+        part = glob.glob(
+            os.path.join(stage_dir, f"blk={i}", "part-*.parquet")
+        )[0]
+        name = f"batch{i}.parquet" if i < 3 else "batch3-sentinel.parquet"
+        dest = os.path.join(src_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * i,) * 2)
 
     stream = (
         spark.readStream.schema(
@@ -3141,7 +3145,10 @@ def p24_streaming_session_windows(
 
     from hyppo_worker_spark.session import scoped_conf
 
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    # 4 state partitions: merging-session store commits dominate the
+    # trigger task-time at test scale (r9 profile, p26 precedent); at
+    # 100 TB this knob goes UP and freezes into the checkpoint.
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
         q = (
             sessions.writeStream.outputMode("append")
             .foreachBatch(sink)

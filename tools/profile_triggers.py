@@ -49,7 +49,14 @@ def main() -> None:
         "p25": "p25_connector_streaming_loop",
         "p26": "p26_chained_stateful_rollup",
     }
-    targets = [which] if which in names else ["p25", "p26"]
+    if which in names:
+        targets = [which]
+    elif which == "both":
+        targets = ["p25", "p26"]
+    else:
+        # any registry row that drains a stream through drain_stream
+        names[which] = which
+        targets = [which]
 
     # JVM warm-up
     spark.range(100000).selectExpr("sum(id)").collect()
