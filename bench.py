@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "q74_runtime_bloom_filter",
     "p31_erasure_vs_time_travel",
     "q75_sorted_export",
+    "p32_native_file_sink",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

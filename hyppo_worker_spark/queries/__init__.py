@@ -446,6 +446,13 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "p18_stream_stream_join",  # watermarked inner join — 2
         # greens archived (r7, r8); stream-stream stays in-window
         # via p20 (outer join) and p26 (chained stateful rollup)
+        # Slot for the NEW round-9 p32 (the native parquet stream
+        # sink's _spark_metadata exactly-once log, orphan-file
+        # invariant), so the new surface lands WITH driver evidence:
+        "p06_manifest_time_travel",  # manifest time travel — 3+
+        # greens archived (r6-r8); the manifest family stays
+        # in-window via p25 (streaming epoch manifests) and p31
+        # (erasure re-stamping every retained snapshot)
     }
 )
 

@@ -4084,3 +4084,129 @@ def p31_erasure_vs_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# p32 — the NATIVE streaming FILE SINK and its _spark_metadata
+# transaction log: every other streaming row commits through
+# foreachBatch + this repo's marker committers; Spark's built-in
+# parquet stream sink has its OWN exactly-once story — a per-batch
+# manifest under <out>/_spark_metadata that batch reads of that path
+# HONOR (FileIndex switches to the metadata log when present), so
+# readers see only committed files no matter what else is lying in
+# the directory. The row proves the mechanism, not just the happy
+# path: after the drain an ORPHAN parquet file (poisoned rows, valid
+# footer) is PLANTED in the output directory — exactly what a
+# crashed task/speculative duplicate leaves behind on a real store —
+# and (a) the committed read must not see it (oracle equality on the
+# per-type rollup), while (b) a raw glob read of part-files must
+# (orphan_visible_raw: the files ARE there; only the log hides
+# them). metadata_log_present pins the directory shape. Scale: the
+# metadata log is what makes S3-style eventually-listed sinks safely
+# readable mid-stream at 100 TB; its cost is one manifest per batch
+# (compacted every 10 by default), not per file.
+# --------------------------------------------------------------------------
+@register(
+    "p32_native_file_sink",
+    oracle="""
+    SELECT event_type AS etype,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents,
+           TRUE AS metadata_log_present,
+           TRUE AS orphan_ignored,
+           TRUE AS orphan_visible_raw
+    FROM events
+    WHERE value > 0
+    GROUP BY etype ORDER BY etype
+    """,
+    tags=("pipeline", "streaming", "file-sink", "exactly-once",
+          "spark-metadata"),
+)
+def p32_native_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain events through Spark's native parquet stream sink, plant
+    an orphan part-file beside the committed ones, and prove the
+    _spark_metadata log hides it from committed reads (rollup equals
+    the oracle) while a raw part-file glob still sees it."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        F.col("event_type").alias("etype"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        (F.col("value") > 0).alias("keep"),
+    )
+    work = tempfile.mkdtemp(prefix="hyppo-p32-")
+    src_dir = os.path.join(work, "events")
+    os.makedirs(src_dir)
+    now = time.time()
+    blk = F.least((F.dayofmonth("ts") - 1) / F.lit(10), F.lit(2)).cast("int")
+    stage_dir = os.path.join(work, "stage")
+    ev.withColumn("blk", blk).coalesce(1).write.partitionBy("blk").parquet(
+        stage_dir
+    )
+    for i in range(3):
+        part = glob.glob(os.path.join(stage_dir, f"blk={i}", "part-*.parquet"))[0]
+        dest = os.path.join(src_dir, f"batch{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * i,) * 2)
+
+    out = os.path.join(work, "sink")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, etype string, "
+            "cents long, keep boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .filter(F.col("keep"))
+        .select("event_id", "user_id", "etype", "cents")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_stream(q, 300)
+
+    # plant the orphan: a valid parquet part-file the sink never
+    # committed (what a crashed/speculative task leaves on the store)
+    orphan_stage = os.path.join(work, "orphan")
+    spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("orphan").alias("etype"),
+        F.lit(10**9).cast("long").alias("cents"),
+    ).coalesce(1).write.parquet(orphan_stage)
+    part = glob.glob(os.path.join(orphan_stage, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(out, os.path.basename(part)))
+
+    meta_present = os.path.isdir(os.path.join(out, "_spark_metadata"))
+    committed = spark.read.parquet(out)
+    # bounded pulls: two scalar counters prove the invariant both ways
+    n_orphan_committed = committed.filter(F.col("etype") == "orphan").count()
+    raw = spark.read.schema(committed.schema).parquet(
+        os.path.join(out, "part-*.parquet")
+    )
+    n_orphan_raw = raw.filter(F.col("etype") == "orphan").count()
+
+    return (
+        committed.groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("cents"),
+        )
+        .withColumn("metadata_log_present", F.lit(bool(meta_present)))
+        .withColumn("orphan_ignored", F.lit(n_orphan_committed == 0))
+        .withColumn("orphan_visible_raw", F.lit(n_orphan_raw == 1))
+        .orderBy("etype")
+    )

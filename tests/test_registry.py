@@ -35,7 +35,6 @@ def test_driver_registry_covers_every_family():
     # the load-bearing representatives must stay in the window
     for must in (
         # 1-green round-7 rows keep accumulating driver evidence
-        "p06_manifest_time_travel",
         "p08_streaming_incremental_cc",
         "p15_streaming_funnel",
         "p16_dropdup_within_watermark",
@@ -92,6 +91,7 @@ def test_driver_registry_covers_every_family():
         "q74_runtime_bloom_filter",
         "p31_erasure_vs_time_travel",
         "q75_sorted_export",
+        "p32_native_file_sink",
     ):
         assert must in names
 

@@ -306,14 +306,17 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "nothing and admits later files exactly once"),
     ("streaming maintenance sinks",
      ["p05_streaming_sketch_rollup", "p07_streaming_scd2_cdc",
-      "p08_streaming_incremental_cc"],
+      "p08_streaming_incremental_cc", "p32_native_file_sink"],
      "per-micro-batch mergeable-sketch rollups (bit-exact merge); "
      "continuous SCD2 from CDC with last-writer batch compaction + "
      "replay guard; incremental connected-components maintenance — only "
      "touched components recomputed, size-adaptive local-solve vs "
      "distributed fallback, committer layout auto-selected from the "
      "measured whole-table-vs-bucketed crossover "
-     "(`streaming/incremental_cc.py`)"),
+     "(`streaming/incremental_cc.py`); the NATIVE parquet stream sink's "
+     "_spark_metadata exactly-once log — a planted orphan part-file is "
+     "invisible to committed reads and visible to a raw glob, proving "
+     "the log is what readers trust"),
     ("streaming funnel / sessions",
      ["p15_streaming_funnel", "p24_streaming_session_windows"],
      "exact out-of-order conversion funnel with watermark-bounded state "
