@@ -718,7 +718,16 @@ def synthetic_documents_fetcher(params: dict, schema: StructType) -> Iterator[tu
         yield (doc_id, " ".join(words))
 
 
-def erase_rows(path: str, should_erase) -> dict:
+class ErasureReconcileError(RuntimeError):
+    """A manifest entry mismatches a data file this erasure run did
+    NOT rewrite. Blind re-stamping here would bless content the
+    checksum gate exists to reject (corruption, tampering) as the new
+    authoritative state. If the mismatch is a previous erasure's crash
+    window (data rewritten, manifest stamp lost), rerun with
+    ``reconcile=True`` to accept the file content."""
+
+
+def erase_rows(path: str, should_erase, *, reconcile: bool = False) -> dict:
     """GDPR-style erasure ACROSS ALL RETAINED VERSIONS of a manifest
     zone: rewrite every data file any snapshot references, dropping
     records where ``should_erase(record) -> True``, then update every
@@ -738,7 +747,14 @@ def erase_rows(path: str, should_erase) -> dict:
     leaves a manifest whose md5 no longer matches the rewritten
     file — ``read_committed`` fails LOUD on checksum, never serving
     half-erased state silently — and erasure is idempotent, so
-    rerunning converges. Scale: the loop is per-FILE with no
+    rerunning converges. Recovering that crash window requires an
+    EXPLICIT ``reconcile=True``: a stale manifest entry for a file
+    this run did not rewrite is indistinguishable (by content) from
+    external corruption or tampering, so the default raises
+    ``ErasureReconcileError`` naming the files instead of silently
+    re-stamping whatever is on disk as authoritative — re-stamping
+    only the entries of files THIS run rewrote. Scale: the loop is
+    per-FILE with no
     cross-file state — at a 100 TB zone it distributes as one task
     per file (the zone's files are per-ingestion-task by
     construction, so parallelism equals the original write's).
@@ -763,6 +779,7 @@ def erase_rows(path: str, should_erase) -> dict:
     # left to erase — reconciling every entry against the file's
     # current content is what makes rerunning converge.
     post_state: dict[str, dict] = {}
+    rewritten_this_run: set[str] = set()
     files_rewritten = 0
     rows_erased = 0
     for fname in sorted(data_files):
@@ -786,9 +803,33 @@ def erase_rows(path: str, should_erase) -> dict:
                 for line in kept:
                     fh.write(line + "\n")
             os.replace(tmp, fpath)
+            rewritten_this_run.add(fname)
             files_rewritten += 1
             rows_erased += erased_here
         post_state[fname] = {"rows": n, "md5": h.hexdigest()}
+
+    # Fail-loud gate BEFORE mutating any manifest: entries that
+    # mismatch a file this run did NOT rewrite are either a previous
+    # erasure's crash window (expected: rerun with reconcile=True) or
+    # genuine corruption — never silently absorbed.
+    stale_unrewritten = sorted(
+        {
+            e["file"]
+            for m in manifests.values()
+            for e in m["files"]
+            if e["file"] not in rewritten_this_run
+            and (r := post_state.get(e["file"])) is not None
+            and (e["rows"], e["md5"]) != (r["rows"], r["md5"])
+        }
+    )
+    if stale_unrewritten and not reconcile:
+        raise ErasureReconcileError(
+            "manifest entries mismatch data files this erasure run did "
+            f"not rewrite: {stale_unrewritten}. If a previous erasure "
+            "crashed between its data rewrite and manifest re-stamp, "
+            "rerun with reconcile=True to accept the current file "
+            "content; otherwise investigate corruption."
+        )
 
     manifests_updated = 0
     for mname, m in manifests.items():

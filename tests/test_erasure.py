@@ -89,14 +89,58 @@ def test_erasure_crash_window_fails_loud(spark, tmp_path):
         fh.write(v1_before)
     with pytest.raises(Exception, match="checksum|md5"):
         _read(spark, out, 1).count()
-    # rerun the SAME erasure: zero rows left to erase, but every
-    # manifest entry is reconciled against the file's current content
-    # — the stale v1 re-stamps and the gate passes again (convergence)
-    stats = erase_rows(out, lambda r: r["seq"] == 5)
+    # rerunning WITHOUT reconcile must fail loud: the stale v1 entry
+    # points at a file THIS run did not rewrite — indistinguishable
+    # from corruption, so it is surfaced, not absorbed (no manifest
+    # is touched by the failed run)
+    from hyppo_worker_spark.sources.integration_source import (
+        ErasureReconcileError,
+    )
+
+    with pytest.raises(ErasureReconcileError, match="reconcile=True"):
+        erase_rows(out, lambda r: r["seq"] == 5)
+    with pytest.raises(Exception, match="checksum|md5"):
+        _read(spark, out, 1).count()  # still refusing — nothing stamped
+    # the EXPLICIT crash-recovery path: reconcile=True accepts the
+    # rewritten file content and re-stamps exactly the forged v1
+    stats = erase_rows(out, lambda r: r["seq"] == 5, reconcile=True)
     assert stats["rows_erased"] == 0
     assert stats["files_rewritten"] == 0
     assert stats["manifests_updated"] == 1  # exactly the forged v1
     assert _read(spark, out, 1).filter("seq = 5").count() == 0
+
+
+def test_erasure_surfaces_external_tampering(spark, tmp_path):
+    """A data file corrupted by ANYTHING other than this erasure run
+    must fail the run by default — re-stamping would launder the
+    checksum gate into 'whatever is on disk is authoritative'."""
+    from hyppo_worker_spark.sources.integration_source import (
+        ErasureReconcileError,
+        erase_rows,
+    )
+
+    out = _stage(spark, tmp_path)
+    # tamper with a committed data file behind the manifest's back
+    victim = None
+    with open(os.path.join(out, "_MANIFEST-v1.json"), encoding="utf-8") as fh:
+        victim = json.load(fh)["files"][0]["file"]
+    vpath = os.path.join(out, victim)
+    with open(vpath, encoding="utf-8") as fh:
+        lines = fh.readlines()
+    rec = json.loads(lines[0])
+    tampered_task = rec["task_id"]
+    rec["score"] = 999_999  # silent value tamper, same row count
+    lines[0] = json.dumps(rec) + "\n"
+    with open(vpath, "w", encoding="utf-8") as fh:
+        fh.writelines(lines)
+    # an unrelated erasure (rewrites OTHER tasks' files, never the
+    # tampered one) must not bless the tampered file
+    other_task = 2 if tampered_task != 2 else 1
+    with pytest.raises(ErasureReconcileError, match=victim):
+        erase_rows(out, lambda r, t=other_task: r["task_id"] == t)
+    # and the checksum gate still rejects reads of the tampered zone
+    with pytest.raises(Exception, match="checksum|md5"):
+        _read(spark, out, 1).count()
 
 
 def test_erasure_can_empty_a_file(spark, tmp_path):
