@@ -43,6 +43,40 @@ import shutil
 from pyspark.sql import DataFrame
 
 
+def _shape_tag(marker_dir: str, batch_id: int) -> str:
+    return os.path.join(marker_dir, f"gen-{batch_id}.shape")
+
+
+def record_shape(marker_dir: str, batch_id: int, shape: str) -> None:
+    """Record WHICH commit protocol created generation ``batch_id``'s
+    ``.old-<id>`` root ("whole" | "bucketed"), BEFORE the root becomes
+    observable. Recovery dispatch reads this tag instead of inferring
+    the layout from Spark output-file naming conventions (``_SUCCESS``
+    / ``part-*`` presence) — an inference that misdispatches when a
+    whole-dir generation carries neither (e.g.
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` plus an
+    empty table) and then destroys the pre-batch generation. An orphan
+    tag (crash between tag write and root creation) is harmless: the
+    tag is only consulted for a root that exists."""
+    with open(_shape_tag(marker_dir, batch_id), "w") as fh:
+        fh.write(shape)
+
+
+def read_shape(marker_dir: str, batch_id: int) -> str | None:
+    try:
+        with open(_shape_tag(marker_dir, batch_id), encoding="utf-8") as fh:
+            return fh.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def _drop_shape(marker_dir: str, batch_id: int) -> None:
+    try:
+        os.unlink(_shape_tag(marker_dir, batch_id))
+    except FileNotFoundError:
+        pass
+
+
 class MarkedTableCommitter:
     """Marker-guarded staged-swap commits for one maintained table."""
 
@@ -78,9 +112,13 @@ class MarkedTableCommitter:
             # pre-batch one, so the replay applies exactly once
             if os.path.isdir(self.table_dir):
                 shutil.rmtree(self.table_dir)
-            os.rename(olds.pop(), self.table_dir)
+            rolled = olds.pop()
+            os.rename(rolled, self.table_dir)
+            _drop_shape(self.marker_dir, int(rolled.rsplit("-", 1)[1]))
         for stale in olds + glob.glob(self.table_dir + ".staging-*"):
             shutil.rmtree(stale, ignore_errors=True)
+            if ".old-" in stale:
+                _drop_shape(self.marker_dir, int(stale.rsplit("-", 1)[1]))
 
     def mark_only(self, batch_id: int) -> None:
         """Ack a batch that changed nothing (e.g. an empty batch)."""
@@ -113,10 +151,15 @@ class MarkedTableCommitter:
         writer.parquet(staging)
         old = self.table_dir + f".old-{batch_id}"
         if os.path.isdir(self.table_dir):
+            # tag the generation's protocol BEFORE its root exists —
+            # recovery dispatches on this record, never on the root's
+            # file-naming shape
+            record_shape(self.marker_dir, batch_id, "whole")
             os.rename(self.table_dir, old)
         os.rename(staging, self.table_dir)
         self.mark_only(batch_id)
         shutil.rmtree(old, ignore_errors=True)
+        _drop_shape(self.marker_dir, batch_id)
 
 
 class BucketedMarkedTableCommitter:
@@ -205,9 +248,13 @@ class BucketedMarkedTableCommitter:
                         self.table_dir, tname[len("created-"):]
                     )
                     shutil.rmtree(created, ignore_errors=True)
-            shutil.rmtree(olds.pop(), ignore_errors=True)
+            rolled = olds.pop()
+            shutil.rmtree(rolled, ignore_errors=True)
+            _drop_shape(self.marker_dir, int(rolled.rsplit("-", 1)[1]))
         for stale in olds + glob.glob(self.table_dir + ".staging-*"):
             shutil.rmtree(stale, ignore_errors=True)
+            if ".old-" in stale:
+                _drop_shape(self.marker_dir, int(stale.rsplit("-", 1)[1]))
 
     def commit(self, df: DataFrame, batch_id: int) -> None:
         """``df`` must hold the COMPLETE new content of every bucket
@@ -218,6 +265,7 @@ class BucketedMarkedTableCommitter:
             staging
         )
         old_root = self.table_dir + f".old-{batch_id}"
+        record_shape(self.marker_dir, batch_id, "bucketed")
         os.makedirs(old_root, exist_ok=True)
         os.makedirs(self.table_dir, exist_ok=True)
         for bname in self._bucket_dirs(staging):
@@ -236,3 +284,4 @@ class BucketedMarkedTableCommitter:
         shutil.rmtree(staging, ignore_errors=True)
         self.mark_only(batch_id)
         shutil.rmtree(old_root, ignore_errors=True)
+        _drop_shape(self.marker_dir, batch_id)

@@ -155,11 +155,18 @@ class IncrementalCCSink:
 
     def _recover_dispatch(self) -> None:
         """Run the recovery protocol matching the newest UNMARKED
-        generation root's shape. A whole-dir generation is a complete
-        table (its root holds Spark's ``_SUCCESS`` / ``part-*`` files,
-        flat or partitioned); a per-bucket generation holds only the
-        swapped ``bucket=`` dirs + ``created-`` tombstones. Marked and
-        stale roots are GC'd identically by either recover."""
+        generation root, dispatching on the shape tag the COMMIT
+        recorded (``commit.record_shape`` — written before the root
+        exists), never on the root's file-naming conventions: a
+        whole-dir generation with ``marksuccessfuljobs=false`` and an
+        empty table carries neither ``_SUCCESS`` nor ``part-*``, and
+        the old heuristic would hand it to the bucketed recover, which
+        rmtree's it WITHOUT restoring — losing the pre-batch state.
+        The listing heuristic survives only as a fallback for legacy
+        roots committed before tags existed. Marked and stale roots
+        are GC'd identically by either recover."""
+        from hyppo_worker_spark.streaming.commit import read_shape
+
         olds = sorted(
             glob.glob(self.table_dir + ".old-*"),
             key=lambda p: int(p.rsplit("-", 1)[1]),
@@ -167,15 +174,21 @@ class IncrementalCCSink:
         committer = self._whole_committer
         if olds:
             newest = olds[-1]
-            if not self._whole_committer.done(
-                int(newest.rsplit("-", 1)[1])
-            ) and os.path.isdir(newest):
-                names = os.listdir(newest)
-                whole_shape = "_SUCCESS" in names or any(
-                    n.startswith("part-") for n in names
-                )
-                if not whole_shape:
+            newest_id = int(newest.rsplit("-", 1)[1])
+            if not self._whole_committer.done(newest_id) and os.path.isdir(
+                newest
+            ):
+                shape = read_shape(self.marker_dir, newest_id)
+                if shape == "bucketed":
                     committer = self._bucketed_committer
+                elif shape is None:
+                    # legacy root (pre-tag): fall back to the listing
+                    names = os.listdir(newest)
+                    whole_shape = "_SUCCESS" in names or any(
+                        n.startswith("part-") for n in names
+                    )
+                    if not whole_shape:
+                        committer = self._bucketed_committer
         committer.recover()
 
     def _resolve_auto(self) -> bool:

@@ -326,3 +326,45 @@ def test_auto_layout_rollback_of_unmarked_migration(spark, tmp_path):
     sink2(spark.createDataFrame([(2, 3)], "a_id long, b_id long"), 1)
     assert any(n.startswith("bucket=") for n in os.listdir(table))
     assert _state(sink2) == _full(spark, [(1, 2), (5, 6), (2, 3)])
+
+
+def test_recover_dispatch_uses_recorded_shape_not_listing(spark, tmp_path):
+    """ADVICE r9: a whole-dir generation root can carry NEITHER
+    _SUCCESS nor part-* files (marksuccessfuljobs=false plus an empty
+    pre-batch table). The old listing heuristic misdispatched that to
+    the bucketed recover, which rmtree's the root WITHOUT restoring
+    it — losing the pre-batch generation. Dispatch now reads the shape
+    tag the commit recorded, so the empty whole-dir generation is
+    rolled BACK over the table."""
+    import os
+    import shutil
+
+    from hyppo_worker_spark.streaming.commit import read_shape, record_shape
+
+    sink = IncrementalCCSink(spark, str(tmp_path / "cc"), n_buckets="auto")
+    table = sink.table_dir
+
+    # pre-batch state: an empty table directory (what an empty-DF
+    # generation committed under marksuccessfuljobs=false looks like)
+    os.makedirs(table)
+
+    # forge batch 0's crash between swap and marker: the whole-dir
+    # protocol tagged the generation, renamed the (empty) table aside,
+    # swapped staging in — marker never landed
+    record_shape(sink.marker_dir, 0, "whole")
+    os.rename(table, table + ".old-0")
+    os.makedirs(table)
+    spark.createDataFrame(
+        [(1, 1), (2, 1)], "node long, comp long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "post"))
+    shutil.rmtree(table)
+    shutil.copytree(str(tmp_path / "post"), table)
+
+    sink._recover_dispatch()
+
+    # the pre-batch (empty) generation is RESTORED, not destroyed:
+    # the replayed batch will merge against the true pre-batch state
+    assert os.path.isdir(table)
+    assert os.listdir(table) == []
+    assert not os.path.isdir(table + ".old-0")
+    assert read_shape(sink.marker_dir, 0) is None  # tag GC'd with root
