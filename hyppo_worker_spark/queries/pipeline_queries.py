@@ -43,6 +43,56 @@ from hyppo_worker_spark.scheduler.scheduler import EngineConfig, HyppoEngine
 from hyppo_worker_spark.session import load_tables, tracked_persist
 from hyppo_worker_spark.storage import DataFileHandler, StorageLayout
 
+
+def _move_staged_blocks(
+    stage_dir: str,
+    dst_dir: str,
+    now: float,
+    n_blocks: int,
+    sentinel: bool = False,
+) -> None:
+    """Move a consolidated staging write's per-block files into a
+    stream source dir as time-ordered ``batch<i>.parquet`` files
+    (mtimes define the maxFilesPerTrigger drain order; the last block
+    is ``batch<n>-sentinel.parquet`` when ``sentinel``).
+
+    ``partitionBy("blk")`` OMITS a ``blk=<i>`` directory entirely when
+    that time block has zero rows — a dataset/SF that doesn't cover
+    every expected day bucket would otherwise surface as a bare
+    ``IndexError`` on the glob (ADVICE r9); fail with the real reason
+    instead."""
+    import glob
+    import os
+    import shutil
+
+    missing = [
+        i
+        for i in range(n_blocks)
+        if not glob.glob(
+            os.path.join(stage_dir, f"blk={i}", "part-*.parquet")
+        )
+    ]
+    if missing:
+        raise ValueError(
+            f"staged write at {stage_dir} produced no rows for time "
+            f"block(s) {missing} of {list(range(n_blocks))} — the input "
+            "does not cover every expected day bucket at this scale; "
+            "this streaming row needs >=1 row per block to define its "
+            "per-trigger batches"
+        )
+    for i in range(n_blocks):
+        part = glob.glob(
+            os.path.join(stage_dir, f"blk={i}", "part-*.parquet")
+        )[0]
+        name = (
+            f"batch{i}-sentinel.parquet"
+            if sentinel and i == n_blocks - 1
+            else f"batch{i}.parquet"
+        )
+        dest = os.path.join(dst_dir, name)
+        shutil.move(part, dest)
+        os.utime(dest, (now - 300 + 100 * i,) * 2)
+
 N_TASKS = 4
 
 
@@ -2488,14 +2538,7 @@ def p20_stream_stream_outer_join(
         )
         stage_dir = os.path.join(work, f"stage-{label}")
         staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
-        for i in range(4):
-            part = glob.glob(
-                os.path.join(stage_dir, f"blk={i}", "part-*.parquet")
-            )[0]
-            name = f"batch{i}.parquet" if i < 3 else "batch3-sentinel.parquet"
-            dest = os.path.join(src, name)
-            shutil.move(part, dest)
-            os.utime(dest, (now - 300 + 100 * i,) * 2)
+        _move_staged_blocks(stage_dir, src, now, 4, sentinel=True)
         dirs[label] = src
 
     vstream = (
@@ -3109,14 +3152,7 @@ def p24_streaming_session_windows(
     )
     stage_dir = os.path.join(work, "stage")
     staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
-    for i in range(4):
-        part = glob.glob(
-            os.path.join(stage_dir, f"blk={i}", "part-*.parquet")
-        )[0]
-        name = f"batch{i}.parquet" if i < 3 else "batch3-sentinel.parquet"
-        dest = os.path.join(src_dir, name)
-        shutil.move(part, dest)
-        os.utime(dest, (now - 300 + 100 * i,) * 2)
+    _move_staged_blocks(stage_dir, src_dir, now, 4, sentinel=True)
 
     stream = (
         spark.readStream.schema(
@@ -3406,14 +3442,7 @@ def p26_chained_stateful_rollup(
         )
         stage_dir = os.path.join(work, f"stage-{label}")
         staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
-        for i in range(4):
-            part = glob.glob(
-                os.path.join(stage_dir, f"blk={i}", "part-*.parquet")
-            )[0]
-            name = f"batch{i}.parquet" if i < 3 else "batch3-sentinel.parquet"
-            dest = os.path.join(src, name)
-            shutil.move(part, dest)
-            os.utime(dest, (now - 300 + 100 * i,) * 2)
+        _move_staged_blocks(stage_dir, src, now, 4, sentinel=True)
         dirs[label] = src
 
     vstream = (
@@ -3885,11 +3914,7 @@ def p30_rocksdb_state_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.withColumn("blk", blk).coalesce(1).write.partitionBy("blk").parquet(
         stage_dir
     )
-    for i in range(3):
-        part = glob.glob(os.path.join(stage_dir, f"blk={i}", "part-*.parquet"))[0]
-        dest = os.path.join(src_dir, f"batch{i}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (now - 300 + 100 * i,) * 2)
+    _move_staged_blocks(stage_dir, src_dir, now, 3)
 
     stream = (
         spark.readStream.schema(
@@ -4151,11 +4176,7 @@ def p32_native_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.withColumn("blk", blk).coalesce(1).write.partitionBy("blk").parquet(
         stage_dir
     )
-    for i in range(3):
-        part = glob.glob(os.path.join(stage_dir, f"blk={i}", "part-*.parquet"))[0]
-        dest = os.path.join(src_dir, f"batch{i}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (now - 300 + 100 * i,) * 2)
+    _move_staged_blocks(stage_dir, src_dir, now, 3)
 
     out = os.path.join(work, "sink")
     stream = (
