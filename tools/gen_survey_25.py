@@ -233,7 +233,8 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "Spark 4 WITH RECURSIVE: gap-filled date spine; per-customer order "
      "chains walked by a recursive CTE with a reset-on-threshold carried "
      "accumulator; the 100 TB scale twin — the same fold as one "
-     "applyInPandas shuffle (depth-independent, value-pinned equal)"),
+     "customer-keyed shuffle + mapInPandas sequential fold "
+     "(depth-independent, value-pinned equal)"),
     ("relational: SQL-text surface",
      ["q61_sql_correlated_subquery", "q62_sql_text_dedup",
       "q66_listagg_report", "q68_lateral_table_subquery",
