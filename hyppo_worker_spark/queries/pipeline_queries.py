@@ -50,6 +50,7 @@ def _move_staged_blocks(
     now: float,
     n_blocks: int,
     sentinel: bool = False,
+    prefix: str = "batch",
 ) -> None:
     """Move a consolidated staging write's per-block files into a
     stream source dir as time-ordered ``batch<i>.parquet`` files
@@ -85,9 +86,9 @@ def _move_staged_blocks(
             os.path.join(stage_dir, f"blk={i}", "part-*.parquet")
         )[0]
         name = (
-            f"batch{i}-sentinel.parquet"
+            f"{prefix}{i}-sentinel.parquet"
             if sentinel and i == n_blocks - 1
-            else f"batch{i}.parquet"
+            else f"{prefix}{i}.parquet"
         )
         dest = os.path.join(dst_dir, name)
         shutil.move(part, dest)
@@ -1780,15 +1781,9 @@ def p15_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk", F.when(late, block + 1).otherwise(block)
     )
     now = time.time()
-    for i in range(3):
-        part_dir = os.path.join(work, f"stage-{i}")
-        staged.filter(F.col("blk") == i).drop("blk").coalesce(
-            1
-        ).write.parquet(part_dir)
-        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-        dest = os.path.join(src_dir, f"batch{i}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (now - 300 + 100 * i,) * 2)
+    stage_dir = os.path.join(work, "stage")
+    staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
+    _move_staged_blocks(stage_dir, src_dir, now, 3)
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -1921,15 +1916,9 @@ def p16_dropdup_within_watermark(
     src_dir = os.path.join(work, "events")
     os.makedirs(src_dir)
     now = time.time()
-    for i in range(3):
-        part_dir = os.path.join(work, f"stage-{i}")
-        staged.filter(F.col("blk") == i).drop("blk").coalesce(
-            1
-        ).write.parquet(part_dir)
-        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-        dest = os.path.join(src_dir, f"batch{i}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (now - 300 + 100 * i,) * 2)
+    stage_dir = os.path.join(work, "stage")
+    staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
+    _move_staged_blocks(stage_dir, src_dir, now, 3)
 
     out_dir = os.path.join(work, "deduped")
     stream = (
@@ -2210,21 +2199,15 @@ def p18_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         blk = F.least(
             (F.dayofmonth(ts_col) - 1) / F.lit(10), F.lit(2)
         ).cast("int")
-        # Measured (sf0.1, min-of-3): per-block filter+coalesce writes
-        # = 13.4s end-to-end; a single repartition(3, blk) +
-        # partitionBy(blk) write = 20.0s — the exchange + committer
-        # overhead exceeds six trivially-small pushdown scans. Keep
-        # the simple loop.
+        # Staging shape re-measured r10: coalesce(1)+partitionBy (ONE
+        # job, no exchange) beats the per-block filter loop 4.5-4.7 vs
+        # 4.8-5.3s end-to-end (interleaved min-of-3 pairs, sf0.1). The
+        # r7 note that rejected consolidation measured repartition(3,
+        # blk) — the exchange, not the partitioned write, was the cost.
         staged = df.withColumn("blk", blk)
-        for i in range(3):
-            part_dir = os.path.join(work, f"stage-{label}-{i}")
-            staged.filter(F.col("blk") == i).drop("blk").coalesce(
-                1
-            ).write.parquet(part_dir)
-            part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-            dest = os.path.join(src, f"batch{i}.parquet")
-            shutil.move(part, dest)
-            os.utime(dest, (now - 300 + 100 * i,) * 2)
+        stage_dir = os.path.join(work, f"stage-{label}")
+        staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
+        _move_staged_blocks(stage_dir, src, now, 3)
         dirs[label] = src
 
     vstream = (
@@ -2688,15 +2671,9 @@ def p21_stream_static_enrichment(
         (F.dayofmonth("ts") - 1) / F.lit(10), F.lit(2)
     ).cast("int")
     staged = ev.withColumn("blk", blk)
-    for i in range(3):
-        part_dir = os.path.join(work, f"stage-{i}")
-        staged.filter(F.col("blk") == i).drop("blk").coalesce(
-            1
-        ).write.parquet(part_dir)
-        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-        dest = os.path.join(src_dir, f"batch{i}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (now - 300 + 100 * i,) * 2)
+    stage_dir = os.path.join(work, "stage")
+    staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
+    _move_staged_blocks(stage_dir, src_dir, now, 3)
 
     stream = (
         spark.readStream.schema(
@@ -2975,15 +2952,9 @@ def p23_stream_checkpoint_resume(
     src_dir = os.path.join(work, "events")
     os.makedirs(src_dir)
     now = time.time()
-    for i in range(4):
-        part_dir = os.path.join(work, f"stage-{i}")
-        staged.filter(F.col("blk") == i).drop("blk").coalesce(
-            1
-        ).write.parquet(part_dir)
-        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-        dest = os.path.join(work, f"pending-batch{i}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (now - 300 + 100 * i,) * 2)
+    stage_dir = os.path.join(work, "stage")
+    staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
+    _move_staged_blocks(stage_dir, work, now, 4, prefix="pending-batch")
 
     out_dir = os.path.join(work, "deduped")
     ckpt = os.path.join(work, "ckpt")
@@ -3586,15 +3557,9 @@ def p27_state_store_introspection(
         (F.dayofmonth("ts") - 1) / F.lit(10), F.lit(2)
     ).cast("int")
     staged = base.withColumn("blk", blk)
-    for i in range(3):
-        part_dir = os.path.join(work, f"stage-{i}")
-        staged.filter(F.col("blk") == i).drop("blk").coalesce(
-            1
-        ).write.parquet(part_dir)
-        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-        dest = os.path.join(src, f"batch{i}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (now - 300 + 100 * i,) * 2)
+    stage_dir = os.path.join(work, "stage")
+    staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
+    _move_staged_blocks(stage_dir, src, now, 3)
 
     ckpt = os.path.join(work, "ckpt")
     stream = (
