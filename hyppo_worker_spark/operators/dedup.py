@@ -511,6 +511,7 @@ def semantic_dedup_components(
     threshold: float = 0.9,
     round_to: int = 6,
     assignment: str = "flat",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -561,17 +562,25 @@ def semantic_dedup_components(
 
     if assignment not in ("flat", "two_level"):
         raise ValueError(f"assignment must be flat|two_level, got {assignment}")
-    if n_centroids is None:
-        n_centroids = derive_n_centroids(df.select(id_col).count())
-
-    cents = (
-        kmeans_centroids(
-            df, id_col=id_col, vec_col=vec_col,
-            n_centroids=n_centroids, n_iter=n_iter,
+    if centroids is not None:
+        # reuse a trained quantizer (cent_id, cent): comparing flat vs
+        # two-level assignment over the SAME cells, or amortizing one
+        # k-means across many dedup passes — skips Lloyd AND the
+        # derive-count scan entirely
+        cents = centroids.withColumn(
+            "cent_norm", V.norm(F.col("cent"))
+        ).localCheckpoint(eager=True)
+    else:
+        if n_centroids is None:
+            n_centroids = derive_n_centroids(df.select(id_col).count())
+        cents = (
+            kmeans_centroids(
+                df, id_col=id_col, vec_col=vec_col,
+                n_centroids=n_centroids, n_iter=n_iter,
+            )
+            .withColumn("cent_norm", V.norm(F.col("cent")))
+            .localCheckpoint(eager=True)
         )
-        .withColumn("cent_norm", V.norm(F.col("cent")))
-        .localCheckpoint(eager=True)
-    )
     v = df.select(
         F.col(id_col).alias("did"), V.as_double(F.col(vec_col)).alias("vv")
     ).withColumn("nrm", V.norm(F.col("vv")))

@@ -1313,10 +1313,28 @@ def d16_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(planted).transform(tracked_persist)
 
+    # one trained quantizer, BOTH assignment paths (r10 cut): flat and
+    # two-level previously each re-ran Lloyd over the same corpus with
+    # the same params — the comparison the row exists for is the
+    # assignment strategy over the SAME cells, so sharing the
+    # centroids is semantically cleaner AND halves the k-means cost
+    from hyppo_worker_spark.operators.similarity import (
+        derive_n_centroids,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(
+        corpus,
+        id_col="vec_id",
+        vec_col="v",
+        n_centroids=derive_n_centroids(corpus.select("vec_id").count()),
+        n_iter=2,
+    ).localCheckpoint(eager=True)
+
     def dropped(assignment):
         comp = D.semantic_dedup_components(
             corpus, "vec_id", "v", n_iter=2, threshold=0.9,
-            assignment=assignment,
+            assignment=assignment, centroids=cents,
         )
         return comp.filter(F.col("node") != F.col("comp")).select(
             F.col("node").alias("vec_id")
