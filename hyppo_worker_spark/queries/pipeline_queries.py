@@ -4196,3 +4196,154 @@ def p32_native_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("orphan_visible_raw", F.lit(n_orphan_raw == 1))
         .orderBy("etype")
     )
+
+
+# --------------------------------------------------------------------------
+# p33 — MULTIPLE-WATERMARK POLICY on a stream-stream UNION: when one
+# query reads SEVERAL watermarked inputs (union here; joins likewise),
+# Spark tracks one watermark PER input and combines them under
+# spark.sql.streaming.multipleWatermarkPolicy — default "min", the
+# only safe choice: the global watermark advances only as fast as the
+# SLOWEST input, so an event that is hopelessly late for the fast
+# stream's own watermark is still admitted while the slow stream's
+# delay covers it. The row makes that observable both ways: (a)
+# behaviorally — stream A (1-hour delay) has already seen end-of-month
+# data when a 10-day-late block of A-events arrives; under "min" the
+# union's watermark is still held back by stream B (3-day delay,
+# mid-month), so the late block lands in the windowed counts, and the
+# oracle's full-corpus equality FAILS if they are dropped (which is
+# exactly what "max" would do); (b) from the engine's own telemetry —
+# the final progress watermark must equal sentinel_ts - 3 days (B's
+# delay, the min), 69 hours below what "max" policy would report.
+# Scale: at 100 TB the min policy is why one slow region/source stalls
+# EVERY window of a fused query — the operational fix is per-source
+# queries or catching up the laggard, never flipping to "max" (which
+# silently drops the laggard's data); state here stays bounded by the
+# min watermark horizon like any single-input query.
+# --------------------------------------------------------------------------
+@register(
+    "p33_multi_watermark_union",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n_events,
+           TRUE AS watermark_is_min
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("pipeline", "streaming", "watermark", "union", "multi-input"),
+)
+def p33_multi_watermark_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of a 1-hour-delay and a 3-day-delay stream under the min
+    multiple-watermark policy: a block arriving 10 days late for the
+    fast stream is still counted, and the final progress watermark
+    equals sentinel - 3 days (the min), not sentinel - 1 hour."""
+    import datetime
+    import os
+    import tempfile
+    import time
+
+    from hyppo_worker_spark.session import scoped_conf
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # 1-row bounded pull
+    sentinel_ts = max_ts + datetime.timedelta(days=30)
+
+    work = tempfile.mkdtemp(prefix="hyppo-p33-")
+    now = time.time()
+    day = F.dayofmonth("ts")
+    dirs = {}
+    for label, rows, blk in (
+        # A: even users; the 18th-20th block arrives one trigger LATE
+        # (10 days beyond A's own 1-hour watermark by then)
+        (
+            "a",
+            ev.filter(F.col("user_id") % 2 == 0),
+            F.when((day >= 18) & (day <= 20), 1).otherwise(0),
+        ),
+        # B: odd users; mid-month data first, tail second — B's 3-day
+        # delay is what holds the union's watermark back
+        ("b", ev.filter(F.col("user_id") % 2 == 1), F.when(day > 20, 1).otherwise(0)),
+    ):
+        sent = spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(sentinel_ts).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("signup").alias("event_type"),
+        )
+        staged = rows.withColumn("blk", blk).unionByName(
+            sent.withColumn("blk", F.lit(2))
+        )
+        src = os.path.join(work, label)
+        os.makedirs(src)
+        stage_dir = os.path.join(work, f"stage-{label}")
+        staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
+        _move_staged_blocks(stage_dir, src, now, 3)
+        dirs[label] = src
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    fast = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["a"])
+        .withWatermark("ts", "1 hour")
+    )
+    slow = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["b"])
+        .withWatermark("ts", "3 days")
+    )
+    agg = (
+        fast.unionByName(slow)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    out_dir = os.path.join(work, "counts")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    # 4 state partitions: test-scale sizing (r9 sweep); the count
+    # freezes into the checkpoint, production sizes for peak state
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"), scoped_conf(
+        spark, "spark.sql.streaming.multipleWatermarkPolicy", "min"
+    ):
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+        progresses = [
+            p for p in q.recentProgress
+            if p and p.get("eventTime", {}).get("watermark")
+        ]
+
+    # telemetry pin: the final global watermark is sentinel - 3 days
+    # (the MIN of the two input watermarks), not sentinel - 1 hour
+    wm_str = progresses[-1]["eventTime"]["watermark"]
+    parsed = datetime.datetime.fromisoformat(wm_str.replace("Z", "+00:00"))
+    parsed = parsed.replace(tzinfo=None)
+    expected = sentinel_ts - datetime.timedelta(days=3)
+    wm_is_min = abs((parsed - expected).total_seconds()) < 1.0
+
+    res = spark.read.parquet(out_dir)
+    return (
+        res.select(
+            F.date_format(F.col("win.start").cast("date"), "yyyy-MM-dd")
+            .alias("day"),
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+        )
+        .withColumn("watermark_is_min", F.lit(bool(wm_is_min)))
+        .orderBy("day", "event_type")
+    )

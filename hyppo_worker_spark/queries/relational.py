@@ -5195,3 +5195,194 @@ def q75_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ranges_disjoint", F.lit(bool(disjoint)))
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# q76 — the JOIN-STRATEGY HINT MATRIX, proven from the executed plan:
+# Spark's four join-strategy hints (BROADCAST, MERGE, SHUFFLE_HASH,
+# SHUFFLE_REPLICATE_NL — docs "Join Strategy Hints", JoinSelection in
+# SparkStrategies.scala) each force a different physical operator for
+# the SAME logical join. At 100 TB the hint is the escape hatch when
+# the optimizer's size estimates are wrong (a filtered dim whose
+# selectivity Catalyst can't see → force BROADCAST; a build side that
+# fits memory after filtering → SHUFFLE_HASH avoids SMJ's sorts). The
+# row runs customer⋈nation once per hint with auto-broadcast DISABLED
+# (so BROADCAST can only come from the hint), asserts the expected
+# node (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin /
+# CartesianProduct) in each EXECUTED plan, and pins all four variants
+# to the identical oracle aggregate — hint dispatch must never change
+# the answer. The CartesianProduct is the documented, bounded
+# exception (25-row nation side, plan-audit whitelisted): the hint
+# EXISTS for non-equi joins; honoring it on an equi-join is the
+# provable-dispatch case.
+# --------------------------------------------------------------------------
+_Q76_AGG_SQL = """
+    SELECT count(*) AS n_cust,
+           count(DISTINCT n.n_regionkey) AS n_regions,
+           CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS bal_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name <> 'FRANCE'
+"""
+
+_Q76_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{s}' AS strategy, TRUE AS dispatched, agg.* FROM ({_Q76_AGG_SQL}) agg"
+    for s in ("broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl")
+) + "\nORDER BY strategy"
+
+
+@register(
+    "q76_join_hint_matrix",
+    oracle=_Q76_ORACLE,
+    tags=("relational", "join", "hints", "plan-optimization"),
+)
+def q76_join_hint_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer⋈nation once per join-strategy hint under disabled
+    auto-broadcast; each executed plan must carry the hinted physical
+    operator and all four answers must equal the one oracle aggregate."""
+    import contextlib
+
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    cust, nation = t["customer"], t["nation"].filter(
+        F.col("n_name") != "FRANCE"
+    )
+
+    expected = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "shuffle_replicate_nl": "CartesianProduct",
+    }
+    parts = []
+    confs = {
+        # BROADCAST must come from the hint, not the size estimate
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    with contextlib.ExitStack() as stack:
+        for key, val in confs.items():
+            stack.enter_context(scoped_conf(spark, key, val))
+        for strategy, node in expected.items():
+            agg = (
+                cust.join(
+                    nation.hint(strategy),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_cust"),
+                    F.countDistinct("n_regionkey").alias("n_regions"),
+                    F.sum(
+                        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+                    ).alias("bal_cents"),
+                )
+            )
+            rows = agg.collect()  # 1 row — bounded pull
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            parts.append(
+                spark.createDataFrame(rows, agg.schema)
+                .withColumn("strategy", F.lit(strategy))
+                .withColumn("dispatched", F.lit(node in plan))
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "strategy", "dispatched", "n_cust", "n_regions", "bal_cents"
+    ).orderBy("strategy")
+
+
+# --------------------------------------------------------------------------
+# q77 — grouped-map ARROW UDF (applyInArrow): the one Python-UDF shape
+# the suite had not exercised (t31/m-rows = scalar/iterator pandas_udf,
+# q72 = mapInPandas, t32 = UDTF, p15 = applyInPandasWithState). For
+# numeric per-group folds, pandas conversion is pure overhead —
+# applyInArrow hands each group as a pyarrow.Table (zero-copy to
+# numpy for integer reductions), the right shape for per-entity
+# statistics at corpus scale: ONE shuffle by supplier, whole-group
+# numeric work in vectorized Arrow, no index/object-dtype tax.
+# Determinism is engineered, not hoped for: the UDF emits the
+# regression slope's INTEGER numerator/denominator (int64 sums of
+# qty/cents products — exact in both engines and order-independent),
+# and the slope itself is one IEEE division of two exactly-
+# representable (<2^53) integers, so Spark and DuckDB agree
+# bit-for-bit with no rounding tolerance. Constraint documented: like
+# applyInPandas, the whole group materializes in one task — fine for
+# per-supplier groups (~600 rows at any SF by TPC-H construction);
+# skewed entities would take q72's mapInPandas carry instead.
+# --------------------------------------------------------------------------
+_Q77_ORACLE = """
+    WITH base AS (
+        SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    g AS (
+        SELECT suppkey, count(*) AS n_items,
+               sum(qty) AS sx, sum(cents) AS sy,
+               sum(qty * cents) AS sxy, sum(qty * qty) AS sxx
+        FROM base GROUP BY suppkey
+    )
+    SELECT suppkey,
+           CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_items * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n_items * sxx - sx * sx AS BIGINT) AS den,
+           CASE WHEN n_items * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(CAST(n_items * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                     / CAST(CAST(n_items * sxx - sx * sx AS BIGINT) AS DOUBLE)
+           END AS slope
+    FROM g ORDER BY suppkey
+"""
+
+
+@register(
+    "q77_grouped_arrow_regression",
+    oracle=_Q77_ORACLE,
+    tags=("relational", "udf", "arrow", "applyInArrow", "regression"),
+)
+def q77_grouped_arrow_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier price-vs-quantity regression slope via
+    groupBy().applyInArrow — integer numerator/denominator emitted for
+    exact cross-engine equality, slope one deterministic IEEE divide."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        F.col("l_suppkey").cast("long").alias("suppkey"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def slope_of(table):  # pyarrow.Table -> pyarrow.Table
+        import pyarrow as pa
+
+        qty = table.column("qty").to_numpy(zero_copy_only=False)
+        cents = table.column("cents").to_numpy(zero_copy_only=False)
+        n = len(qty)
+        sx = int(qty.sum())
+        sy = int(cents.sum())
+        sxy = int((qty * cents).sum())
+        sxx = int((qty * qty).sum())
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = float(num) / float(den) if den != 0 else None
+        return pa.table(
+            {
+                "suppkey": pa.array(
+                    [table.column("suppkey")[0].as_py()], pa.int64()
+                ),
+                "n_items": pa.array([n], pa.int64()),
+                "num": pa.array([num], pa.int64()),
+                "den": pa.array([den], pa.int64()),
+                "slope": pa.array([slope], pa.float64()),
+            }
+        )
+
+    return (
+        li.groupBy("suppkey")
+        .applyInArrow(
+            slope_of,
+            schema="suppkey long, n_items long, num long, den long, "
+            "slope double",
+        )
+        .orderBy("suppkey")
+    )
