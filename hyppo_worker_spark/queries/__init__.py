@@ -453,6 +453,33 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # greens archived (r6-r8); the manifest family stays
         # in-window via p25 (streaming epoch manifests) and p31
         # (erasure re-stamping every retained snapshot)
+        # Round-10 ROTATION: four NEW rows (q76 join-hint matrix, q77
+        # applyInArrow grouped regression, q78 CBO join reorder, p33
+        # multi-watermark union) land WITH driver slots; the four
+        # retirees below each have >= 2 archived green driver rounds
+        # and an in-window family representative:
+        "t25_source_drift",  # per-source drift profile — 2 greens
+        # archived (r8, r9); sampling/mixing/drift stays in-window
+        # via t15 (source mix); the slot funds q76 (hint matrix),
+        # which joins q57/q69/q78 as the window's join coverage
+        "t32_udtf_chunk_explode",  # Python UDTF — 2 greens archived
+        # (r8 ×2 drives); the Python-UDF surface stays in-window via
+        # q72 (mapInPandas), q77 (applyInArrow), t31 (pandas_udf),
+        # p15 (applyInPandasWithState); t08 keeps chunking
+        "p21_stream_static_enrichment",  # stream-static join — 2
+        # greens archived (r8, r9); streaming joins stay in-window
+        # via p20 (stream-stream outer) and p26 (chained stateful);
+        # p33 adds the multi-input union surface
+        "q68_lateral_table_subquery",  # LATERAL subquery — 2 greens
+        # archived (r8, r9); the SQL-text family stays in-window via
+        # q66 (listagg), q67 (recursion), q71 (pipe syntax)
+        # Slot for the NEW round-10 p34 (malformed-record policy:
+        # PERMISSIVE quarantine / DROPMALFORMED / FAILFAST over a
+        # deterministically-corrupted JSONL zone), so the new surface
+        # lands WITH driver evidence:
+        "t24_vocab_coverage",  # vocab coverage curves — 2 greens
+        # archived (r8, r9); tokenizer training stays in-window via
+        # t17 (BPE encoding); t16 archived
     }
 )
 

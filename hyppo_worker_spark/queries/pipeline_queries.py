@@ -4347,3 +4347,107 @@ def p33_multi_watermark_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("watermark_is_min", F.lit(bool(wm_is_min)))
         .orderBy("day", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# p34 — MALFORMED-RECORD POLICY on semi-structured ingestion: at corpus
+# scale some fraction of JSONL is always broken (truncated uploads,
+# mixed producers, encoding bugs), and Spark's three parse modes are
+# the contract a pipeline chooses from: PERMISSIVE (default) parses
+# what it can and captures the raw line in columnNameOfCorruptRecord —
+# the quarantine-and-continue shape; DROPMALFORMED silently sheds bad
+# lines (count them or they're gone); FAILFAST refuses the batch —
+# the right default for a zone that is SUPPOSED to be clean. The row
+# stages a JSONL zone with a deterministic 1-in-13 corruption (the
+# tail of the serialized object cut off), runs ALL THREE modes, and
+# pins: per-type counts of cleanly-parsed rows (the oracle recomputes
+# them from the corruption rule), the PERMISSIVE corrupt-capture count
+# == the planted count, DROPMALFORMED's survivor count == the good
+# count, and that FAILFAST actually raised. The corrupt-record column
+# rides the normal row schema — no second pass over the zone, which is
+# the point at 100 TB: quarantine happens IN the ingest scan.
+# Mirrors the reference's fail-loud ProcessRawData contract
+# (ProcessRawDataOperation.java — malformed input must never silently
+# corrupt the processed zone).
+# --------------------------------------------------------------------------
+@register(
+    "p34_malformed_record_policy",
+    oracle="""
+    WITH good AS (
+        SELECT * FROM events WHERE event_id % 13 <> 0
+    )
+    SELECT event_type,
+           count(*) AS n_parsed,
+           CAST((SELECT count(*) FROM events WHERE event_id % 13 = 0)
+               AS BIGINT) AS n_quarantined,
+           TRUE AS permissive_captured_all,
+           TRUE AS dropmalformed_matches,
+           TRUE AS failfast_raised
+    FROM good GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("pipeline", "ingestion", "malformed", "quarantine", "jsonl"),
+)
+def p34_malformed_record_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL zone with 1-in-13 truncated lines read under PERMISSIVE /
+    DROPMALFORMED / FAILFAST: quarantine counts exact, survivor counts
+    equal the corruption rule, FAILFAST raises."""
+    import os
+    import tempfile
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    line = F.to_json(F.struct("event_id", "event_type", "value"))
+    staged = ev.select(
+        F.when(
+            F.col("event_id") % 13 == 0,
+            # cut the serialized object's tail: unparseable, and long
+            # enough that no prefix re-closes the object
+            F.expr("substring(to_json(struct(event_id, event_type, value)),"
+                   " 1, length(to_json(struct(event_id, event_type, value)))"
+                   " - 5)"),
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    work = tempfile.mkdtemp(prefix="hyppo-p34-")
+    zone = os.path.join(work, "jsonl")
+    staged.write.mode("overwrite").text(zone)
+
+    schema_good = "event_id long, event_type string, value double"
+    schema_perm = schema_good + ", _corrupt_record string"
+
+    permissive = spark.read.schema(schema_perm).option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").json(zone)
+    # corrupt-capture rows must be counted from a CACHED frame: the
+    # JSON source forbids projecting only the corrupt column
+    permissive = tracked_persist(permissive)
+    n_bad = permissive.filter(F.col("_corrupt_record").isNotNull()).count()
+    n_good = permissive.filter(F.col("_corrupt_record").isNull()).count()
+    planted = ev.filter(F.col("event_id") % 13 == 0).count()
+    captured_all = n_bad == planted
+
+    dropped = spark.read.schema(schema_good).option(
+        "mode", "DROPMALFORMED"
+    ).json(zone)
+    drop_matches = dropped.count() == n_good
+
+    failfast_raised = False
+    try:
+        spark.read.schema(schema_good).option("mode", "FAILFAST").json(
+            zone
+        ).count()
+    except Exception:
+        failfast_raised = True
+
+    return (
+        permissive.filter(F.col("_corrupt_record").isNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_parsed"))
+        .withColumn("n_quarantined", F.lit(n_bad).cast("long"))
+        .withColumn("permissive_captured_all", F.lit(bool(captured_all)))
+        .withColumn("dropmalformed_matches", F.lit(bool(drop_matches)))
+        .withColumn("failfast_raised", F.lit(bool(failfast_raised)))
+        .orderBy("event_type")
+    )

@@ -5386,3 +5386,137 @@ def q77_grouped_arrow_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q78 — COST-BASED JOIN REORDERING from ANALYZE statistics: Catalyst's
+# default join order is syntactic (left-deep as written); with
+# spark.sql.cbo.enabled + cbo.joinReorder.enabled and column stats
+# from ANALYZE TABLE ... FOR ALL COLUMNS, the DP join-reorder rule
+# re-plans the chain from estimated cardinalities — here the query is
+# WRITTEN worst-first (lineitem⋈orders first, the biggest
+# intermediate) and the optimizer must flip it to (orders⋈customer)
+# first, where the segment equality's 1/ndv selectivity shrinks the
+# build side 5x before the fact table joins in. Both claims are
+# asserted from the engine, not assumed: the optimized plan's leaf
+# order must change lineitem-first → lineitem-last, and the analyzed
+# relation must carry an EXACT rowCount statistic (what the DP cost
+# model consumed). At 100 TB stats-driven reordering is the difference
+# between shuffling a petabyte intermediate and a broadcastable one —
+# and stale stats are the classic way to get the petabyte; the row's
+# rowcount pin is the freshness check a production pipeline runs after
+# every ANALYZE. Answer pinned to the same aggregate with CBO off.
+# --------------------------------------------------------------------------
+_Q78_ORACLE = """
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents,
+           TRUE AS cbo_reordered,
+           TRUE AS rowcount_stats_exact
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "q78_cbo_join_reorder",
+    oracle=_Q78_ORACLE,
+    tags=("relational", "cbo", "statistics", "join-reorder",
+          "plan-optimization"),
+)
+def q78_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-table join written worst-first; under CBO + ANALYZE'd
+    column stats the optimized plan must reorder lineitem last, the
+    analyzed rowCount statistic must be exact, and the answer must
+    equal the CBO-off oracle aggregate."""
+    import contextlib
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    db = "q78db"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    import tempfile
+
+    loc = tempfile.mkdtemp(prefix="hyppo-q78-")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    try:
+        t["lineitem"].select(
+            "l_orderkey", "l_extendedprice"
+        ).write.mode("overwrite").saveAsTable(f"{db}.li")
+        t["orders"].select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        ).write.mode("overwrite").saveAsTable(f"{db}.ord")
+        t["customer"].select(
+            "c_custkey", "c_mktsegment"
+        ).write.mode("overwrite").saveAsTable(f"{db}.cust")
+        for tbl in ("li", "ord", "cust"):
+            spark.sql(
+                f"ANALYZE TABLE {db}.{tbl} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+
+        sql = f"""
+            SELECT o.o_orderpriority AS priority,
+                   count(*) AS n_items,
+                   sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                       AS cents
+            FROM {db}.li l
+            JOIN {db}.ord o ON l.l_orderkey = o.o_orderkey
+            JOIN {db}.cust c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY 1 ORDER BY 1
+        """
+
+        def leaf_order(plan_str: str) -> list[str]:
+            pos = [
+                (plan_str.find(f"{db}.{name}"), name)
+                for name in ("li", "ord", "cust")
+            ]
+            return [n for i, n in sorted(pos) if i >= 0]
+
+        base_order = leaf_order(
+            spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        confs = {
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": "true",
+            # order must matter: no broadcast demotion of the question
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        with contextlib.ExitStack() as stack:
+            for key, val in confs.items():
+                stack.enter_context(scoped_conf(spark, key, val))
+            # the freshness pin: the catalog statistic the DP cost
+            # model consumes is the exact row count (plan stats carry
+            # rowCount only under CBO; 1-row bounded pulls)
+            stats_rc = (
+                spark.table(f"{db}.cust")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .rowCount()
+            )
+            exact = (
+                stats_rc.isDefined()
+                and int(str(stats_rc.get())) == t["customer"].count()
+            )
+            agg = spark.sql(sql)
+            cbo_order = leaf_order(
+                agg._jdf.queryExecution().optimizedPlan().toString()
+            )
+            rows = agg.collect()  # <=5 priority rows — bounded pull
+        reordered = (
+            base_order[0] == "li"
+            and cbo_order != base_order
+            and cbo_order[-1] == "li"
+        )
+        return (
+            spark.createDataFrame(rows, agg.schema)
+            .withColumn("cbo_reordered", F.lit(bool(reordered)))
+            .withColumn("rowcount_stats_exact", F.lit(bool(exact)))
+            .orderBy("priority")
+        )
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

@@ -60,12 +60,9 @@ def test_driver_registry_covers_every_family():
         "t20_textrank_keywords",
         "t22_source_overlap",
         "t23_term_retrieval",
-        "t24_vocab_coverage",
-        "t25_source_drift",
         # NEW round-8 rows land with immediate driver slots
         "p19_schema_evolution_roundtrip",
         "p20_stream_stream_outer_join",
-        "p21_stream_static_enrichment",
         "q67_recursive_chain_fold",
         "p22_data_quality_gate",
         "p23_stream_checkpoint_resume",
@@ -73,8 +70,6 @@ def test_driver_registry_covers_every_family():
         "p25_connector_streaming_loop",
         "p26_chained_stateful_rollup",
         "p27_state_store_introspection",
-        "t32_udtf_chunk_explode",
-        "q68_lateral_table_subquery",
         # round-9 rotation (VERDICT r8 item 1): the four reserved r8
         # slots get their FIRST driver rows
         "q69_aqe_skew_join",
@@ -92,6 +87,13 @@ def test_driver_registry_covers_every_family():
         "p31_erasure_vs_time_travel",
         "q75_sorted_export",
         "p32_native_file_sink",
+        # NEW round-10 rows land with immediate driver slots (q57,
+        # t32, p21, q68 retired — >= 2 greens each, family reps stay)
+        "q76_join_hint_matrix",
+        "q77_grouped_arrow_regression",
+        "q78_cbo_join_reorder",
+        "p33_multi_watermark_union",
+        "p34_malformed_record_policy",
     ):
         assert must in names
 

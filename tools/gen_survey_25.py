@@ -252,10 +252,23 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "NATIVE session_window with the exact strictly-greater-gap split "
      "boundary property-pinned"),
     ("time-series / anomaly / experimentation",
-     ["q53_mad_outliers", "q55_ab_experiment", "q56_integer_ols_trend"],
+     ["q53_mad_outliers", "q55_ab_experiment", "q56_integer_ols_trend",
+      "q77_grouped_arrow_regression"],
      "exact median + 3*MAD robust outlier gates; deterministic md5-gate "
      "arm assignment with integer lift + 3-sigma sample-ratio-mismatch "
-     "guard; integer-exact OLS trend from sufficient statistics"),
+     "guard; integer-exact OLS trend from sufficient statistics — global "
+     "(built-in aggregates) and per-entity via groupBy().applyInArrow "
+     "(the grouped-map Arrow UDF shape: zero-copy group tables, integer "
+     "numerator/denominator for bit-exact cross-engine slopes)"),
+    ("relational: optimizer steering",
+     ["q76_join_hint_matrix", "q78_cbo_join_reorder"],
+     "the escape hatches for when the optimizer's estimates are wrong — "
+     "all four join-strategy hints (BROADCAST/MERGE/SHUFFLE_HASH/"
+     "SHUFFLE_REPLICATE_NL) each forced and asserted from the executed "
+     "plan under disabled auto-broadcast; and the opposite direction: "
+     "ANALYZE column statistics + spark.sql.cbo.joinReorder re-plan a "
+     "worst-first join chain (leaf-order flip asserted from the "
+     "optimized plan, catalog rowCount pinned exact)"),
     # ---- pipeline / reference surface ----------------------------------
     ("reference pipeline end-to-end",
      ["p01_ingestion_pipeline", "p02_raw_pipeline", "p12_format_roundtrips"],
@@ -281,10 +294,14 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "parquet twin — mergeSchema over a zone holding two schema "
      "generations, NULL-fill invariants asserted in-plan"),
     ("data-quality gate / observability",
-     ["p22_data_quality_gate"],
+     ["p22_data_quality_gate", "p34_malformed_record_policy"],
      "five-constraint one-pass gate over a deterministically corrupted "
      "staging copy; observe()-metric stream observability "
-     "(`tests/test_observe_metrics.py`)"),
+     "(`tests/test_observe_metrics.py`); the three malformed-record "
+     "parse modes over a 1-in-13-truncated JSONL zone — PERMISSIVE "
+     "quarantine captured IN the ingest scan (corrupt-record column, "
+     "counts pinned exact), DROPMALFORMED survivor equality, FAILFAST "
+     "raise asserted"),
     ("control-plane ledgers",
      ["p09_scheduler_priority_ledger", "p10_ttl_redelivery_ledger",
       "p11_backoff_throttle_curves", "p14_delegation_affinity_ledger",
@@ -338,6 +355,14 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      ["p21_stream_static_enrichment"],
      "per-micro-batch broadcast join against a static dimension, proven "
      "stateless in-plan (zero stateOperators)"),
+    ("multi-input watermark policy",
+     ["p33_multi_watermark_union"],
+     "union of a 1-hour-delay and a 3-day-delay stream under the MIN "
+     "multiple-watermark policy: a block 10 days late for the fast "
+     "stream is still admitted (full-corpus oracle equality breaks "
+     "under max), and the final progress watermark equals sentinel "
+     "minus the SLOW delay — the reason one laggard source stalls "
+     "every window of a fused query at scale"),
     ("state-store introspection / backends",
      ["p27_state_store_introspection", "p30_rocksdb_state_backend"],
      "the statestore / state-metadata readers over a real checkpoint — "
