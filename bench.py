@@ -196,6 +196,9 @@ VALIDATION_QUERIES = frozenset(
         "p26_chained_stateful_rollup",  # p18's micro-batch fixed-cost
         # class (8 triggers x 2 stateful operators, both-side
         # sentinels) — the chained-operator proof, not engine volume
+        "p33_multi_watermark_union",  # p16's micro-batch fixed-cost
+        # class (3 triggers over two sources + finalize) — the row
+        # proves the min multiple-watermark policy, not engine volume
     }
 )
 

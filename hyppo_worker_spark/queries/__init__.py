@@ -480,6 +480,15 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t24_vocab_coverage",  # vocab coverage curves — 2 greens
         # archived (r8, r9); tokenizer training stays in-window via
         # t17 (BPE encoding); t16 archived
+        # Slot for the NEW round-10 p35 (late-data accounting:
+        # numRowsDroppedByWatermark pinned exact, with the SPARK-42376
+        # one-batch late-filter lag measured and documented), so the
+        # new surface lands WITH driver evidence:
+        "p19_schema_evolution_roundtrip",  # Avro declared-schema
+        # round-trip + resolution — 2 greens archived (r8, r9);
+        # schema evolution stays in-window via p29 (parquet
+        # mergeSchema drift); the Avro write/read path itself stays
+        # via p02/p04 and the golden + property suites
     }
 )
 

@@ -4451,3 +4451,140 @@ def p34_malformed_record_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("failfast_raised", F.lit(bool(failfast_raised)))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------\n# p35 — LATE-DATA ACCOUNTING on the operator that guarantees it:
+# p33 proves the min watermark policy ADMITS data a fast stream would
+# have dropped; this row pins the other half — data genuinely beyond
+# the watermark is DROPPED, silently for the output but NOT for the
+# telemetry: every discarded row must appear in the state operator's
+# numRowsDroppedByWatermark metric, pinned EXACT against the planted
+# late block. The operator choice is load-bearing and was MEASURED,
+# not assumed: Spark's docs only promise late data "may or may not"
+# be dropped, and for windowed aggregation in append mode the may-not
+# is real — a first draft of this row fed a 10-day-late block into a
+# window aggregate and the rows were ADMITTED (metric 0), re-opening
+# already-evicted windows and emitting them on the next eviction
+# sweep (the known append-mode double-finalization hazard).
+# StreamingDeduplicateExec, by contrast, filters input against the
+# watermark BEFORE touching state and counts what it dropped — so
+# dropDuplicates over a watermarked key is the shape whose drop
+# accounting a pipeline can actually reconcile. One more measured
+# subtlety rides the batch layout: since the SPARK-42376 two-watermark
+# split (3.4+), the LATE-EVENT filter for batch N uses the watermark
+# in effect DURING batch N-1 (eviction uses the current one) — so the
+# filter lags one batch, and a late block arriving in the very next
+# batch after the watermark-advancing data is still admitted (a
+# 3-batch repro pinned this: drop fires at batch 2, not batch 1).
+# The row therefore interposes a REPLAY batch — a deterministic
+# subset of batch 0 re-sent — which the dedup removes as duplicates
+# (its own contract, also pinned by the oracle's exact counts) while
+# carrying the late-filter forward; the late block then lands in
+# batch 2 where every row is strictly below the lagged watermark. At
+# 100 TB numRowsDroppedByWatermark is the only signal that an
+# upstream backfill silently vanished; the aggregation finding above
+# is why exactly-once window outputs need a dedup/journal downstream,
+# not just append mode. The oracle recomputes both sides from the
+# split rule: per-day survivor counts MUST exclude the late block
+# (and count each replayed row once) and n_dropped_late must equal
+# the late block's size.
+# --------------------------------------------------------------------------
+@register(
+    "p35_late_data_accounting",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST((SELECT count(*) FROM events WHERE date_part('day', ts) <= 10)
+               AS BIGINT) AS n_dropped_late,
+           TRUE AS drop_metric_exact
+    FROM events
+    WHERE date_part('day', ts) >= 11
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("pipeline", "streaming", "watermark", "late-data",
+          "observability"),
+)
+def p35_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days 1-10 replayed after the watermark has passed month-end:
+    dropDuplicates discards every row of the late block before state,
+    numRowsDroppedByWatermark equals the block exactly, and the
+    surviving per-day counts equal the split rule."""
+    import os
+    import tempfile
+    import time
+
+    from hyppo_worker_spark.session import scoped_conf
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+
+    work = tempfile.mkdtemp(prefix="hyppo-p35-")
+    src = os.path.join(work, "events")
+    os.makedirs(src)
+    now = time.time()
+    fresh = ev.filter(F.dayofmonth("ts") >= 11)
+    # blk1: replay of a deterministic batch-0 subset — removed as
+    # DUPLICATES (not late), while advancing the lagged late-filter
+    replay = fresh.filter(F.col("event_id") % 17 == 0)
+    staged = (
+        fresh.withColumn("blk", F.lit(0))
+        .unionByName(replay.withColumn("blk", F.lit(1)))
+        .unionByName(
+            ev.filter(F.dayofmonth("ts") <= 10).withColumn("blk", F.lit(2))
+        )
+    )
+    stage_dir = os.path.join(work, "stage")
+    staged.coalesce(1).write.partitionBy("blk").parquet(stage_dir)
+    _move_staged_blocks(stage_dir, src, now, 3)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id", "ts"])
+    )
+
+    out_dir = os.path.join(work, "survivors")
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+        dropped_metric = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            if p
+            for op in p.get("stateOperators", [])
+        )
+
+    planted_late = ev.filter(F.dayofmonth("ts") <= 10).count()
+    metric_exact = int(dropped_metric) == planted_late
+
+    res = spark.read.parquet(out_dir)
+    return (
+        res.groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("n_dropped_late", F.lit(int(dropped_metric)).cast("long"))
+        .withColumn("drop_metric_exact", F.lit(bool(metric_exact)))
+        .orderBy("day", "event_type")
+    )

@@ -61,7 +61,6 @@ def test_driver_registry_covers_every_family():
         "t22_source_overlap",
         "t23_term_retrieval",
         # NEW round-8 rows land with immediate driver slots
-        "p19_schema_evolution_roundtrip",
         "p20_stream_stream_outer_join",
         "q67_recursive_chain_fold",
         "p22_data_quality_gate",
@@ -87,13 +86,15 @@ def test_driver_registry_covers_every_family():
         "p31_erasure_vs_time_travel",
         "q75_sorted_export",
         "p32_native_file_sink",
-        # NEW round-10 rows land with immediate driver slots (q57,
-        # t32, p21, q68 retired — >= 2 greens each, family reps stay)
+        # NEW round-10 rows land with immediate driver slots (t25,
+        # t32, p21, q68, t24, p19 retired — >= 2 archived greens
+        # each, family reps stay)
         "q76_join_hint_matrix",
         "q77_grouped_arrow_regression",
         "q78_cbo_join_reorder",
         "p33_multi_watermark_union",
         "p34_malformed_record_policy",
+        "p35_late_data_accounting",
     ):
         assert must in names
 

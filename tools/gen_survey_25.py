@@ -355,6 +355,15 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      ["p21_stream_static_enrichment"],
      "per-micro-batch broadcast join against a static dimension, proven "
      "stateless in-plan (zero stateOperators)"),
+    ("late-data accounting",
+     ["p35_late_data_accounting"],
+     "the drop side of the watermark contract, pinned on the operator "
+     "that guarantees it: a 10-day-late block is discarded by "
+     "dropDuplicates and numRowsDroppedByWatermark equals it EXACTLY "
+     "(windowed aggregation measured NOT dropping — the docs' 'may or "
+     "may not' is real, and append mode re-finalizes the re-opened "
+     "window); the SPARK-42376 one-batch late-filter lag measured and "
+     "bridged with a replay batch the dedup removes as duplicates"),
     ("multi-input watermark policy",
      ["p33_multi_watermark_union"],
      "union of a 1-hour-delay and a 3-day-delay stream under the MIN "
