@@ -489,6 +489,14 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # schema evolution stays in-window via p29 (parquet
         # mergeSchema drift); the Avro write/read path itself stays
         # via p02/p04 and the golden + property suites
+        # Slot for the NEW round-10 q79 (AQE partition coalescing
+        # proven in-plan — the tiny-task leg of the runtime
+        # re-planning ladder), so the new surface lands WITH driver
+        # evidence:
+        "t09_bigram_collocations",  # PMI collocations — 2 greens
+        # archived (r8, r9); text statistics stay in-window via t12
+        # (repetition), t19 (surprisal), t20 (TextRank), t23
+        # (retrieval)
     }
 )
 

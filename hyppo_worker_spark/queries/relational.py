@@ -5520,3 +5520,82 @@ def q78_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+# --------------------------------------------------------------------------
+# q79 — AQE PARTITION COALESCING proven from the executed plan: the
+# third leg of the runtime re-planning story (q69 = skew split, q73 =
+# partition pruning, q74 = row-level bloom; this row = the tiny-task
+# case). Statically-planned shuffle partition counts are sized for
+# the biggest stage of the biggest day — so most stages of most jobs
+# would run hundreds of near-empty reducers, each paying scheduler
+# latency, a task-start JVM hop, and an output commit. AQE measures
+# the ACTUAL map-output bytes at the stage boundary and coalesces
+# adjacent partitions up to advisoryPartitionSizeInBytes. The row
+# plans an aggregate under a deliberately oversized initial count
+# (256) and asserts from the executed plan that AQEShuffleRead
+# coalesced it, and that the final partition count is far below the
+# initial — while the answer stays pinned to the plain oracle
+# aggregate. At 100 TB the same mechanism is what makes ONE global
+# shuffle.partitions setting livable across stages whose outputs
+# differ by 10^4: size the ceiling for the biggest stage, let AQE
+# shrink every other one. (The inverse knob is q69's skew split —
+# together they bound task size from both sides.)
+# --------------------------------------------------------------------------
+_Q79_ORACLE = """
+    SELECT n_name AS nation,
+           count(*) AS n_cust,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS bal_cents,
+           TRUE AS aqe_coalesced
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+"""
+
+
+@register(
+    "q79_aqe_coalesce_partitions",
+    oracle=_Q79_ORACLE,
+    tags=("relational", "aqe", "coalesce", "plan-optimization", "scale"),
+)
+def q79_aqe_coalesce_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation rollup planned at 256 shuffle partitions; AQE must
+    coalesce the exchange (AQEShuffleRead in the executed plan, final
+    partition count << 256) without changing the oracle-pinned answer."""
+    import contextlib
+
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    agg = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+            ).alias("bal_cents"),
+        )
+        .orderBy("nation")
+    )
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # the deliberately oversized static plan AQE must walk back
+        "spark.sql.shuffle.partitions": "256",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
+        # keep parallelism pressure from blocking the shrink at tiny SF
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+    }
+    with contextlib.ExitStack() as stack:
+        for key, val in confs.items():
+            stack.enter_context(scoped_conf(spark, key, val))
+        rows = agg.collect()  # 25 nation rows — bounded pull
+        jplan = agg._jdf.queryExecution().executedPlan()
+        plan_str = jplan.toString()
+    coalesced = "AQEShuffleRead coalesced" in plan_str
+    return (
+        spark.createDataFrame(rows, agg.schema)
+        .withColumn("aqe_coalesced", F.lit(bool(coalesced)))
+        .orderBy("nation")
+    )

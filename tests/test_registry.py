@@ -52,7 +52,6 @@ def test_driver_registry_covers_every_family():
         "d10_incremental_neardup",
         "s05_knn_ivf_multiprobe",
         "t08_token_chunks",
-        "t09_bigram_collocations",
         "t12_repetition_signals",
         "t15_source_mix",
         "t17_bpe_encoding",
@@ -95,6 +94,7 @@ def test_driver_registry_covers_every_family():
         "p33_multi_watermark_union",
         "p34_malformed_record_policy",
         "p35_late_data_accounting",
+        "q79_aqe_coalesce_partitions",
     ):
         assert must in names
 

@@ -261,14 +261,18 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "(the grouped-map Arrow UDF shape: zero-copy group tables, integer "
      "numerator/denominator for bit-exact cross-engine slopes)"),
     ("relational: optimizer steering",
-     ["q76_join_hint_matrix", "q78_cbo_join_reorder"],
+     ["q76_join_hint_matrix", "q78_cbo_join_reorder",
+      "q79_aqe_coalesce_partitions"],
      "the escape hatches for when the optimizer's estimates are wrong — "
      "all four join-strategy hints (BROADCAST/MERGE/SHUFFLE_HASH/"
      "SHUFFLE_REPLICATE_NL) each forced and asserted from the executed "
-     "plan under disabled auto-broadcast; and the opposite direction: "
+     "plan under disabled auto-broadcast; the opposite direction: "
      "ANALYZE column statistics + spark.sql.cbo.joinReorder re-plan a "
      "worst-first join chain (leaf-order flip asserted from the "
-     "optimized plan, catalog rowCount pinned exact)"),
+     "optimized plan, catalog rowCount pinned exact); and the runtime "
+     "direction: AQE coalesces a deliberately-256-partition exchange "
+     "(AQEShuffleRead coalesced asserted in-plan) — with q69's skew "
+     "split, task size bounded from both sides"),
     # ---- pipeline / reference surface ----------------------------------
     ("reference pipeline end-to-end",
      ["p01_ingestion_pipeline", "p02_raw_pipeline", "p12_format_roundtrips"],
