@@ -171,6 +171,13 @@ BENCH_QUERIES = [
     "p31_erasure_vs_time_travel",
     "q75_sorted_export",
     "p32_native_file_sink",
+    "q76_join_hint_matrix",
+    "q77_grouped_arrow_regression",
+    "q78_cbo_join_reorder",
+    "p33_multi_watermark_union",
+    "p34_malformed_record_policy",
+    "p35_late_data_accounting",
+    "q79_aqe_coalesce_partitions",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN
