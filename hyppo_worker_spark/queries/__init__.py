@@ -494,9 +494,21 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # re-planning ladder), so the new surface lands WITH driver
         # evidence:
         "t09_bigram_collocations",  # PMI collocations — 2 greens
-        # archived (r8, r9); text statistics stay in-window via t12
-        # (repetition), t19 (surprisal), t20 (TextRank), t23
-        # (retrieval)
+        # archived (r8, r9); text statistics stay in-window via t19
+        # (surprisal), t20 (TextRank), t23 (retrieval)
+        # Slot for the NEW round-10 p36 (RocksDB changelog
+        # checkpointing: per-batch O(delta) uploads, recovery by
+        # snapshot+changelog replay proven by restart), so the new
+        # surface lands WITH driver evidence:
+        "t12_repetition_signals",  # repetition/quality signals — 2
+        # greens archived (r8, r9); quality stays in-window via t19
+        # (surprisal) and t18/t28/t30 archived
+        # Slot for the NEW round-10 q80 (nested schema pruning:
+        # one-leaf ReadSchema asserted from the executed scan), so
+        # the new surface lands WITH driver evidence:
+        "t22_source_overlap",  # cross-source shingle overlap — 2
+        # greens archived (r8, r9); decontamination stays in-window
+        # via d14 (leakage-safe splits)
     }
 )
 

@@ -4588,3 +4588,174 @@ def p35_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("drop_metric_exact", F.lit(bool(metric_exact)))
         .orderBy("day", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# p36 — RocksDB CHANGELOG CHECKPOINTING, the production lever p30's
+# backend row leaves on the table: by default every micro-batch
+# uploads a full RocksDB snapshot of each state partition — O(state)
+# per trigger, the dominant commit cost once state outgrows batches
+# (the same write-amplification argument as the bucketed committer's
+# crossover, NOTES_r8). With
+# stateStore.rocksdb.changelogCheckpointing.enabled the per-trigger
+# upload becomes the batch's CHANGELOG (O(delta)), and snapshots
+# upload in the background every N batches; recovery = last snapshot
+# + changelog replay. The row proves all three legs from the engine:
+# (a) the checkpoint's state directories contain *.changelog files
+# (the per-batch delta artifacts); (b) a SECOND availableNow query
+# over the SAME checkpoint — i.e. a restart whose state must come
+# from snapshot+changelog replay — ingests one more block and lands
+# on exactly the full-corpus aggregate (the oracle equality IS the
+# recovery proof); (c) RocksDB custom metrics in the resumed query's
+# progress pin the provider. At 100 TB this is the difference between
+# shipping terabytes of snapshot per trigger and shipping the batch's
+# own delta; the cost is replay depth on recovery, bounded by the
+# snapshot interval (default every ~100 batches... minLogSizeForSnapshot
+# governs), which is the knob SCALE.md's state-sizing rule inherits.
+# --------------------------------------------------------------------------
+@register(
+    "p36_rocksdb_changelog_checkpoint",
+    oracle="""
+    SELECT event_type AS etype,
+           count(DISTINCT user_id % 100) AS n_keys,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents,
+           TRUE AS changelog_files_present,
+           TRUE AS rocksdb_used
+    FROM events
+    GROUP BY event_type ORDER BY etype
+    """,
+    tags=("pipeline", "streaming", "rocksdb", "changelog", "checkpoint",
+          "state-backend"),
+)
+def p36_rocksdb_changelog_checkpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Running (cohort, etype) aggregate under RocksDB with changelog
+    checkpointing: *.changelog artifacts present, a restarted query
+    recovers by snapshot+changelog replay and lands on the exact
+    full-corpus rollup, RocksDB metrics pin the provider."""
+    import contextlib
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from hyppo_worker_spark.session import scoped_conf
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        F.col("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.col("user_id") % 100).alias("cohort"),
+        F.col("event_type").alias("etype"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="hyppo-p36-")
+    hold = os.path.join(work, "hold")
+    src_dir = os.path.join(work, "events")
+    os.makedirs(hold)
+    os.makedirs(src_dir)
+    now = time.time()
+    day = F.dayofmonth("ts")
+    blk = (
+        F.when(day <= 10, 0)
+        .when(day <= 20, 1)
+        .when(day <= 25, 2)
+        .otherwise(3)
+    )
+    stage_dir = os.path.join(work, "stage")
+    ev.withColumn("blk", blk).coalesce(1).write.partitionBy("blk").parquet(
+        stage_dir
+    )
+    _move_staged_blocks(stage_dir, hold, now, 4)
+    for i in range(3):
+        shutil.move(
+            os.path.join(hold, f"batch{i}.parquet"),
+            os.path.join(src_dir, f"batch{i}.parquet"),
+        )
+
+    schema = (
+        "event_id long, ts timestamp, cohort long, etype string, cents long"
+    )
+
+    def start(ckpt: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        agg = stream.groupBy("cohort", "etype").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+        )
+        return (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda b, _bid: b.write.format("noop").mode("append").save()
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    ckpt = os.path.join(work, "ckpt")
+    with contextlib.ExitStack() as stack:
+        for key, val in {
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled": "true",
+            "spark.sql.shuffle.partitions": "4",
+        }.items():
+            stack.enter_context(scoped_conf(spark, key, val))
+        drain_stream(start(ckpt), 300)
+        # the delta artifacts: per-batch *.changelog files in the
+        # checkpoint's state directories
+        changelogs = glob.glob(
+            os.path.join(ckpt, "state", "**", "*.changelog"), recursive=True
+        )
+        # restart over the SAME checkpoint with one more block — the
+        # store must rebuild from snapshot + changelog replay
+        shutil.move(
+            os.path.join(hold, "batch3.parquet"),
+            os.path.join(src_dir, "batch3.parquet"),
+        )
+        q2 = start(ckpt)
+        drain_stream(q2, 300)
+        progs = [p for p in q2.recentProgress if p.get("stateOperators")]
+        metrics = (
+            progs[-1]["stateOperators"][0].get("customMetrics") or {}
+            if progs
+            else {}
+        )
+        rocksdb_used = any(k.startswith("rocksdb") for k in metrics)
+        state = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                "key.etype",
+                F.col("value.count").alias("n"),
+                F.col("value.sum").alias("cents"),
+            )
+        )
+        rows = (
+            state.groupBy("etype")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("n").alias("n_events"),
+                F.sum("cents").alias("cents"),
+            )
+            .withColumn(
+                "changelog_files_present", F.lit(len(changelogs) > 0)
+            )
+            .withColumn("rocksdb_used", F.lit(bool(rocksdb_used)))
+            .orderBy("etype")
+        ).collect()  # 5 event-type rows — bounded pull
+    out = spark.createDataFrame(
+        rows,
+        "etype string, n_keys long, n_events long, cents long, "
+        "changelog_files_present boolean, rocksdb_used boolean",
+    )
+    return out.orderBy("etype")

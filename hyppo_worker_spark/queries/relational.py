@@ -5599,3 +5599,82 @@ def q79_aqe_coalesce_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("aqe_coalesced", F.lit(bool(coalesced)))
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# q80 — NESTED SCHEMA PRUNING into the parquet scan: wide event/log
+# schemas at corpus scale are deeply nested (request structs, model
+# metadata, provenance blobs), and a query touching one leaf must not
+# deserialize the whole struct — Parquet stores leaves as independent
+# column chunks, and Spark's nestedSchemaPruning pushes the LEAF
+# selection into the scan's ReadSchema. The row stages orders as a
+# nested zone (meta: struct<priority, status, odate> + a payload
+# array), aggregates by ONE leaf (meta.priority), and asserts from
+# the executed plan's ReadSchema that the scan reads
+# meta.priority ONLY — the sibling leaves never leave the file. At
+# 100 TB with struct-of-20-fields logs this is the same 10-100x I/O
+# lever as top-level column pruning, and it silently turns OFF when a
+# UDF or a whole-struct reference forces the full struct — which is
+# exactly why the row pins it from the plan instead of trusting the
+# default conf.
+# --------------------------------------------------------------------------
+_Q80_ORACLE = """
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           TRUE AS leaf_only_scan
+    FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "q80_nested_schema_pruning",
+    oracle=_Q80_ORACLE,
+    tags=("relational", "nested", "schema-pruning", "scan",
+          "plan-optimization"),
+)
+def q80_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders staged as a nested struct zone; an aggregate over one
+    leaf must scan ReadSchema struct<meta:struct<priority>> only —
+    sibling leaves (status, odate, payload array) stay unread."""
+    import os
+    import re
+    import tempfile
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    work = tempfile.mkdtemp(prefix="hyppo-q80-")
+    zone = os.path.join(work, "nested")
+    (
+        orders.select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderdate").cast("string").alias("odate"),
+            ).alias("meta"),
+            F.array(
+                F.col("o_totalprice"), F.col("o_custkey").cast("double")
+            ).alias("payload"),
+        ).write.mode("overwrite").parquet(zone)
+    )
+
+    agg = (
+        spark.read.parquet(zone)
+        .groupBy(F.col("meta.priority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("priority")
+    )
+    rows = agg.collect()  # 5 priority rows — bounded pull
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    read_schema = m.group(1) if m else ""
+    leaf_only = (
+        "priority" in read_schema
+        and "status" not in read_schema
+        and "odate" not in read_schema
+        and "payload" not in read_schema
+    )
+    return (
+        spark.createDataFrame(rows, agg.schema)
+        .withColumn("leaf_only_scan", F.lit(bool(leaf_only)))
+        .orderBy("priority")
+    )

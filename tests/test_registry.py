@@ -52,12 +52,10 @@ def test_driver_registry_covers_every_family():
         "d10_incremental_neardup",
         "s05_knn_ivf_multiprobe",
         "t08_token_chunks",
-        "t12_repetition_signals",
         "t15_source_mix",
         "t17_bpe_encoding",
         "t19_unigram_surprisal",
         "t20_textrank_keywords",
-        "t22_source_overlap",
         "t23_term_retrieval",
         # NEW round-8 rows land with immediate driver slots
         "p20_stream_stream_outer_join",
@@ -95,6 +93,8 @@ def test_driver_registry_covers_every_family():
         "p34_malformed_record_policy",
         "p35_late_data_accounting",
         "q79_aqe_coalesce_partitions",
+        "p36_rocksdb_changelog_checkpoint",
+        "q80_nested_schema_pruning",
     ):
         assert must in names
 

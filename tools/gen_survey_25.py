@@ -162,7 +162,8 @@ FAMILIES: list[tuple[str, list[str], str]] = [
     # ---- storage / layout ---------------------------------------------
     ("storage layout / data skipping",
      ["q50_zorder_skipping", "q54_zonemap_pruning", "p28_rebalance_write",
-      "q73_dynamic_partition_pruning", "q75_sorted_export"],
+      "q73_dynamic_partition_pruning", "q75_sorted_export",
+      "q80_nested_schema_pruning"],
      "z-order (Morton) clustered export with min-max pruning on every "
      "clustered dimension verified from parquet footers "
      "(`operators/zorder.py`); distributed zonemap build from REAL "
@@ -174,7 +175,11 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "after evaluating the dim side, dynamicpruning subquery asserted "
      "in the executed plan; globally-sorted RANGE-shard export at exact "
      "percentile_disc cutpoints — one sorted file per shard, strict "
-     "[min,max] disjointness proven from the committed parquet footers"),
+     "[min,max] disjointness proven from the committed parquet footers; "
+     "NESTED schema pruning — an aggregate over one struct leaf scans "
+     "ReadSchema struct<meta:struct<priority>> ONLY, sibling leaves and "
+     "the payload array never leave the file (asserted from the "
+     "executed scan)"),
     ("dimension history (SCD2) / merge",
      ["q30_merge_upsert", "q51_scd2_history", "q52_temporal_scd2_join"],
      "keyed upsert audit; type-2 close-and-append versioning with no-op "
@@ -377,13 +382,18 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "minus the SLOW delay — the reason one laggard source stalls "
      "every window of a fused query at scale"),
     ("state-store introspection / backends",
-     ["p27_state_store_introspection", "p30_rocksdb_state_backend"],
+     ["p27_state_store_introspection", "p30_rocksdb_state_backend",
+      "p36_rocksdb_changelog_checkpoint"],
      "the statestore / state-metadata readers over a real checkpoint — "
      "batchId time travel, operator manifest asserted; the PRODUCTION "
      "backend end-to-end — the same stateful contract under "
      "RocksDBStateStoreProvider with rocksdb custom metrics proving "
      "the provider in the query's own progress, and the RocksDB "
-     "checkpoint read back through the statestore source"),
+     "checkpoint read back through the statestore source; CHANGELOG "
+     "checkpointing — per-batch O(delta) uploads instead of O(state) "
+     "snapshots, *.changelog artifacts asserted in the checkpoint and "
+     "recovery-by-replay proven by a restarted query landing on the "
+     "exact full-corpus rollup"),
     # ---- multimodal -----------------------------------------------------
     ("multimodal",
      ["m01_media_manifest", "m02_media_header_decode",
