@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "p34_malformed_record_policy",
     "p35_late_data_accounting",
     "q79_aqe_coalesce_partitions",
+    "p36_rocksdb_changelog_checkpoint",
+    "q80_nested_schema_pruning",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN
