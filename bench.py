@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "q79_aqe_coalesce_partitions",
     "p36_rocksdb_changelog_checkpoint",
     "q80_nested_schema_pruning",
+    "p37_state_schema_guard",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

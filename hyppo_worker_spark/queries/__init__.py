@@ -509,6 +509,14 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t22_source_overlap",  # cross-source shingle overlap — 2
         # greens archived (r8, r9); decontamination stays in-window
         # via d14 (leakage-safe splits)
+        # Slot for the NEW round-10 p37 (state-schema freeze guard:
+        # STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE pinned fail-loud,
+        # original shape resumes; zero-batch latency of the check
+        # measured and documented), so the new surface lands WITH
+        # driver evidence:
+        "t20_textrank_keywords",  # TextRank keywords — 2 greens
+        # archived (r8, r9); token statistics / retrieval stays
+        # in-window via t23 (inverted-index ranking)
     }
 )
 

@@ -4759,3 +4759,148 @@ def p36_rocksdb_changelog_checkpoint(
         "changelog_files_present boolean, rocksdb_used boolean",
     )
     return out.orderBy("etype")
+
+
+# --------------------------------------------------------------------------
+# p37 — the STATE-SCHEMA FREEZE, pinned as a fail-loud contract: a
+# streaming aggregation's state value layout (the agg buffer struct)
+# freezes into the checkpoint at first start — SCALE.md's recurring
+# "the count/shape freezes into the checkpoint" rule, which until now
+# the suite only stated. The row proves the guard from the engine: the
+# same query restarted over the same checkpoint with ONE added
+# aggregate (max) must die with
+# STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE (stateSchemaCheck, SQLSTATE
+# XXKST) — and restarting with the ORIGINAL shape then resumes cleanly
+# and lands on the exact full-corpus rollup, read back through the
+# statestore source (the introspection contract: buffer field names
+# count/sum, not query aliases). One measured subtlety documented: the
+# guard is consulted only when a batch actually EXECUTES a stateful
+# operator — a restart with no new data runs zero batches and
+# "succeeds" with the wrong schema (measured on 4.1), so a schema
+# mistake can sit latent until the next file arrives; deployment
+# checks must validate the plan against the checkpoint's
+# state-metadata (p27's reader), not rely on a smoke start. At 100 TB
+# this guard is what stands between an innocent-looking query edit and
+# silently misread state; the sanctioned evolution paths are a new
+# checkpoint + backfill, or transformWithState's versioned encoders.
+# --------------------------------------------------------------------------
+@register(
+    "p37_state_schema_guard",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents,
+           TRUE AS schema_guard_fired
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("pipeline", "streaming", "state-schema", "checkpoint",
+          "fail-loud"),
+)
+def p37_state_schema_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregate restarted with one added agg column must die
+    on STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE; the original shape
+    then resumes and the final state equals the full-corpus rollup."""
+    import contextlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from hyppo_worker_spark.session import scoped_conf
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="hyppo-p37-")
+    hold = os.path.join(work, "hold")
+    src = os.path.join(work, "events")
+    os.makedirs(hold)
+    os.makedirs(src)
+    now = time.time()
+    day = F.dayofmonth("ts")
+    blk = F.when(day <= 10, 0).when(day <= 20, 1).otherwise(2)
+    stage_dir = os.path.join(work, "stage")
+    ev.withColumn("blk", blk).coalesce(1).write.partitionBy("blk").parquet(
+        stage_dir
+    )
+    _move_staged_blocks(stage_dir, hold, now, 3)
+    for i in range(2):
+        shutil.move(
+            os.path.join(hold, f"batch{i}.parquet"),
+            os.path.join(src, f"batch{i}.parquet"),
+        )
+
+    ckpt = os.path.join(work, "ckpt")
+
+    def start(extended: bool):
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        ]
+        if extended:
+            aggs.append(F.max("cents").alias("mx"))
+        agg = stream.groupBy(F.window("ts", "1 day").alias("win")).agg(*aggs)
+        return (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda b, _bid: b.write.format("noop").mode("append").save()
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(
+            scoped_conf(spark, "spark.sql.shuffle.partitions", "4")
+        )
+        drain_stream(start(False), 300)
+        # new data arrives, then the EDITED query restarts — the guard
+        # must kill it (with no new data it would run zero batches and
+        # never be consulted; see the header comment)
+        shutil.move(
+            os.path.join(hold, "batch2.parquet"),
+            os.path.join(src, "batch2.parquet"),
+        )
+        guard_fired = False
+        try:
+            drain_stream(start(True), 300)
+        except Exception as e:  # noqa: BLE001 — asserting the class below
+            guard_fired = (
+                "STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE" in str(e)
+            )
+        # the original shape resumes over the same checkpoint and
+        # processes the pending block exactly once
+        drain_stream(start(False), 300)
+        state = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                F.date_format(
+                    F.col("key.window.start").cast("date"), "yyyy-MM-dd"
+                ).alias("day"),
+                F.col("value.count").alias("n_events"),
+                F.col("value.sum").alias("cents"),
+            )
+        )
+        rows = (
+            state.groupBy("day")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("cents").alias("cents"),
+            )
+            .withColumn("schema_guard_fired", F.lit(bool(guard_fired)))
+            .orderBy("day")
+        ).collect()  # 30 day rows — bounded pull
+    return spark.createDataFrame(
+        rows,
+        "day string, n_events long, cents long, schema_guard_fired boolean",
+    ).orderBy("day")

@@ -55,7 +55,6 @@ def test_driver_registry_covers_every_family():
         "t15_source_mix",
         "t17_bpe_encoding",
         "t19_unigram_surprisal",
-        "t20_textrank_keywords",
         "t23_term_retrieval",
         # NEW round-8 rows land with immediate driver slots
         "p20_stream_stream_outer_join",
@@ -95,6 +94,7 @@ def test_driver_registry_covers_every_family():
         "q79_aqe_coalesce_partitions",
         "p36_rocksdb_changelog_checkpoint",
         "q80_nested_schema_pruning",
+        "p37_state_schema_guard",
     ):
         assert must in names
 

@@ -383,7 +383,7 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "every window of a fused query at scale"),
     ("state-store introspection / backends",
      ["p27_state_store_introspection", "p30_rocksdb_state_backend",
-      "p36_rocksdb_changelog_checkpoint"],
+      "p36_rocksdb_changelog_checkpoint", "p37_state_schema_guard"],
      "the statestore / state-metadata readers over a real checkpoint — "
      "batchId time travel, operator manifest asserted; the PRODUCTION "
      "backend end-to-end — the same stateful contract under "
@@ -393,7 +393,13 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "checkpointing — per-batch O(delta) uploads instead of O(state) "
      "snapshots, *.changelog artifacts asserted in the checkpoint and "
      "recovery-by-replay proven by a restarted query landing on the "
-     "exact full-corpus rollup"),
+     "exact full-corpus rollup; the STATE-SCHEMA FREEZE as a fail-loud "
+     "contract — one added aggregate over the same checkpoint dies with "
+     "STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE, the original shape "
+     "resumes exactly, and the measured zero-batch latency of the guard "
+     "(no new data = never consulted) is documented as the reason "
+     "deployment checks must read the checkpoint's state-metadata, not "
+     "smoke-start"),
     # ---- multimodal -----------------------------------------------------
     ("multimodal",
      ["m01_media_manifest", "m02_media_header_decode",
