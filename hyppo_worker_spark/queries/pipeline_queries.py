@@ -4329,12 +4329,21 @@ def p33_multi_watermark_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     # telemetry pin: the final global watermark is sentinel - 3 days
-    # (the MIN of the two input watermarks), not sentinel - 1 hour
-    wm_str = progresses[-1]["eventTime"]["watermark"]
-    parsed = datetime.datetime.fromisoformat(wm_str.replace("Z", "+00:00"))
-    parsed = parsed.replace(tzinfo=None)
-    expected = sentinel_ts - datetime.timedelta(days=3)
-    wm_is_min = abs((parsed - expected).total_seconds()) < 1.0
+    # (the MIN of the two input watermarks), not sentinel - 1 hour.
+    # The pin depends on the post-sentinel no-data micro-batch having
+    # run (spark.sql.streaming.noDataMicroBatches.enabled, default
+    # true) — if no progress entry carries a watermark, report a
+    # self-explaining red row instead of dying on progresses[-1].
+    if progresses:
+        wm_str = progresses[-1]["eventTime"]["watermark"]
+        parsed = datetime.datetime.fromisoformat(wm_str.replace("Z", "+00:00"))
+        parsed = parsed.replace(tzinfo=None)
+        expected = sentinel_ts - datetime.timedelta(days=3)
+        wm_is_min = abs((parsed - expected).total_seconds()) < 1.0
+    else:
+        # no-data-batch precondition missing → the telemetry pin is
+        # unverifiable; surface as watermark_is_min=false (red row)
+        wm_is_min = False
 
     res = spark.read.parquet(out_dir)
     return (

@@ -5436,11 +5436,17 @@ def q78_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     import contextlib
 
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
-    db = "q78db"
-    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    import os
     import tempfile
 
     loc = tempfile.mkdtemp(prefix="hyppo-q78-")
+    # Unique per-invocation database name (derived from the tempdir's
+    # random suffix): a fixed literal would let two concurrent runs
+    # (bench + correctness harness) clobber each other's tables via
+    # the DROP ... CASCADE below, and would silently destroy any
+    # pre-existing user database of the same name.
+    db = "q78db_" + os.path.basename(loc).split("-")[-1].lower()
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
     try:
         t["lineitem"].select(

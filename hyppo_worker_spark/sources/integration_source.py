@@ -742,22 +742,28 @@ def erase_rows(path: str, should_erase, *, reconcile: bool = False) -> dict:
     files IN PLACE (a file referenced by five snapshots is rewritten
     once) and re-stamps all five manifests.
 
-    Ordering is load-bearing: data files first (atomic tmp +
-    os.replace per file), manifests second. A crash in between
-    leaves a manifest whose md5 no longer matches the rewritten
-    file — ``read_committed`` fails LOUD on checksum, never serving
-    half-erased state silently — and erasure is idempotent, so
-    rerunning converges. Recovering that crash window requires an
-    EXPLICIT ``reconcile=True``: a stale manifest entry for a file
-    this run did not rewrite is indistinguishable (by content) from
-    external corruption or tampering, so the default raises
-    ``ErasureReconcileError`` naming the files instead of silently
-    re-stamping whatever is on disk as authoritative — re-stamping
-    only the entries of files THIS run rewrote. Scale: the loop is
-    per-FILE with no
-    cross-file state — at a 100 TB zone it distributes as one task
-    per file (the zone's files are per-ingestion-task by
-    construction, so parallelism equals the original write's).
+    Ordering is load-bearing, in TWO stages. Stage 1 is a READ-ONLY
+    pre-pass over every referenced file: it computes each file's
+    current (rows, md5) and the rows the predicate would erase, and
+    the fail-loud gate runs HERE — any manifest entry that mismatches
+    the file's PRE-erasure content (a previous erasure's crash window,
+    external corruption, or tampering — indistinguishable by content)
+    raises ``ErasureReconcileError`` naming the files BEFORE any data
+    file or manifest mutates, so the default failure path is
+    side-effect-free and leaves no new crash window of its own.
+    Recovering requires an EXPLICIT ``reconcile=True``, which accepts
+    the current on-disk content as authoritative — so a file known to
+    be tampered must be restored (or its snapshots retired) BEFORE the
+    reconcile rerun, or the rerun blesses the tampered bytes. Stage 2
+    then rewrites the changed data files (atomic tmp + os.replace per
+    file) and re-stamps manifests LAST; a crash in between leaves a
+    manifest whose md5 no longer matches — ``read_committed`` fails
+    LOUD on checksum, never serving half-erased state silently — and
+    the next run's pre-pass surfaces exactly that window. Scale: both
+    passes are per-FILE with no cross-file state — at a 100 TB zone
+    they distribute as one task per file (the zone's files are
+    per-ingestion-task by construction, so parallelism equals the
+    original write's).
 
     Returns {files_rewritten, rows_erased, manifests_updated}.
     """
@@ -773,63 +779,75 @@ def erase_rows(path: str, should_erase, *, reconcile: bool = False) -> dict:
             for e in m["files"]:
                 data_files.add(e["file"])
 
-    # Post-state of EVERY referenced file (not just changed ones): a
-    # crash of a PREVIOUS erasure between its data rewrite and its
-    # manifest re-stamp leaves a stale manifest entry with zero rows
-    # left to erase — reconciling every entry against the file's
-    # current content is what makes rerunning converge.
+    # Stage 1 — READ-ONLY pre-pass: pre-state (gate input), post-state
+    # (stamp input), and the erase count per file. Reconciling every
+    # entry against the file's current content is what makes rerunning
+    # a crashed erasure converge.
+    pre_state: dict[str, dict] = {}
     post_state: dict[str, dict] = {}
-    rewritten_this_run: set[str] = set()
-    files_rewritten = 0
-    rows_erased = 0
+    to_erase: dict[str, int] = {}
     for fname in sorted(data_files):
         fpath = os.path.join(path, fname)
-        kept: list[str] = []
-        h = hashlib.md5()
-        n = 0
-        erased_here = 0
+        h_pre = hashlib.md5()
+        h_post = hashlib.md5()
+        n_pre = n_post = erased_here = 0
         with open(fpath, encoding="utf-8") as fh:
             for line in fh:
                 line = line.rstrip("\n")
+                h_pre.update(line.encode())
+                n_pre += 1
                 if should_erase(json.loads(line)):
                     erased_here += 1
                     continue
-                kept.append(line)
-                h.update(line.encode())
-                n += 1
-        if erased_here:
-            tmp = fpath + ".tmp"
-            with open(tmp, "w", encoding="utf-8") as fh:
-                for line in kept:
-                    fh.write(line + "\n")
-            os.replace(tmp, fpath)
-            rewritten_this_run.add(fname)
-            files_rewritten += 1
-            rows_erased += erased_here
-        post_state[fname] = {"rows": n, "md5": h.hexdigest()}
+                h_post.update(line.encode())
+                n_post += 1
+        pre_state[fname] = {"rows": n_pre, "md5": h_pre.hexdigest()}
+        post_state[fname] = {"rows": n_post, "md5": h_post.hexdigest()}
+        to_erase[fname] = erased_here
 
-    # Fail-loud gate BEFORE mutating any manifest: entries that
-    # mismatch a file this run did NOT rewrite are either a previous
-    # erasure's crash window (expected: rerun with reconcile=True) or
-    # genuine corruption — never silently absorbed.
-    stale_unrewritten = sorted(
+    # Fail-loud gate BEFORE mutating anything: entries that mismatch a
+    # file's PRE-erasure content are a previous erasure's crash window
+    # (expected: rerun with reconcile=True) or genuine corruption —
+    # never silently absorbed, and never laundered by this run's own
+    # rewrite of the same file.
+    stale = sorted(
         {
             e["file"]
             for m in manifests.values()
             for e in m["files"]
-            if e["file"] not in rewritten_this_run
-            and (r := post_state.get(e["file"])) is not None
+            if (r := pre_state.get(e["file"])) is not None
             and (e["rows"], e["md5"]) != (r["rows"], r["md5"])
         }
     )
-    if stale_unrewritten and not reconcile:
+    if stale and not reconcile:
         raise ErasureReconcileError(
-            "manifest entries mismatch data files this erasure run did "
-            f"not rewrite: {stale_unrewritten}. If a previous erasure "
-            "crashed between its data rewrite and manifest re-stamp, "
-            "rerun with reconcile=True to accept the current file "
-            "content; otherwise investigate corruption."
+            "manifest entries mismatch the current content of data "
+            f"files: {stale}. Nothing was modified by this run. If a "
+            "previous erasure crashed between its data rewrite and "
+            "manifest re-stamp, rerun with reconcile=True to accept "
+            "the current file content; if a file was corrupted or "
+            "tampered with, restore it BEFORE any reconcile=True "
+            "rerun — reconcile blesses whatever is on disk."
         )
+
+    # Stage 2 — rewrite changed data files (second read; the pre-pass
+    # buffers no lines so memory stays O(1) per file), then manifests.
+    files_rewritten = 0
+    rows_erased = 0
+    for fname in sorted(data_files):
+        if not to_erase[fname]:
+            continue
+        fpath = os.path.join(path, fname)
+        tmp = fpath + ".tmp"
+        with open(fpath, encoding="utf-8") as src, open(
+            tmp, "w", encoding="utf-8"
+        ) as dst:
+            for line in src:
+                if not should_erase(json.loads(line.rstrip("\n"))):
+                    dst.write(line if line.endswith("\n") else line + "\n")
+        os.replace(tmp, fpath)
+        files_rewritten += 1
+        rows_erased += to_erase[fname]
 
     manifests_updated = 0
     for mname, m in manifests.items():
