@@ -517,6 +517,24 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t20_textrank_keywords",  # TextRank keywords — 2 greens
         # archived (r8, r9); token statistics / retrieval stays
         # in-window via t23 (inverted-index ranking)
+        # Round-11 ROTATION: three NEW rows (p38 checkpoint-evolution
+        # backfill, s12 incremental IVF maintenance, p39 streaming
+        # point-in-time SCD2 enrichment — VERDICT r10 items 1-3) land
+        # WITH driver slots; the ten r10 rows (q76-q80, p33-p37) stay
+        # in-window for their second driver green (VERDICT item 4).
+        # The three retirees below each hold >= 2 archived green
+        # driver rounds and leave an in-window family representative:
+        "q57_interval_bin_join",  # interval/bin join — 4 greens
+        # archived (r7-r10); the join surface stays in-window via
+        # q69 (AQE skew), q74 (runtime bloom), q76 (hint matrix),
+        # q78 (CBO reorder); as-of/range joins archived via q56/q58
+        "q42_retention_cohorts",  # retention cohort windows — 4
+        # greens archived (r7-r10); window functions stay in-window
+        # via q70 (WindowGroupLimit); streaming retention via p24
+        "p16_dropdup_within_watermark",  # native withinWatermark
+        # dedup — 4 greens archived (r7-r10); streaming dedup stays
+        # in-window via p23 (checkpoint-resumed ingest dedup); p13
+        # archived with 2 greens
     }
 )
 

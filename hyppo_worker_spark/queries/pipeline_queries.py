@@ -4913,3 +4913,371 @@ def p37_state_schema_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "day string, n_events long, cents long, schema_guard_fired boolean",
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# p38 — CHECKPOINT EVOLUTION, the SANCTIONED path: p37 proves the
+# state-schema freeze kills an edited query (and that the partition
+# count freezes too, p27/SCALE.md); this row proves the recovery every
+# team needs the week after they hit that error. The contract: the
+# durable record is the RETAINED ZONE, not the checkpoint — a
+# checkpoint is a cache of a fold over the zone, so evolving the fold
+# (new aggregate column, new state partition count) means building a
+# NEW checkpoint by replaying the zone under the new shape, then
+# cutting over (blue/green: the old checkpoint stays live and
+# readable until the new one has caught up — both are read back here
+# through the statestore source, which is also the cutover
+# verification a production team would run). Pinned from the engine:
+# (a) the backfilled state's (count,sum) per window key equals the old
+# checkpoint's EXACTLY (evolution preserves the rollup — a full-outer
+# join over both statestore reads with zero mismatched keys); (b) the
+# new aggregate (max) is populated in the new state; (c) the
+# state-metadata reader shows the partition rescale 4 → 8 (the knob
+# p27 pins as frozen per-checkpoint); (d) the final answer equals the
+# full-corpus oracle. At 100 TB the backfill is a bounded batch-shaped
+# replay (the zone is partition-pruned parquet; availableNow drains it
+# at the cluster's own pace), which is why "new checkpoint + backfill"
+# — not in-place state surgery — is the sanctioned path. Completes the
+# contract named in p37's header comment; the transformWithState
+# versioned-encoder twin stays env-gated (protobuf absent, NOTES_r10).
+# --------------------------------------------------------------------------
+@register(
+    "p38_checkpoint_evolution_backfill",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS mx_cents,
+           TRUE AS evolution_preserves_rollup,
+           TRUE AS partitions_rescaled
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("pipeline", "streaming", "state-schema", "checkpoint",
+          "evolution", "backfill"),
+)
+def p38_checkpoint_evolution_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Evolve a frozen streaming aggregation by backfilling a NEW
+    checkpoint from the retained zone (added max column, 4 → 8 state
+    partitions); old and new state are read via the statestore source
+    and the old rollup must survive bit-exact."""
+    import contextlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from hyppo_worker_spark.session import scoped_conf
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="hyppo-p38-")
+    src = os.path.join(work, "events")
+    os.makedirs(src)
+    now = time.time()
+    day = F.dayofmonth("ts")
+    blk = F.when(day <= 10, 0).when(day <= 20, 1).otherwise(2)
+    stage_dir = os.path.join(work, "stage")
+    ev.withColumn("blk", blk).coalesce(1).write.partitionBy("blk").parquet(
+        stage_dir
+    )
+    _move_staged_blocks(stage_dir, src, now, 3)
+
+    def start(ckpt: str, evolved: bool):
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        ]
+        if evolved:
+            aggs.append(F.max("cents").alias("mx"))
+        agg = stream.groupBy(F.window("ts", "1 day").alias("win")).agg(*aggs)
+        return (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda b, _bid: b.write.format("noop").mode("append").save()
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    ckpt_old = os.path.join(work, "ckpt-v1")
+    ckpt_new = os.path.join(work, "ckpt-v2")
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(
+            scoped_conf(spark, "spark.sql.shuffle.partitions", "4")
+        )
+        drain_stream(start(ckpt_old, False), 300)
+    with contextlib.ExitStack() as stack:
+        # the evolution: new aggregate shape AND a partition rescale —
+        # both frozen per-checkpoint, both free on a NEW checkpoint
+        stack.enter_context(
+            scoped_conf(spark, "spark.sql.shuffle.partitions", "8")
+        )
+        drain_stream(start(ckpt_new, True), 300)
+
+    def parts(ckpt: str) -> int:
+        md = spark.read.format("state-metadata").load(ckpt).collect()
+        return int(md[0]["numPartitions"]) if len(md) == 1 else -1
+
+    rescaled = parts(ckpt_old) == 4 and parts(ckpt_new) == 8
+
+    def state(ckpt: str, evolved: bool) -> DataFrame:
+        cols = [
+            F.date_format(
+                F.col("key.window.start").cast("date"), "yyyy-MM-dd"
+            ).alias("day"),
+            F.col("value.count").alias("n_events"),
+            F.col("value.sum").alias("cents"),
+        ]
+        if evolved:
+            cols.append(F.col("value.max").alias("mx_cents"))
+        return spark.read.format("statestore").load(ckpt).select(*cols)
+
+    old_s = state(ckpt_old, False)
+    new_s = state(ckpt_new, True)
+    # cutover verification: every window key agrees on (count, sum)
+    # between the old checkpoint and the backfilled one — full outer
+    # join so a key present on only one side also counts as a mismatch
+    mismatches = (
+        old_s.alias("o")
+        .join(new_s.alias("n"), on="day", how="full_outer")
+        .where(
+            F.col("o.n_events").isNull()
+            | F.col("n.n_events").isNull()
+            | (F.col("o.n_events") != F.col("n.n_events"))
+            | (F.col("o.cents") != F.col("n.cents"))
+        )
+        .count()
+    )
+    preserved = mismatches == 0
+    rows = (
+        new_s.withColumn(
+            "evolution_preserves_rollup", F.lit(bool(preserved))
+        )
+        .withColumn("partitions_rescaled", F.lit(bool(rescaled)))
+        .orderBy("day")
+    ).collect()  # 30 day rows — bounded pull
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "day string, n_events long, cents long, mx_cents long, "
+        "evolution_preserves_rollup boolean, partitions_rescaled boolean",
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# p39 — STREAMING POINT-IN-TIME SCD2 ENRICHMENT: the label-leakage
+# guard (q52's temporal join) made continuous, which is the shape
+# every feature/training pipeline actually runs — facts arrive as a
+# stream and must join the dimension version valid AT EVENT TIME, not
+# the current one (today's segment on last month's order is leakage).
+# Both legs stream: (1) a CDC update stream maintains the type-2
+# customer-segment history through Scd2DimensionSink
+# (streaming/scd2_maintenance.py — foreachBatch + scd2_apply + the
+# marked-committer staged swap), three generations (T0 initial, T1
+# re-segments the %7 keys, T2 re-segments the %14 keys); (2) the
+# order-fact stream then enriches per micro-batch against a BROADCAST
+# of that history with the validity-window filter riding the
+# equi-join — a plain BroadcastHashJoin inside every batch, and the
+# in-plan `stateless` column asserts the progress log reported ZERO
+# state operators (p21's discipline: PIT enrichment needs no
+# watermark and no state store, because the history table carries the
+# time dimension). At 100 TB: the history is dimension-sized (open +
+# closed versions), broadcast once per batch; the fact stream never
+# shuffles for the join, and history depth costs nothing per batch —
+# maintenance cost is O(open dim + batch) per CDC trigger
+# (scd2_apply never rescans closed history). Oracle: q52's analytic
+# batch temporal join over the drained corpus — segment-at-time from
+# key arithmetic and the generation each fact time falls in,
+# independent of every operator under test.
+# --------------------------------------------------------------------------
+_P39_T0, _P39_T1, _P39_T2 = (
+    "2024-01-01 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00",
+)
+_P39_F1, _P39_F2, _P39_F3 = (
+    "2024-01-15 00:00:00", "2024-02-15 00:00:00", "2024-03-15 00:00:00",
+)
+
+
+@register(
+    "p39_streaming_scd2_pit_enrichment",
+    oracle=f"""
+    WITH facts AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CASE o_orderkey % 3
+                   WHEN 0 THEN '{_P39_F1}'
+                   WHEN 1 THEN '{_P39_F2}'
+                   ELSE '{_P39_F3}' END AS fact_ts
+        FROM orders
+    ),
+    resolved AS (
+        SELECT substr(fact_ts, 1, 7) AS fact_month, o_totalprice,
+               CASE
+                   WHEN fact_ts < '{_P39_T1}' THEN c.c_mktsegment
+                   WHEN fact_ts < '{_P39_T2}' THEN
+                       CASE WHEN c.c_custkey % 7 = 0 THEN 'SEGMENT-A'
+                            ELSE c.c_mktsegment END
+                   ELSE
+                       CASE WHEN c.c_custkey % 14 = 0 THEN 'SEGMENT-B'
+                            WHEN c.c_custkey % 7 = 0 THEN 'SEGMENT-A'
+                            ELSE c.c_mktsegment END
+               END AS segment_at_time
+        FROM facts f JOIN customer c ON c.c_custkey = f.o_custkey
+    )
+    SELECT fact_month, segment_at_time,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           TRUE AS stateless
+    FROM resolved
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("pipeline", "streaming", "scd2", "temporal-join",
+          "point-in-time", "cdc"),
+)
+def p39_streaming_scd2_pit_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC stream maintains an SCD2 segment history (3 generations);
+    an order-fact stream then joins the version valid AT each fact's
+    timestamp per micro-batch (stateless broadcast enrichment);
+    rollup per (month, segment-at-time) equals the batch temporal
+    join."""
+    import os
+    import time
+
+    from hyppo_worker_spark.session import scoped_conf
+    from hyppo_worker_spark.streaming.scd2_maintenance import (
+        Scd2DimensionSink,
+    )
+
+    tabs = load_tables(spark, sf_dir, ("customer", "orders"))
+    cust = tabs["customer"]
+
+    work = tempfile.mkdtemp(prefix="hyppo-p39-")
+    now = time.time()
+
+    # -- leg 1: the CDC update stream (3 time-ordered generations) ----
+    def gen(df, seg_col, ts: str, blk: int) -> DataFrame:
+        return df.select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            seg_col.alias("segment"),
+            F.lit(ts).alias("update_ts"),
+            F.lit(blk).alias("blk"),
+        )
+
+    cdc = (
+        gen(cust, F.col("c_mktsegment"), _P39_T0, 0)
+        .unionByName(
+            gen(
+                cust.filter(F.col("c_custkey") % 7 == 0),
+                F.lit("SEGMENT-A"), _P39_T1, 1,
+            )
+        )
+        .unionByName(
+            gen(
+                cust.filter(F.col("c_custkey") % 14 == 0),
+                F.lit("SEGMENT-B"), _P39_T2, 2,
+            )
+        )
+    )
+    cdc_src = os.path.join(work, "cdc")
+    os.makedirs(cdc_src)
+    cdc_stage = os.path.join(work, "cdc_stage")
+    cdc.coalesce(1).write.partitionBy("blk").parquet(cdc_stage)
+    _move_staged_blocks(cdc_stage, cdc_src, now, 3)
+
+    sink = Scd2DimensionSink(
+        spark, work, "c_custkey", ["segment"], ts_col="update_ts"
+    )
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q1 = (
+            spark.readStream.schema(
+                "c_custkey long, segment string, update_ts string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cdc_src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt_cdc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q1, 300)
+
+    # -- leg 2: the fact stream, enriched AS OF event time ------------
+    facts = tabs["orders"].select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(_P39_F1))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit(_P39_F2))
+        .otherwise(F.lit(_P39_F3))
+        .alias("fact_ts"),
+        (F.col("o_orderkey") % 3).cast("int").alias("blk"),
+    )
+    fact_src = os.path.join(work, "facts")
+    os.makedirs(fact_src)
+    fact_stage = os.path.join(work, "fact_stage")
+    facts.coalesce(1).write.partitionBy("blk").parquet(fact_stage)
+    _move_staged_blocks(fact_stage, fact_src, now, 3)
+
+    hist = sink.history()  # c_custkey, segment, valid_from, valid_to
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_totalprice double, "
+            "fact_ts string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fact_src)
+    )
+    # the PIT join: equi-join on the key, validity window as a join
+    # predicate — BroadcastHashJoin per batch, no state, no watermark;
+    # ISO strings compare lexicographically == chronologically
+    enriched = stream.join(
+        F.broadcast(hist),
+        (stream.o_custkey == hist.c_custkey)
+        & (F.col("valid_from") <= F.col("fact_ts"))
+        & (F.col("fact_ts") < F.col("valid_to")),
+    ).select(
+        "o_orderkey", "fact_ts", "o_totalprice",
+        F.col("segment").alias("segment_at_time"),
+    )
+    out_dir = os.path.join(work, "enriched")
+    q2 = (
+        enriched.writeStream.foreachBatch(
+            lambda b, _bid: b.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_stream(q2, 300)
+    stateless = all(
+        not p.get("stateOperators") for p in q2.recentProgress
+    ) and len(q2.recentProgress) > 0
+
+    return (
+        spark.read.parquet(out_dir)
+        .dropDuplicates(["o_orderkey"])  # idempotent re-read guard
+        .groupBy(
+            F.substring("fact_ts", 1, 7).alias("fact_month"),
+            "segment_at_time",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .withColumn("stateless", F.lit(bool(stateless)))
+        .orderBy("fact_month", "segment_at_time")
+    )

@@ -852,3 +852,184 @@ def s11_truncated_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --------------------------------------------------------------------------
+# s12 — INCREMENTAL IVF INDEX MAINTENANCE (operators/ivf_index.py),
+# the embedding twin of d10's persisted-LSH admission path: s04/s05/s07
+# retrain the coarse quantizer per query, which a production corpus
+# cannot afford — the quantizer is trained ONCE on the standing corpus,
+# persisted (centroids + assignments parquet), and a new embedding
+# batch is admitted by assigning against the PERSISTED centroids (one
+# broadcast of k rows; cost O(batch·k), independent of corpus size; no
+# retrain, nothing existing rewritten). Whether the quantizer is still
+# fit is a DRIFT GATE, not a schedule: integer basis-point L1 of the
+# per-cell population shift — all-integer (`div`, not float shares),
+# so the gate value is a pure function of the counts, deterministic
+# across engines. The row pins the gate from BOTH directions, like
+# p33: the real 30%-md5 batch admits (drift below threshold, gate
+# quiet — pinned exact by the oracle, which replays train + assign +
+# drift bit-for-bit in SQL), and a PLANTED drifted batch (every vector
+# replaced by the cell-0 centroid, so all admitted mass lands in one
+# cell) must FIRE the gate — asserted from the engine against the same
+# persisted index and surfaced as a literal column. Everything
+# reported is read back from the persisted index (the reload is the
+# source of truth), proving the cross-session roundtrip d10 proves for
+# text. At 100 TB: admission stays off the corpus-sized critical path;
+# retraining — the only corpus-sized job — runs exactly when the gate
+# says the cell populations stopped resembling the training corpus.
+# --------------------------------------------------------------------------
+_S12_BATCH_PCT = 30
+_S12_GATE_BP = 500
+
+
+def _s12_oracle() -> str:
+    from hyppo_worker_spark.functions.text import md5_bucket_sql
+
+    gate = f"{md5_bucket_sql('vec_id', 100)} < {_S12_BATCH_PCT}"
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE NOT ({gate})
+    ),
+    allv AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, {gate} AS is_new
+        FROM embeddings
+    ),
+    cents0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+               v AS cent
+        FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8)
+    ),
+    {_lloyd_round(0)},
+    {_lloyd_round(1)},
+    assigned AS (
+        SELECT allv.vec_id, allv.is_new, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY allv.vec_id
+                                  ORDER BY {_cos('allv.v', 'c.cent')} DESC,
+                                           c.cent_id) AS rn
+        FROM allv, cents2 c
+    ),
+    m AS (SELECT vec_id, is_new, cell FROM assigned WHERE rn = 1),
+    counts AS (
+        SELECT c.cent_id AS cell,
+               CAST(coalesce(sum(CASE WHEN NOT m.is_new THEN 1 END), 0)
+                    AS BIGINT) AS n_base,
+               CAST(coalesce(sum(CASE WHEN m.is_new THEN 1 END), 0)
+                    AS BIGINT) AS n_admitted
+        FROM cents0 c LEFT JOIN m ON m.cell = c.cent_id
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+               CAST(sum(n_base + n_admitted) AS BIGINT) AS tt
+        FROM counts
+    ),
+    rep AS (
+        SELECT cell, n_base, n_admitted,
+               abs((10000 * n_base) // tb
+                   - (10000 * (n_base + n_admitted)) // tt) AS d
+        FROM counts, tot
+    )
+    SELECT cell, n_base, n_admitted,
+           CAST((SELECT sum(d) FROM rep) AS BIGINT) AS drift_bp,
+           (SELECT sum(d) FROM rep) > {_S12_GATE_BP} AS retrain_needed,
+           TRUE AS planted_drift_fires
+    FROM rep ORDER BY cell
+    """
+
+
+@register(
+    "s12_incremental_ivf_maintenance",
+    oracle=_s12_oracle(),
+    tags=("similarity", "ivf", "incremental", "maintenance", "drift-gate",
+          "index"),
+)
+def s12_incremental_ivf_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train-once IVF quantizer persisted to disk; a 30%-md5 batch is
+    admitted against the persisted centroids (no retrain) and the
+    integer basis-point drift gate stays quiet — while a planted
+    all-one-cell batch fires it, asserted from the same index."""
+    import os
+    import shutil
+    import tempfile
+
+    from hyppo_worker_spark.functions import text as TX
+    from hyppo_worker_spark.operators.ivf_index import IvfIndex
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    is_new = TX.md5_bucket("vec_id", 100) < _S12_BATCH_PCT
+    corpus = emb.filter(~is_new)
+    batch = emb.filter(is_new)
+
+    work = tempfile.mkdtemp(prefix="hyppo-s12-")
+    idx = IvfIndex(
+        os.path.join(work, "ivf"),
+        n_centroids=8,
+        n_iter=2,
+        drift_threshold_bp=_S12_GATE_BP,
+    )
+    idx.train(corpus)
+    idx.admit(spark, batch)
+    rep = idx.drift_report(spark)
+
+    # the planted-drift probe: the SAME batch with every embedding
+    # replaced by the persisted cell-0 centroid — all admitted mass
+    # lands in one cell, so the gate MUST fire. 1-row bounded pull
+    # (the centroid vector) to build the literal array.
+    c0 = (
+        idx.centroids(spark)
+        .filter(F.col("cent_id") == 0)
+        .select("cent")
+        .collect()
+    )[0][0]
+    probe = batch.select(
+        "vec_id", F.array(*[F.lit(float(x)) for x in c0]).alias("embedding")
+    )
+    probe_asg = idx.assign(spark, probe)
+    base = idx.cell_counts(spark).select(
+        "cell", "n_base", F.lit(0).cast("long").alias("n_admitted")
+    )
+    probe_counts = (
+        base.drop("n_admitted")
+        .join(
+            probe_asg.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n_admitted")
+            ),
+            "cell",
+            "left",
+        )
+        .select(
+            "cell",
+            "n_base",
+            F.coalesce("n_admitted", F.lit(0)).cast("long").alias(
+                "n_admitted"
+            ),
+        )
+    )
+    probe_fires = (
+        IvfIndex.drift_bp_col(probe_counts)
+        .agg(F.max("drift_bp").alias("d"))
+        .collect()[0][0]  # 1-row bounded pull — the gate decision
+        > _S12_GATE_BP
+    )
+    out = (
+        rep.withColumn("planted_drift_fires", F.lit(bool(probe_fires)))
+        .select(
+            "cell",
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_admitted").cast("long").alias("n_admitted"),
+            F.col("drift_bp").cast("long").alias("drift_bp"),
+            "retrain_needed",
+            "planted_drift_fires",
+        )
+        .orderBy("cell")
+    ).collect()  # 8 cell rows — bounded pull (work dir is deleted next)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "cell long, n_base long, n_admitted long, drift_bp long, "
+        "retrain_needed boolean, planted_drift_fires boolean",
+    ).orderBy("cell")

@@ -1,0 +1,129 @@
+"""IvfIndex: persisted coarse quantizer + incremental admission with
+the integer basis-point drift gate (the embedding twin of
+MinHashLshIndex's admit-without-rehash contract)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyppo_worker_spark.operators.ivf_index import IvfIndex
+
+
+def _corpus(spark, n=60, dim=8, tag=0):
+    """Deterministic unit-free vectors: v[i] = f(vec_id, i) — two
+    separable clusters (even ids point one way, odd the other) so the
+    trained cells are stable."""
+    rows = [
+        (
+            tag * 1000 + i,
+            [
+                float(1 + (i % 2) * 10 + ((i * 7 + j * 3) % 5)) / 10.0
+                for j in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_train_persists_and_reload_assigns_like_retrain(spark, tmp_path):
+    idx = IvfIndex(str(tmp_path / "ivf"), n_centroids=4, n_iter=2)
+    corpus = _corpus(spark)
+    idx.train(corpus)
+    assert idx.exists()
+    # persisted assignments == a fresh assignment of the corpus
+    # against the RELOADED centroids (the read path is authoritative)
+    persisted = {
+        (r.vec_id, r.cell)
+        for r in idx.assignments(spark).filter(~F.col("admitted")).collect()
+    }
+    fresh = {
+        (r.vec_id, r.cell) for r in idx.assign(spark, corpus).collect()
+    }
+    assert persisted == fresh
+    assert len(persisted) == 60
+
+
+def test_admit_appends_without_rewriting(spark, tmp_path):
+    idx = IvfIndex(str(tmp_path / "ivf"), n_centroids=4, n_iter=2)
+    idx.train(_corpus(spark))
+    asg_dir = str(tmp_path / "ivf" / "assignments")
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(asg_dir, "*.parquet"))
+    }
+    idx.admit(spark, _corpus(spark, n=10, tag=5))
+    after = set(glob.glob(os.path.join(asg_dir, "*.parquet")))
+    # append-only: every pre-admission file survives untouched
+    for p, mt in before.items():
+        assert p in after and os.path.getmtime(p) == mt
+    assert len(after) > len(before)
+    admitted = idx.assignments(spark).filter(F.col("admitted"))
+    assert admitted.count() == 10
+
+
+def test_drift_gate_quiet_on_proportional_batch(spark, tmp_path):
+    idx = IvfIndex(
+        str(tmp_path / "ivf"), n_centroids=4, n_iter=2,
+        drift_threshold_bp=500,
+    )
+    idx.train(_corpus(spark))
+    # a batch drawn from the same generator keeps the cell shares:
+    # same even/odd cluster mix, so the gate must stay quiet
+    idx.admit(spark, _corpus(spark, n=20, tag=7))
+    rep = idx.drift_report(spark).collect()
+    assert len(rep) == 4
+    assert all(not r.retrain_needed for r in rep)
+    assert all(r.drift_bp == rep[0].drift_bp for r in rep)  # global stat
+
+
+def test_drift_gate_fires_on_planted_shift(spark, tmp_path):
+    idx = IvfIndex(
+        str(tmp_path / "ivf"), n_centroids=4, n_iter=2,
+        drift_threshold_bp=500,
+    )
+    idx.train(_corpus(spark))
+    # plant every admitted vector on the cell-0 centroid: all admitted
+    # mass in one cell — corpus-sized batch, so shares shift hard
+    c0 = (
+        idx.centroids(spark)
+        .filter(F.col("cent_id") == 0)
+        .collect()[0]["cent"]
+    )
+    planted = spark.createDataFrame(
+        [(9000 + i, list(c0)) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    idx.admit(spark, planted)
+    rep = idx.drift_report(spark).collect()
+    assert all(r.retrain_needed for r in rep)
+    # and the planted cell holds every admitted row
+    by_cell = {r.cell: r.n_admitted for r in rep}
+    assert by_cell[0] == 60 and sum(by_cell.values()) == 60
+
+
+def test_drift_is_integer_and_partition_invariant(spark, tmp_path):
+    idx = IvfIndex(str(tmp_path / "ivf"), n_centroids=4, n_iter=2)
+    idx.train(_corpus(spark))
+    idx.admit(spark, _corpus(spark, n=20, tag=3))
+    a = idx.drift_report(spark).orderBy("cell").collect()
+    b = (
+        IvfIndex.drift_bp_col(
+            idx.cell_counts(spark).repartition(13)
+        )
+        .orderBy("cell")
+        .collect()
+    )
+    assert [r.drift_bp for r in a] == [r.drift_bp for r in b]
+    assert all(isinstance(r.drift_bp, int) for r in a)
+
+
+def test_untrained_index_does_not_exist(spark, tmp_path):
+    idx = IvfIndex(str(tmp_path / "nope"))
+    assert not idx.exists()
+    with pytest.raises(Exception):
+        idx.centroids(spark).collect()

@@ -89,6 +89,16 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "Matryoshka-style truncated-prefix retrieval agreement (top-5 "
      "overlap + top-1 match at 64/32/16 dims — the prefix-scan "
      "cost-quality gate)"),
+    ("vector index maintenance",
+     ["s12_incremental_ivf_maintenance"],
+     "train-once persisted IVF index (`operators/ivf_index.py` — "
+     "centroids + assignments parquet, the embedding twin of the "
+     "persisted LSH index): a new embedding batch is admitted by "
+     "assignment against the PERSISTED quantizer (O(batch·k) broadcast, "
+     "no retrain, append-only), and retraining is decided by an "
+     "all-integer basis-point L1 population-DRIFT GATE pinned from both "
+     "directions — the real batch admits with the gate quiet, a planted "
+     "all-one-cell batch fires it from the same index"),
     # ---- text ----------------------------------------------------------
     ("language ID / quality",
      ["t01_language_id", "t02_quality_scores", "t12_repetition_signals",
@@ -181,11 +191,16 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "the payload array never leave the file (asserted from the "
      "executed scan)"),
     ("dimension history (SCD2) / merge",
-     ["q30_merge_upsert", "q51_scd2_history", "q52_temporal_scd2_join"],
+     ["q30_merge_upsert", "q51_scd2_history", "q52_temporal_scd2_join",
+      "p39_streaming_scd2_pit_enrichment"],
      "keyed upsert audit; type-2 close-and-append versioning with no-op "
      "resubmission guard (`operators/merge.py:scd2_apply`); point-in-time "
      "temporal join against the history — the label-leakage guard; "
-     "maintained continuously from CDC (`streaming/scd2_maintenance.py`)"),
+     "maintained continuously from CDC (`streaming/scd2_maintenance.py`); "
+     "STREAMING point-in-time enrichment — a CDC stream maintains the "
+     "history, then the fact stream joins the version valid AT EVENT "
+     "TIME per micro-batch (broadcast, zero state operators asserted "
+     "in-progress: the leakage guard made continuous)"),
     # ---- relational breadth (the §2.4 categories, exercised row-by-row)
     ("relational: aggregation core",
      ["q01_pricing_summary", "q06_forecast_revenue", "q09_rollup_qty",
@@ -383,7 +398,8 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "every window of a fused query at scale"),
     ("state-store introspection / backends",
      ["p27_state_store_introspection", "p30_rocksdb_state_backend",
-      "p36_rocksdb_changelog_checkpoint", "p37_state_schema_guard"],
+      "p36_rocksdb_changelog_checkpoint", "p37_state_schema_guard",
+      "p38_checkpoint_evolution_backfill"],
      "the statestore / state-metadata readers over a real checkpoint — "
      "batchId time travel, operator manifest asserted; the PRODUCTION "
      "backend end-to-end — the same stateful contract under "
@@ -399,7 +415,12 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "resumes exactly, and the measured zero-batch latency of the guard "
      "(no new data = never consulted) is documented as the reason "
      "deployment checks must read the checkpoint's state-metadata, not "
-     "smoke-start"),
+     "smoke-start; and the SANCTIONED evolution path — a NEW checkpoint "
+     "backfilled from the retained zone under a changed aggregation "
+     "shape AND a partition rescale (4 → 8, state-metadata asserted), "
+     "with the old rollup surviving bit-exact (full-outer join over "
+     "both statestore reads, zero mismatched keys: the blue/green "
+     "cutover verification)"),
     # ---- multimodal -----------------------------------------------------
     ("multimodal",
      ["m01_media_manifest", "m02_media_header_decode",
