@@ -23,6 +23,7 @@ import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hyppo_worker_spark.session import tracked_persist
 
@@ -632,7 +633,10 @@ def semantic_dedup_components(
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id")
     )
-    comp = connected_components(pairs)
+    # size-adaptive: near-dup pair sets are typically tiny next to the
+    # corpus, and the star-contraction loop's launch floor dominated
+    # the d16 itemization (NOTES_r11); distributed fallback above cap
+    comp = connected_components_adaptive(pairs)
     nodes = assigned.select(F.col("did").alias("node"))
     return nodes.join(comp, "node", "left").select(
         "node", F.coalesce("comp", F.col("node")).alias("comp")
@@ -772,6 +776,54 @@ def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id",
     return nodes.join(comp, "node", "left").select(
         "node", F.coalesce("comp", F.col("node")).alias("comp")
     )
+
+
+def connected_components_adaptive(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    *,
+    local_max_edges: int = 200_000,
+) -> DataFrame:
+    """Size-adaptive connected components — the incremental-CC fast
+    path (`streaming/incremental_cc.py`, measured crossover) opened to
+    batch callers: ONE bounded job pulls up to ``local_max_edges + 1``
+    edges; getting the cap + 1 back means "too big — go distributed"
+    (`connected_components`), otherwise a driver-side union-find
+    solves the graph in microseconds instead of paying the star-
+    contraction loop's ROUNDS × per-job fixed overhead (measured
+    here: 1.7s of launch floor for a 386-edge graph at sf0.1 — the
+    d16 itemization, NOTES_r11).
+
+    Value-identical to ``connected_components`` including self-loop-
+    only singleton handling; the bounded pull is capped at
+    ``local_max_edges`` rows of two longs (≤ ~3 MB at the default)
+    with the distributed operator as the fallback above it.
+    """
+    pulled = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).limit(local_max_edges + 1).collect()  # bounded pull, cap above
+    if len(pulled) > local_max_edges:
+        return connected_components(edges, src, dst)
+    spark = edges.sparkSession
+    real = [(r["u"], r["v"]) for r in pulled if r["u"] != r["v"]]
+    labeled = dict(local_connected_components(real))
+    # self-loop-only nodes are singleton components (the contract
+    # `connected_components` keeps via its raw-edge node frame)
+    for r in pulled:
+        for n in (r["u"], r["v"]):
+            if n not in labeled:
+                labeled[n] = n
+    # node/comp inherit the edge id type (string doc ids and long vec
+    # ids both flow through here)
+    id_type = edges.schema[src].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", id_type, False),
+            T.StructField("comp", id_type, False),
+        ]
+    )
+    return spark.createDataFrame(sorted(labeled.items()), schema)
 
 
 def local_connected_components(

@@ -415,7 +415,7 @@ def d08_embedding_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.embedding_neardup_pairs(
         corpus, "vec_id", "v", threshold=0.9, bands=4, bits=8
     )
-    comp = D.connected_components(pairs)
+    comp = D.connected_components_adaptive(pairs)
     dropped = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("vec_id")
     )
@@ -480,7 +480,7 @@ def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=12, bands=6, threshold=0.8
     )
-    comp = D.connected_components(pairs)
+    comp = D.connected_components_adaptive(pairs)
     return (
         comp.groupBy(F.col("comp").alias("cluster_id"))
         .agg(
@@ -1122,7 +1122,7 @@ def d14_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=12, bands=6, threshold=0.8
     )
-    comp = D.connected_components(pairs)
+    comp = D.connected_components_adaptive(pairs)
     canon = (
         docs.select("doc_id")
         .join(

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hyppo_worker_spark.operators.dedup import (
-    connected_components,
+    connected_components_adaptive,
     minhash_lsh_pairs,
 )
 from hyppo_worker_spark.operators.lsh_index import MinHashLshIndex
@@ -93,7 +93,9 @@ class DedupIngestSink:
             shingle_n=self.index.shingle_n,
             threshold=self.threshold,
         )
-        comp = connected_components(pairs)
+        # size-adaptive (launch-floor cut, NOTES_r11): a micro-batch's
+        # within-batch pair set is tiny; distributed fallback above cap
+        comp = connected_components_adaptive(pairs)
         drop = comp.filter(F.col("node") != F.col("comp")).select(
             F.col("node").alias(idc)
         )

@@ -256,3 +256,35 @@ def test_hot_band_cap_bounds_pathological_candidates(spark):
         normal, "doc_id", "text", threshold=0.8, max_band_docs=1000
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_connected_components_adaptive_matches_distributed(spark):
+    from hyppo_worker_spark.operators.dedup import (
+        connected_components,
+        connected_components_adaptive,
+    )
+
+    # chain + triangle + self-loop-only singleton + isolated pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10),
+         (20, 20), (30, 31)],
+        "a_id long, b_id long",
+    )
+    want = {
+        (r.node, r.comp)
+        for r in connected_components(edges).collect()
+    }
+    got_local = {
+        (r.node, r.comp)
+        for r in connected_components_adaptive(edges).collect()
+    }
+    # cap below the edge count -> distributed fallback, same answer
+    got_fallback = {
+        (r.node, r.comp)
+        for r in connected_components_adaptive(
+            edges, local_max_edges=3
+        ).collect()
+    }
+    assert got_local == want
+    assert got_fallback == want
+    assert (20, 20) in want  # self-loop-only singleton kept
