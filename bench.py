@@ -181,6 +181,11 @@ BENCH_QUERIES = [
     "p36_rocksdb_changelog_checkpoint",
     "q80_nested_schema_pruning",
     "p37_state_schema_guard",
+    # Round-11 additions:
+    "p38_checkpoint_evolution_backfill",
+    "s12_incremental_ivf_maintenance",
+    "p39_streaming_scd2_pit_enrichment",
+    "d17_projection_lsh_neardup",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN
@@ -209,6 +214,12 @@ VALIDATION_QUERIES = frozenset(
         "p33_multi_watermark_union",  # p16's micro-batch fixed-cost
         # class (3 triggers over two sources + finalize) — the row
         # proves the min multiple-watermark policy, not engine volume
+        "p38_checkpoint_evolution_backfill",  # runs the SAME drain
+        # TWICE by design (old checkpoint + backfilled new one) plus
+        # the cutover-verification join — evolution proof, not volume
+        "p39_streaming_scd2_pit_enrichment",  # two chained streams
+        # (CDC maintenance drain + enrichment drain): micro-batch
+        # fixed-cost class; the PIT join itself is broadcast-stateless
     }
 )
 

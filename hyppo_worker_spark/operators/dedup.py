@@ -443,6 +443,9 @@ def embedding_neardup_pairs(
     bands: int = 4,
     bits: int = 8,
     round_to: int = 6,
+    projections: bool = False,
+    dim: int | None = None,
+    seed: str = "proj",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the scale path for
     vector dedup (``similarity.cosine_neardup_pairs`` is the all-pairs
@@ -468,9 +471,22 @@ def embedding_neardup_pairs(
         .withColumn("nrm", V.norm(F.col("vv")))
         .transform(tracked_persist)
     )
-    banded = v.select(
-        "did", F.explode(V.banded_sign_buckets(F.col("vv"), bands, bits)).alias("bb")
-    ).select("did", "bb.band_id", "bb.bucket")
+    # projections=True switches band buckets from raw-component signs
+    # to Rademacher random-projection signs (requires dim): 2^bits
+    # buckets per band for ANY bits — the path past the raw-sign
+    # ceiling at bands*bits = dim (SCALE.md round 11); bit-identical
+    # folds keep the construction oracle-mirrorable.
+    if projections:
+        if dim is None:
+            raise ValueError("projections=True requires dim")
+        bb = V.banded_projection_buckets(
+            F.col("vv"), dim, bands, bits, seed=seed
+        )
+    else:
+        bb = V.banded_sign_buckets(F.col("vv"), bands, bits)
+    banded = v.select("did", F.explode(bb).alias("bb")).select(
+        "did", "bb.band_id", "bb.bucket"
+    )
     cand = (
         banded.alias("l")
         .join(

@@ -535,6 +535,15 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # dedup — 4 greens archived (r7-r10); streaming dedup stays
         # in-window via p23 (checkpoint-resumed ingest dedup); p13
         # archived with 2 greens
+        # Slot for the NEW round-11 d17 (random-projection sign-LSH
+        # near-dup — the measured bucket-space scale path past d08's
+        # raw-component ceiling, full machinery mirrored in SQL), so
+        # the new surface lands WITH driver evidence:
+        "q45_variant_ingestion",  # VARIANT ingestion — 4 greens
+        # archived (r7-r10); semi-structured ingestion stays in-window
+        # via p34 (malformed-record JSONL policy with in-scan
+        # quarantine); the scalar/JSON surface keeps q71 (pipe
+        # syntax) in-window, q24/q66 archived
     }
 )
 

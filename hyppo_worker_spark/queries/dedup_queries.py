@@ -1365,3 +1365,169 @@ def d16_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_label.crossJoin(F.broadcast(bound)).orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# d17 — RANDOM-PROJECTION sign-LSH near-dup: the scale path past
+# d08's raw-component banding. Raw signs cap the bucket space at
+# bands*bits = dim (64-dim → 2^16/band, saturating near 10^7 vectors
+# — the measured x100 rule, SCALE.md r11); Rademacher projections
+# (Charikar 2002 SimHash) give 2^bits buckets per band for ANY bits,
+# decoupled from the embedding width. The ±1 weights derive from md5
+# parity (functions/vectors.py:projection_weights — no RNG state), and
+# every projection is the same sequential left fold both engines use
+# for dot products, so bucket ids are BIT-IDENTICAL across engines:
+# the oracle below replays the full machinery — literal weight
+# matrices, sign buckets, banding join, exact-cosine verify, CC — in
+# SQL, which is what makes an S-curve-recall construction (projection
+# signs CAN flip near zero, unlike d08's provably-unperturbed bands)
+# hash-pinnable. bits=12 here (4096 buckets/band — impossible for
+# raw signs at 4 bands over 64 dims without eating the dedup margin)
+# and the occupied-bucket count is pinned as a mirrored aggregate —
+# the spread evidence. At 100 TB: same two-shuffle plan as d08; bits
+# scales with log(corpus) by widening the weight matrix only.
+# --------------------------------------------------------------------------
+def _d17_oracle() -> str:
+    from hyppo_worker_spark.functions.vectors import projection_weights
+
+    ws = projection_weights(64, 4, 12)
+    # weights as a 48-row VALUES table (band, bit, 64-list) — inlining
+    # the literal list inside each projection lambda made DuckDB
+    # rebuild it per element (first cut of this oracle ran 30s; this
+    # form runs ~1s). The fold stays the same sequential left fold as
+    # Spark's F.aggregate, so projections stay bit-identical.
+    wt_rows = ", ".join(
+        f"({t}, {b}, [" + ", ".join(
+            f"{float(x):.1f}" for x in ws[t][b]
+        ) + "])"
+        for t in range(4)
+        for b in range(12)
+    )
+    return f"""
+    WITH RECURSIVE corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(range(1, len(embedding) + 1),
+                   i -> CASE WHEN i = 1 THEN embedding[1]::DOUBLE + 0.0625
+                             ELSE embedding[i]::DOUBLE END) AS v,
+               label
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    wt(band_id, bit, wv) AS (VALUES {wt_rows}),
+    proj AS (
+        SELECT c.vec_id, w.band_id, w.bit,
+               list_reduce(list_transform(range(1, 65),
+                   j -> c.v[j] * w.wv[j]), (x, y) -> x + y) AS p
+        FROM corpus c, wt w
+    ),
+    banded AS (
+        SELECT vec_id, band_id,
+               CAST(sum(CASE WHEN p >= 0 THEN 1 << bit ELSE 0 END)
+                    AS INT) AS bucket
+        FROM proj GROUP BY 1, 2
+    ),
+    occ AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_occupied_buckets
+        FROM (SELECT DISTINCT band_id, bucket FROM banded)
+    ),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+        FROM banded l JOIN banded r
+          ON l.band_id = r.band_id AND l.bucket = r.bucket
+         AND l.vec_id < r.vec_id
+    ),
+    pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN corpus a ON a.vec_id = c.a_id
+        JOIN corpus b ON b.vec_id = c.b_id
+        WHERE round({_cos('a.v', 'b.v')}, 6) >= 0.9
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION
+        SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    paths AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT p.u, e.v FROM paths p JOIN edges e ON p.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, least(u, min(v)) AS comp
+        FROM paths GROUP BY u
+    ),
+    dropped AS (SELECT node FROM comp WHERE node <> comp)
+    SELECT corpus.label AS label,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN d.node IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN d.node IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           (SELECT n_occupied_buckets FROM occ) AS n_occupied_buckets
+    FROM corpus LEFT JOIN dropped d ON d.node = corpus.vec_id
+    GROUP BY corpus.label ORDER BY label
+    """
+
+
+@register(
+    "d17_projection_lsh_neardup",
+    oracle=_d17_oracle(),
+    tags=("dedup", "embedding", "lsh", "random-projection", "simhash",
+          "scale-path"),
+)
+def d17_projection_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d08's near-dup removal under Rademacher random-projection
+    banding (4 bands x 12 bits = 4096 buckets/band, decoupled from
+    the 64-dim width); occupied-bucket count pinned as spread
+    evidence; full machinery mirrored in SQL."""
+    from hyppo_worker_spark.functions import vectors as V
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v"), "label"
+    )
+    planted = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x)
+        ).alias("v"),
+        "label",
+    )
+    corpus = base.unionByName(planted).transform(tracked_persist)
+    pairs = D.embedding_neardup_pairs(
+        corpus, "vec_id", "v", threshold=0.9,
+        bands=4, bits=12, projections=True, dim=64,
+    )
+    comp = D.connected_components_adaptive(pairs)
+    dropped = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("vec_id")
+    )
+    occ = (
+        corpus.select(
+            F.explode(
+                V.banded_projection_buckets(F.col("v"), 64, 4, 12)
+            ).alias("bb")
+        )
+        .select("bb.band_id", "bb.bucket")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occupied_buckets"))
+    )
+    flag = corpus.join(
+        dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left"
+    )
+    return (
+        flag.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.when(F.col("is_dropped").isNull(), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when(F.col("is_dropped").isNotNull(), 1).otherwise(0)
+            ).alias("n_dropped"),
+        )
+        .crossJoin(F.broadcast(occ))
+        .orderBy("label")
+    )

@@ -288,3 +288,67 @@ def test_connected_components_adaptive_matches_distributed(spark):
     assert got_local == want
     assert got_fallback == want
     assert (20, 20) in want  # self-loop-only singleton kept
+
+
+def test_projection_weights_deterministic_and_balanced():
+    from hyppo_worker_spark.functions.vectors import projection_weights
+
+    a = projection_weights(64, 4, 12)
+    b = projection_weights(64, 4, 12)
+    assert a == b  # pure function of (seed, indices)
+    assert len(a) == 4 and len(a[0]) == 12 and len(a[0][0]) == 64
+    flat = [x for band in a for bit in band for x in bit]
+    assert set(flat) == {-1, 1}
+    # md5 parity is ~balanced: neither sign dominates grossly
+    pos = sum(1 for x in flat if x == 1)
+    assert 0.4 < pos / len(flat) < 0.6
+    # a different seed yields a different matrix
+    assert projection_weights(64, 4, 12, seed="other") != a
+
+
+def test_projection_banding_finds_planted_neardups(spark):
+    from pyspark.sql import functions as F
+
+    from hyppo_worker_spark.operators.dedup import embedding_neardup_pairs
+
+    # deterministic 64-dim vectors + exact-plus-epsilon twins
+    base = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), j -> "
+            "(pmod(xxhash64(concat(cast(id as string), ':', "
+            "cast(j as string))), 2001) - 1000) / 1000.0)"
+        ).alias("v"),
+    )
+    twins = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.expr(
+            "transform(v, (x, j) -> CASE WHEN j = 0 "
+            "THEN x + 0.0625 ELSE x END)"
+        ).alias("v"),
+    )
+    corpus = base.unionByName(twins)
+    pairs = embedding_neardup_pairs(
+        corpus, "vec_id", "v", threshold=0.9,
+        bands=4, bits=12, projections=True, dim=64,
+    ).collect()
+    found = {(r.a_id, r.b_id) for r in pairs}
+    planted = {(i, i + 1000) for i in range(0, 200, 10)}
+    # S-curve recall: a 0.0625 shift on one of 64 components flips a
+    # projection only near zero; with 4 independent 12-bit bands the
+    # miss probability per pair is well under 1% — allow one miss
+    assert len(planted - found) <= 1
+    # precision exact: nothing else crosses cosine 0.9 (7 sigma out)
+    assert not (found - planted)
+
+
+def test_projections_require_dim(spark):
+    import pytest as _pytest
+
+    from hyppo_worker_spark.operators.dedup import embedding_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, v array<double>"
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        embedding_neardup_pairs(df, "vec_id", "v", projections=True)

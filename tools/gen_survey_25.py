@@ -44,15 +44,24 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "sketches + banded candidates"),
     ("near-dup: embedding cosine / SemDeDup",
      ["d08_embedding_neardup_dedup", "d11_semantic_dedup",
-      "d16_semantic_dedup_two_level", "s03_cosine_neardup_pairs"],
+      "d16_semantic_dedup_two_level", "d17_projection_lsh_neardup",
+      "s03_cosine_neardup_pairs"],
      "banded sign-LSH → exact cosine → connected components; "
      "SemDeDup k-means-cluster-scoped exact pairwise with DATA-DERIVED "
      "centroid counts (`similarity.derive_n_centroids`); two-level "
      "IVF-style assignment scale path with a driver-checkable 10%-of-flat "
-     "recall bound (`similarity.two_level_assign`); all-pairs oracle"),
+     "recall bound (`similarity.two_level_assign`); RANDOM-PROJECTION "
+     "(Rademacher/SimHash) banding past the raw-component bucket "
+     "ceiling — 2^bits buckets per band decoupled from the embedding "
+     "width, md5-parity weights, folds bit-identical across engines "
+     "so the full machinery is SQL-mirrored (`vectors.py:"
+     "banded_projection_buckets`); all-pairs oracle"),
     ("connected components",
      ["d07_dedup_clusters"],
-     "large-star/small-star, O(log n) rounds"),
+     "large-star/small-star, O(log n) rounds; size-adaptive bounded "
+     "local solve with distributed fallback "
+     "(`dedup.connected_components_adaptive`, the measured launch-"
+     "floor cut — NOTES_r11)"),
     ("split assignment / leakage safety",
      ["d14_split_assignment"],
      "cluster-atomic 80/10/10 train/val/test split — near-dup components "
