@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "s12_incremental_ivf_maintenance",
     "p39_streaming_scd2_pit_enrichment",
     "d17_projection_lsh_neardup",
+    "s13_streaming_ivf_admission",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

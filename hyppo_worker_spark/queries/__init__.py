@@ -544,6 +544,13 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # via p34 (malformed-record JSONL policy with in-scan
         # quarantine); the scalar/JSON surface keeps q71 (pipe
         # syntax) in-window, q24/q66 archived
+        # Slot for the NEW round-11 s13 (streaming IVF admission —
+        # continuous drift-gated index maintenance, the streaming twin
+        # of s12), so the new surface lands WITH driver evidence:
+        "s05_knn_ivf_multiprobe",  # IVF multiprobe query — 3 greens
+        # archived (r8-r10); the IVF surface stays in-window via s12
+        # (persisted-index maintenance) and s13 (streaming admission);
+        # s04/s05/s07 query variants archived with >= 2 greens each
     }
 )
 

@@ -1033,3 +1033,228 @@ def s12_incremental_ivf_maintenance(
         "cell long, n_base long, n_admitted long, drift_bp long, "
         "retrain_needed boolean, planted_drift_fires boolean",
     ).orderBy("cell")
+
+
+# --------------------------------------------------------------------------
+# p40-style STREAMING IVF ADMISSION lives here with the similarity
+# family (name keeps the s-prefix ordering out of the p-block so the
+# driver window sorts it with its family): s12 proves one batch
+# admission + the drift gate; THIS row makes admission continuous —
+# the shape an embedding corpus actually runs: the quantizer trains
+# ONCE (batch, corpus-sized), then embedding batches arrive as a
+# stream and each micro-batch is admitted against the PERSISTED
+# centroids inside foreachBatch (O(batch·k) broadcast per trigger, no
+# state store — the index directory IS the state), with the drift
+# gate re-evaluated per batch over the accumulated admissions and
+# appended to a LEDGER (batch_seq, cell, …, drift_bp, retrain_needed)
+# — the monitoring table a production team alerts on. Idempotence by
+# construction: each batch's assignment rows and ledger slice land in
+# their own batch=<id> directory with mode=overwrite, so a replayed
+# micro-batch rewrites identical bytes instead of double-appending
+# (no marker needed — the d10/p13 marker discipline exists because
+# THOSE sinks append to shared files). The oracle replays the whole
+# evolution in SQL: train on the 70% corpus (shared Lloyd CTEs),
+# assign everything, then per batch_seq the CUMULATIVE admission
+# counts and the same all-integer basis-point drift. At 100 TB: the
+# only corpus-sized job remains training; each trigger's cost is the
+# batch size, and the ledger tells you when that stops being true.
+# --------------------------------------------------------------------------
+def _s13_oracle() -> str:
+    from hyppo_worker_spark.functions.text import md5_bucket_sql
+
+    gate = f"{md5_bucket_sql('vec_id', 100)} < {_S12_BATCH_PCT}"
+    bseq = md5_bucket_sql("vec_id", 3)
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE NOT ({gate})
+    ),
+    allv AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, {gate} AS is_new,
+               {bseq} AS bseq
+        FROM embeddings
+    ),
+    cents0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+               v AS cent
+        FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8)
+    ),
+    {_lloyd_round(0)},
+    {_lloyd_round(1)},
+    assigned AS (
+        SELECT allv.vec_id, allv.is_new, allv.bseq, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY allv.vec_id
+                                  ORDER BY {_cos('allv.v', 'c.cent')} DESC,
+                                           c.cent_id) AS rn
+        FROM allv, cents2 c
+    ),
+    m AS (SELECT vec_id, is_new, bseq, cell FROM assigned WHERE rn = 1),
+    seqs(batch_seq) AS (VALUES (0), (1), (2)),
+    counts AS (
+        SELECT s.batch_seq, c.cent_id AS cell,
+               CAST(coalesce(sum(CASE WHEN NOT m.is_new THEN 1 END), 0)
+                    AS BIGINT) AS n_base,
+               CAST(coalesce(sum(CASE WHEN m.is_new
+                                       AND m.bseq <= s.batch_seq
+                                  THEN 1 END), 0)
+                    AS BIGINT) AS n_admitted_cum
+        FROM seqs s CROSS JOIN cents0 c
+        LEFT JOIN m ON m.cell = c.cent_id
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT batch_seq,
+               CAST(sum(n_base) AS BIGINT) AS tb,
+               CAST(sum(n_base + n_admitted_cum) AS BIGINT) AS tt
+        FROM counts GROUP BY 1
+    ),
+    rep AS (
+        SELECT c.batch_seq, c.cell, c.n_base, c.n_admitted_cum,
+               abs((10000 * c.n_base) // t.tb
+                   - (10000 * (c.n_base + c.n_admitted_cum)) // t.tt)
+                   AS d
+        FROM counts c JOIN tot t USING (batch_seq)
+    ),
+    drift AS (
+        SELECT batch_seq, CAST(sum(d) AS BIGINT) AS drift_bp
+        FROM rep GROUP BY 1
+    )
+    SELECT r.batch_seq, r.cell, r.n_base, r.n_admitted_cum,
+           d.drift_bp,
+           d.drift_bp > {_S12_GATE_BP} AS retrain_needed
+    FROM rep r JOIN drift d USING (batch_seq)
+    ORDER BY r.batch_seq, r.cell
+    """
+
+
+@register(
+    "s13_streaming_ivf_admission",
+    oracle=_s13_oracle(),
+    tags=("similarity", "ivf", "streaming", "incremental", "maintenance",
+          "drift-gate"),
+)
+def s13_streaming_ivf_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantizer trained once on the 70% corpus; the 30% arrives as a
+    3-block stream and each micro-batch is admitted against the
+    persisted centroids inside foreachBatch, with the drift gate
+    re-evaluated per batch into an idempotent per-batch ledger."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from hyppo_worker_spark.functions import text as TX
+    from hyppo_worker_spark.operators.ivf_index import IvfIndex
+    from hyppo_worker_spark.queries.pipeline_queries import (
+        _move_staged_blocks,
+    )
+    from hyppo_worker_spark.session import scoped_conf
+    from hyppo_worker_spark.streaming import drain_stream
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    is_new = TX.md5_bucket("vec_id", 100) < _S12_BATCH_PCT
+    corpus = emb.filter(~is_new)
+    batch_all = emb.filter(is_new)
+
+    work = tempfile.mkdtemp(prefix="hyppo-s13-")
+    idx = IvfIndex(
+        os.path.join(work, "ivf"),
+        n_centroids=8,
+        n_iter=2,
+        drift_threshold_bp=_S12_GATE_BP,
+    )
+    idx.train(corpus)
+
+    # stage the 30% as three md5-sub-split time-ordered blocks
+    src = os.path.join(work, "stream")
+    os.makedirs(src)
+    stage = os.path.join(work, "stage")
+    # stage as double regardless of the table's physical type (float
+    # at sf scale, double on the amplified stress corpus) so the
+    # declared stream schema is input-agnostic; as_double downstream
+    # is a no-op either way
+    (
+        batch_all.select(
+            "vec_id", V.as_double(F.col("embedding")).alias("embedding")
+        )
+        .withColumn("blk", TX.md5_bucket("vec_id", 3).cast("int"))
+        .coalesce(1)
+        .write.partitionBy("blk")
+        .parquet(stage)
+    )
+    _move_staged_blocks(stage, src, time.time(), 3)
+
+    adm_dir = os.path.join(work, "admitted")
+    ledger_dir = os.path.join(work, "ledger")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        # per-batch OVERWRITE directories make replay idempotent by
+        # construction (identical bytes, no double-append)
+        asg = idx.assign(spark, batch)
+        asg.write.mode("overwrite").parquet(
+            os.path.join(adm_dir, f"batch={batch_id}")
+        )
+        admitted = (
+            spark.read.option("basePath", adm_dir).parquet(adm_dir)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_admitted_cum"))
+        )
+        counts = (
+            idx.cell_counts(spark)
+            .select("cell", "n_base")
+            .join(admitted, "cell", "left")
+            .select(
+                "cell",
+                "n_base",
+                F.coalesce("n_admitted_cum", F.lit(0))
+                .cast("long")
+                .alias("n_admitted"),
+            )
+        )
+        rep = (
+            IvfIndex.drift_bp_col(counts)
+            .withColumnRenamed("n_admitted", "n_admitted_cum")
+            .withColumn(
+                "retrain_needed",
+                F.col("drift_bp") > F.lit(_S12_GATE_BP),
+            )
+            .withColumn("batch_seq", F.lit(int(batch_id)).cast("long"))
+        )
+        rep.write.mode("overwrite").parquet(
+            os.path.join(ledger_dir, f"batch={batch_id}")
+        )
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+
+    rows = (
+        spark.read.option("basePath", ledger_dir).parquet(ledger_dir)
+        .select(
+            F.col("batch_seq").cast("long"),
+            F.col("cell").cast("long"),
+            F.col("n_base").cast("long"),
+            F.col("n_admitted_cum").cast("long"),
+            F.col("drift_bp").cast("long"),
+            "retrain_needed",
+        )
+        .orderBy("batch_seq", "cell")
+    ).collect()  # 24 ledger rows — bounded pull (work dir deleted next)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "batch_seq long, cell long, n_base long, n_admitted_cum long, "
+        "drift_bp long, retrain_needed boolean",
+    ).orderBy("batch_seq", "cell")

@@ -99,7 +99,7 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "overlap + top-1 match at 64/32/16 dims — the prefix-scan "
      "cost-quality gate)"),
     ("vector index maintenance",
-     ["s12_incremental_ivf_maintenance"],
+     ["s12_incremental_ivf_maintenance", "s13_streaming_ivf_admission"],
      "train-once persisted IVF index (`operators/ivf_index.py` — "
      "centroids + assignments parquet, the embedding twin of the "
      "persisted LSH index): a new embedding batch is admitted by "
@@ -107,7 +107,12 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "no retrain, append-only), and retraining is decided by an "
      "all-integer basis-point L1 population-DRIFT GATE pinned from both "
      "directions — the real batch admits with the gate quiet, a planted "
-     "all-one-cell batch fires it from the same index"),
+     "all-one-cell batch fires it from the same index; made CONTINUOUS "
+     "in s13 — embedding batches stream through foreachBatch admission "
+     "against the persisted centroids with the gate re-evaluated per "
+     "batch into an idempotent per-batch ledger (batch=<id> overwrite "
+     "dirs: replay rewrites identical bytes), the oracle replaying the "
+     "full cumulative-drift evolution in SQL"),
     # ---- text ----------------------------------------------------------
     ("language ID / quality",
      ["t01_language_id", "t02_quality_scores", "t12_repetition_signals",

@@ -145,6 +145,51 @@ def run_lsh(spark, corpus_dir: str, planted: int) -> dict:
     }
 
 
+def run_lsh_proj(spark, corpus_dir: str, planted: int) -> dict:
+    """Random-projection banding at bits=20 — 2^20 buckets/band, a
+    bucket space IMPOSSIBLE for raw-component signs on a 64-dim
+    embedding (bands*bits=80 > dim): the d17 scale path measured at
+    x100. Recall is S-curve-governed (projections CAN flip near
+    zero): with ~0.5% flip probability per projection, a 20-bit band
+    survives with ~0.9 and four bands miss together with ~1e-4 — the
+    check allows 1% misses and demands exact precision."""
+    from pyspark.sql import functions as F
+
+    from hyppo_worker_spark.operators import dedup as D
+
+    emb = spark.read.parquet(os.path.join(corpus_dir, "embeddings.parquet"))
+    t0 = time.time()
+    pairs = D.embedding_neardup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=THRESHOLD, bands=4, bits=20, projections=True, dim=DIM,
+    )
+    comp = D.connected_components_adaptive(pairs)
+    dropped = comp.filter(F.col("node") != F.col("comp"))
+    stats = dropped.agg(
+        F.count(F.lit(1)).alias("n_dropped"),
+        F.sum((F.col("node") >= TWIN_OFFSET).cast("long")).alias(
+            "n_dropped_twins"
+        ),
+    ).collect()[0]
+    wall = round(time.time() - t0, 2)
+    from hyppo_worker_spark.session import clear_cache
+
+    clear_cache(spark, include_rdd_blocks=True)
+    return {
+        "wall_s": wall,
+        "planted": planted,
+        "dropped": stats["n_dropped"],
+        "dropped_are_twins": stats["n_dropped_twins"],
+        "recall": round(stats["n_dropped"] / max(planted, 1), 4),
+        "recall_ge_99pct": bool(
+            stats["n_dropped"] * 100 >= planted * 99
+        ),
+        "precision_exact": bool(
+            stats["n_dropped_twins"] == stats["n_dropped"]
+        ),
+    }
+
+
 def run_two_level(spark, corpus_dir: str, planted: int) -> dict:
     """Sample-trained quantizer + two-level assignment SemDeDup,
     planted recall >= 95%, precision exact."""
@@ -212,7 +257,11 @@ def main() -> None:
         spark.stop()
         time.sleep(0.5)
         row: dict = {"n_base": n, "planted_pairs": planted}
-        for name, fn in (("lsh_bits16", run_lsh), ("two_level", run_two_level)):
+        for name, fn in (
+            ("lsh_bits16", run_lsh),
+            ("lsh_proj_bits20", run_lsh_proj),
+            ("two_level", run_two_level),
+        ):
             spark = stress._fresh_session()
             row[name] = fn(spark, corpus, planted)
             app_id = spark.sparkContext.applicationId
