@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "p39_streaming_scd2_pit_enrichment",
     "d17_projection_lsh_neardup",
     "s13_streaming_ivf_admission",
+    "s14_incremental_pq_maintenance",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

@@ -211,3 +211,143 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "adist_u6", "rank")
     )
+
+
+class PqIndex:
+    """Filesystem-backed PQ index — the codes-side twin of
+    ``ivf_index.IvfIndex``: codebooks train ONCE on the standing
+    corpus and persist (``codebooks/`` m×k rows, ``codes/`` narrow
+    (vec_id, m, code, admitted) rows, append-only admission); a new
+    embedding batch is admitted by ENCODING against the persisted
+    codebooks (one broadcast of m·k rows; O(batch·m·k), independent
+    of corpus size). Retraining is decided per SUBSPACE by the same
+    all-integer basis-point population-drift gate: a drifted subspace
+    means that slice of the vectors stopped resembling what its
+    codebook was trained on (reconstruction error decays there
+    first), and m-keyed drift tells you WHICH codebooks to retrain.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        *,
+        m: int = 8,
+        k: int = 8,
+        dim: int = 64,
+        n_iter: int = 2,
+        drift_threshold_bp: int = 500,
+    ) -> None:
+        import os
+
+        self.path = path
+        self.m = m
+        self.k = k
+        self.dim = dim
+        self.n_iter = n_iter
+        self.drift_threshold_bp = drift_threshold_bp
+        self._books_dir = os.path.join(path, "codebooks")
+        self._codes_dir = os.path.join(path, "codes")
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.isdir(self._books_dir)
+
+    def train(
+        self, corpus: DataFrame, id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Train per-subspace codebooks on ``corpus`` and persist
+        codebooks + corpus codes; codes are computed against the
+        RELOADED codebooks so the persisted state is authoritative."""
+        spark = corpus.sparkSession
+        books = pq_codebooks(
+            corpus, id_col, vec_col,
+            m=self.m, k=self.k, dim=self.dim, n_iter=self.n_iter,
+        )
+        books.write.mode("overwrite").parquet(self._books_dir)
+        codes = self.encode(spark, corpus, id_col, vec_col)
+        codes.withColumn("admitted", F.lit(False)).write.mode(
+            "overwrite"
+        ).parquet(self._codes_dir)
+
+    def codebooks(self, spark) -> DataFrame:
+        return spark.read.parquet(self._books_dir)
+
+    def codes(self, spark) -> DataFrame:
+        return spark.read.parquet(self._codes_dir)
+
+    def encode(
+        self, spark, batch: DataFrame, id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """(vec_id, m, code) for ``batch`` against the PERSISTED
+        codebooks (pq_encode's argmin contract — ties → lowest id, so
+        an admitted vector codes exactly as a full retrain's encode
+        pass would when the codebooks agree)."""
+        out = pq_encode(
+            batch, self.codebooks(spark), id_col, vec_col,
+            m=self.m, dim=self.dim,
+        )
+        return out.withColumnRenamed("__id", "vec_id")
+
+    def admit(
+        self, spark, batch: DataFrame, id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        codes = self.encode(spark, batch, id_col, vec_col)
+        codes.withColumn("admitted", F.lit(True)).write.mode(
+            "append"
+        ).parquet(self._codes_dir)
+        return codes
+
+    def drift_report(self, spark) -> DataFrame:
+        """(m, code, n_base, n_admitted, drift_bp, retrain_needed) —
+        the drift stat and gate PER SUBSPACE (drift_bp constant within
+        an m group): integer `div` arithmetic throughout, so the gate
+        value is a pure function of the counts."""
+        cells = self.codebooks(spark).select(
+            "m", F.col("cent_id").alias("code")
+        )
+        counts = (
+            cells.join(
+                self.codes(spark).groupBy("m", "code").agg(
+                    F.sum(F.when(~F.col("admitted"), 1).otherwise(0))
+                    .alias("n_base"),
+                    F.sum(F.when(F.col("admitted"), 1).otherwise(0))
+                    .alias("n_admitted"),
+                ),
+                ["m", "code"],
+                "left",
+            )
+            .select(
+                "m",
+                "code",
+                F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+                F.coalesce("n_admitted", F.lit(0))
+                .cast("long")
+                .alias("n_admitted"),
+            )
+        )
+        tot = counts.groupBy("m").agg(
+            F.sum("n_base").alias("__tb"),
+            F.sum(F.col("n_base") + F.col("n_admitted")).alias("__tt"),
+        )
+        per_cell = counts.join(F.broadcast(tot), "m").withColumn(
+            "__d",
+            F.abs(
+                F.expr("(10000 * n_base) div __tb")
+                - F.expr("(10000 * (n_base + n_admitted)) div __tt")
+            ).cast("long"),
+        )
+        drift = per_cell.groupBy("m").agg(
+            F.sum("__d").alias("drift_bp")
+        )
+        return (
+            per_cell.select("m", "code", "n_base", "n_admitted")
+            .join(F.broadcast(drift), "m")
+            .withColumn(
+                "retrain_needed",
+                F.col("drift_bp") > F.lit(self.drift_threshold_bp),
+            )
+        )

@@ -551,6 +551,14 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # archived (r8-r10); the IVF surface stays in-window via s12
         # (persisted-index maintenance) and s13 (streaming admission);
         # s04/s05/s07 query variants archived with >= 2 greens each
+        # Slot for the NEW round-11 s14 (incremental PQ codebook
+        # maintenance — the codes-side persisted index completing the
+        # s12/s13 pair, per-subspace drift gate), so the new surface
+        # lands WITH driver evidence:
+        "s11_truncated_retrieval",  # Matryoshka truncation agreement
+        # — 2 greens archived (r9, r10); the similarity family stays
+        # in-window via s12/s13/s14 (index maintenance) and d17
+        # (projection banding); retrieval-quality gates archived
     }
 )
 

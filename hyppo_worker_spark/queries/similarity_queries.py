@@ -1258,3 +1258,217 @@ def s13_streaming_ivf_admission(
         "batch_seq long, cell long, n_base long, n_admitted_cum long, "
         "drift_bp long, retrain_needed boolean",
     ).orderBy("batch_seq", "cell")
+
+
+# --------------------------------------------------------------------------
+# s14 — INCREMENTAL PQ CODEBOOK MAINTENANCE (operators/pq.py:PqIndex):
+# completes the persisted-index pair the VERDICT asked for — s12/s13
+# cover the IVF coarse quantizer; the PQ codes-side index retrained
+# per query until now. Codebooks train ONCE on the standing corpus
+# and persist; a new batch is admitted by ENCODING against the
+# persisted m×k codebooks (one broadcast; O(batch·m·k), corpus-size-
+# independent; append-only codes). The drift gate runs PER SUBSPACE —
+# the operational win over a global stat: subspace drift localizes
+# WHICH slice of the embedding stopped resembling its training
+# distribution (that slice's reconstruction error decays first), so
+# a fired gate names the codebooks to retrain instead of forcing all
+# m. Pinned both ways like s12: the real 30% batch admits with every
+# subspace gate quiet (oracle replays train + encode + per-m drift
+# bit-for-bit), and a planted batch (every vector = the concatenation
+# of each subspace's cell-0 centroid, so every code is 0 in every
+# subspace) must fire ALL m gates — asserted from the engine against
+# the same persisted index. At 100 TB: codes are the only thing read
+# at query time (the point of PQ); admission cost is the batch, and
+# the m-keyed gate bounds retraining to the drifted subspaces.
+# --------------------------------------------------------------------------
+def _s14_oracle() -> str:
+    from hyppo_worker_spark.functions.text import md5_bucket_sql
+
+    gate = f"{md5_bucket_sql('vec_id', 100)} < {_S12_BATCH_PCT}"
+    d = 64 // 8
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE NOT ({gate})
+    ),
+    subs AS (
+        SELECT vec_id, r.m,
+               list_slice(v, r.m * {d} + 1, r.m * {d} + {d}) AS sv
+        FROM vecs, range(8) r(m)
+    ),
+    seed AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
+        FROM (SELECT DISTINCT vec_id FROM subs ORDER BY vec_id LIMIT 8)
+    ),
+    pc0 AS (
+        SELECT s.m, d.cent_id, s.sv AS cent
+        FROM subs s JOIN seed d USING (vec_id)
+    ),
+    {_pq_lloyd_round(0)},
+    {_pq_lloyd_round(1)},
+    allsubs AS (
+        SELECT vec_id, {gate} AS is_new, r.m,
+               list_slice(embedding::DOUBLE[], r.m * {d} + 1,
+                          r.m * {d} + {d}) AS sv
+        FROM embeddings, range(8) r(m)
+    ),
+    ca AS (
+        SELECT s.vec_id, s.is_new, s.m, c.cent_id AS code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_sq('s.sv', 'c.cent')} ASC,
+                                           c.cent_id) AS rn
+        FROM allsubs s JOIN pc2 c ON c.m = s.m
+    ),
+    codes AS (SELECT vec_id, is_new, m, code FROM ca WHERE rn = 1),
+    counts AS (
+        SELECT c.m, c.cent_id AS code,
+               CAST(coalesce(sum(CASE WHEN NOT k.is_new THEN 1 END), 0)
+                    AS BIGINT) AS n_base,
+               CAST(coalesce(sum(CASE WHEN k.is_new THEN 1 END), 0)
+                    AS BIGINT) AS n_admitted
+        FROM pc0 c LEFT JOIN codes k ON k.m = c.m AND k.code = c.cent_id
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT m, CAST(sum(n_base) AS BIGINT) AS tb,
+               CAST(sum(n_base + n_admitted) AS BIGINT) AS tt
+        FROM counts GROUP BY 1
+    ),
+    rep AS (
+        SELECT c.m, c.code, c.n_base, c.n_admitted,
+               abs((10000 * c.n_base) // t.tb
+                   - (10000 * (c.n_base + c.n_admitted)) // t.tt) AS dd
+        FROM counts c JOIN tot t USING (m)
+    ),
+    drift AS (
+        SELECT m, CAST(sum(dd) AS BIGINT) AS drift_bp
+        FROM rep GROUP BY 1
+    )
+    SELECT r.m, r.code, r.n_base, r.n_admitted, d.drift_bp,
+           d.drift_bp > {_S12_GATE_BP} AS retrain_needed,
+           TRUE AS planted_drift_fires_all_m
+    FROM rep r JOIN drift d USING (m)
+    ORDER BY r.m, r.code
+    """
+
+
+@register(
+    "s14_incremental_pq_maintenance",
+    oracle=_s14_oracle(),
+    tags=("similarity", "pq", "incremental", "maintenance", "drift-gate",
+          "index"),
+)
+def s14_incremental_pq_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train-once persisted PQ codebooks; the 30%-md5 batch is
+    admitted by encoding against them (no retrain) with the per-
+    subspace drift gate quiet — while a planted all-code-0 batch
+    fires the gate in every subspace, asserted from the same index."""
+    import os
+    import shutil
+    import tempfile
+
+    from hyppo_worker_spark.functions import text as TX
+    from hyppo_worker_spark.operators.pq import PqIndex
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    is_new = TX.md5_bucket("vec_id", 100) < _S12_BATCH_PCT
+    corpus = emb.filter(~is_new)
+    batch = emb.filter(is_new)
+
+    work = tempfile.mkdtemp(prefix="hyppo-s14-")
+    idx = PqIndex(
+        os.path.join(work, "pq"),
+        m=8, k=8, dim=64, n_iter=2,
+        drift_threshold_bp=_S12_GATE_BP,
+    )
+    idx.train(corpus)
+    idx.admit(spark, batch)
+    rep = idx.drift_report(spark)
+
+    # planted probe: every vector = the concatenation of each
+    # subspace's cell-0 centroid → code 0 in EVERY subspace → every
+    # m's gate must fire. m·k-row bounded pull to build the literal.
+    books = {
+        (r["m"], r["cent_id"]): r["cent"]
+        for r in idx.codebooks(spark).collect()
+    }
+    flat = [x for mi in range(8) for x in books[(mi, 0)]]
+    probe = batch.select(
+        "vec_id",
+        F.array(*[F.lit(float(x)) for x in flat]).alias("embedding"),
+    )
+    probe_codes = idx.encode(spark, probe)
+    base = (
+        idx.codebooks(spark)
+        .select("m", F.col("cent_id").alias("code"))
+        .join(
+            idx.codes(spark)
+            .filter(~F.col("admitted"))
+            .groupBy("m", "code")
+            .agg(F.count(F.lit(1)).alias("n_base")),
+            ["m", "code"],
+            "left",
+        )
+        .select(
+            "m", "code",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        )
+    )
+    probe_counts = (
+        base.join(
+            probe_codes.groupBy("m", "code").agg(
+                F.count(F.lit(1)).alias("n_admitted")
+            ),
+            ["m", "code"],
+            "left",
+        )
+        .select(
+            "m", "code", "n_base",
+            F.coalesce("n_admitted", F.lit(0))
+            .cast("long")
+            .alias("n_admitted"),
+        )
+    )
+    tot = probe_counts.groupBy("m").agg(
+        F.sum("n_base").alias("__tb"),
+        F.sum(F.col("n_base") + F.col("n_admitted")).alias("__tt"),
+    )
+    probe_drift = (
+        probe_counts.join(F.broadcast(tot), "m")
+        .withColumn(
+            "__d",
+            F.abs(
+                F.expr("(10000 * n_base) div __tb")
+                - F.expr("(10000 * (n_base + n_admitted)) div __tt")
+            ).cast("long"),
+        )
+        .groupBy("m")
+        .agg(F.sum("__d").alias("drift_bp"))
+    )
+    fires_all = (
+        probe_drift.agg(
+            F.min("drift_bp").alias("mn")
+        ).collect()[0][0]  # 1-row bounded pull — the gate decision
+        > _S12_GATE_BP
+    )
+    out = (
+        rep.withColumn(
+            "planted_drift_fires_all_m", F.lit(bool(fires_all))
+        )
+        .select(
+            F.col("m").cast("long").alias("m"),
+            F.col("code").cast("long").alias("code"),
+            "n_base", "n_admitted",
+            F.col("drift_bp").cast("long").alias("drift_bp"),
+            "retrain_needed", "planted_drift_fires_all_m",
+        )
+        .orderBy("m", "code")
+    ).collect()  # 64 (m, code) rows — bounded pull (work dir deleted)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "m long, code long, n_base long, n_admitted long, drift_bp long, "
+        "retrain_needed boolean, planted_drift_fires_all_m boolean",
+    ).orderBy("m", "code")

@@ -99,7 +99,8 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "overlap + top-1 match at 64/32/16 dims — the prefix-scan "
      "cost-quality gate)"),
     ("vector index maintenance",
-     ["s12_incremental_ivf_maintenance", "s13_streaming_ivf_admission"],
+     ["s12_incremental_ivf_maintenance", "s13_streaming_ivf_admission",
+      "s14_incremental_pq_maintenance"],
      "train-once persisted IVF index (`operators/ivf_index.py` — "
      "centroids + assignments parquet, the embedding twin of the "
      "persisted LSH index): a new embedding batch is admitted by "
@@ -112,7 +113,11 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "against the persisted centroids with the gate re-evaluated per "
      "batch into an idempotent per-batch ledger (batch=<id> overwrite "
      "dirs: replay rewrites identical bytes), the oracle replaying the "
-     "full cumulative-drift evolution in SQL"),
+     "full cumulative-drift evolution in SQL; the PQ codes-side twin "
+     "(`operators/pq.py:PqIndex`) persists the m×k codebooks and admits "
+     "by ENCODING against them, with the drift gate PER SUBSPACE — a "
+     "fired gate names WHICH codebooks to retrain (s14, planted "
+     "all-code-0 batch fires all m gates from the engine)"),
     # ---- text ----------------------------------------------------------
     ("language ID / quality",
      ["t01_language_id", "t02_quality_scores", "t12_repetition_signals",
