@@ -18,7 +18,7 @@ from hyppo_worker_spark.queries import (
 )
 
 # One prefix per family that must never lose driver coverage.
-FAMILY_PREFIXES = ("d0", "d1", "m0", "p0", "q4", "q5", "q6", "s0", "t0", "t1", "t2", "t3")
+FAMILY_PREFIXES = ("d0", "d1", "m0", "p0", "p1", "p2", "p3", "q6", "q7", "q8", "s1", "t0", "t1", "t2", "t3")
 
 
 def test_driver_registry_fits_check_window():
@@ -34,67 +34,43 @@ def test_driver_registry_covers_every_family():
         assert any(n.startswith(prefix) for n in names), f"family {prefix} evicted"
     # the load-bearing representatives must stay in the window
     for must in (
-        # 1-green round-7 rows keep accumulating driver evidence
+        # long-lived anchors (flagship pipeline + each family's rep)
+        "p02_raw_pipeline",
         "p08_streaming_incremental_cc",
         "p15_streaming_funnel",
-        "p16_dropdup_within_watermark",
         "p17_queue_rollup_ledger",
-        "q42_retention_cohorts",
-        "q45_variant_ingestion",
-        "q57_interval_bin_join",
         "q65_native_sketch_rollup",
         "m08_video_frame_sample",
         "t31_unicode_nfc_normalize",
-        # round-8 ENDGAME rotation (VERDICT r7 item 1): the final 14
-        # never-driver-checked entries get their FIRST driver rows —
-        # after this round every registry entry has archived evidence
         "d09_corpus_export_manifest",
         "d10_incremental_neardup",
-        "s05_knn_ivf_multiprobe",
         "t08_token_chunks",
         "t15_source_mix",
         "t17_bpe_encoding",
         "t19_unigram_surprisal",
         "t23_term_retrieval",
-        # NEW round-8 rows land with immediate driver slots
-        "p20_stream_stream_outer_join",
-        "q67_recursive_chain_fold",
-        "p22_data_quality_gate",
-        "p23_stream_checkpoint_resume",
-        "p24_streaming_session_windows",
-        "p25_connector_streaming_loop",
-        "p26_chained_stateful_rollup",
-        "p27_state_store_introspection",
-        # round-9 rotation (VERDICT r8 item 1): the four reserved r8
-        # slots get their FIRST driver rows
-        "q69_aqe_skew_join",
-        "q70_window_group_limit",
-        "p28_rebalance_write",
-        "q71_sql_pipe_syntax",
-        # NEW round-9 rows land with immediate driver slots (q64,
-        # m03, s06 retired — 2 greens each, family reps stay)
-        "q72_chain_fold_scale_twin",
-        "p29_parquet_schema_drift",
-        "s11_truncated_retrieval",
-        "q73_dynamic_partition_pruning",
-        "p30_rocksdb_state_backend",
-        "q74_runtime_bloom_filter",
-        "p31_erasure_vs_time_travel",
-        "q75_sorted_export",
-        "p32_native_file_sink",
-        # NEW round-10 rows land with immediate driver slots (t25,
-        # t32, p21, q68, t24, p19 retired — >= 2 archived greens
-        # each, family reps stay)
+        # round-10 rows hold exactly ONE driver green each — they must
+        # stay in-window until CORRECTNESS_r11 lands their second
+        # (VERDICT r10 item 4; retire only >= 2-green entries)
         "q76_join_hint_matrix",
         "q77_grouped_arrow_regression",
         "q78_cbo_join_reorder",
+        "q79_aqe_coalesce_partitions",
+        "q80_nested_schema_pruning",
         "p33_multi_watermark_union",
         "p34_malformed_record_policy",
         "p35_late_data_accounting",
-        "q79_aqe_coalesce_partitions",
         "p36_rocksdb_changelog_checkpoint",
-        "q80_nested_schema_pruning",
         "p37_state_schema_guard",
+        # NEW round-11 rows land with immediate driver slots
+        # (q57/q42/p16/q45/s05/s11 retired — >= 2 archived greens
+        # each, family reps stay)
+        "p38_checkpoint_evolution_backfill",
+        "p39_streaming_scd2_pit_enrichment",
+        "s12_incremental_ivf_maintenance",
+        "s13_streaming_ivf_admission",
+        "s14_incremental_pq_maintenance",
+        "d17_projection_lsh_neardup",
     ):
         assert must in names
 

@@ -67,6 +67,9 @@ EXPECTED_NLJ = {
     # (s01's pattern with the dup-band filter before the top-k)
     "t29_bm25_retrieval",  # 1-row broadcast (n_docs, tok_total)
     # corpus-stats scalars — the standard scalar-join pattern
+    "d17_projection_lsh_neardup",  # 1-row broadcast occupied-bucket
+    # count crossJoined onto the 5-label report — the standard
+    # scalar-join pattern (q44/q50/t29)
 }
 
 # Queries where an UNPARTITIONED window (single-task WindowExec) is
