@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "d17_projection_lsh_neardup",
     "s13_streaming_ivf_admission",
     "s14_incremental_pq_maintenance",
+    "q81_max_records_per_file",
+    "q82_observe_inflight_metrics",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN
@@ -216,6 +218,10 @@ VALIDATION_QUERIES = frozenset(
         "p33_multi_watermark_union",  # p16's micro-batch fixed-cost
         # class (3 triggers over two sources + finalize) — the row
         # proves the min multiple-watermark policy, not engine volume
+        "q81_max_records_per_file",  # deliberately writes the whole
+        # table from ONE task (the roll sequence is deterministic only
+        # within a task — the contract under proof); production spreads
+        # the same cap across N tasks
         "p38_checkpoint_evolution_backfill",  # runs the SAME drain
         # TWICE by design (old checkpoint + backfilled new one) plus
         # the cutover-verification join — evolution proof, not volume

@@ -559,6 +559,21 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # — 2 greens archived (r9, r10); the similarity family stays
         # in-window via s12/s13/s14 (index maintenance) and d17
         # (projection banding); retrieval-quality gates archived
+        # Slot for the NEW round-11 q81 (maxRecordsPerFile proven
+        # exact from committed footers — the writer-side file-size
+        # cap completing p28's partition-side REBALANCE), so the new
+        # surface lands WITH driver evidence:
+        "q67_recursive_chain_fold",  # per-iteration recursion — 3
+        # greens archived (r8-r10); the recursive-fold family stays
+        # in-window via q72 (the value-pinned depth-independent scale
+        # twin, the documented 100 TB path)
+        # Slot for the NEW round-11 q82 (DataFrame.observe in-flight
+        # metrics — the zero-extra-cost tier of the quality story),
+        # so the new surface lands WITH driver evidence:
+        "p22_data_quality_gate",  # row-level constraint gate — 3
+        # greens archived (r8-r10); the quality story stays in-window
+        # via q82 (in-flight audit) and p34 (ingest-policy
+        # quarantine); the deliberate-validation-pass shape archived
     }
 )
 

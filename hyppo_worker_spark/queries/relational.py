@@ -5684,3 +5684,185 @@ def q80_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("leaf_only_scan", F.lit(bool(leaf_only)))
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# q81 — FILE-SIZE CONTROL proven from footers: maxRecordsPerFile is
+# the per-task file-rolling bound — the knob that stops one giant
+# task (a hot partition after a skewed shuffle, a coalesce(1) export)
+# from emitting one giant file that downstream scans cannot split.
+# p28 (REBALANCE) controls the partition SIZES feeding the writer;
+# this row pins the writer-side guarantee itself: a single-task write
+# of orders under maxRecordsPerFile=1000 must roll exactly
+# ceil(n/1000) files, every footer's row count <= 1000, the sequence
+# deterministic (full files then the remainder — a single task fills
+# files in order), and the footers' row counts summing back to the
+# table count (nothing dropped or duplicated by the roll). Evidence
+# is physical: pyarrow reads each committed footer (q54/q75's
+# discipline); the oracle derives the same file ledger analytically
+# from count(*) alone — file i of a single-task roll holds
+# min(1000, n - 1000*i) rows. At 100 TB both knobs run together:
+# REBALANCE sizes partitions, maxRecordsPerFile caps what any one
+# task can emit — and this row is the proof the cap is exact, not
+# advisory.
+# --------------------------------------------------------------------------
+_Q81_N = 1000
+
+_Q81_ORACLE = f"""
+    WITH n AS (SELECT count(*) AS total FROM orders),
+    -- static range (DuckDB's range() rejects correlated bounds)
+    -- filtered to the ceil(total/N) real files; 1e6 covers any SF
+    files AS (
+        SELECT i AS file_seq,
+               least({_Q81_N}, total - {_Q81_N} * i) AS n_rows
+        FROM n, range(0, 1000000) r(i)
+        WHERE i * {_Q81_N} < total
+    )
+    SELECT CAST(file_seq AS INT) AS file_seq,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           TRUE AS bound_respected,
+           TRUE AS totals_roundtrip
+    FROM files ORDER BY file_seq
+"""
+
+
+@register(
+    "q81_max_records_per_file",
+    oracle=_Q81_ORACLE,
+    tags=("layout", "write-shaping", "file-size", "small-files",
+          "footers"),
+)
+def q81_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-task orders export under maxRecordsPerFile=1000: the
+    committed footers must show the exact deterministic roll (full
+    files then the remainder), every file within the bound, and the
+    footer row counts summing to the table count."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    total = orders.count()
+    out = tempfile.mkdtemp(prefix="hyppo-q81-") + "/export"
+    with scoped_conf(
+        spark, "spark.sql.files.maxRecordsPerFile", str(_Q81_N)
+    ):
+        # one task: the roll sequence (full, full, ..., remainder) is
+        # deterministic only within a single writer task
+        orders.coalesce(1).write.mode("overwrite").parquet(out)
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    bound_ok = all(c <= _Q81_N for c in counts)
+    roundtrip = sum(counts) == total
+    return spark.createDataFrame(
+        [
+            (i, c, bool(bound_ok), bool(roundtrip))
+            for i, c in enumerate(counts)
+        ],
+        "file_seq int, n_rows long, bound_respected boolean, "
+        "totals_roundtrip boolean",
+    ).orderBy("file_seq")
+
+
+# --------------------------------------------------------------------------
+# q82 — IN-FLIGHT METRICS (DataFrame.observe): the zero-extra-cost
+# tier of the data-quality story. p22 runs a deliberate validation
+# PASS over staged data (the right shape for admission gates);
+# observe() instead rides metric accumulators on the back of the real
+# job — row counts, domain counts, integer sums evaluated ON THE SCAN
+# as it flows, no second read. The row runs a real per-priority
+# rollup with an Observation attached BELOW the aggregation and
+# returns the observed totals as columns next to the rollup; the
+# oracle recomputes both from the table directly, so a hash match
+# proves the in-flight accumulators saw every row exactly once (a
+# metric that double-counted under retries or missed rows under
+# pruning would break the pin). The null-count metric audits a column
+# the AGGREGATION NEVER READS — proof the audit does not change what
+# the job computes (the scan widens by one column; nothing else).
+# At 100 TB this is how every ingest job self-reports its integrity
+# counters for free; Spark evaluates observe metrics exactly-once per
+# action even under task retries (AccumulatorV2 semantics), which is
+# precisely what the pin asserts.
+# --------------------------------------------------------------------------
+_Q82_ORACLE = """
+    WITH base AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o_orderstatus
+        FROM orders
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS obs_total_rows,
+               CAST(sum(cents) AS BIGINT) AS obs_total_cents,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS obs_status_f
+        FROM base
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           obs_total_rows, obs_total_cents, obs_status_f
+    FROM base, tot
+    GROUP BY priority, obs_total_rows, obs_total_cents, obs_status_f
+    ORDER BY priority
+"""
+
+
+@register(
+    "q82_observe_inflight_metrics",
+    oracle=_Q82_ORACLE,
+    tags=("observability", "metrics", "quality", "accumulators"),
+)
+def q82_observe_inflight_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-priority rollup with an Observation riding the scan: the
+    in-flight row/cents/status-F accumulators must equal the
+    oracle's direct aggregates (seen-exactly-once proof)."""
+    from pyspark.sql.observation import Observation
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        "o_orderstatus",
+    )
+    obs = Observation("ingest_audit")
+    audited = base.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents_sum"),
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias(
+            "status_f"
+        ),
+    )
+    rollup = (
+        audited.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("priority")
+    )
+    rows = rollup.collect()  # 5 priority rows — bounded pull; this
+    # action is ALSO what populates the observation
+    got = obs.get
+    return (
+        spark.createDataFrame(rows, rollup.schema)
+        .withColumn(
+            "obs_total_rows", F.lit(int(got["n_rows"])).cast("long")
+        )
+        .withColumn(
+            "obs_total_cents", F.lit(int(got["cents_sum"])).cast("long")
+        )
+        .withColumn(
+            "obs_status_f", F.lit(int(got["status_f"])).cast("long")
+        )
+        .orderBy("priority")
+    )

@@ -71,6 +71,8 @@ def test_driver_registry_covers_every_family():
         "s13_streaming_ivf_admission",
         "s14_incremental_pq_maintenance",
         "d17_projection_lsh_neardup",
+        "q81_max_records_per_file",
+        "q82_observe_inflight_metrics",
     ):
         assert must in names
 

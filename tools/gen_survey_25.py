@@ -192,7 +192,7 @@ FAMILIES: list[tuple[str, list[str], str]] = [
     ("storage layout / data skipping",
      ["q50_zorder_skipping", "q54_zonemap_pruning", "p28_rebalance_write",
       "q73_dynamic_partition_pruning", "q75_sorted_export",
-      "q80_nested_schema_pruning"],
+      "q80_nested_schema_pruning", "q81_max_records_per_file"],
      "z-order (Morton) clustered export with min-max pruning on every "
      "clustered dimension verified from parquet footers "
      "(`operators/zorder.py`); distributed zonemap build from REAL "
@@ -208,7 +208,10 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "NESTED schema pruning — an aggregate over one struct leaf scans "
      "ReadSchema struct<meta:struct<priority>> ONLY, sibling leaves and "
      "the payload array never leave the file (asserted from the "
-     "executed scan)"),
+     "executed scan); maxRecordsPerFile proven EXACT from committed "
+     "footers — the writer-side file-roll cap (full files then the "
+     "remainder, counts summing back to the table), completing p28's "
+     "partition-side REBALANCE from the other end"),
     ("dimension history (SCD2) / merge",
      ["q30_merge_upsert", "q51_scd2_history", "q52_temporal_scd2_join",
       "p39_streaming_scd2_pit_enrichment"],
@@ -337,14 +340,19 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "parquet twin — mergeSchema over a zone holding two schema "
      "generations, NULL-fill invariants asserted in-plan"),
     ("data-quality gate / observability",
-     ["p22_data_quality_gate", "p34_malformed_record_policy"],
+     ["p22_data_quality_gate", "p34_malformed_record_policy",
+      "q82_observe_inflight_metrics"],
      "five-constraint one-pass gate over a deterministically corrupted "
-     "staging copy; observe()-metric stream observability "
-     "(`tests/test_observe_metrics.py`); the three malformed-record "
+     "staging copy; the three malformed-record "
      "parse modes over a 1-in-13-truncated JSONL zone — PERMISSIVE "
      "quarantine captured IN the ingest scan (corrupt-record column, "
      "counts pinned exact), DROPMALFORMED survivor equality, FAILFAST "
-     "raise asserted"),
+     "raise asserted; DataFrame.observe IN-FLIGHT metrics — row/sum/"
+     "domain accumulators riding the real job's scan (no second pass), "
+     "pinned equal to the oracle's direct aggregates: the seen-exactly-"
+     "once proof under AccumulatorV2 retry semantics, and the zero-"
+     "extra-cost tier of the quality story (streaming twin in "
+     "`tests/test_observe_metrics.py`)"),
     ("control-plane ledgers",
      ["p09_scheduler_priority_ledger", "p10_ttl_redelivery_ledger",
       "p11_backoff_throttle_curves", "p14_delegation_affinity_ledger",
