@@ -816,11 +816,21 @@ def connected_components_adaptive(
     ``local_max_edges`` rows of two longs (≤ ~3 MB at the default)
     with the distributed operator as the fallback above it.
     """
-    pulled = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).limit(local_max_edges + 1).collect()  # bounded pull, cap above
+    # Persist the (u, v) projection BEFORE the bounded probe: when the
+    # cap is exceeded, the distributed fallback would otherwise
+    # recompute the whole upstream pair pipeline (banding join +
+    # exact-cosine verify) from scratch — doubling cost exactly in the
+    # large-graph case the fallback exists for. The persisted frame is
+    # two id columns, and release is the caller's persist_scope /
+    # release_persists contract (session.tracked_persist).
+    from hyppo_worker_spark.session import tracked_persist
+
+    uv = tracked_persist(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
+    pulled = uv.limit(local_max_edges + 1).collect()  # bounded pull
     if len(pulled) > local_max_edges:
-        return connected_components(edges, src, dst)
+        return connected_components(uv, "u", "v")
     spark = edges.sparkSession
     real = [(r["u"], r["v"]) for r in pulled if r["u"] != r["v"]]
     labeled = dict(local_connected_components(real))

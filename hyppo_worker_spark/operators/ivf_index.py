@@ -175,6 +175,47 @@ class IvfIndex:
         )
 
     @staticmethod
+    def fold_admitted_counts(
+        base: DataFrame, prev_cum: DataFrame | None, cur: DataFrame
+    ) -> DataFrame:
+        """Incremental (cell, n_base, n_admitted) counts: fold the
+        PREVIOUS cumulative admitted counts with the CURRENT batch's —
+        O(batch + k) per trigger instead of rescanning every admitted
+        batch dir (O(total admitted) I/O, unbounded on a continuous
+        pipeline). Integer addition is associative, so the fold is
+        value-identical to a cumulative recompute, and replaying a
+        batch against the same previous ledger reproduces identical
+        rows (replay-idempotent).
+
+        ``base``: (cell, n_base) — fixed after train;
+        ``prev_cum``: (cell, n_admitted_cum) from the previous ledger
+        row, or None for the first batch; ``cur``: (cell, __cur) this
+        batch's per-cell counts. Both joined sides are k-row frames —
+        broadcast singletons."""
+        if prev_cum is None:
+            prev = base.select(
+                "cell", F.lit(0).cast("long").alias("__prev")
+            )
+        else:
+            prev = prev_cum.select(
+                "cell", F.col("n_admitted_cum").alias("__prev")
+            )
+        return (
+            base.join(F.broadcast(prev), "cell", "left")
+            .join(F.broadcast(cur), "cell", "left")
+            .select(
+                "cell",
+                "n_base",
+                (
+                    F.coalesce("__prev", F.lit(0))
+                    + F.coalesce("__cur", F.lit(0))
+                )
+                .cast("long")
+                .alias("n_admitted"),
+            )
+        )
+
+    @staticmethod
     def drift_bp_col(counts: DataFrame) -> DataFrame:
         """Attach the integer basis-point L1 population drift to a
         (cell, n_base, n_admitted) frame: per cell,
@@ -189,13 +230,25 @@ class IvfIndex:
         )
         shared = counts.crossJoin(F.broadcast(tot))
         # `div` (not float `/` + floor): pure int64 arithmetic — no
-        # double mantissa limit to hit when counts reach 1e12 rows
+        # double mantissa limit to hit when counts reach 1e12 rows.
+        # Zero-base guard: an index trained on an empty corpus (or one
+        # whose counts got wiped) has __tb=0, where `div` yields NULL —
+        # a NULL drift_bp would make retrain_needed NULL and an
+        # unhealthy index would silently never signal. Force maximal
+        # per-cell drift (10000 bp) instead so the gate FIRES.
         per_cell = shared.withColumn(
             "__d",
-            F.abs(
-                F.expr("(10000 * n_base) div __tb")
-                - F.expr("(10000 * (n_base + n_admitted)) div __tt")
-            ).cast("long"),
+            F.when(
+                (F.col("__tb") == 0) | (F.col("__tt") == 0),
+                F.lit(10000),
+            )
+            .otherwise(
+                F.abs(
+                    F.expr("(10000 * n_base) div __tb")
+                    - F.expr("(10000 * (n_base + n_admitted)) div __tt")
+                )
+            )
+            .cast("long"),
         )
         drift = per_cell.agg(F.sum("__d").alias("drift_bp"))
         return (

@@ -333,12 +333,22 @@ class PqIndex:
             F.sum("n_base").alias("__tb"),
             F.sum(F.col("n_base") + F.col("n_admitted")).alias("__tt"),
         )
+        # zero-base guard (same as IvfIndex.drift_bp_col): a subspace
+        # with __tb=0 would make `div` NULL → retrain_needed NULL; an
+        # unhealthy subspace must FIRE its gate, not go silent
         per_cell = counts.join(F.broadcast(tot), "m").withColumn(
             "__d",
-            F.abs(
-                F.expr("(10000 * n_base) div __tb")
-                - F.expr("(10000 * (n_base + n_admitted)) div __tt")
-            ).cast("long"),
+            F.when(
+                (F.col("__tb") == 0) | (F.col("__tt") == 0),
+                F.lit(10000),
+            )
+            .otherwise(
+                F.abs(
+                    F.expr("(10000 * n_base) div __tb")
+                    - F.expr("(10000 * (n_base + n_admitted)) div __tt")
+                )
+            )
+            .cast("long"),
         )
         drift = per_cell.groupBy("m").agg(
             F.sum("__d").alias("drift_bp")

@@ -5753,7 +5753,21 @@ def q81_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one task: the roll sequence (full, full, ..., remainder) is
         # deterministic only within a single writer task
         orders.coalesce(1).write.mode("overwrite").parquet(out)
-    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    # Sort by the writer's NUMERIC cNNN roll counter, not the raw
+    # name: Spark pads the counter to 3 digits only (c000..c999, then
+    # c1000), so lexicographic order breaks past 1,000 rolled files —
+    # exactly the regime a 100 TB export with a 1000-row cap lives in.
+    import re
+
+    def _roll_seq(path: str) -> int:
+        # counter is the '-cNNN' immediately before the extension dot;
+        # take the LAST match so hex uuid segments can't shadow it
+        m = re.findall(r"-c(\d+)\.", os.path.basename(path))
+        return int(m[-1]) if m else 0
+
+    files = sorted(
+        glob.glob(os.path.join(out, "part-*.parquet")), key=_roll_seq
+    )
     counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
     bound_ok = all(c <= _Q81_N for c in counts)

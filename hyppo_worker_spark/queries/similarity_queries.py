@@ -1189,30 +1189,44 @@ def s13_streaming_ivf_admission(
     adm_dir = os.path.join(work, "admitted")
     ledger_dir = os.path.join(work, "ledger")
 
+    # The base-corpus cell populations are FIXED after train: pull the
+    # k rows once (bounded: n_centroids=8) instead of rescanning the
+    # assignments zone inside every trigger.
+    base_counts = sorted(
+        (int(r["cell"]), int(r["n_base"]))
+        for r in idx.cell_counts(spark).select("cell", "n_base").collect()
+    )
+
     def sink(batch: DataFrame, batch_id: int) -> None:
         # per-batch OVERWRITE directories make replay idempotent by
         # construction (identical bytes, no double-append)
         asg = idx.assign(spark, batch)
-        asg.write.mode("overwrite").parquet(
-            os.path.join(adm_dir, f"batch={batch_id}")
-        )
-        admitted = (
-            spark.read.option("basePath", adm_dir).parquet(adm_dir)
+        batch_dir = os.path.join(adm_dir, f"batch={batch_id}")
+        asg.write.mode("overwrite").parquet(batch_dir)
+        # INCREMENTAL gate (VERDICT r11 item 2): fold the PREVIOUS
+        # ledger row (k rows, persisted per batch) with THIS batch's
+        # counts — O(batch + k) I/O per trigger, instead of re-reading
+        # every admitted/batch=* dir (O(total admitted), unbounded on
+        # a continuous pipeline). Counts are integers and associative,
+        # so the fold is value-identical to the cumulative recompute;
+        # replay of batch b re-reads ledger batch=b−1 (written by a
+        # COMPLETED earlier batch) and rewrites identical bytes.
+        cur = (
+            spark.read.parquet(batch_dir)
             .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n_admitted_cum"))
+            .agg(F.count(F.lit(1)).alias("__cur"))
         )
-        counts = (
-            idx.cell_counts(spark)
-            .select("cell", "n_base")
-            .join(admitted, "cell", "left")
-            .select(
-                "cell",
-                "n_base",
-                F.coalesce("n_admitted_cum", F.lit(0))
-                .cast("long")
-                .alias("n_admitted"),
-            )
+        base = spark.createDataFrame(
+            base_counts, "cell long, n_base long"
         )
+        prev = (
+            spark.read.parquet(
+                os.path.join(ledger_dir, f"batch={int(batch_id) - 1}")
+            ).select("cell", "n_admitted_cum")
+            if int(batch_id) > 0
+            else None
+        )
+        counts = IvfIndex.fold_admitted_counts(base, prev, cur)
         rep = (
             IvfIndex.drift_bp_col(counts)
             .withColumnRenamed("n_admitted", "n_admitted_cum")

@@ -127,3 +127,70 @@ def test_untrained_index_does_not_exist(spark, tmp_path):
     assert not idx.exists()
     with pytest.raises(Exception):
         idx.centroids(spark).collect()
+
+
+def test_fold_matches_cumulative_recompute_and_replay(spark, tmp_path):
+    """The incremental drift-gate fold (prev ledger + current batch,
+    O(batch + k)) is value-identical to the cumulative recompute over
+    all admitted batches, and replaying a batch against the same
+    previous ledger yields identical rows (VERDICT r11 item 2)."""
+    idx = IvfIndex(str(tmp_path / "ivf"), n_centroids=4, n_iter=2)
+    idx.train(_corpus(spark))
+    base = idx.cell_counts(spark).select("cell", "n_base")
+
+    prev = None
+    ledgers = []
+    for seq, tag in enumerate((3, 5, 7)):
+        batch = _corpus(spark, n=10 + 4 * seq, tag=tag)
+        asg = idx.assign(spark, batch)
+        cur = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("__cur"))
+        folded = IvfIndex.fold_admitted_counts(base, prev, cur)
+        rows = {
+            (r.cell, r.n_base, r.n_admitted) for r in folded.collect()
+        }
+        # cumulative recompute: admit for real and read the full zone
+        idx.admit(spark, batch)
+        cum = {
+            (r.cell, r.n_base, r.n_admitted)
+            for r in idx.cell_counts(spark).collect()
+        }
+        assert rows == cum, f"fold != cumulative at batch {seq}"
+        # replay: same prev + same batch -> identical rows
+        replay = {
+            (r.cell, r.n_base, r.n_admitted)
+            for r in IvfIndex.fold_admitted_counts(
+                base, prev, cur
+            ).collect()
+        }
+        assert replay == rows
+        ledger = folded.select(
+            "cell", F.col("n_admitted").alias("n_admitted_cum")
+        )
+        ledgers.append(ledger)
+        prev = ledger
+    assert len(ledgers) == 3
+
+
+def test_zero_base_drift_gate_fires_not_null(spark):
+    """An index whose base counts are all zero (trained on an empty
+    corpus, or counts wiped) must FIRE the drift gate, not return
+    NULL drift_bp / NULL retrain_needed (ADVICE r11)."""
+    counts = spark.createDataFrame(
+        [(0, 0, 5), (1, 0, 0), (2, 0, 3), (3, 0, 0)],
+        "cell long, n_base long, n_admitted long",
+    )
+    rep = IvfIndex.drift_bp_col(counts).collect()
+    assert all(r.drift_bp is not None for r in rep)
+    assert all(r.drift_bp == 4 * 10000 for r in rep)  # maximal per cell
+    gated = IvfIndex(
+        "/nonexistent", drift_threshold_bp=500
+    )
+    out = (
+        IvfIndex.drift_bp_col(counts)
+        .withColumn(
+            "retrain_needed",
+            F.col("drift_bp") > F.lit(gated.drift_threshold_bp),
+        )
+        .collect()
+    )
+    assert all(r.retrain_needed is True for r in out)

@@ -92,3 +92,28 @@ def test_subspace_drift_gate_quiet_then_fires(spark, tmp_path):
     assert all(r.retrain_needed for r in rep2)
     zero_cells = [r for r in rep2 if r.code == 0]
     assert all(r.n_admitted >= 120 for r in zero_cells)
+
+
+def test_zero_base_subspace_gate_fires_not_null(spark, tmp_path):
+    """A subspace whose base population is zero (codes zone wiped to
+    admitted-only rows) must FIRE its gate, not go NULL (ADVICE r11)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    idx = PqIndex(
+        str(tmp_path / "pq"), m=4, k=4, dim=16, n_iter=2,
+        drift_threshold_bp=500,
+    )
+    idx.train(_corpus(spark))
+    # rewrite the codes zone as admitted-only: n_base = 0 per subspace
+    codes = idx.codes(spark).withColumn(
+        "admitted", F.lit(True)
+    ).collect()
+    shutil.rmtree(str(tmp_path / "pq" / "codes"))
+    spark.createDataFrame(
+        codes, "vec_id long, m int, code int, admitted boolean"
+    ).write.parquet(str(tmp_path / "pq" / "codes"))
+    rep = idx.drift_report(spark).collect()
+    assert all(r.drift_bp is not None for r in rep)
+    assert all(r.retrain_needed is True for r in rep)
