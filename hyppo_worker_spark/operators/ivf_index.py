@@ -146,6 +146,106 @@ class IvfIndex:
         ).parquet(self._asg_dir)
         return assigned
 
+    # -- read path (query the persisted index) ---------------------------
+
+    def export_cells(
+        self, spark: SparkSession, corpus: DataFrame,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+    ) -> None:
+        """Write the inverted lists: ``cells/`` parquet PARTITIONED BY
+        cell, each row (vec_id, v, vnorm). This is the production ANN
+        layout (FAISS inverted lists; one directory per cell): a
+        nprobe=p query then reads p/k of the corpus via PARTITION
+        PRUNING instead of scanning everything — the property that
+        makes IVF pay at 100 TB, visible in the plan's
+        PartitionFilters. vnorm is precomputed once at build time so
+        the query-time cosine is a single dot product per candidate."""
+        asg = self.assignments(spark).select("vec_id", "cell")
+        vecs = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            V.as_double(F.col(vec_col)).alias("v"),
+        ).withColumn("vnorm", V.norm(F.col("v")))
+        asg.join(vecs, "vec_id").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(os.path.join(self.path, "cells"))
+
+    def cells(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "cells"))
+
+    def probe_cells(
+        self, spark: SparkSession, queries: DataFrame,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+        *, nprobe: int = 1,
+    ) -> DataFrame:
+        """(q_id, qv, qnorm, cell) — each query's ``nprobe`` nearest
+        PERSISTED centroids (cosine desc, cent_id tie-break: the Lloyd
+        assignment rule, so nprobe=1 equals the cell a retrain's final
+        pass would choose). Cost: one broadcast of k rows against the
+        query batch — no training job anywhere in the lineage."""
+        cn = self.centroids(spark).withColumn(
+            "cent_norm", V.norm(F.col("cent"))
+        )
+        v = queries.select(
+            F.col(id_col).alias("q_id"),
+            V.as_double(F.col(vec_col)).alias("qv"),
+        ).withColumn("qnorm", V.norm(F.col("qv")))
+        scored = v.join(F.broadcast(cn)).withColumn(
+            "__sim",
+            V.dot(F.col("qv"), F.col("cent"))
+            / (F.col("qnorm") * F.col("cent_norm")),
+        )
+        w = W.partitionBy("q_id").orderBy(F.col("__sim").desc(), "cent_id")
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= nprobe)
+            .select("q_id", "qv", "qnorm", F.col("cent_id").alias("cell"))
+        )
+
+    def search(
+        self, spark: SparkSession, queries: DataFrame,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+        *, k: int = 5, nprobe: int = 1, round_to: int = 6,
+    ) -> DataFrame:
+        """Top-k cosine neighbors from the PERSISTED index — the read
+        path the index exists for: NO Lloyd iteration, no corpus-wide
+        assignment; the probed cell list (≤ |queries|·nprobe ints, a
+        bounded pull) becomes a LITERAL partition filter on ``cells/``
+        so the scan reads only the probed inverted lists (partition
+        pruning — assert via plans.explain). Values are identical to
+        ``similarity.knn_ivf`` at the same (n_centroids, n_iter):
+        parquet double round-trips are bit-exact and the assignment
+        tie-breaks match."""
+        q = self.probe_cells(
+            spark, queries, id_col, vec_col, nprobe=nprobe
+        )
+        probed = sorted(
+            {r["cell"] for r in q.select("cell").distinct().collect()}
+        )  # bounded pull: ≤ n_queries·nprobe ints
+        cand = self.cells(spark).filter(F.col("cell").isin(probed))
+        cos = F.round(
+            V.dot(F.col("qv"), F.col("v"))
+            / (F.col("qnorm") * F.col("vnorm")),
+            round_to,
+        )
+        scored = (
+            cand.join(F.broadcast(q), "cell")
+            .filter(F.col("q_id") != F.col("vec_id"))
+            .withColumn("cos_sim", cos)
+        )
+        w = W.partitionBy("q_id").orderBy(
+            F.col("cos_sim").desc(), "vec_id"
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "q_id",
+                F.col("vec_id").alias("neighbor_id"),
+                "cos_sim",
+                "rank",
+            )
+        )
+
     # -- drift gate ----------------------------------------------------
 
     def cell_counts(self, spark: SparkSession) -> DataFrame:

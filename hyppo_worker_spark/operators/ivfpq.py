@@ -1,0 +1,211 @@
+"""IVF-PQ: the composed persisted ANN layout (FAISS IVFPQ; Jégou,
+Douze & Schmid 2011) — coarse inverted-file cells over PQ-coded
+RESIDUALS.
+
+``IvfIndex`` (coarse cells) and ``PqIndex`` (codes) exist separately;
+the production layout composes them: each vector is stored as its
+cell id plus the PQ codes of its RESIDUAL (v − centroid[cell]).
+Residual coding is why the composition beats either part alone — the
+residual distribution is re-centered at the origin per cell, so the
+shared codebooks spend their k codes per subspace on a far tighter
+cloud than the raw vectors, cutting quantization error at the same
+bit budget.
+
+Spark-first layout, reusing the persisted-index machinery as-is:
+
+- ``coarse/``    : an ``IvfIndex`` (centroids + assignments);
+- ``codebooks/`` : shared per-subspace residual codebooks (m×k rows);
+- ``codes/``     : (vec_id, m, code) PARTITIONED BY cell — the
+  inverted lists hold CODES, not vectors (the point of PQ), and a
+  nprobe=p query reads p/k of the codes via partition pruning.
+
+Search is coarse probe → per-(query, cell) residual ADC lookup table
+(m×k rows per query, broadcast) → table-lookup sum over the probed
+cells' codes. All contributions are pre-scaled integers
+(floor(sqdist·1e6)), so the ranking is bit-identical across engines
+and partitionings. No step of the read path trains anything: the
+probe is a broadcast of the persisted centroids and the ADC join is
+against the persisted codebooks.
+
+At 100 TB: the codes table is ~m bytes/vector (the only thing
+scanned at query time), training remains the only corpus-sized job,
+and both halves inherit their drift gates (``IvfIndex.drift_report``
+per cell, ``PqIndex.drift_report`` per subspace) for retrain
+scheduling. Reference analog: the reference maintains no vector index
+(no relational operators at all — SURVEY §2.4); the persisted-artifact
+reuse mirrors its warm-executor affinity (WorkerFSM.scala:161-199).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from hyppo_worker_spark.functions import vectors as V
+from hyppo_worker_spark.operators.ivf_index import IvfIndex
+from hyppo_worker_spark.operators.pq import (
+    ADC_SCALE,
+    pq_codebooks,
+    pq_encode,
+)
+
+
+class IvfPqIndex:
+    """Filesystem-backed IVF-PQ index: coarse cells + shared residual
+    codebooks + cell-partitioned codes; train once, search from the
+    persisted artifacts with no training job in the query lineage."""
+
+    def __init__(
+        self,
+        path: str,
+        *,
+        n_cells: int = 8,
+        m: int = 8,
+        k: int = 8,
+        dim: int = 64,
+        n_iter: int = 2,
+    ) -> None:
+        self.path = path
+        self.n_cells = n_cells
+        self.m = m
+        self.k = k
+        self.dim = dim
+        self.n_iter = n_iter
+        self.coarse = IvfIndex(
+            os.path.join(path, "coarse"),
+            n_centroids=n_cells,
+            n_iter=n_iter,
+        )
+        self._books_dir = os.path.join(path, "codebooks")
+        self._codes_dir = os.path.join(path, "codes")
+
+    def exists(self) -> bool:
+        return self.coarse.exists() and os.path.isdir(self._books_dir)
+
+    # -- training --------------------------------------------------------
+
+    def _residuals(
+        self, spark: SparkSession, corpus: DataFrame,
+        id_col: str, vec_col: str,
+    ) -> DataFrame:
+        """(vec_id, cell, rv = v − centroid[cell]) against the
+        PERSISTED coarse quantizer — elementwise zip_with subtraction,
+        bit-exact mirrored by the oracle's list_transform."""
+        cents = self.coarse.centroids(spark)
+        asg = self.coarse.assignments(spark).select("vec_id", "cell")
+        v = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            V.as_double(F.col(vec_col)).alias("v"),
+        )
+        return (
+            v.join(asg, "vec_id")
+            .join(F.broadcast(cents), F.col("cell") == F.col("cent_id"))
+            .select(
+                "vec_id",
+                "cell",
+                F.zip_with("v", "cent", lambda a, b: a - b).alias("rv"),
+            )
+        )
+
+    def train(
+        self, corpus: DataFrame, id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Train coarse cells, then shared codebooks on the RESIDUALS,
+        then persist each vector's codes partitioned by cell. Like
+        IvfIndex/PqIndex, every persisted artifact is re-read before
+        dependent computation so the disk state is authoritative."""
+        spark = corpus.sparkSession
+        self.coarse.train(corpus, id_col, vec_col)
+        resid = self._residuals(spark, corpus, id_col, vec_col)
+        books = pq_codebooks(
+            resid, "vec_id", "rv",
+            m=self.m, k=self.k, dim=self.dim, n_iter=self.n_iter,
+        )
+        books.write.mode("overwrite").parquet(self._books_dir)
+        codes = pq_encode(
+            resid, self.codebooks(spark), "vec_id", "rv",
+            m=self.m, dim=self.dim,
+        ).withColumnRenamed("__id", "vec_id")
+        (
+            codes.join(resid.select("vec_id", "cell"), "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(self._codes_dir)
+        )
+
+    def codebooks(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._books_dir)
+
+    def codes(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._codes_dir)
+
+    # -- read path ---------------------------------------------------------
+
+    def search(
+        self, spark: SparkSession, queries: DataFrame,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+        *, topk: int = 5, nprobe: int = 1,
+    ) -> DataFrame:
+        """ADC top-k over the probed cells' PERSISTED codes:
+        (q_id, neighbor_id, adist_u6, rank) by ascending integer-scaled
+        approximate squared distance (ties → lowest id), self-matches
+        excluded. The probed cell list (≤ |queries|·nprobe ints,
+        bounded pull) becomes a literal partition filter on codes/ —
+        the scan reads only the probed inverted lists. Nothing in this
+        lineage trains: centroids and codebooks are parquet reads."""
+        d = self.dim // self.m
+        q = self.coarse.probe_cells(
+            spark, queries, id_col, vec_col, nprobe=nprobe
+        )
+        cents = self.coarse.centroids(spark)
+        qres = (
+            q.join(F.broadcast(cents), F.col("cell") == F.col("cent_id"))
+            .select(
+                "q_id",
+                "cell",
+                F.zip_with("qv", "cent", lambda a, b: a - b).alias("rqv"),
+            )
+        )
+        parts = F.array(
+            *[
+                F.struct(
+                    F.lit(mi).alias("m"),
+                    F.slice(F.col("rqv"), mi * d + 1, d).alias("sv"),
+                )
+                for mi in range(self.m)
+            ]
+        )
+        qsubs = qres.select(
+            "q_id", "cell", F.explode(parts).alias("p")
+        ).select("q_id", "cell", F.col("p.m").alias("m"), F.col("p.sv").alias("sv"))
+        lut = qsubs.join(F.broadcast(self.codebooks(spark)), "m").select(
+            "q_id",
+            "cell",
+            "m",
+            F.col("cent_id").alias("code"),
+            F.floor(V.sqdist(F.col("sv"), F.col("cent")) * ADC_SCALE)
+            .cast("long")
+            .alias("contrib"),
+        )
+        probed = sorted(
+            {r["cell"] for r in q.select("cell").distinct().collect()}
+        )  # bounded pull: ≤ n_queries·nprobe ints
+        cand = self.codes(spark).filter(F.col("cell").isin(probed))
+        scored = (
+            cand.withColumnRenamed("vec_id", "neighbor_id")
+            .join(F.broadcast(lut), ["cell", "m", "code"])
+            .filter(F.col("q_id") != F.col("neighbor_id"))
+            .groupBy("q_id", "neighbor_id")
+            .agg(F.sum("contrib").alias("adist_u6"))
+        )
+        w = W.partitionBy("q_id").orderBy(
+            F.col("adist_u6").asc(), "neighbor_id"
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("q_id", "neighbor_id", "adist_u6", "rank")
+        )

@@ -574,6 +574,22 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # greens archived (r8-r10); the quality story stays in-window
         # via q82 (in-flight audit) and p34 (ingest-policy
         # quarantine); the deliberate-validation-pass shape archived
+        # Round-12 ROTATION: two NEW rows (s15 persisted-IVF query —
+        # the read path s12/s13 built the write path for, VERDICT r11
+        # item 1 — and s16 IVF-PQ residual search, VERDICT item 6)
+        # land WITH driver slots; the eight r11 single-green rows
+        # (p38, p39, s12, s13, s14, d17, q81, q82) stay in-window for
+        # their second driver green (VERDICT item 5). The two retirees
+        # below each hold 2 archived green driver rounds (r10, r11)
+        # and leave in-window family representatives:
+        "q76_join_hint_matrix",  # join-hint matrix — 2 greens
+        # archived (r10, r11); the join-strategy surface stays
+        # in-window via q69 (AQE skew), q74 (runtime bloom), q78
+        # (CBO reorder)
+        "q79_aqe_coalesce_partitions",  # AQE partition coalescing —
+        # 2 greens archived (r10, r11); runtime re-planning stays
+        # in-window via q69 (AQE skew join) and q73 (DPP); write
+        # shaping via p28/q81
     }
 )
 

@@ -1486,3 +1486,371 @@ def s14_incremental_pq_maintenance(
         "m long, code long, n_base long, n_admitted long, drift_bp long, "
         "retrain_needed boolean, planted_drift_fires_all_m boolean",
     ).orderBy("m", "code")
+
+
+# --------------------------------------------------------------------------
+# s15 — QUERY THE PERSISTED IVF INDEX (VERDICT r11 item 1): the read
+# path s12/s13 built the write path for. Every earlier search row
+# (s04/s05) trains its quantizer INSIDE the query; the production read
+# path — the reason the index exists — loads the persisted artifacts
+# and runs NO training job: centroids/ is a k-row parquet read, the
+# probed cell list (bounded: ≤ |queries|·nprobe ints) becomes a
+# LITERAL partition filter on the cells/ inverted lists, and the only
+# corpus-side work is the pruned scan + per-query top-k. Both
+# properties are asserted FROM THE ENGINE and surfaced as columns:
+# plan_no_training (no ExistingRDD — Lloyd's localCheckpoint signature
+# — anywhere in the search plan) and reads_probed_cells (the cells/
+# scan carries a PartitionFilters entry on cell). recall_bp pins the
+# quality bound against the in-plan exact brute force (s01's
+# machinery) as an all-integer basis-point ratio. Reference analog:
+# the warm-executor affinity window (WorkerFSM.scala:161-199) — reuse
+# the expensive artifact across requests instead of rebuilding it.
+# At 100 TB: train is the only corpus-sized job and it is NOT in this
+# plan; a nprobe=p query reads p/k of the corpus via partition
+# pruning, and the per-query candidate set is one inverted list.
+# --------------------------------------------------------------------------
+@register(
+    "s15_persisted_ivf_query",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    cents0 AS (SELECT vec_id AS cent_id, v AS cent FROM vecs WHERE vec_id < 8),
+    {_lloyd_round(0)},
+    {_lloyd_round(1)},
+    assigned AS (
+        SELECT vecs.vec_id, vecs.v, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY vecs.vec_id
+                                  ORDER BY {_cos('vecs.v', 'c.cent')} DESC, c.cent_id) AS rn
+        FROM vecs, cents2 c
+    ),
+    cells AS (SELECT vec_id, v, cell FROM assigned WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, v AS qv, cell FROM cells WHERE vec_id < 20),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               round({_cos('q.qv', 'c.v')}, 6) AS cos_sim
+        FROM q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ),
+    top AS (SELECT q_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5),
+    ex AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               round({_cos('q.v', 'c.v')}, 6) AS cos_sim
+        FROM vecs q JOIN vecs c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ),
+    eranked AS (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS erank
+        FROM ex
+    ),
+    etop AS (SELECT q_id, neighbor_id FROM eranked WHERE erank <= 5),
+    hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS h
+        FROM top t JOIN etop e USING (q_id, neighbor_id)
+    ),
+    etot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM etop)
+    SELECT t.q_id, t.neighbor_id, t.cos_sim, t.rank,
+           CAST((10000 * h.h) // e.n AS BIGINT) AS recall_bp,
+           TRUE AS plan_no_training, TRUE AS reads_probed_cells
+    FROM top t, hits h, etot e
+    ORDER BY t.q_id, t.rank
+    """,
+    tags=("similarity", "knn", "ivf", "index", "read-path",
+          "partition-pruning"),
+)
+def s15_persisted_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors served from the PERSISTED IVF index: centroids,
+    inverted lists (cells/ partitioned by cell), and probe — with NO
+    training job in the search lineage (engine-asserted: no
+    ExistingRDD in the plan) and the probed cells read via a literal
+    partition filter (engine-asserted: PartitionFilters on cell).
+    recall_bp pins quality against in-plan exact brute force."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from hyppo_worker_spark.operators.ivf_index import IvfIndex
+    from hyppo_worker_spark.plans.explain import formatted_plan
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    work = tempfile.mkdtemp(prefix="hyppo-s15-")
+
+    # ---- build job (amortized across every query in production):
+    # train once, persist centroids + assignments + inverted lists
+    idx = IvfIndex(os.path.join(work, "ivf"), n_centroids=8, n_iter=2)
+    idx.train(emb)
+    idx.export_cells(spark, emb)
+
+    # ---- read path: a FRESH handle over the persisted artifacts;
+    # nothing below this line trains
+    rid = IvfIndex(os.path.join(work, "ivf"), n_centroids=8, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 20)
+    top5 = rid.search(spark, queries, k=5, nprobe=1)
+
+    # recall bound vs the exact brute force (s01's machinery — a join,
+    # not a training job; rides the same plan)
+    exact = S.knn_bruteforce(emb, queries, k=5).select(
+        "q_id", "neighbor_id"
+    )
+    hits = (
+        top5.select("q_id", "neighbor_id")
+        .join(exact, ["q_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n"))
+    rec = hits.crossJoin(F.broadcast(tot)).select(
+        F.expr("(10000 * h) div n").cast("long").alias("recall_bp")
+    )
+    core = top5.crossJoin(F.broadcast(rec))
+
+    # engine-side plan assertions on the REAL search frame: no Lloyd
+    # anywhere (kmeans_centroids ends in localCheckpoint → scanned as
+    # ExistingRDD; its absence proves no training in this lineage) and
+    # the cells/ scan carries a partition filter on cell
+    plan = formatted_plan(core)
+    no_training = "ExistingRDD" not in plan
+    part_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    reads_probed = any("cell" in pf and " IN " in pf for pf in part_filters)
+
+    out = (
+        core.withColumn("plan_no_training", F.lit(bool(no_training)))
+        .withColumn("reads_probed_cells", F.lit(bool(reads_probed)))
+        .select(
+            "q_id", "neighbor_id", "cos_sim", "rank", "recall_bp",
+            "plan_no_training", "reads_probed_cells",
+        )
+        .orderBy("q_id", "rank")
+    ).collect()  # 100 rows (20 queries × top-5) — bounded pull (work
+    # dir is deleted next)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "q_id long, neighbor_id long, cos_sim double, rank int, "
+        "recall_bp long, plan_no_training boolean, "
+        "reads_probed_cells boolean",
+    ).orderBy("q_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# s16 — IVF-PQ RESIDUAL SEARCH (VERDICT r11 item 6): the composed
+# persisted ANN layout (FAISS IVFPQ). s15 queries coarse cells over
+# RAW vectors; s07/s14 PQ-code raw vectors with no cells; production
+# encodes the RESIDUAL (v − centroid[cell]) per coarse cell — the
+# per-cell re-centering that lets shared codebooks spend their codes
+# on a tighter cloud (lower quantization error at the same bits).
+# Everything persists (operators/ivfpq.py:IvfPqIndex: coarse/ +
+# codebooks/ + codes/ partitioned BY CELL) and the read path trains
+# NOTHING: probe against persisted centroids, per-(query, cell)
+# residual ADC lookup table against persisted codebooks, table-lookup
+# sum over ONLY the probed cells' codes (literal partition filter —
+# engine-asserted like s15). The oracle replays the FULL machinery —
+# coarse Lloyd, residuals, residual-PQ Lloyd, encode, ADC — on the
+# shared integer grids, so every adist_u6 is pinned bit-exact; the
+# recall bound vs exact L2 brute force rides as recall_bp. At 100 TB:
+# query-time I/O is nprobe/k of an m-bytes-per-vector codes table —
+# the layout embedding-serving systems actually deploy.
+# --------------------------------------------------------------------------
+_S16_M, _S16_K, _S16_D = 8, 8, 64
+
+
+def _s16_oracle() -> str:
+    d = _S16_D // _S16_M
+    return f"""
+    WITH {_SQL_VECS},
+    cents0 AS (SELECT vec_id AS cent_id, v AS cent FROM vecs WHERE vec_id < 8),
+    {_lloyd_round(0)},
+    {_lloyd_round(1)},
+    assigned AS (
+        SELECT vecs.vec_id, vecs.v, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY vecs.vec_id
+                                  ORDER BY {_cos('vecs.v', 'c.cent')} DESC, c.cent_id) AS rn
+        FROM vecs, cents2 c
+    ),
+    cells AS (SELECT vec_id, v, cell FROM assigned WHERE rn = 1),
+    resid AS (
+        SELECT c.vec_id, c.cell,
+               list_transform(range(1, {_S16_D} + 1),
+                              i -> c.v[i] - ct.cent[i]) AS rv
+        FROM cells c JOIN cents2 ct ON ct.cent_id = c.cell
+    ),
+    subs AS (
+        SELECT vec_id, r.m,
+               list_slice(rv, r.m * {d} + 1, r.m * {d} + {d}) AS sv
+        FROM resid, range({_S16_M}) r(m)
+    ),
+    pc0 AS (SELECT m, vec_id AS cent_id, sv AS cent FROM subs
+            WHERE vec_id < {_S16_K}),
+    {_pq_lloyd_round(0)},
+    {_pq_lloyd_round(1)},
+    ca AS (
+        SELECT s.vec_id, s.m, c.cent_id AS code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_sq('s.sv', 'c.cent')} ASC, c.cent_id) AS rn
+        FROM subs s JOIN pc2 c ON c.m = s.m
+    ),
+    codes AS (SELECT vec_id, m, code FROM ca WHERE rn = 1),
+    qp AS (SELECT vec_id AS q_id, v AS qv, cell FROM cells WHERE vec_id < 20),
+    qres AS (
+        SELECT q.q_id, q.cell,
+               list_transform(range(1, {_S16_D} + 1),
+                              i -> q.qv[i] - ct.cent[i]) AS rqv
+        FROM qp q JOIN cents2 ct ON ct.cent_id = q.cell
+    ),
+    qsubs AS (
+        SELECT q_id, cell, r.m,
+               list_slice(rqv, r.m * {d} + 1, r.m * {d} + {d}) AS sv
+        FROM qres, range({_S16_M}) r(m)
+    ),
+    lut AS (
+        SELECT s.q_id, s.cell, s.m, c.cent_id AS code,
+               CAST(floor({_sq('s.sv', 'c.cent')} * 1000000) AS BIGINT) AS contrib
+        FROM qsubs s JOIN pc2 c ON c.m = s.m
+    ),
+    scored AS (
+        SELECT l.q_id, cd.vec_id AS neighbor_id,
+               CAST(sum(l.contrib) AS BIGINT) AS adist_u6
+        FROM codes cd
+        JOIN cells cl ON cl.vec_id = cd.vec_id
+        JOIN lut l ON l.m = cd.m AND l.code = cd.code
+                  AND l.cell = cl.cell AND l.q_id <> cd.vec_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adist_u6 ASC, neighbor_id) AS rank
+        FROM scored
+    ),
+    top AS (SELECT q_id, neighbor_id, adist_u6, rank FROM ranked
+            WHERE rank <= 5),
+    ex AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               CAST(floor({_sq('q.v', 'c.v')} * 1000000) AS BIGINT) AS edist_u6
+        FROM vecs q JOIN vecs c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ),
+    eranked AS (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY edist_u6 ASC, neighbor_id) AS erank
+        FROM ex
+    ),
+    etop AS (SELECT q_id, neighbor_id FROM eranked WHERE erank <= 5),
+    hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS h
+        FROM top t JOIN etop e USING (q_id, neighbor_id)
+    ),
+    etot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM etop)
+    SELECT t.q_id, t.neighbor_id, t.adist_u6, t.rank,
+           CAST((10000 * h.h) // e.n AS BIGINT) AS recall_bp,
+           TRUE AS plan_no_training, TRUE AS reads_probed_cells
+    FROM top t, hits h, etot e
+    ORDER BY t.q_id, t.rank
+    """
+
+
+@register(
+    "s16_ivfpq_residual_search",
+    oracle=_s16_oracle(),
+    tags=("similarity", "knn", "ivf", "pq", "residual", "index",
+          "read-path", "partition-pruning"),
+)
+def s16_ivfpq_residual_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADC top-5 over the persisted IVF-PQ index: coarse probe +
+    residual table lookups against cell-partitioned codes — no
+    training job in the search lineage (engine-asserted) and the
+    codes scan partition-pruned to the probed cells (engine-asserted);
+    recall_bp pins quality against exact L2 brute force."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from hyppo_worker_spark.operators.ivfpq import IvfPqIndex
+    from hyppo_worker_spark.operators.pq import ADC_SCALE
+    from hyppo_worker_spark.plans.explain import formatted_plan
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    work = tempfile.mkdtemp(prefix="hyppo-s16-")
+
+    # ---- build job (amortized): coarse cells + residual codebooks +
+    # cell-partitioned codes, all persisted
+    idx = IvfPqIndex(
+        os.path.join(work, "ivfpq"),
+        n_cells=8, m=_S16_M, k=_S16_K, dim=_S16_D, n_iter=2,
+    )
+    idx.train(emb)
+
+    # ---- read path: fresh handle; nothing below trains
+    rid = IvfPqIndex(
+        os.path.join(work, "ivfpq"),
+        n_cells=8, m=_S16_M, k=_S16_K, dim=_S16_D, n_iter=2,
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    top5 = rid.search(spark, queries, topk=5, nprobe=1)
+
+    # exact L2 top-5 (s07's integer grid) for the recall bound
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.as_double(F.col("embedding")).alias("cv"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        V.as_double(F.col("embedding")).alias("qv"),
+    )
+    ex = c.join(
+        F.broadcast(q), F.col("q_id") != F.col("neighbor_id")
+    ).select(
+        "q_id",
+        "neighbor_id",
+        F.floor(V.sqdist(F.col("qv"), F.col("cv")) * ADC_SCALE)
+        .cast("long")
+        .alias("edist_u6"),
+    )
+    we = W.partitionBy("q_id").orderBy(
+        F.col("edist_u6").asc(), "neighbor_id"
+    )
+    etop = (
+        ex.withColumn("erank", F.row_number().over(we))
+        .filter(F.col("erank") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+    hits = (
+        top5.select("q_id", "neighbor_id")
+        .join(etop, ["q_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    tot = etop.agg(F.count(F.lit(1)).alias("n"))
+    rec = hits.crossJoin(F.broadcast(tot)).select(
+        F.expr("(10000 * h) div n").cast("long").alias("recall_bp")
+    )
+    core = top5.crossJoin(F.broadcast(rec))
+
+    plan = formatted_plan(core)
+    no_training = "ExistingRDD" not in plan
+    part_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    reads_probed = any("cell" in pf and " IN " in pf for pf in part_filters)
+
+    out = (
+        core.withColumn("plan_no_training", F.lit(bool(no_training)))
+        .withColumn("reads_probed_cells", F.lit(bool(reads_probed)))
+        .select(
+            "q_id", "neighbor_id", "adist_u6", "rank", "recall_bp",
+            "plan_no_training", "reads_probed_cells",
+        )
+        .orderBy("q_id", "rank")
+    ).collect()  # 100 rows (20 queries × top-5) — bounded pull (work
+    # dir is deleted next)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "q_id long, neighbor_id long, adist_u6 long, rank int, "
+        "recall_bp long, plan_no_training boolean, "
+        "reads_probed_cells boolean",
+    ).orderBy("q_id", "rank")

@@ -194,3 +194,57 @@ def test_zero_base_drift_gate_fires_not_null(spark):
         .collect()
     )
     assert all(r.retrain_needed is True for r in out)
+
+
+def test_persisted_search_matches_in_query_ivf(spark, tmp_path):
+    """The read path (persisted centroids + partitioned inverted
+    lists, no training job) returns value-identical results to
+    similarity.knn_ivf at the same (n_centroids, n_iter) — parquet
+    double round-trips are bit-exact and tie-breaks match — for both
+    nprobe=1 and nprobe=2."""
+    from hyppo_worker_spark.operators import similarity as S
+
+    corpus = _corpus(spark)
+    idx = IvfIndex(str(tmp_path / "ivf"), n_centroids=4, n_iter=2)
+    idx.train(corpus)
+    idx.export_cells(spark, corpus)
+    rid = IvfIndex(str(tmp_path / "ivf"), n_centroids=4, n_iter=2)
+    queries = corpus.filter(F.col("vec_id") < 6)
+    for nprobe in (1, 2):
+        got = {
+            tuple(r)
+            for r in rid.search(
+                spark, queries, k=3, nprobe=nprobe
+            ).collect()
+        }
+        ref = {
+            tuple(r)
+            for r in S.knn_ivf(
+                corpus, queries, k=3, n_centroids=4, n_iter=2,
+                nprobe=nprobe,
+            ).collect()
+        }
+        assert got == ref and len(got) == 18
+
+
+def test_persisted_search_plan_prunes_and_never_trains(spark, tmp_path):
+    """The search plan reads only the probed cell partitions (literal
+    PartitionFilters) and contains no Lloyd artifact (ExistingRDD)."""
+    import re
+
+    from hyppo_worker_spark.plans.explain import formatted_plan
+
+    # parquet-backed corpus: a createDataFrame input is itself a Scan
+    # ExistingRDD and would false-positive the no-training probe
+    _corpus(spark).write.parquet(str(tmp_path / "corpus"))
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    idx = IvfIndex(str(tmp_path / "ivf"), n_centroids=4, n_iter=2)
+    idx.train(corpus)
+    idx.export_cells(spark, corpus)
+    rid = IvfIndex(str(tmp_path / "ivf"), n_centroids=4, n_iter=2)
+    plan = formatted_plan(
+        rid.search(spark, corpus.filter(F.col("vec_id") < 2), k=3)
+    )
+    assert "ExistingRDD" not in plan
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in p and " IN " in p for p in pf)

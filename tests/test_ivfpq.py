@@ -1,0 +1,112 @@
+"""IvfPqIndex: the composed persisted ANN layout — coarse cells over
+PQ-coded residuals, searched from disk with no training job."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from hyppo_worker_spark.operators.ivfpq import IvfPqIndex
+
+
+def _corpus(spark, n=60, dim=16, tag=0):
+    rows = [
+        (
+            tag * 1000 + i,
+            [
+                float(1 + (i % 2) * 10 + ((i * 7 + j * 3) % 5)) / 10.0
+                for j in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_train_persists_cell_partitioned_codes(spark, tmp_path):
+    idx = IvfPqIndex(
+        str(tmp_path / "pq"), n_cells=4, m=4, k=4, dim=16, n_iter=2
+    )
+    idx.train(_corpus(spark))
+    assert idx.exists()
+    cell_dirs = glob.glob(str(tmp_path / "pq" / "codes" / "cell=*"))
+    assert len(cell_dirs) >= 2  # two separable clusters -> >= 2 lists
+    # every vector carries exactly m codes
+    rid = IvfPqIndex(
+        str(tmp_path / "pq"), n_cells=4, m=4, k=4, dim=16, n_iter=2
+    )
+    counts = (
+        rid.codes(spark).groupBy("vec_id").count().select("count").distinct()
+    ).collect()
+    assert [r["count"] for r in counts] == [4]
+
+
+def test_search_ranks_planted_twin_first(spark, tmp_path):
+    """A corpus twin of the query (identical vector, lower id) codes
+    identically to the query's residual argmin in every subspace, so
+    its ADC distance is the achievable minimum -> rank 1.
+
+    The shared _corpus generator repeats vectors every 10 ids (i mod
+    2 x i mod 5), which would plant many twins; perturb by a small
+    id-proportional term so the planted twin is the ONLY duplicate."""
+    base = spark.createDataFrame(
+        [
+            (
+                i,
+                [
+                    float(1 + (i % 2) * 10 + ((i * 7 + j * 3) % 5)) / 10.0
+                    + i / 1000.0
+                    for j in range(16)
+                ],
+            )
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    twin_of = 41
+    twin_row = base.filter(F.col("vec_id") == twin_of).select(
+        F.lit(7000).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(twin_row)
+    idx = IvfPqIndex(
+        str(tmp_path / "pq"), n_cells=4, m=4, k=4, dim=16, n_iter=2
+    )
+    idx.train(corpus)
+    rid = IvfPqIndex(
+        str(tmp_path / "pq"), n_cells=4, m=4, k=4, dim=16, n_iter=2
+    )
+    q = corpus.filter(F.col("vec_id") == 7000)
+    top = rid.search(spark, q, topk=10, nprobe=1).collect()
+    assert top[0]["q_id"] == 7000 and top[0]["rank"] == 1
+    # the guaranteed invariant: the twin attains the MINIMAL adist
+    # (it codes to the query's per-subspace argmin); coarse codebooks
+    # may tie other near-twins at the same codes, broken by lowest id
+    twin_rows = [r for r in top if r["neighbor_id"] == twin_of]
+    assert twin_rows, "exact twin fell out of the top group"
+    assert twin_rows[0]["adist_u6"] == top[0]["adist_u6"]
+
+
+def test_search_plan_prunes_and_never_trains(spark, tmp_path):
+    import re
+
+    from hyppo_worker_spark.plans.explain import formatted_plan
+
+    # parquet-backed corpus: a createDataFrame input is itself a Scan
+    # ExistingRDD and would false-positive the no-training probe
+    _corpus(spark).write.parquet(str(tmp_path / "corpus"))
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    idx = IvfPqIndex(
+        str(tmp_path / "pq"), n_cells=4, m=4, k=4, dim=16, n_iter=2
+    )
+    idx.train(corpus)
+    rid = IvfPqIndex(
+        str(tmp_path / "pq"), n_cells=4, m=4, k=4, dim=16, n_iter=2
+    )
+    plan = formatted_plan(
+        rid.search(spark, corpus.filter(F.col("vec_id") < 2), topk=3)
+    )
+    assert "ExistingRDD" not in plan
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in p and " IN " in p for p in pf)

@@ -49,13 +49,10 @@ def test_driver_registry_covers_every_family():
         "t17_bpe_encoding",
         "t19_unigram_surprisal",
         "t23_term_retrieval",
-        # round-10 rows hold exactly ONE driver green each — they must
-        # stay in-window until CORRECTNESS_r11 lands their second
-        # (VERDICT r10 item 4; retire only >= 2-green entries)
-        "q76_join_hint_matrix",
+        # round-10 rows that stay after the round-12 rotation (q76 and
+        # q79 retired with 2 greens each; reps stay per family)
         "q77_grouped_arrow_regression",
         "q78_cbo_join_reorder",
-        "q79_aqe_coalesce_partitions",
         "q80_nested_schema_pruning",
         "p33_multi_watermark_union",
         "p34_malformed_record_policy",
@@ -73,6 +70,10 @@ def test_driver_registry_covers_every_family():
         "d17_projection_lsh_neardup",
         "q81_max_records_per_file",
         "q82_observe_inflight_metrics",
+        # NEW round-12 rows land with immediate driver slots (q76/q79
+        # retired — 2 archived greens each, family reps stay)
+        "s15_persisted_ivf_query",
+        "s16_ivfpq_residual_search",
     ):
         assert must in names
 

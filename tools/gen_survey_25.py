@@ -118,6 +118,23 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "by ENCODING against them, with the drift gate PER SUBSPACE — a "
      "fired gate names WHICH codebooks to retrain (s14, planted "
      "all-code-0 batch fires all m gates from the engine)"),
+    ("vector index serving (read path)",
+     ["s15_persisted_ivf_query", "s16_ivfpq_residual_search"],
+     "query the PERSISTED index with NO training job in the search "
+     "lineage — the read path the maintenance rows built the write "
+     "path for: s15 probes the persisted centroids and reads only the "
+     "probed inverted lists (`IvfIndex.export_cells`/`search` — cells/ "
+     "parquet PARTITIONED BY cell; the bounded probed-cell list becomes "
+     "a literal partition filter), both properties asserted FROM THE "
+     "ENGINE as columns (no ExistingRDD in the plan; PartitionFilters "
+     "on cell) with an all-integer recall_bp bound vs in-plan exact "
+     "brute force; s16 composes the two indexes into the production "
+     "IVF-PQ layout (`operators/ivfpq.py:IvfPqIndex` — FAISS IVFPQ): "
+     "coarse cells over PQ codes of the per-cell RESIDUAL "
+     "(v − centroid[cell]), codes partitioned by cell, search = coarse "
+     "probe + residual ADC lookup tables against persisted codebooks "
+     "over only the probed cells' codes, every adist pinned bit-exact "
+     "by a full-machinery SQL replay"),
     # ---- text ----------------------------------------------------------
     ("language ID / quality",
      ["t01_language_id", "t02_quality_scores", "t12_repetition_signals",
