@@ -760,10 +760,21 @@ def erase_rows(path: str, should_erase, *, reconcile: bool = False) -> dict:
     manifest whose md5 no longer matches — ``read_committed`` fails
     LOUD on checksum, never serving half-erased state silently — and
     the next run's pre-pass surfaces exactly that window. Scale: both
-    passes are per-FILE with no cross-file state — at a 100 TB zone
-    they distribute as one task per file (the zone's files are
-    per-ingestion-task by construction, so parallelism equals the
-    original write's).
+    passes are per-FILE with no cross-file state and run as ONE SPARK
+    TASK PER FILE when a session is active (the zone is shared
+    storage, the same assumption its readers make) — at a 100 TB zone
+    parallelism equals the original write's (files are
+    per-ingestion-task by construction), with only the k-files-sized
+    stat frames and the gate itself on the driver. Without an active
+    session both passes fall back to a sequential local loop with
+    identical semantics.
+
+    The stamped digest is the md5 OF THE BYTES STAGE 2 ACTUALLY WROTE
+    (untouched files keep their stage-1 digest, which stage 1 verified
+    against disk): a non-pure ``should_erase`` that drifts between the
+    passes is detected by comparing the two digests and fails loud
+    BEFORE any manifest is stamped, instead of leaving the zone
+    failing checksums until manual repair.
 
     Returns {files_rewritten, rows_erased, manifests_updated}.
     """
@@ -779,14 +790,29 @@ def erase_rows(path: str, should_erase, *, reconcile: bool = False) -> dict:
             for e in m["files"]:
                 data_files.add(e["file"])
 
+    def _run_per_file(fn, files: list[str]) -> list[tuple]:
+        """One Spark task per file when a session is active (numSlices
+        = len(files) pins the task granularity); sequential otherwise.
+        Results are one small stats tuple per file — bounded by the
+        manifest size the driver already holds."""
+        if not files:
+            return []
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return [fn(f) for f in files]
+        return (
+            spark.sparkContext.parallelize(files, len(files))
+            .map(fn)
+            .collect()
+        )
+
     # Stage 1 — READ-ONLY pre-pass: pre-state (gate input), post-state
-    # (stamp input), and the erase count per file. Reconciling every
-    # entry against the file's current content is what makes rerunning
-    # a crashed erasure converge.
-    pre_state: dict[str, dict] = {}
-    post_state: dict[str, dict] = {}
-    to_erase: dict[str, int] = {}
-    for fname in sorted(data_files):
+    # (candidate stamp input), and the erase count per file.
+    # Reconciling every entry against the file's current content is
+    # what makes rerunning a crashed erasure converge.
+    def _scan_file(fname: str) -> tuple:
         fpath = os.path.join(path, fname)
         h_pre = hashlib.md5()
         h_post = hashlib.md5()
@@ -801,8 +827,19 @@ def erase_rows(path: str, should_erase, *, reconcile: bool = False) -> dict:
                     continue
                 h_post.update(line.encode())
                 n_post += 1
-        pre_state[fname] = {"rows": n_pre, "md5": h_pre.hexdigest()}
-        post_state[fname] = {"rows": n_post, "md5": h_post.hexdigest()}
+        return (
+            fname, n_pre, h_pre.hexdigest(), n_post, h_post.hexdigest(),
+            erased_here,
+        )
+
+    pre_state: dict[str, dict] = {}
+    post_state: dict[str, dict] = {}
+    to_erase: dict[str, int] = {}
+    for fname, n_pre, md5_pre, n_post, md5_post, erased_here in _run_per_file(
+        _scan_file, sorted(data_files)
+    ):
+        pre_state[fname] = {"rows": n_pre, "md5": md5_pre}
+        post_state[fname] = {"rows": n_post, "md5": md5_post}
         to_erase[fname] = erased_here
 
     # Fail-loud gate BEFORE mutating anything: entries that mismatch a
@@ -831,23 +868,58 @@ def erase_rows(path: str, should_erase, *, reconcile: bool = False) -> dict:
         )
 
     # Stage 2 — rewrite changed data files (second read; the pre-pass
-    # buffers no lines so memory stays O(1) per file), then manifests.
-    files_rewritten = 0
-    rows_erased = 0
-    for fname in sorted(data_files):
-        if not to_erase[fname]:
-            continue
+    # buffers no lines so memory stays O(1) per file), hashing the
+    # KEPT lines as they are written so the manifest stamp is the
+    # digest of the bytes on disk, then manifests LAST.
+    def _rewrite_file(fname: str) -> tuple:
         fpath = os.path.join(path, fname)
         tmp = fpath + ".tmp"
+        h = hashlib.md5()
+        kept = 0
         with open(fpath, encoding="utf-8") as src, open(
             tmp, "w", encoding="utf-8"
         ) as dst:
             for line in src:
-                if not should_erase(json.loads(line.rstrip("\n"))):
-                    dst.write(line if line.endswith("\n") else line + "\n")
+                bare = line.rstrip("\n")
+                if should_erase(json.loads(bare)):
+                    continue
+                dst.write(line if line.endswith("\n") else line + "\n")
+                h.update(bare.encode())
+                kept += 1
         os.replace(tmp, fpath)
-        files_rewritten += 1
-        rows_erased += to_erase[fname]
+        return (fname, kept, h.hexdigest())
+
+    changed_files = [f for f in sorted(data_files) if to_erase[f]]
+    written = dict()
+    for fname, kept, md5_written in _run_per_file(
+        _rewrite_file, changed_files
+    ):
+        written[fname] = {"rows": kept, "md5": md5_written}
+    files_rewritten = len(changed_files)
+    rows_erased = sum(to_erase[f] for f in changed_files)
+
+    # Non-pure-predicate guard: the bytes stage 2 wrote must be the
+    # bytes stage 1 predicted; a should_erase whose answer drifted
+    # between the passes fails LOUD here — BEFORE any manifest stamp —
+    # and read_committed keeps failing on the old stamps (the
+    # documented crash-window semantics) instead of the zone silently
+    # carrying a stamp that matches nothing.
+    drifted = sorted(
+        f for f, w in written.items()
+        if (w["rows"], w["md5"])
+        != (post_state[f]["rows"], post_state[f]["md5"])
+    )
+    if drifted:
+        raise ErasureReconcileError(
+            "should_erase returned different answers between the "
+            f"read-only pre-pass and the rewrite for: {drifted}. The "
+            "predicate must be pure. No manifest was stamped; restore "
+            "the named files (or rerun with a pure predicate and "
+            "reconcile=True) to converge."
+        )
+    # stamp what was WRITTEN; untouched files keep their (disk-
+    # verified) stage-1 digest
+    post_state.update(written)
 
     manifests_updated = 0
     for mname, m in manifests.items():

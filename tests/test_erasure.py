@@ -188,3 +188,64 @@ def test_erasure_random_predicates_match_filter(spark, tmp_path):
         erase_rows(out, pred)
         for ver in (1, 2):
             assert rows_at(ver) == full[ver] - erased, (t_pick, s_pick)
+
+
+def test_nonpure_predicate_fails_loud_before_stamping(spark, tmp_path):
+    """A should_erase whose answer drifts between the read-only
+    pre-pass and the rewrite is detected by comparing the stamped-to-
+    be digest with the digest of the bytes actually written — the run
+    fails LOUD before any manifest is stamped (the zone keeps failing
+    checksums, the documented crash-window semantics) instead of
+    stamping an md5 that matches nothing (ADVICE r11)."""
+    import glob
+
+    from hyppo_worker_spark.sources.integration_source import (
+        ErasureReconcileError,
+        erase_rows,
+    )
+
+    out = _stage(spark, tmp_path)
+    with open(os.path.join(out, "_MANIFEST.json"), encoding="utf-8") as fh:
+        stamps_before = json.load(fh)
+
+    def impure(r):
+        # flips while stage 2's own tmp file exists -> stage-2 bytes
+        # differ from the pre-pass prediction, deterministically
+        drift = bool(glob.glob(os.path.join(out, "*.tmp")))
+        return (r["seq"] % 3 == 0) != drift
+
+    with pytest.raises(ErasureReconcileError, match="pure"):
+        erase_rows(out, impure)
+    # no manifest stamped: the head manifest is byte-identical
+    with open(os.path.join(out, "_MANIFEST.json"), encoding="utf-8") as fh:
+        assert json.load(fh) == stamps_before
+
+
+def test_distributed_and_sequential_paths_agree(spark, tmp_path):
+    """The one-task-per-file Spark path (active session) and the
+    sequential fallback produce identical stats and identical
+    committed content across every retained version."""
+    from hyppo_worker_spark.sources.integration_source import erase_rows
+
+    out_a = _stage(spark, tmp_path / "a")
+    out_b = _stage(spark, tmp_path / "b")
+    stats_a = erase_rows(out_a, lambda r: r["seq"] % 3 == 0)
+
+    # force the sequential path by hiding the active session from the
+    # helper for the duration of the second run
+    from unittest import mock
+
+    from pyspark.sql import SparkSession
+
+    with mock.patch.object(
+        SparkSession, "getActiveSession", staticmethod(lambda: None)
+    ):
+        stats_b = erase_rows(out_b, lambda r: r["seq"] % 3 == 0)
+    assert stats_a == stats_b
+    # file NAMES are per-staging-run uuids, but the committed CONTENT
+    # of every retained version must agree (checksums re-verified by
+    # read_committed on both zones)
+    for version in (1, 2, None):
+        rows_a = sorted(map(tuple, _read(spark, out_a, version).collect()))
+        rows_b = sorted(map(tuple, _read(spark, out_b, version).collect()))
+        assert rows_a == rows_b and rows_a
