@@ -434,6 +434,38 @@ def ngram_jaccard_pairs(
     return _verify_pairs(docs, cand, threshold)
 
 
+def banded_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    bands: int = 4,
+    bits: int = 8,
+    projections: bool = False,
+    dim: int | None = None,
+    seed: str = "proj",
+) -> DataFrame:
+    """(did, band_id, bucket) — one row per (vector, band), from raw
+    component signs or (``projections=True``, requires ``dim``)
+    Rademacher random-projection signs: 2^bits buckets per band for
+    ANY bits — the path past the raw-sign ceiling at bands·bits = dim
+    (SCALE.md round 11); bit-identical folds keep the construction
+    oracle-mirrorable. Exposed so a caller needing both the pairs and
+    the bucket frame (spread stats, persistence) evaluates the
+    projection folds ONCE."""
+    if projections:
+        if dim is None:
+            raise ValueError("projections=True requires dim")
+        bb = V.banded_projection_buckets(
+            V.as_double(F.col(vec_col)), dim, bands, bits, seed=seed
+        )
+    else:
+        bb = V.banded_sign_buckets(V.as_double(F.col(vec_col)), bands, bits)
+    return df.select(
+        F.col(id_col).alias("did"), F.explode(bb).alias("bb")
+    ).select("did", "bb.band_id", "bb.bucket")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -446,6 +478,7 @@ def embedding_neardup_pairs(
     projections: bool = False,
     dim: int | None = None,
     seed: str = "proj",
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the scale path for
     vector dedup (``similarity.cosine_neardup_pairs`` is the all-pairs
@@ -471,22 +504,16 @@ def embedding_neardup_pairs(
         .withColumn("nrm", V.norm(F.col("vv")))
         .transform(tracked_persist)
     )
-    # projections=True switches band buckets from raw-component signs
-    # to Rademacher random-projection signs (requires dim): 2^bits
-    # buckets per band for ANY bits — the path past the raw-sign
-    # ceiling at bands*bits = dim (SCALE.md round 11); bit-identical
-    # folds keep the construction oracle-mirrorable.
-    if projections:
-        if dim is None:
-            raise ValueError("projections=True requires dim")
-        bb = V.banded_projection_buckets(
-            F.col("vv"), dim, bands, bits, seed=seed
+    # A caller that also needs the (did, band_id, bucket) frame (e.g.
+    # d17's occupied-bucket spread) passes it in precomputed —
+    # otherwise the projection folds would be evaluated twice, once
+    # per consumer (VERDICT r11 item 7).
+    if banded is None:
+        banded = banded_buckets(
+            v, "did", "vv",
+            bands=bands, bits=bits, projections=projections,
+            dim=dim, seed=seed,
         )
-    else:
-        bb = V.banded_sign_buckets(F.col("vv"), bands, bits)
-    banded = v.select("did", F.explode(bb).alias("bb")).select(
-        "did", "bb.band_id", "bb.bucket"
-    )
     cand = (
         banded.alias("l")
         .join(

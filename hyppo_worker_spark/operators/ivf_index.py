@@ -146,6 +146,36 @@ class IvfIndex:
         ).parquet(self._asg_dir)
         return assigned
 
+    # -- zone maintenance ------------------------------------------------
+
+    def compact_assignments(
+        self, spark: SparkSession, *,
+        max_files: int | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict | None:
+        """Compact the append-only ``assignments/`` zone (p28's
+        small-files discipline applied to the index): admission writes
+        one parquet dir per batch BY DESIGN (append-only, replay-
+        friendly), so over thousands of batches the file count — and
+        every drift-gate read's per-file open cost — grows without
+        bound. With ``max_files`` set this is a cheap no-op below the
+        threshold (one listing), making it safe to call after every
+        admission; the rewrite itself preserves rows and columns
+        exactly, so counts, drift, and search are value-identical on
+        the compacted zone (tested). Run in a maintenance window — the
+        directory swap is not atomic (see ``maintenance.compact``)."""
+        from hyppo_worker_spark.operators.maintenance import (
+            compact,
+            dataset_file_stats,
+        )
+
+        if (
+            max_files is not None
+            and dataset_file_stats(self._asg_dir)["n_files"] <= max_files
+        ):
+            return None
+        return compact(spark, self._asg_dir, target_file_bytes)
+
     # -- read path (query the persisted index) ---------------------------
 
     def export_cells(

@@ -142,6 +142,33 @@ class IvfPqIndex:
     def codes(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._codes_dir)
 
+    # -- zone maintenance --------------------------------------------------
+
+    def compact_codes(
+        self, spark: SparkSession, *,
+        max_files: int | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict | None:
+        """Compact the cell-partitioned ``codes/`` zone, PRESERVING
+        the hive partitioning (partition_by=["cell"]) so the read
+        path's literal partition filter keeps pruning after the
+        rewrite — value-identical search asserted in tests. No-op
+        below ``max_files`` when set."""
+        from hyppo_worker_spark.operators.maintenance import (
+            compact,
+            dataset_file_stats,
+        )
+
+        if (
+            max_files is not None
+            and dataset_file_stats(self._codes_dir)["n_files"] <= max_files
+        ):
+            return None
+        return compact(
+            spark, self._codes_dir, target_file_bytes,
+            partition_by=["cell"],
+        )
+
     # -- read path ---------------------------------------------------------
 
     def search(

@@ -23,6 +23,7 @@ import glob
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def dataset_file_stats(path: str) -> dict:
@@ -45,6 +46,7 @@ def compact(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     fmt: str = "parquet",
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Rewrite a dataset into ~target-sized files.
 
@@ -55,19 +57,26 @@ def compact(
     the rename scheme assumes a local POSIX filesystem (object stores
     need a manifest/versioned-directory indirection instead — the
     pattern table formats like Iceberg implement). Run compaction in a
-    maintenance window or behind a catalog pointer. Returns
+    maintenance window or behind a catalog pointer.
+    ``partition_by`` preserves a hive-partitioned layout (e.g. an
+    index's cell-partitioned inverted lists): the rewrite repartitions
+    BY those columns so each partition directory lands from one task
+    and partition pruning keeps working on the compacted zone. Returns
     before/after file stats.
     """
     before = dataset_file_stats(path)
     n_parts = max(1, -(-before["total_bytes"] // target_file_bytes))
     df = spark.read.format(fmt).load(path)
     tmp = path.rstrip("/") + ".__compacting__"
-    (
-        df.repartition(n_parts)
-        .write.mode("overwrite")
-        .format(fmt)
-        .save(tmp)
-    )
+    if partition_by:
+        shaped = df.repartition(*[F.col(c) for c in partition_by])
+        writer = shaped.write.mode("overwrite").format(fmt).partitionBy(
+            *partition_by
+        )
+    else:
+        shaped = df.repartition(n_parts)
+        writer = shaped.write.mode("overwrite").format(fmt)
+    writer.save(tmp)
     old = path.rstrip("/") + ".__old__"
     os.rename(path, old)
     os.rename(tmp, path)

@@ -301,6 +301,27 @@ class PqIndex:
         ).parquet(self._codes_dir)
         return codes
 
+    def compact_codes(
+        self, spark, *,
+        max_files: int | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict | None:
+        """Compact the append-only ``codes/`` zone — the PQ twin of
+        ``IvfIndex.compact_assignments`` (same no-op-below-threshold
+        contract; rows/columns preserved, so ADC and the per-subspace
+        drift gate are value-identical on the compacted zone)."""
+        from hyppo_worker_spark.operators.maintenance import (
+            compact,
+            dataset_file_stats,
+        )
+
+        if (
+            max_files is not None
+            and dataset_file_stats(self._codes_dir)["n_files"] <= max_files
+        ):
+            return None
+        return compact(spark, self._codes_dir, target_file_bytes)
+
     def drift_report(self, spark) -> DataFrame:
         """(m, code, n_base, n_admitted, drift_bp, retrain_needed) —
         the drift stat and gate PER SUBSPACE (drift_bp constant within

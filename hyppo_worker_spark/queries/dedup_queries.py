@@ -1496,21 +1496,23 @@ def d17_projection_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     corpus = base.unionByName(planted).transform(tracked_persist)
+    # the 48 interpreted projection folds are the expensive expression
+    # here: materialize the exploded (did, band, bucket) frame ONCE and
+    # feed BOTH the pair path and the occupied-bucket spread (VERDICT
+    # r11 item 7 — previously evaluated twice, once per consumer)
+    banded = D.banded_buckets(
+        corpus, "vec_id", "v", bands=4, bits=12, projections=True, dim=64
+    ).transform(tracked_persist)
     pairs = D.embedding_neardup_pairs(
         corpus, "vec_id", "v", threshold=0.9,
-        bands=4, bits=12, projections=True, dim=64,
+        bands=4, bits=12, projections=True, dim=64, banded=banded,
     )
     comp = D.connected_components_adaptive(pairs)
     dropped = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("vec_id")
     )
     occ = (
-        corpus.select(
-            F.explode(
-                V.banded_projection_buckets(F.col("v"), 64, 4, 12)
-            ).alias("bb")
-        )
-        .select("bb.band_id", "bb.bucket")
+        banded.select("band_id", "bucket")
         .distinct()
         .agg(F.count(F.lit(1)).cast("long").alias("n_occupied_buckets"))
     )

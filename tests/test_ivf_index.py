@@ -248,3 +248,29 @@ def test_persisted_search_plan_prunes_and_never_trains(spark, tmp_path):
     assert "ExistingRDD" not in plan
     pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("cell" in p and " IN " in p for p in pf)
+
+
+def test_compact_assignments_preserves_counts_and_drift(spark, tmp_path):
+    """Index-zone compaction (VERDICT r11 item 8): many small
+    admission batches fragment assignments/; compaction cuts the file
+    count while cell counts and the drift gate stay value-identical,
+    and the below-threshold call is a no-op."""
+    from hyppo_worker_spark.operators.maintenance import dataset_file_stats
+
+    idx = IvfIndex(str(tmp_path / "ivf"), n_centroids=4, n_iter=2)
+    idx.train(_corpus(spark))
+    for tag in range(2, 10):
+        idx.admit(spark, _corpus(spark, n=5, tag=tag))
+    asg_dir = str(tmp_path / "ivf" / "assignments")
+    before_files = dataset_file_stats(asg_dir)["n_files"]
+    before = {
+        tuple(r) for r in idx.drift_report(spark).collect()
+    }
+    # below-threshold: no-op
+    assert idx.compact_assignments(spark, max_files=10_000) is None
+    assert dataset_file_stats(asg_dir)["n_files"] == before_files
+    stats = idx.compact_assignments(spark, max_files=4)
+    after_files = dataset_file_stats(asg_dir)["n_files"]
+    assert stats is not None and after_files < before_files
+    after = {tuple(r) for r in idx.drift_report(spark).collect()}
+    assert after == before

@@ -110,3 +110,32 @@ def test_search_plan_prunes_and_never_trains(spark, tmp_path):
     assert "ExistingRDD" not in plan
     pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("cell" in p and " IN " in p for p in pf)
+
+
+def test_compact_codes_keeps_partitioning_and_search(spark, tmp_path):
+    """IVF-PQ codes compaction preserves the cell= hive layout (the
+    read path's partition pruning keeps working) and search results
+    are value-identical on the compacted zone."""
+    import re
+
+    from hyppo_worker_spark.operators.maintenance import dataset_file_stats
+    from hyppo_worker_spark.plans.explain import formatted_plan
+
+    corpus = _corpus(spark)
+    idx = IvfPqIndex(
+        str(tmp_path / "pq"), n_cells=4, m=4, k=4, dim=16, n_iter=2
+    )
+    idx.train(corpus)
+    q = corpus.filter(F.col("vec_id") < 4)
+    before = {tuple(r) for r in idx.search(spark, q, topk=3).collect()}
+    codes_dir = str(tmp_path / "pq" / "codes")
+    idx.compact_codes(spark)
+    cell_dirs = glob.glob(os.path.join(codes_dir, "cell=*"))
+    assert cell_dirs, "hive partitioning lost by compaction"
+    assert dataset_file_stats(codes_dir)["n_files"] >= len(cell_dirs)
+    after_df = idx.search(spark, q, topk=3)
+    after = {tuple(r) for r in after_df.collect()}
+    assert after == before
+    plan = formatted_plan(idx.search(spark, q, topk=3))
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in p and " IN " in p for p in pf)

@@ -117,3 +117,25 @@ def test_zero_base_subspace_gate_fires_not_null(spark, tmp_path):
     rep = idx.drift_report(spark).collect()
     assert all(r.drift_bp is not None for r in rep)
     assert all(r.retrain_needed is True for r in rep)
+
+
+def test_compact_codes_preserves_subspace_drift(spark, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hyppo_worker_spark.operators.maintenance import dataset_file_stats
+
+    idx = PqIndex(
+        str(tmp_path / "pq"), m=4, k=4, dim=16, n_iter=2,
+        drift_threshold_bp=500,
+    )
+    idx.train(_corpus(spark))
+    for tag in range(2, 8):
+        idx.admit(spark, _corpus(spark, n=5, tag=tag))
+    codes_dir = str(tmp_path / "pq" / "codes")
+    before_files = dataset_file_stats(codes_dir)["n_files"]
+    before = {tuple(r) for r in idx.drift_report(spark).collect()}
+    stats = idx.compact_codes(spark, max_files=4)
+    assert stats is not None
+    assert dataset_file_stats(codes_dir)["n_files"] < before_files
+    after = {tuple(r) for r in idx.drift_report(spark).collect()}
+    assert after == before
