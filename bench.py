@@ -190,6 +190,10 @@ BENCH_QUERIES = [
     "s14_incremental_pq_maintenance",
     "q81_max_records_per_file",
     "q82_observe_inflight_metrics",
+    # Round-12 additions:
+    "s15_persisted_ivf_query",
+    "s16_ivfpq_residual_search",
+    "s17_streaming_ivfpq_admission",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN
@@ -270,6 +274,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     plan_times: dict[str, float] = {}
+    # Per-row probe (VERDICT r11 item 4): one fixed-work probe run
+    # immediately before each query's timed runs, so a drifted row can
+    # be normalized against the host floor AT THAT MOMENT, not the
+    # session start (r11's uniform +1.1-1.4x driver drift rode a +50%
+    # probe). Full per-row dict goes in the head (local artifacts keep
+    # it); tail-safe summary scalars survive the driver's 2000-char
+    # truncation.
+    probe_rows: dict[str, float] = {}
+
+    def row_probe() -> float:
+        t0 = time.time()
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        return round(time.time() - t0, 3)
+
     for name in BENCH_QUERIES:
         q = registry.get(name)
         if q is None:
@@ -294,6 +312,7 @@ def main() -> None:
         _ = df.schema
         plan_times[name] = round(time.time() - t0, 3)
         clear_cache(spark, include_rdd_blocks=True)
+        probe_rows[name] = row_probe()
         # Min of three timed runs: single-run numbers at local[32]
         # swing up to 8x on identical plans (JIT recompilation + GC
         # pauses land on whichever query is executing); the minimum is
@@ -324,9 +343,11 @@ def main() -> None:
     # archives only the LAST 2000 chars of stdout, so the big
     # per-query dicts go FIRST and every scalar total goes LAST —
     # a truncated artifact still carries the headline numbers.
+    probes_sorted = sorted(probe_rows.values()) or [probe or 0.0]
     print(
         json.dumps(
             {
+                "probe_s": probe_rows,
                 "plan_s": plan_times,
                 "queries": timings,
                 "runs_per_query": 3,
@@ -334,6 +355,12 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "overhead_probe_s": round(probe, 3),
+                # tail-safe per-row-probe summary: survives the
+                # driver's 2000-char stdout truncation so archived
+                # rounds stay probe-normalizable end-to-end
+                "probe_min_s": probes_sorted[0],
+                "probe_median_s": probes_sorted[len(probes_sorted) // 2],
+                "probe_max_s": probes_sorted[-1],
                 "common20_total_s": common20,
                 # sub-totals (VERDICT r6 item 6): engine cost vs
                 # validation/harness-proof cost; value stays the full

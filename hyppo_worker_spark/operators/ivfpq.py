@@ -131,6 +131,7 @@ class IvfPqIndex:
         ).withColumnRenamed("__id", "vec_id")
         (
             codes.join(resid.select("vec_id", "cell"), "vec_id")
+            .withColumn("admitted", F.lit(False))
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(self._codes_dir)
@@ -141,6 +142,91 @@ class IvfPqIndex:
 
     def codes(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._codes_dir)
+
+    # -- incremental admission ----------------------------------------------
+
+    def encode_batch(
+        self, spark: SparkSession, batch: DataFrame,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+    ) -> DataFrame:
+        """(vec_id, cell, m, code) for a NEW batch against the
+        PERSISTED artifacts — the composed admission step: coarse
+        assignment (one broadcast of k centroid rows), residual vs the
+        assigned centroid, PQ encode against the persisted codebooks
+        (one broadcast of m·k rows). O(batch·(k + m·k)), independent
+        of corpus size; no training anywhere."""
+        asg = self.coarse.assign(spark, batch, id_col, vec_col)
+        cents = self.coarse.centroids(spark)
+        v = batch.select(
+            F.col(id_col).alias("vec_id"),
+            V.as_double(F.col(vec_col)).alias("v"),
+        )
+        resid = (
+            v.join(asg, "vec_id")
+            .join(F.broadcast(cents), F.col("cell") == F.col("cent_id"))
+            .select(
+                "vec_id",
+                "cell",
+                F.zip_with("v", "cent", lambda a, b: a - b).alias("rv"),
+            )
+        )
+        codes = pq_encode(
+            resid, self.codebooks(spark), "vec_id", "rv",
+            m=self.m, dim=self.dim,
+        ).withColumnRenamed("__id", "vec_id")
+        return codes.join(resid.select("vec_id", "cell"), "vec_id")
+
+    def admit(
+        self, spark: SparkSession, batch: DataFrame,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Encode ``batch`` against the persisted index and append its
+        (vec_id, cell, m, code, admitted=true) rows — append-only,
+        nothing existing rewritten (the IvfIndex/PqIndex admission
+        contract for the composed layout)."""
+        codes = self.encode_batch(spark, batch, id_col, vec_col)
+        (
+            codes.withColumn("admitted", F.lit(True))
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(self._codes_dir)
+        )
+        return codes
+
+    def drift_report(
+        self, spark: SparkSession, *, drift_threshold_bp: int = 500
+    ) -> DataFrame:
+        """(m, code, n_base, n_admitted, drift_bp, retrain_needed) per
+        RESIDUAL subspace over the persisted codes — a fired gate
+        names which residual codebooks to retrain; the coarse side
+        keeps its own cell-population gate via
+        ``self.coarse.drift_report``."""
+        from hyppo_worker_spark.operators.pq import subspace_drift
+
+        cells = self.codebooks(spark).select(
+            "m", F.col("cent_id").alias("code")
+        )
+        counts = (
+            cells.join(
+                self.codes(spark).groupBy("m", "code").agg(
+                    F.sum(F.when(~F.col("admitted"), 1).otherwise(0))
+                    .alias("n_base"),
+                    F.sum(F.when(F.col("admitted"), 1).otherwise(0))
+                    .alias("n_admitted"),
+                ),
+                ["m", "code"],
+                "left",
+            )
+            .select(
+                "m",
+                "code",
+                F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+                F.coalesce("n_admitted", F.lit(0))
+                .cast("long")
+                .alias("n_admitted"),
+            )
+        )
+        return subspace_drift(counts, drift_threshold_bp)
 
     # -- zone maintenance --------------------------------------------------
 

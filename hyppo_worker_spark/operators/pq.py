@@ -350,35 +350,41 @@ class PqIndex:
                 .alias("n_admitted"),
             )
         )
-        tot = counts.groupBy("m").agg(
-            F.sum("n_base").alias("__tb"),
-            F.sum(F.col("n_base") + F.col("n_admitted")).alias("__tt"),
+        return subspace_drift(counts, self.drift_threshold_bp)
+
+
+def subspace_drift(counts: DataFrame, threshold_bp: int) -> DataFrame:
+    """Attach (drift_bp, retrain_needed) PER SUBSPACE to an
+    (m, code, n_base, n_admitted) frame — the m-keyed twin of
+    ``IvfIndex.drift_bp_col``, shared by the persisted PQ index and
+    the streaming-admission ledgers: integer `div` arithmetic (pure
+    function of the counts), per-m totals broadcast. Zero-base guard:
+    a subspace with __tb=0 (or __tt=0) forces maximal per-cell drift
+    so the gate FIRES instead of going NULL."""
+    tot = counts.groupBy("m").agg(
+        F.sum("n_base").alias("__tb"),
+        F.sum(F.col("n_base") + F.col("n_admitted")).alias("__tt"),
+    )
+    per_cell = counts.join(F.broadcast(tot), "m").withColumn(
+        "__d",
+        F.when(
+            (F.col("__tb") == 0) | (F.col("__tt") == 0),
+            F.lit(10000),
         )
-        # zero-base guard (same as IvfIndex.drift_bp_col): a subspace
-        # with __tb=0 would make `div` NULL → retrain_needed NULL; an
-        # unhealthy subspace must FIRE its gate, not go silent
-        per_cell = counts.join(F.broadcast(tot), "m").withColumn(
-            "__d",
-            F.when(
-                (F.col("__tb") == 0) | (F.col("__tt") == 0),
-                F.lit(10000),
-            )
-            .otherwise(
-                F.abs(
-                    F.expr("(10000 * n_base) div __tb")
-                    - F.expr("(10000 * (n_base + n_admitted)) div __tt")
-                )
-            )
-            .cast("long"),
-        )
-        drift = per_cell.groupBy("m").agg(
-            F.sum("__d").alias("drift_bp")
-        )
-        return (
-            per_cell.select("m", "code", "n_base", "n_admitted")
-            .join(F.broadcast(drift), "m")
-            .withColumn(
-                "retrain_needed",
-                F.col("drift_bp") > F.lit(self.drift_threshold_bp),
+        .otherwise(
+            F.abs(
+                F.expr("(10000 * n_base) div __tb")
+                - F.expr("(10000 * (n_base + n_admitted)) div __tt")
             )
         )
+        .cast("long"),
+    )
+    drift = per_cell.groupBy("m").agg(F.sum("__d").alias("drift_bp"))
+    return (
+        per_cell.select("m", "code", "n_base", "n_admitted")
+        .join(F.broadcast(drift), "m")
+        .withColumn(
+            "retrain_needed",
+            F.col("drift_bp") > F.lit(threshold_bp),
+        )
+    )

@@ -590,6 +590,15 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # 2 greens archived (r10, r11); runtime re-planning stays
         # in-window via q69 (AQE skew join) and q73 (DPP); write
         # shaping via p28/q81
+        # Slot for the NEW round-12 s17 (streaming IVF-PQ admission —
+        # the composed index's lifecycle closed, incremental
+        # per-subspace fold from the start), so the new surface lands
+        # WITH driver evidence:
+        "p27_state_store_introspection",  # statestore read-back — 4
+        # greens archived (r8-r11); state introspection stays
+        # in-window via p30 (RocksDB backend + statestore reads),
+        # p36 (changelog recovery), p38 (evolution backfill verified
+        # through statestore reads on both checkpoints)
     }
 )
 

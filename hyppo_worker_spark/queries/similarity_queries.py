@@ -1670,14 +1670,14 @@ def _s16_oracle() -> str:
                                   ORDER BY {_cos('vecs.v', 'c.cent')} DESC, c.cent_id) AS rn
         FROM vecs, cents2 c
     ),
-    cells AS (SELECT vec_id, v, cell FROM assigned WHERE rn = 1),
-    resid AS (
+    cells AS MATERIALIZED (SELECT vec_id, v, cell FROM assigned WHERE rn = 1),
+    resid AS MATERIALIZED (
         SELECT c.vec_id, c.cell,
                list_transform(range(1, {_S16_D} + 1),
                               i -> c.v[i] - ct.cent[i]) AS rv
         FROM cells c JOIN cents2 ct ON ct.cent_id = c.cell
     ),
-    subs AS (
+    subs AS MATERIALIZED (
         SELECT vec_id, r.m,
                list_slice(rv, r.m * {d} + 1, r.m * {d} + {d}) AS sv
         FROM resid, range({_S16_M}) r(m)
@@ -1692,9 +1692,9 @@ def _s16_oracle() -> str:
                                   ORDER BY {_sq('s.sv', 'c.cent')} ASC, c.cent_id) AS rn
         FROM subs s JOIN pc2 c ON c.m = s.m
     ),
-    codes AS (SELECT vec_id, m, code FROM ca WHERE rn = 1),
+    codes AS MATERIALIZED (SELECT vec_id, m, code FROM ca WHERE rn = 1),
     qp AS (SELECT vec_id AS q_id, v AS qv, cell FROM cells WHERE vec_id < 20),
-    qres AS (
+    qres AS MATERIALIZED (
         SELECT q.q_id, q.cell,
                list_transform(range(1, {_S16_D} + 1),
                               i -> q.qv[i] - ct.cent[i]) AS rqv
@@ -1705,7 +1705,7 @@ def _s16_oracle() -> str:
                list_slice(rqv, r.m * {d} + 1, r.m * {d} + {d}) AS sv
         FROM qres, range({_S16_M}) r(m)
     ),
-    lut AS (
+    lut AS MATERIALIZED (
         SELECT s.q_id, s.cell, s.m, c.cent_id AS code,
                CAST(floor({_sq('s.sv', 'c.cent')} * 1000000) AS BIGINT) AS contrib
         FROM qsubs s JOIN pc2 c ON c.m = s.m
@@ -1724,7 +1724,7 @@ def _s16_oracle() -> str:
                                      ORDER BY adist_u6 ASC, neighbor_id) AS rank
         FROM scored
     ),
-    top AS (SELECT q_id, neighbor_id, adist_u6, rank FROM ranked
+    top AS MATERIALIZED (SELECT q_id, neighbor_id, adist_u6, rank FROM ranked
             WHERE rank <= 5),
     ex AS (
         SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
@@ -1737,7 +1737,7 @@ def _s16_oracle() -> str:
                                   ORDER BY edist_u6 ASC, neighbor_id) AS erank
         FROM ex
     ),
-    etop AS (SELECT q_id, neighbor_id FROM eranked WHERE erank <= 5),
+    etop AS MATERIALIZED (SELECT q_id, neighbor_id FROM eranked WHERE erank <= 5),
     hits AS (
         SELECT CAST(count(*) AS BIGINT) AS h
         FROM top t JOIN etop e USING (q_id, neighbor_id)
@@ -1854,3 +1854,291 @@ def s16_ivfpq_residual_search(
         "recall_bp long, plan_no_training boolean, "
         "reads_probed_cells boolean",
     ).orderBy("q_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# s17 — STREAMING IVF-PQ ADMISSION: the composed index's lifecycle
+# closed. s16 built and queried the persisted IVF-PQ layout; this row
+# runs its admission CONTINUOUSLY — the shape a production embedding
+# corpus actually takes: train once (coarse cells + residual
+# codebooks, the only corpus-sized job), then embedding batches
+# stream through foreachBatch and each micro-batch is admitted by the
+# COMPOSED persisted-artifact encode (coarse-assign -> residual ->
+# PQ-encode; O(batch·(k + m·k)), no training, no state store — the
+# index directory IS the state), with the PER-SUBSPACE drift gate
+# re-evaluated per batch into an idempotent ledger. The gate is
+# INCREMENTAL from the start (the s13 lesson, VERDICT r11 item 2):
+# each trigger folds the PREVIOUS ledger row (m·k rows) with the
+# current batch's counts — O(batch + m·k) I/O per trigger; integer
+# folds are associative so the ledger equals the cumulative recompute
+# the oracle replays, and replay of batch b re-reads ledger b−1
+# (written by a completed batch) and rewrites identical bytes
+# (per-batch OVERWRITE dirs). Oracle: the full machinery replayed in
+# SQL — coarse Lloyd on the 70% corpus, residuals for ALL vectors,
+# residual-PQ Lloyd, encode, then per batch_seq the CUMULATIVE
+# per-(m, code) admission counts and the per-subspace integer drift.
+# At 100 TB: per-trigger cost is the batch; the ledger names WHICH
+# residual codebooks need retraining and when.
+# --------------------------------------------------------------------------
+def _s17_oracle() -> str:
+    from hyppo_worker_spark.functions.text import md5_bucket_sql
+
+    gate = f"{md5_bucket_sql('vec_id', 100)} < {_S12_BATCH_PCT}"
+    bseq = md5_bucket_sql("vec_id", 3)
+    d = 64 // 8
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE NOT ({gate})
+    ),
+    allv AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, {gate} AS is_new,
+               {bseq} AS bseq
+        FROM embeddings
+    ),
+    cents0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+               v AS cent
+        FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8)
+    ),
+    {_lloyd_round(0)},
+    {_lloyd_round(1)},
+    assigned AS (
+        SELECT allv.vec_id, allv.v, allv.is_new, allv.bseq,
+               c.cent_id AS cell,
+               row_number() OVER (PARTITION BY allv.vec_id
+                                  ORDER BY {_cos('allv.v', 'c.cent')} DESC,
+                                           c.cent_id) AS rn
+        FROM allv, cents2 c
+    ),
+    cellmap AS MATERIALIZED (SELECT vec_id, v, is_new, bseq, cell FROM assigned
+                WHERE rn = 1),
+    residall AS MATERIALIZED (
+        SELECT a.vec_id, a.is_new, a.bseq,
+               list_transform(range(1, 65), i -> a.v[i] - ct.cent[i]) AS rv
+        FROM cellmap a JOIN cents2 ct ON ct.cent_id = a.cell
+    ),
+    subs AS MATERIALIZED (
+        SELECT vec_id, r.m,
+               list_slice(rv, r.m * {d} + 1, r.m * {d} + {d}) AS sv
+        FROM residall, range(8) r(m)
+        WHERE NOT is_new
+    ),
+    seed AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
+        FROM (SELECT DISTINCT vec_id FROM subs ORDER BY vec_id LIMIT 8)
+    ),
+    pc0 AS (
+        SELECT s.m, d.cent_id, s.sv AS cent
+        FROM subs s JOIN seed d USING (vec_id)
+    ),
+    {_pq_lloyd_round(0)},
+    {_pq_lloyd_round(1)},
+    allsubs AS MATERIALIZED (
+        SELECT vec_id, is_new, bseq, r.m,
+               list_slice(rv, r.m * {d} + 1, r.m * {d} + {d}) AS sv
+        FROM residall, range(8) r(m)
+    ),
+    ca AS (
+        SELECT s.vec_id, s.is_new, s.bseq, s.m, c.cent_id AS code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_sq('s.sv', 'c.cent')} ASC,
+                                           c.cent_id) AS rn
+        FROM allsubs s JOIN pc2 c ON c.m = s.m
+    ),
+    codes AS MATERIALIZED (SELECT vec_id, is_new, bseq, m, code FROM ca WHERE rn = 1),
+    seqs(batch_seq) AS (VALUES (0), (1), (2)),
+    counts AS (
+        SELECT s.batch_seq, c.m, c.cent_id AS code,
+               CAST(coalesce(sum(CASE WHEN NOT k.is_new THEN 1 END), 0)
+                    AS BIGINT) AS n_base,
+               CAST(coalesce(sum(CASE WHEN k.is_new
+                                       AND k.bseq <= s.batch_seq
+                                  THEN 1 END), 0)
+                    AS BIGINT) AS n_admitted_cum
+        FROM seqs s CROSS JOIN pc0 c
+        LEFT JOIN codes k ON k.m = c.m AND k.code = c.cent_id
+        GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT batch_seq, m,
+               CAST(sum(n_base) AS BIGINT) AS tb,
+               CAST(sum(n_base + n_admitted_cum) AS BIGINT) AS tt
+        FROM counts GROUP BY 1, 2
+    ),
+    rep AS (
+        SELECT c.batch_seq, c.m, c.code, c.n_base, c.n_admitted_cum,
+               abs((10000 * c.n_base) // t.tb
+                   - (10000 * (c.n_base + c.n_admitted_cum)) // t.tt)
+                   AS dd
+        FROM counts c JOIN tot t USING (batch_seq, m)
+    ),
+    drift AS (
+        SELECT batch_seq, m, CAST(sum(dd) AS BIGINT) AS drift_bp
+        FROM rep GROUP BY 1, 2
+    )
+    SELECT r.batch_seq, r.m, r.code, r.n_base, r.n_admitted_cum,
+           d.drift_bp,
+           d.drift_bp > {_S12_GATE_BP} AS retrain_needed
+    FROM rep r JOIN drift d USING (batch_seq, m)
+    ORDER BY r.batch_seq, r.m, r.code
+    """
+
+
+@register(
+    "s17_streaming_ivfpq_admission",
+    oracle=_s17_oracle(),
+    tags=("similarity", "ivf", "pq", "residual", "streaming",
+          "incremental", "maintenance", "drift-gate", "index"),
+)
+def s17_streaming_ivfpq_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ trained once on the 70% corpus; the 30% arrives as a
+    3-block stream and each micro-batch is admitted by the composed
+    persisted-artifact encode (coarse-assign -> residual -> PQ code)
+    inside foreachBatch, with the per-subspace drift gate folded
+    INCREMENTALLY (prev ledger + batch counts) into an idempotent
+    per-batch ledger."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from hyppo_worker_spark.functions import text as TX
+    from hyppo_worker_spark.operators.ivfpq import IvfPqIndex
+    from hyppo_worker_spark.operators.pq import subspace_drift
+    from hyppo_worker_spark.queries.pipeline_queries import (
+        _move_staged_blocks,
+    )
+    from hyppo_worker_spark.session import scoped_conf
+    from hyppo_worker_spark.streaming import drain_stream
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    is_new = TX.md5_bucket("vec_id", 100) < _S12_BATCH_PCT
+    corpus = emb.filter(~is_new)
+    batch_all = emb.filter(is_new)
+
+    work = tempfile.mkdtemp(prefix="hyppo-s17-")
+    idx = IvfPqIndex(
+        os.path.join(work, "ivfpq"),
+        n_cells=8, m=8, k=8, dim=64, n_iter=2,
+    )
+    idx.train(corpus)
+
+    # base per-(m, code) populations are FIXED after train: one
+    # bounded pull (m·k = 64 rows) instead of a per-trigger zone scan
+    base_counts = sorted(
+        (int(r["m"]), int(r["code"]), int(r["n"]))
+        for r in idx.codes(spark)
+        .filter(~F.col("admitted"))
+        .groupBy("m", "code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    grid = sorted(
+        (int(r["m"]), int(r["cent_id"]))
+        for r in idx.codebooks(spark).select("m", "cent_id").collect()
+    )  # bounded: m·k rows — empty (m, code) cells must appear in the
+    # ledger (a code that lost all mass is drift evidence)
+    base_by_key = {(m, c): 0 for m, c in grid}
+    base_by_key.update({(m, c): n for m, c, n in base_counts})
+
+    src = os.path.join(work, "stream")
+    os.makedirs(src)
+    stage = os.path.join(work, "stage")
+    (
+        batch_all.select(
+            "vec_id", V.as_double(F.col("embedding")).alias("embedding")
+        )
+        .withColumn("blk", TX.md5_bucket("vec_id", 3).cast("int"))
+        .coalesce(1)
+        .write.partitionBy("blk")
+        .parquet(stage)
+    )
+    _move_staged_blocks(stage, src, time.time(), 3)
+
+    adm_dir = os.path.join(work, "admitted")
+    ledger_dir = os.path.join(work, "ledger")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        codes = idx.encode_batch(spark, batch)
+        batch_dir = os.path.join(adm_dir, f"batch={batch_id}")
+        codes.write.mode("overwrite").parquet(batch_dir)
+        # incremental per-(m, code) fold: prev ledger row + this
+        # batch's counts — O(batch + m·k) per trigger (s13 discipline)
+        cur = (
+            spark.read.parquet(batch_dir)
+            .groupBy("m", "code")
+            .agg(F.count(F.lit(1)).alias("__cur"))
+        )
+        base = spark.createDataFrame(
+            sorted((m, c, n) for (m, c), n in base_by_key.items()),
+            "m int, code int, n_base long",
+        )
+        if int(batch_id) > 0:
+            prev = spark.read.parquet(
+                os.path.join(ledger_dir, f"batch={int(batch_id) - 1}")
+            ).select("m", "code", F.col("n_admitted_cum").alias("__prev"))
+        else:
+            prev = base.select(
+                "m", "code", F.lit(0).cast("long").alias("__prev")
+            )
+        counts = (
+            base.join(F.broadcast(prev), ["m", "code"], "left")
+            .join(F.broadcast(cur), ["m", "code"], "left")
+            .select(
+                "m",
+                "code",
+                "n_base",
+                (
+                    F.coalesce("__prev", F.lit(0))
+                    + F.coalesce("__cur", F.lit(0))
+                )
+                .cast("long")
+                .alias("n_admitted"),
+            )
+        )
+        rep = (
+            subspace_drift(counts, _S12_GATE_BP)
+            .withColumnRenamed("n_admitted", "n_admitted_cum")
+            .withColumn("batch_seq", F.lit(int(batch_id)).cast("long"))
+        )
+        rep.write.mode("overwrite").parquet(
+            os.path.join(ledger_dir, f"batch={batch_id}")
+        )
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+
+    rows = (
+        spark.read.option("basePath", ledger_dir).parquet(ledger_dir)
+        .select(
+            F.col("batch_seq").cast("long"),
+            F.col("m").cast("long"),
+            F.col("code").cast("long"),
+            F.col("n_base").cast("long"),
+            F.col("n_admitted_cum").cast("long"),
+            F.col("drift_bp").cast("long"),
+            "retrain_needed",
+        )
+        .orderBy("batch_seq", "m", "code")
+    ).collect()  # 3 × m·k = 192 ledger rows — bounded pull (work dir
+    # deleted next)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "batch_seq long, m long, code long, n_base long, "
+        "n_admitted_cum long, drift_bp long, retrain_needed boolean",
+    ).orderBy("batch_seq", "m", "code")

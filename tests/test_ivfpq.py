@@ -139,3 +139,33 @@ def test_compact_codes_keeps_partitioning_and_search(spark, tmp_path):
     plan = formatted_plan(idx.search(spark, q, topk=3))
     pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("cell" in p and " IN " in p for p in pf)
+
+
+def test_admit_appends_and_subspace_drift_gates(spark, tmp_path):
+    """Composed admission (coarse-assign -> residual -> PQ code against
+    the persisted artifacts) appends without rewriting; the residual
+    per-subspace drift gate stays quiet on a proportional batch and the
+    coarse cell gate stays available via .coarse."""
+    idx = IvfPqIndex(
+        str(tmp_path / "pq"), n_cells=4, m=4, k=4, dim=16, n_iter=2
+    )
+    idx.train(_corpus(spark))
+    before_files = set(
+        glob.glob(str(tmp_path / "pq" / "codes" / "**" / "*.parquet"),
+                  recursive=True)
+    )
+    codes = idx.admit(spark, _corpus(spark, n=10, tag=5)).collect()
+    assert len(codes) == 10 * 4  # m codes per admitted vector
+    after_files = set(
+        glob.glob(str(tmp_path / "pq" / "codes" / "**" / "*.parquet"),
+                  recursive=True)
+    )
+    assert before_files <= after_files and len(after_files) > len(
+        before_files
+    )
+    rep = idx.drift_report(spark).collect()
+    assert len(rep) == 4 * 4
+    assert all(r.drift_bp is not None for r in rep)
+    assert all(not r.retrain_needed for r in rep)  # proportional batch
+    admitted_total = sum(r.n_admitted for r in rep)
+    assert admitted_total == 10 * 4

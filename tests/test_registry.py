@@ -70,10 +70,11 @@ def test_driver_registry_covers_every_family():
         "d17_projection_lsh_neardup",
         "q81_max_records_per_file",
         "q82_observe_inflight_metrics",
-        # NEW round-12 rows land with immediate driver slots (q76/q79
-        # retired — 2 archived greens each, family reps stay)
+        # NEW round-12 rows land with immediate driver slots (q76/q79/
+        # p27 retired — 2-4 archived greens each, family reps stay)
         "s15_persisted_ivf_query",
         "s16_ivfpq_residual_search",
+        "s17_streaming_ivfpq_admission",
     ):
         assert must in names
 

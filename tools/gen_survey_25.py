@@ -100,7 +100,7 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "cost-quality gate)"),
     ("vector index maintenance",
      ["s12_incremental_ivf_maintenance", "s13_streaming_ivf_admission",
-      "s14_incremental_pq_maintenance"],
+      "s14_incremental_pq_maintenance", "s17_streaming_ivfpq_admission"],
      "train-once persisted IVF index (`operators/ivf_index.py` — "
      "centroids + assignments parquet, the embedding twin of the "
      "persisted LSH index): a new embedding batch is admitted by "
@@ -117,7 +117,14 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "(`operators/pq.py:PqIndex`) persists the m×k codebooks and admits "
      "by ENCODING against them, with the drift gate PER SUBSPACE — a "
      "fired gate names WHICH codebooks to retrain (s14, planted "
-     "all-code-0 batch fires all m gates from the engine)"),
+     "all-code-0 batch fires all m gates from the engine); the COMPOSED "
+     "index's lifecycle closes in s17 — embedding batches stream through "
+     "the persisted-artifact encode (coarse-assign → residual → PQ code, "
+     "O(batch·(k + m·k)), `IvfPqIndex.encode_batch/admit`) with the "
+     "per-subspace gate folded INCREMENTALLY per trigger (prev ledger + "
+     "batch counts, O(batch + m·k) I/O — the s13 lesson applied from "
+     "day one), oracle replaying coarse Lloyd → residuals → residual-PQ "
+     "Lloyd → encode → cumulative per-(m, code) drift per batch_seq"),
     ("vector index serving (read path)",
      ["s15_persisted_ivf_query", "s16_ivfpq_residual_search"],
      "query the PERSISTED index with NO training job in the search "
