@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "s15_persisted_ivf_query",
     "s16_ivfpq_residual_search",
     "s17_streaming_ivfpq_admission",
+    "q83_bloom_file_manifest",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

@@ -148,3 +148,51 @@ def bloom_might_contain(
         passed = passed & c
     keep = [c for c in probes.columns]
     return out.select(*keep, passed.alias(out_col))
+
+
+def bloom_candidates(
+    manifest: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    shard_col: str = "fid",
+    bits: int = 1 << 16,
+    hashes: int = 3,
+) -> DataFrame:
+    """(key, shard) pairs where the shard's filter MIGHT contain the
+    key — the file-skipping probe over a sharded manifest (one filter
+    per file group, built by ``bloom_build(shard_col=...)``).
+
+    A probe passes a shard iff ALL k of its hash bits are set in that
+    shard's words: explode the k positions (k rows per probe — the
+    probe set is tiny by contract: point-lookup keys), join the
+    manifest on the word index, keep set bits, and count per (key,
+    shard) — k passing rows ⇔ membership (duplicate positions pass
+    together, so the count stays exact). No false negatives by
+    construction; false positives are deterministic given the md5
+    hash family, so a DuckDB oracle reproduces the exact candidate
+    set. At 100 TB this is the Iceberg/Delta file-level bloom-index
+    pattern: membership pruning on a HIGH-CARDINALITY NON-PARTITION
+    column that zonemaps (min/max, q54) and partition pruning cannot
+    skip on."""
+    key = F.col(key_col)
+    pos = probes.select(
+        key.alias("__key"),
+        F.explode(
+            F.array(*[_position(key, i, bits) for i in range(hashes)])
+        ).alias("pos"),
+    ).select(
+        "__key",
+        F.expr(f"CAST(pos div {WORD_BITS} AS INT)").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {WORD_BITS} AS INT))"
+        ).alias("bit"),
+    )
+    hits = (
+        pos.join(F.broadcast(manifest), "word")
+        .filter((F.col("bits_w").bitwiseAND(F.col("bit"))) != 0)
+        .groupBy("__key", shard_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == hashes)
+    )
+    return hits.select(F.col("__key").alias(key_col), shard_col)

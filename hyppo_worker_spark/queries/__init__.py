@@ -599,6 +599,14 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # in-window via p30 (RocksDB backend + statestore reads),
         # p36 (changelog recovery), p38 (evolution backfill verified
         # through statestore reads on both checkpoints)
+        # Slot for the NEW round-12 q83 (file-level Bloom-index
+        # skipping — the point-lookup tier of the data-skipping
+        # ladder, candidate set replayed FP-exact by the oracle), so
+        # the new surface lands WITH driver evidence:
+        "p28_rebalance_write",  # REBALANCE write shaping — 3 greens
+        # archived (r9-r11); write shaping stays in-window via q81
+        # (maxRecordsPerFile footer proof); q75 sorted export and
+        # p32 native sink archived with >= 2 greens each
     }
 )
 

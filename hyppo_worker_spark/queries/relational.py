@@ -5880,3 +5880,193 @@ def q82_observe_inflight_metrics(
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# q83 — FILE-LEVEL BLOOM-INDEX SKIPPING: the point-lookup tier of the
+# data-skipping ladder. Zonemaps (q54) skip on min/max — useless for a
+# HIGH-CARDINALITY NON-PARTITION column scattered across every file;
+# partition pruning (q73) needs the lookup column to BE the layout
+# key. The Iceberg/Delta answer is a per-file Bloom index: each file
+# group carries a tiny membership filter over the lookup column, and
+# a point query reads only the groups whose filter MIGHT contain the
+# key. The layout job writes orders into 32 md5(o_orderkey) groups
+# (so o_custkey scatters across groups — the hostile case), builds
+# the per-group filter from the WRITTEN data (read path authoritative,
+# the index-row discipline) into a persisted relational manifest
+# (fid, word, bits_w — `operators/bloom.py`), and the query probes 3
+# customers: manifest → candidate groups (bounded pull ≤ 32 ints) →
+# LITERAL partition filter (engine-asserted from the plan) → exact
+# filter + integer-cents aggregate. No false negatives BY
+# CONSTRUCTION — engine-asserted by comparing against the unpruned
+# count; false positives are deterministic md5 arithmetic, so the
+# oracle replays the exact candidate set (groups read INCLUDED) in
+# SQL. At 100 TB: the manifest is bits/32 longs per file group, the
+# probe is k broadcast word-joins, and a point lookup reads
+# n_groups_read/n_groups_total of the data with no layout rewrite.
+# --------------------------------------------------------------------------
+_Q83_FIDS, _Q83_BITS, _Q83_K = 32, 4096, 3
+
+
+def _q83_oracle() -> str:
+    from hyppo_worker_spark.functions.text import md5_bucket_sql
+    from hyppo_worker_spark.operators.bloom import bloom_position_sql
+
+    fid = md5_bucket_sql("o_orderkey", _Q83_FIDS)
+    return f"""
+    WITH fid AS MATERIALIZED (
+        SELECT o_custkey, o_totalprice, {fid} AS fid FROM orders
+    ),
+    probes(o_custkey) AS (VALUES (1), (2), (3)),
+    pos AS (
+        SELECT fid, {bloom_position_sql('o_custkey', 'r.i', _Q83_BITS)}
+               AS pos
+        FROM fid, range({_Q83_K}) r(i)
+    ),
+    words AS MATERIALIZED (
+        SELECT fid, CAST(pos // 32 AS INT) AS word,
+               CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+                    AS BIGINT) AS bits_w
+        FROM pos GROUP BY 1, 2
+    ),
+    ppos AS (
+        SELECT p.o_custkey,
+               {bloom_position_sql('p.o_custkey', 'r.i', _Q83_BITS)} AS pos
+        FROM probes p, range({_Q83_K}) r(i)
+    ),
+    hits AS MATERIALIZED (
+        SELECT pp.o_custkey, w.fid
+        FROM ppos pp
+        JOIN words w
+          ON w.word = CAST(pp.pos // 32 AS INT)
+         AND (w.bits_w & (CAST(1 AS BIGINT) << CAST(pp.pos % 32 AS INT)))
+             != 0
+        GROUP BY pp.o_custkey, w.fid
+        HAVING count(*) = {_Q83_K}
+    ),
+    nread AS (
+        SELECT CAST(count(DISTINCT fid) AS BIGINT) AS n_groups_read
+        FROM hits
+    ),
+    agg AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM fid JOIN probes USING (o_custkey) GROUP BY 1
+    )
+    SELECT CAST(p.o_custkey AS BIGINT) AS o_custkey,
+           coalesce(a.n_orders, 0) AS n_orders,
+           coalesce(a.revenue_cents, 0) AS revenue_cents,
+           r.n_groups_read,
+           CAST({_Q83_FIDS} AS BIGINT) AS n_groups_total,
+           r.n_groups_read < {_Q83_FIDS} AS groups_skipped,
+           TRUE AS plan_pruned, TRUE AS no_false_negatives
+    FROM probes p LEFT JOIN agg a USING (o_custkey), nread r
+    ORDER BY p.o_custkey
+    """
+
+
+@register(
+    "q83_bloom_file_manifest",
+    oracle=_q83_oracle(),
+    tags=("layout", "data-skipping", "bloom", "file-index",
+          "point-lookup"),
+)
+def q83_bloom_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups over a per-file-group Bloom manifest: candidate
+    groups become a literal partition filter (pruning engine-asserted),
+    the no-false-negative guarantee is engine-asserted against the
+    unpruned count, and the exact candidate set — false positives
+    included — is replayed by the oracle's md5 arithmetic."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from hyppo_worker_spark.functions import text as TX
+    from hyppo_worker_spark.operators.bloom import (
+        bloom_build,
+        bloom_candidates,
+    )
+    from hyppo_worker_spark.plans.explain import formatted_plan
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    work = tempfile.mkdtemp(prefix="hyppo-q83-")
+    data_dir = os.path.join(work, "orders")
+    manifest_dir = os.path.join(work, "bloom_manifest")
+
+    # layout job: groups keyed on the ORDER key, so the lookup column
+    # scatters across every group (zonemaps/partition pruning useless)
+    shaped = orders.withColumn(
+        "fid", TX.md5_bucket("o_orderkey", _Q83_FIDS).cast("int")
+    )
+    (
+        shaped.repartition(_Q83_FIDS, F.col("fid"))
+        .write.partitionBy("fid")
+        .mode("overwrite")
+        .parquet(data_dir)
+    )
+    written = spark.read.parquet(data_dir)
+    bloom_build(
+        written, "o_custkey",
+        bits=_Q83_BITS, hashes=_Q83_K, shard_col="fid",
+    ).write.mode("overwrite").parquet(manifest_dir)
+
+    probes = spark.range(1, 4).select(F.col("id").alias("o_custkey"))
+    manifest = spark.read.parquet(manifest_dir)
+    cands = bloom_candidates(
+        manifest, probes, "o_custkey",
+        shard_col="fid", bits=_Q83_BITS, hashes=_Q83_K,
+    )
+    fids = sorted(
+        {int(r["fid"]) for r in cands.select("fid").distinct().collect()}
+    )  # bounded pull: ≤ n_groups ints — the manifest verdict
+
+    pruned = spark.read.parquet(data_dir).filter(F.col("fid").isin(fids))
+    rows = (
+        pruned.join(F.broadcast(probes), "o_custkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+    plan = formatted_plan(rows)
+    part_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    # past spark.sql.optimizer.inSetConversionThreshold (10) the
+    # literal list prints as INSET, not IN — match both
+    plan_pruned = any(
+        "fid" in pf and re.search(r"\b(IN|INSET)\b", pf)
+        for pf in part_filters
+    )
+
+    core = (
+        probes.join(rows, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("revenue_cents", F.lit(0))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_custkey")
+    ).collect()  # 3 probe rows — bounded pull
+    # no false negatives: the pruned read found EVERY probe-key order
+    full_n = orders.join(F.broadcast(probes), "o_custkey").count()
+    nfn = sum(r["n_orders"] for r in core) == full_n
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(r["o_custkey"]), int(r["n_orders"]),
+                int(r["revenue_cents"]), len(fids), _Q83_FIDS,
+                len(fids) < _Q83_FIDS, bool(plan_pruned), bool(nfn),
+            )
+            for r in core
+        ],
+        "o_custkey long, n_orders long, revenue_cents long, "
+        "n_groups_read long, n_groups_total long, groups_skipped boolean, "
+        "plan_pruned boolean, no_false_negatives boolean",
+    ).orderBy("o_custkey")

@@ -75,6 +75,7 @@ def test_driver_registry_covers_every_family():
         "s15_persisted_ivf_query",
         "s16_ivfpq_residual_search",
         "s17_streaming_ivfpq_admission",
+        "q83_bloom_file_manifest",
     ):
         assert must in names
 

@@ -172,3 +172,49 @@ def test_bloom_null_key_roundtrip(spark):
     words = bloom_build(df, "k", bits=BITS, hashes=K)
     out = bloom_might_contain(words, df, "k", bits=BITS, hashes=K)
     assert out.filter(~F.col("bloom_pass")).count() == 0
+
+
+def test_bloom_candidates_matches_per_shard_probe(spark):
+    """bloom_candidates (sharded manifest probe) agrees with running
+    bloom_might_contain per shard, and never drops a true member."""
+    from pyspark.sql import functions as F
+
+    from hyppo_worker_spark.operators.bloom import (
+        bloom_build,
+        bloom_candidates,
+        bloom_might_contain,
+    )
+
+    bits, k = 256, 3
+    data = spark.range(300).select(
+        (F.col("id") % 40).alias("key"),
+        (F.col("id") % 4).cast("int").alias("fid"),
+    )
+    manifest = bloom_build(
+        data, "key", bits=bits, hashes=k, shard_col="fid"
+    ).persist()
+    probes = spark.range(0, 50, 7).select(F.col("id").alias("key"))
+    got = {
+        (r["key"], r["fid"])
+        for r in bloom_candidates(
+            manifest, probes, "key", shard_col="fid", bits=bits, hashes=k
+        ).collect()
+    }
+    want = set()
+    for fid in range(4):
+        words = manifest.filter(F.col("fid") == fid).select(
+            "word", "bits_w"
+        )
+        for r in bloom_might_contain(
+            words, probes, "key", bits=bits, hashes=k
+        ).collect():
+            if r["bloom_pass"]:
+                want.add((r["key"], fid))
+    assert got == want
+    # no false negatives: every true (key, fid) pair is a candidate
+    truth = {
+        (r["key"], r["fid"])
+        for r in data.join(probes, "key").select("key", "fid").collect()
+    }
+    assert truth <= got
+    manifest.unpersist()

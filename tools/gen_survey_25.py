@@ -216,7 +216,8 @@ FAMILIES: list[tuple[str, list[str], str]] = [
     ("storage layout / data skipping",
      ["q50_zorder_skipping", "q54_zonemap_pruning", "p28_rebalance_write",
       "q73_dynamic_partition_pruning", "q75_sorted_export",
-      "q80_nested_schema_pruning", "q81_max_records_per_file"],
+      "q80_nested_schema_pruning", "q81_max_records_per_file",
+      "q83_bloom_file_manifest"],
      "z-order (Morton) clustered export with min-max pruning on every "
      "clustered dimension verified from parquet footers "
      "(`operators/zorder.py`); distributed zonemap build from REAL "
@@ -235,7 +236,15 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "executed scan); maxRecordsPerFile proven EXACT from committed "
      "footers — the writer-side file-roll cap (full files then the "
      "remainder, counts summing back to the table), completing p28's "
-     "partition-side REBALANCE from the other end"),
+     "partition-side REBALANCE from the other end; FILE-LEVEL BLOOM "
+     "INDEX — per-file-group membership filters over a high-cardinality "
+     "NON-partition column (the case min/max zonemaps and partition "
+     "pruning cannot skip), persisted as a relational manifest "
+     "(`bloom.bloom_candidates`), point lookups read only the candidate "
+     "groups via a literal partition filter (engine-asserted), "
+     "no-false-negatives engine-asserted vs the unpruned count, the "
+     "exact candidate set — false positives included — replayed by the "
+     "oracle's md5 arithmetic"),
     ("dimension history (SCD2) / merge",
      ["q30_merge_upsert", "q51_scd2_history", "q52_temporal_scd2_join",
       "p39_streaming_scd2_pit_enrichment"],
