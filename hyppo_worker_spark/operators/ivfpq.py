@@ -261,6 +261,7 @@ class IvfPqIndex:
         self, spark: SparkSession, queries: DataFrame,
         id_col: str = "vec_id", vec_col: str = "embedding",
         *, topk: int = 5, nprobe: int = 1,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """ADC top-k over the probed cells' PERSISTED codes:
         (q_id, neighbor_id, adist_u6, rank) by ascending integer-scaled
@@ -268,7 +269,16 @@ class IvfPqIndex:
         excluded. The probed cell list (≤ |queries|·nprobe ints,
         bounded pull) becomes a literal partition filter on codes/ —
         the scan reads only the probed inverted lists. Nothing in this
-        lineage trains: centroids and codebooks are parquet reads."""
+        lineage trains: centroids and codebooks are parquet reads.
+
+        ``allowed`` (a frame with a ``vec_id`` column) PRE-FILTERS the
+        candidate codes with a semi-join BEFORE scoring — metadata-
+        filtered search with exact top-k semantics over the qualifying
+        subset (post-filtering a fixed top-k loses recall whenever the
+        filter is selective; s19 measures the gap). Strategy is left
+        to Catalyst/AQE: a selective attribute set broadcasts, a huge
+        one shuffles — at layout time the better answer is embedding
+        the hot attribute into the codes zone next to ``cell``."""
         d = self.dim // self.m
         q = self.coarse.probe_cells(
             spark, queries, id_col, vec_col, nprobe=nprobe
@@ -307,6 +317,10 @@ class IvfPqIndex:
             {r["cell"] for r in q.select("cell").distinct().collect()}
         )  # bounded pull: ≤ n_queries·nprobe ints
         cand = self.codes(spark).filter(F.col("cell").isin(probed))
+        if allowed is not None:
+            cand = cand.join(
+                allowed.select("vec_id").distinct(), "vec_id", "semi"
+            )
         scored = (
             cand.withColumnRenamed("vec_id", "neighbor_id")
             .join(F.broadcast(lut), ["cell", "m", "code"])

@@ -607,6 +607,27 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # archived (r9-r11); write shaping stays in-window via q81
         # (maxRecordsPerFile footer proof); q75 sorted export and
         # p32 native sink archived with >= 2 greens each
+        # Round-12 third wave: three slots for t33 (Gopher repetition
+        # filters), p40 (streaming Bloom-manifest admission) and s18
+        # (IVF-PQ search under admission); each retiree has >= 4
+        # archived green driver rounds and an in-window family rep:
+        "t19_unigram_surprisal",  # surprisal — 4 greens (r8-r11);
+        # the text-quality family keeps t33 (repetition) + t15/t17/
+        # t23/t31 in-window, t28 bigram surprisal archived
+        "p15_streaming_funnel",  # streaming funnel — 6 greens
+        # (r6-r11); watermark-bounded stateful streaming stays via
+        # p24 session windows + p20/p26/p33/p35
+        "d10_incremental_neardup",  # incremental neardup — 4 greens
+        # (r8-r11); the dedup family keeps d09 + d17 in-window,
+        # d01/d03/d08/d16 archived
+        # Round-12 fourth wave: two slots for q85 (merge-on-read
+        # deletion vectors) and s19 (metadata-filtered ANN):
+        "q65_native_sketch_rollup",  # native DataSketches — 5 greens
+        # (r7-r11); the sketch family keeps q83/p40 bloom manifests
+        # in-window, q44/q47/q48/q49/q65 archived
+        "p08_streaming_incremental_cc",  # incremental CC — 6 greens
+        # (r6-r11); CC semantics stay via d17 (banded pairs → CC) and
+        # the archived d08/d11/d16 family; p0 control-plane keeps p02
     }
 )
 

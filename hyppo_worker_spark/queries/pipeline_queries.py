@@ -5281,3 +5281,256 @@ def p39_streaming_scd2_pit_enrichment(
         .withColumn("stateless", F.lit(bool(stateless)))
         .orderBy("fact_month", "segment_at_time")
     )
+
+
+# --------------------------------------------------------------------------
+# p40 — STREAMING BLOOM-MANIFEST ADMISSION: the file-level Bloom index
+# (q83) maintained under CONTINUOUS ingest — the missing half of the
+# mergeable-membership contract bloom.py documents ("shards never
+# re-read each other, their bitmaps just OR"). Each micro-batch lands
+# its file groups (per-batch OVERWRITE dirs — replay-idempotent, the
+# s13/s17 discipline) and builds its per-group filter FROM THE WRITTEN
+# DATA (read path authoritative, q83's index-row rule); the global
+# manifest at batch b is the bit_or fold of the per-batch shards —
+# never a rescan of earlier data. The point lookup is then replayed AT
+# EVERY BATCH BOUNDARY: candidates from the merged manifest become a
+# literal partition filter (engine-asserted per batch), and
+# no-false-negatives is engine-asserted against the unpruned count of
+# the orders that HAD ARRIVED by that batch — the invariant a
+# streaming index must hold mid-lifecycle, not just at the end. The
+# oracle replays the whole ladder in SQL: cumulative word bitmaps per
+# (batch_seq, fid) via bit_or over arrived orders (associativity makes
+# per-batch OR == cumulative rebuild), probe positions, the exact
+# candidate set (false positives included), and the cumulative
+# aggregates. At 100 TB: admission cost is O(batch) + bits/32 longs
+# per new file group; earlier groups are never re-read, and a point
+# lookup mid-ingest reads n_candidate_groups files, not the zone.
+# --------------------------------------------------------------------------
+_P40_FIDS, _P40_BITS, _P40_K = 16, 4096, 3
+
+
+def _p40_oracle() -> str:
+    from hyppo_worker_spark.functions.text import md5_bucket_sql
+    from hyppo_worker_spark.operators.bloom import bloom_position_sql
+
+    fid = md5_bucket_sql("o_orderkey", _P40_FIDS)
+    bseq = md5_bucket_sql("o_orderkey", 3)
+    return f"""
+    WITH fid AS MATERIALIZED (
+        SELECT o_custkey, o_totalprice, {fid} AS fid, {bseq} AS bseq
+        FROM orders
+    ),
+    probes(o_custkey) AS (VALUES (1), (2), (3)),
+    seqs(batch_seq) AS (VALUES (0), (1), (2)),
+    pos AS (
+        SELECT bseq, fid,
+               {bloom_position_sql('o_custkey', 'r.i', _P40_BITS)} AS pos
+        FROM fid, range({_P40_K}) r(i)
+    ),
+    words AS MATERIALIZED (
+        SELECT s.batch_seq, p.fid, CAST(p.pos // 32 AS INT) AS word,
+               CAST(bit_or(CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))
+                    AS BIGINT) AS bits_w
+        FROM seqs s JOIN pos p ON p.bseq <= s.batch_seq
+        GROUP BY 1, 2, 3
+    ),
+    ppos AS (
+        SELECT p.o_custkey,
+               {bloom_position_sql('p.o_custkey', 'r.i', _P40_BITS)} AS pos
+        FROM probes p, range({_P40_K}) r(i)
+    ),
+    hits AS MATERIALIZED (
+        SELECT w.batch_seq, pp.o_custkey, w.fid
+        FROM ppos pp
+        JOIN words w
+          ON w.word = CAST(pp.pos // 32 AS INT)
+         AND (w.bits_w & (CAST(1 AS BIGINT) << CAST(pp.pos % 32 AS INT)))
+             != 0
+        GROUP BY 1, 2, 3
+        HAVING count(*) = {_P40_K}
+    ),
+    nread AS (
+        SELECT batch_seq, CAST(count(DISTINCT fid) AS BIGINT)
+               AS n_groups_read
+        FROM hits GROUP BY 1
+    ),
+    agg AS (
+        SELECT s.batch_seq, f.o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(f.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM seqs s
+        JOIN fid f ON f.bseq <= s.batch_seq
+        JOIN probes USING (o_custkey)
+        GROUP BY 1, 2
+    )
+    SELECT CAST(s.batch_seq AS BIGINT) AS batch_seq,
+           CAST(p.o_custkey AS BIGINT) AS o_custkey,
+           coalesce(a.n_orders, 0) AS n_orders,
+           coalesce(a.revenue_cents, 0) AS revenue_cents,
+           coalesce(r.n_groups_read, 0) AS n_groups_read,
+           CAST({_P40_FIDS} AS BIGINT) AS n_groups_total,
+           TRUE AS plan_pruned, TRUE AS no_false_negatives
+    FROM seqs s CROSS JOIN probes p
+    LEFT JOIN agg a ON a.batch_seq = s.batch_seq
+                   AND a.o_custkey = p.o_custkey
+    LEFT JOIN nread r ON r.batch_seq = s.batch_seq
+    ORDER BY 1, 2
+    """
+
+
+@register(
+    "p40_streaming_bloom_manifest",
+    oracle=_p40_oracle(),
+    tags=("streaming", "bloom", "data-skipping", "file-index",
+          "incremental", "maintenance", "point-lookup"),
+)
+def p40_streaming_bloom_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-batch Bloom shards built from each micro-batch's WRITTEN
+    file groups, OR-merged into the global manifest (never re-reading
+    earlier data); point lookups replayed at every batch boundary with
+    partition pruning and no-false-negatives engine-asserted
+    mid-lifecycle."""
+    import os
+    import re
+    import shutil
+    import tempfile
+    import time
+
+    from hyppo_worker_spark.functions import text as TX
+    from hyppo_worker_spark.operators.bloom import (
+        bloom_build,
+        bloom_candidates,
+    )
+    from hyppo_worker_spark.plans.explain import formatted_plan
+    from hyppo_worker_spark.session import scoped_conf
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    work = tempfile.mkdtemp(prefix="hyppo-p40-")
+    src = os.path.join(work, "stream")
+    os.makedirs(src)
+    stage = os.path.join(work, "stage")
+    (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("blk", TX.md5_bucket("o_orderkey", 3).cast("int"))
+        .coalesce(1)
+        .write.partitionBy("blk")
+        .parquet(stage)
+    )
+    _move_staged_blocks(stage, src, time.time(), 3)
+
+    data_dir = os.path.join(work, "data")
+    man_dir = os.path.join(work, "manifest")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(data_dir, f"batch={int(batch_id)}")
+        (
+            batch.withColumn(
+                "fid", TX.md5_bucket("o_orderkey", _P40_FIDS).cast("int")
+            )
+            .repartition(4, F.col("fid"))
+            .write.mode("overwrite")
+            .partitionBy("fid")
+            .parquet(bdir)
+        )
+        # the batch's shard filters come from the WRITTEN groups —
+        # read path authoritative (q83's index-row discipline)
+        written = spark.read.parquet(bdir)
+        bloom_build(
+            written, "o_custkey",
+            bits=_P40_BITS, hashes=_P40_K, shard_col="fid",
+        ).write.mode("overwrite").parquet(
+            os.path.join(man_dir, f"batch={int(batch_id)}")
+        )
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q = (
+            spark.readStream.schema(
+                "o_orderkey long, o_custkey long, o_totalprice double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+
+    probes = spark.range(1, 4).select(F.col("id").alias("o_custkey"))
+    data_all = spark.read.option("basePath", data_dir).parquet(data_dir)
+    out_rows = []
+    for s in range(3):
+        # the global manifest at batch s: bit_or fold of the per-batch
+        # shards — the mergeable contract, no rescan of earlier data
+        merged = (
+            spark.read.option("basePath", man_dir)
+            .parquet(
+                *[os.path.join(man_dir, f"batch={b}") for b in range(s + 1)]
+            )
+            .groupBy("fid", "word")
+            .agg(F.bit_or("bits_w").alias("bits_w"))
+        )
+        cands = bloom_candidates(
+            merged, probes, "o_custkey",
+            shard_col="fid", bits=_P40_BITS, hashes=_P40_K,
+        )
+        fids = sorted(
+            {int(r["fid"]) for r in cands.select("fid").distinct().collect()}
+        )  # bounded pull: ≤ n_groups ints — the manifest verdict
+        pruned = data_all.filter(F.col("batch") <= s).filter(
+            F.col("fid").isin(fids)
+        )
+        rows = (
+            pruned.join(F.broadcast(probes), "o_custkey")
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                ).alias("revenue_cents"),
+            )
+        )
+        plan = formatted_plan(rows)
+        pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        plan_pruned = any(
+            "fid" in pf and re.search(r"\b(IN|INSET)\b", pf) for pf in pfs
+        )
+        core = (
+            probes.join(rows, "o_custkey", "left")
+            .select(
+                "o_custkey",
+                F.coalesce("n_orders", F.lit(0))
+                .cast("long")
+                .alias("n_orders"),
+                F.coalesce("revenue_cents", F.lit(0))
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+            .orderBy("o_custkey")
+        ).collect()  # 3 probe rows — bounded pull
+        # no false negatives AT THIS BOUNDARY: the pruned read found
+        # every probe-key order that had arrived by batch s
+        full_n = (
+            orders.filter(TX.md5_bucket("o_orderkey", 3) <= s)
+            .join(F.broadcast(probes), "o_custkey")
+            .count()
+        )
+        nfn = sum(r["n_orders"] for r in core) == full_n
+        for r in core:
+            out_rows.append(
+                (
+                    s, int(r["o_custkey"]), int(r["n_orders"]),
+                    int(r["revenue_cents"]), len(fids), _P40_FIDS,
+                    bool(plan_pruned), bool(nfn),
+                )
+            )
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows,
+        "batch_seq long, o_custkey long, n_orders long, "
+        "revenue_cents long, n_groups_read long, n_groups_total long, "
+        "plan_pruned boolean, no_false_negatives boolean",
+    ).orderBy("batch_seq", "o_custkey")

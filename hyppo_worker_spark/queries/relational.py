@@ -6070,3 +6070,219 @@ def q83_bloom_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_groups_read long, n_groups_total long, groups_skipped boolean, "
         "plan_pruned boolean, no_false_negatives boolean",
     ).orderBy("o_custkey")
+
+
+# --------------------------------------------------------------------------
+# q85 — MERGE-ON-READ DELETION VECTORS: the delete tier between "never
+# delete" and erase_rows' copy-on-write. p31 proves final erasure
+# (every touched file rewritten, fail-loud gate); what a high-churn
+# zone needs day-to-day is the Delta/Iceberg position-delete layout:
+# a delete APPENDS a positional bitmap sidecar (relational
+# (fid, word, bits_w) rows — the packed-word discipline of
+# operators/bloom.py), readers fold the sidecars (bit_or — delete
+# batches never read each other, double-deletes are the same bit) and
+# anti-apply them in ONE map-side broadcast join, and an all-integer
+# density gate names which file groups have earned the copy-on-write
+# rewrite. This row runs the full lifecycle: layout write with
+# persisted in-group ordinals -> two overlapping delete waves (a
+# custkey erasure + a status retraction, predicates that intersect —
+# idempotency exercised on real rows) -> merge-on-read aggregate over
+# the live rows -> density report -> rewrite of the HOT group only
+# (its DV rows dropped, ordinals re-stamped) -> re-read pinned
+# value-identical, asserted engine-side and replayed by the oracle
+# (live = NOT(deleted), density from per-fid delete counts — a single
+# wrong BIT in the sidecar shifts the aggregates). Plan assertions:
+# the DV application is a BroadcastHashJoin (the fact side is never
+# shuffled for the read tax). At 100 TB: deletes cost O(batch) +
+# bitmap words; the density gate bounds sidecar size by construction
+# (operators/deletion_vectors.py docstring), so the broadcast stays
+# small while rewrite I/O goes only where churn concentrated.
+# --------------------------------------------------------------------------
+_Q85_FIDS, _Q85_DENSITY_GATE_BP = 8, 300
+
+
+def _q85_oracle() -> str:
+    from hyppo_worker_spark.functions.text import md5_bucket_sql
+
+    fid = md5_bucket_sql("o_orderkey", _Q85_FIDS)
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               {fid} AS fid,
+               ((o_custkey IN (10, 11, 12))
+                OR (o_orderstatus = 'F' AND o_orderkey % 10 = 0))
+                   AS deleted
+        FROM orders
+    ),
+    dens AS MATERIALIZED (
+        SELECT fid, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(CASE WHEN deleted THEN 1 END), 0)
+                    AS BIGINT) AS n_deleted
+        FROM base GROUP BY 1
+    ),
+    gate AS (
+        SELECT CAST(max((10000 * n_deleted) // n_rows) AS BIGINT)
+                   AS max_density_bp,
+               CAST(sum(n_deleted) AS BIGINT) AS n_deleted_total
+        FROM dens
+    ),
+    live AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_live,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM base WHERE NOT deleted GROUP BY 1
+    )
+    SELECT l.o_orderstatus, l.n_live, l.revenue_cents,
+           g.n_deleted_total, g.max_density_bp,
+           g.max_density_bp > {_Q85_DENSITY_GATE_BP} AS rewrite_fired,
+           TRUE AS dv_join_broadcast,
+           TRUE AS rewrite_value_identical
+    FROM live l, gate g
+    ORDER BY l.o_orderstatus
+    """
+
+
+@register(
+    "q85_deletion_vector_reads",
+    oracle=_q85_oracle(),
+    tags=("layout", "merge-on-read", "deletion-vectors", "delete",
+          "maintenance", "bitmap"),
+)
+def q85_deletion_vector_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-delete lifecycle: layout write with persisted in-group
+    ordinals, two overlapping delete waves appended as packed-word
+    bitmap sidecars, merge-on-read aggregates via one broadcast join
+    (engine-asserted), an integer density gate, and a hot-group
+    rewrite pinned value-identical to the pre-rewrite read."""
+    import os
+    import shutil
+    import tempfile
+
+    from hyppo_worker_spark.functions import text as TX
+    from hyppo_worker_spark.operators.deletion_vectors import (
+        dv_build,
+        dv_density,
+        dv_merge,
+        read_with_dv,
+        stable_positions,
+    )
+    from hyppo_worker_spark.plans.explain import formatted_plan
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    work = tempfile.mkdtemp(prefix="hyppo-q85-")
+    data_dir = os.path.join(work, "orders")
+    dv_dir = os.path.join(work, "dv")
+
+    # layout job: md5 file groups + PERSISTED in-group ordinals (the
+    # position a delete names — part of the layout, never recomputed)
+    shaped = stable_positions(
+        orders.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        ).withColumn(
+            "fid", TX.md5_bucket("o_orderkey", _Q85_FIDS).cast("int")
+        ),
+        "fid",
+        "o_orderkey",
+    )
+    (
+        shaped.repartition(_Q85_FIDS, F.col("fid"))
+        .write.partitionBy("fid")
+        .mode("overwrite")
+        .parquet(data_dir)
+    )
+    written = spark.read.parquet(data_dir)
+
+    # wave 1: custkey erasure; wave 2: status retraction — the
+    # predicates OVERLAP, so some bits are set twice (idempotent)
+    wave1 = written.filter(F.col("o_custkey").isin(10, 11, 12))
+    wave2 = written.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0)
+    )
+    dv_build(wave1).write.mode("overwrite").parquet(
+        os.path.join(dv_dir, "batch=0")
+    )
+    dv_build(wave2).write.mode("overwrite").parquet(
+        os.path.join(dv_dir, "batch=1")
+    )
+    dv = dv_merge(
+        spark.read.parquet(os.path.join(dv_dir, "batch=0")),
+        spark.read.parquet(os.path.join(dv_dir, "batch=1")),
+    )
+
+    # merge-on-read aggregate + the broadcast plan assertion
+    live = read_with_dv(written, dv)
+    agg = live.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+    plan = formatted_plan(agg)
+    dv_broadcast = "BroadcastHashJoin" in plan
+    before = {
+        r["o_orderstatus"]: (int(r["n_live"]), int(r["revenue_cents"]))
+        for r in agg.collect()
+    }  # bounded pull: 3 status rows
+
+    # density gate: popcounts vs the layout's group counts
+    dens = dv_density(
+        dv, written.groupBy("fid").agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    drow = dens.agg(
+        F.max("density_bp").cast("long").alias("max_density_bp"),
+        F.sum("n_deleted").cast("long").alias("n_deleted_total"),
+    ).collect()[0]  # bounded pull: 1 row
+    max_bp, n_del = int(drow["max_density_bp"]), int(drow["n_deleted_total"])
+    fired = max_bp > _Q85_DENSITY_GATE_BP
+
+    if fired:
+        hot = int(
+            dens.orderBy(F.col("density_bp").desc(), "fid")
+            .limit(1)
+            .collect()[0]["fid"]
+        )  # bounded pull: 1 int — the gate's verdict
+        # copy-on-write ONLY for the hot group: live rows re-stamped
+        # with fresh ordinals, its sidecar rows dropped
+        rewritten = stable_positions(
+            read_with_dv(
+                written.filter(F.col("fid") == hot), dv
+            ).drop("pos"),
+            "fid",
+            "o_orderkey",
+        )
+        tmp_out = os.path.join(work, "rewrite")
+        # fid lives in the directory name — keep it out of the data
+        # columns or partition discovery would see it twice
+        rewritten.drop("fid").write.mode("overwrite").parquet(tmp_out)
+        shutil.rmtree(os.path.join(data_dir, f"fid={hot}"))
+        os.rename(tmp_out, os.path.join(data_dir, f"fid={hot}"))
+        dv = dv.filter(F.col("fid") != hot)
+
+    after_live = read_with_dv(spark.read.parquet(data_dir), dv)
+    after = {
+        r["o_orderstatus"]: (int(r["n_live"]), int(r["revenue_cents"]))
+        for r in after_live.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .collect()
+    }  # bounded pull: 3 status rows
+    identical = before == after
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                st, before[st][0], before[st][1], n_del, max_bp,
+                bool(fired), bool(dv_broadcast), bool(identical),
+            )
+            for st in sorted(before)
+        ],
+        "o_orderstatus string, n_live long, revenue_cents long, "
+        "n_deleted_total long, max_density_bp long, "
+        "rewrite_fired boolean, dv_join_broadcast boolean, "
+        "rewrite_value_identical boolean",
+    ).orderBy("o_orderstatus")

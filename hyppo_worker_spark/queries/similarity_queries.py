@@ -2142,3 +2142,564 @@ def s17_streaming_ivfpq_admission(
         "batch_seq long, m long, code long, n_base long, "
         "n_admitted_cum long, drift_bp long, retrain_needed boolean",
     ).orderBy("batch_seq", "m", "code")
+
+
+# --------------------------------------------------------------------------
+# s18 — SEARCH UNDER ADMISSION: the composed lifecycle's last gap
+# closed. s16 proved the persisted read path over a TRAINED corpus;
+# s13/s17 proved admission writes new vectors into the zones without
+# retraining; nothing yet proved the two compose — that vectors
+# admitted AFTER training are immediately FINDABLE (they appear in the
+# probed inverted lists) and can themselves QUERY (their coarse
+# assignment + residual LUT run against the same persisted artifacts).
+# This row trains on the 70% corpus, admits the md5-gated 30% in one
+# append-only batch (streaming admission is s17's claim; composition
+# is this row's), then serves top-5 ADC for ADMITTED queries over the
+# grown index from a FRESH handle: no training job in the search
+# lineage and the probed-cells partition filter both engine-asserted
+# (the s15/s16 assertions), n_admitted_hits pins how many result
+# neighbors are post-training vectors (the findability proof — the
+# oracle replays it exactly), and recall_bp bounds quality against
+# exact L2 over the FULL grown corpus. Oracle: s17's encode replay
+# (coarse Lloyd on the training corpus only, residual-PQ Lloyd,
+# codes for ALL vectors) composed with s16's ADC search CTEs. At
+# 100 TB: an embedding pipeline never stops the query path to admit —
+# this row is the read-your-admissions consistency check that makes
+# that safe. Reference analog: the warm-artifact affinity window
+# (WorkerFSM.scala:161-199) — reuse the expensive artifact across
+# requests while new work keeps arriving.
+# --------------------------------------------------------------------------
+def _s18_oracle() -> str:
+    from hyppo_worker_spark.functions.text import md5_bucket_sql
+
+    gate = f"{md5_bucket_sql('vec_id', 100)} < {_S12_BATCH_PCT}"
+    d = 64 // 8
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE NOT ({gate})
+    ),
+    allv AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, {gate} AS is_new
+        FROM embeddings
+    ),
+    cents0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+               v AS cent
+        FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8)
+    ),
+    {_lloyd_round(0)},
+    {_lloyd_round(1)},
+    assigned AS (
+        SELECT allv.vec_id, allv.v, allv.is_new, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY allv.vec_id
+                                  ORDER BY {_cos('allv.v', 'c.cent')} DESC,
+                                           c.cent_id) AS rn
+        FROM allv, cents2 c
+    ),
+    cellmap AS MATERIALIZED (SELECT vec_id, v, is_new, cell FROM assigned
+                WHERE rn = 1),
+    residall AS MATERIALIZED (
+        SELECT a.vec_id, a.is_new, a.cell,
+               list_transform(range(1, 65), i -> a.v[i] - ct.cent[i]) AS rv
+        FROM cellmap a JOIN cents2 ct ON ct.cent_id = a.cell
+    ),
+    subs AS MATERIALIZED (
+        SELECT vec_id, r.m,
+               list_slice(rv, r.m * {d} + 1, r.m * {d} + {d}) AS sv
+        FROM residall, range(8) r(m)
+        WHERE NOT is_new
+    ),
+    seed AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cent_id
+        FROM (SELECT DISTINCT vec_id FROM subs ORDER BY vec_id LIMIT 8)
+    ),
+    pc0 AS (
+        SELECT s.m, d.cent_id, s.sv AS cent
+        FROM subs s JOIN seed d USING (vec_id)
+    ),
+    {_pq_lloyd_round(0)},
+    {_pq_lloyd_round(1)},
+    allsubs AS MATERIALIZED (
+        SELECT vec_id, is_new, r.m,
+               list_slice(rv, r.m * {d} + 1, r.m * {d} + {d}) AS sv
+        FROM residall, range(8) r(m)
+    ),
+    ca AS (
+        SELECT s.vec_id, s.is_new, s.m, c.cent_id AS code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_sq('s.sv', 'c.cent')} ASC,
+                                           c.cent_id) AS rn
+        FROM allsubs s JOIN pc2 c ON c.m = s.m
+    ),
+    codes AS MATERIALIZED (SELECT vec_id, is_new, m, code FROM ca
+                           WHERE rn = 1),
+    qp AS (SELECT vec_id AS q_id, v AS qv, cell FROM cellmap
+           WHERE is_new AND vec_id < 100),
+    qres AS MATERIALIZED (
+        SELECT q.q_id, q.cell,
+               list_transform(range(1, 65), i -> q.qv[i] - ct.cent[i])
+                   AS rqv
+        FROM qp q JOIN cents2 ct ON ct.cent_id = q.cell
+    ),
+    qsubs AS (
+        SELECT q_id, cell, r.m,
+               list_slice(rqv, r.m * {d} + 1, r.m * {d} + {d}) AS sv
+        FROM qres, range(8) r(m)
+    ),
+    lut AS MATERIALIZED (
+        SELECT s.q_id, s.cell, s.m, c.cent_id AS code,
+               CAST(floor({_sq('s.sv', 'c.cent')} * 1000000) AS BIGINT)
+                   AS contrib
+        FROM qsubs s JOIN pc2 c ON c.m = s.m
+    ),
+    scored AS (
+        SELECT l.q_id, cd.vec_id AS neighbor_id,
+               CAST(sum(l.contrib) AS BIGINT) AS adist_u6
+        FROM codes cd
+        JOIN cellmap cl ON cl.vec_id = cd.vec_id
+        JOIN lut l ON l.m = cd.m AND l.code = cd.code
+                  AND l.cell = cl.cell AND l.q_id <> cd.vec_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adist_u6 ASC, neighbor_id)
+                      AS rank
+        FROM scored
+    ),
+    top AS MATERIALIZED (SELECT q_id, neighbor_id, adist_u6, rank
+                         FROM ranked WHERE rank <= 5),
+    admhits AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_admitted_hits
+        FROM top t JOIN allv a ON a.vec_id = t.neighbor_id
+        WHERE a.is_new
+    ),
+    ex AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               CAST(floor({_sq('q.qv', 'c.v')} * 1000000) AS BIGINT)
+                   AS edist_u6
+        FROM qp q JOIN allv c ON c.vec_id <> q.q_id
+    ),
+    eranked AS (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY edist_u6 ASC, neighbor_id)
+                   AS erank
+        FROM ex
+    ),
+    etop AS MATERIALIZED (SELECT q_id, neighbor_id FROM eranked
+                          WHERE erank <= 5),
+    hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS h
+        FROM top t JOIN etop e USING (q_id, neighbor_id)
+    ),
+    etot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM etop)
+    SELECT t.q_id, t.neighbor_id, t.adist_u6, t.rank,
+           CAST((10000 * h.h) // e.n AS BIGINT) AS recall_bp,
+           a.n_admitted_hits,
+           TRUE AS plan_no_training, TRUE AS reads_probed_cells
+    FROM top t, hits h, etot e, admhits a
+    ORDER BY t.q_id, t.rank
+    """
+
+
+@register(
+    "s18_search_under_admission",
+    oracle=_s18_oracle(),
+    tags=("similarity", "knn", "ivf", "pq", "residual", "index",
+          "read-path", "incremental", "admission",
+          "partition-pruning"),
+)
+def s18_search_under_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train IVF-PQ on the 70% corpus, admit the md5-gated 30%
+    append-only (no retrain), then serve top-5 ADC for ADMITTED
+    queries over the grown index from a fresh handle: no-training and
+    probed-cells pruning engine-asserted, n_admitted_hits pins the
+    findability of post-training vectors, recall_bp bounds quality vs
+    exact L2 over the full grown corpus."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from hyppo_worker_spark.functions import text as TX
+    from hyppo_worker_spark.operators.ivfpq import IvfPqIndex
+    from hyppo_worker_spark.operators.pq import ADC_SCALE
+    from hyppo_worker_spark.plans.explain import formatted_plan
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    is_new = TX.md5_bucket("vec_id", 100) < _S12_BATCH_PCT
+    corpus = emb.filter(~is_new)
+    batch = emb.filter(is_new)
+    work = tempfile.mkdtemp(prefix="hyppo-s18-")
+
+    # ---- lifecycle: train once on the corpus, admit the new batch
+    # against the persisted artifacts (append-only; no training)
+    idx = IvfPqIndex(
+        os.path.join(work, "ivfpq"),
+        n_cells=8, m=_S16_M, k=_S16_K, dim=_S16_D, n_iter=2,
+    )
+    idx.train(corpus)
+    idx.admit(spark, batch)
+
+    # ---- read path: fresh handle over the GROWN index; queries are
+    # themselves admitted vectors; nothing below trains
+    rid = IvfPqIndex(
+        os.path.join(work, "ivfpq"),
+        n_cells=8, m=_S16_M, k=_S16_K, dim=_S16_D, n_iter=2,
+    )
+    queries = emb.filter(is_new & (F.col("vec_id") < 100))
+    top5 = rid.search(spark, queries, topk=5, nprobe=1)
+
+    # findability: result neighbors that entered AFTER training
+    adm_ids = batch.select(F.col("vec_id").alias("neighbor_id"))
+    nadm = (
+        top5.join(adm_ids, "neighbor_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_admitted_hits"))
+    )
+
+    # exact L2 top-5 over the FULL grown corpus for the recall bound
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.as_double(F.col("embedding")).alias("cv"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        V.as_double(F.col("embedding")).alias("qv"),
+    )
+    ex = c.join(
+        F.broadcast(q), F.col("q_id") != F.col("neighbor_id")
+    ).select(
+        "q_id",
+        "neighbor_id",
+        F.floor(V.sqdist(F.col("qv"), F.col("cv")) * ADC_SCALE)
+        .cast("long")
+        .alias("edist_u6"),
+    )
+    we = W.partitionBy("q_id").orderBy(
+        F.col("edist_u6").asc(), "neighbor_id"
+    )
+    etop = (
+        ex.withColumn("erank", F.row_number().over(we))
+        .filter(F.col("erank") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+    hits = (
+        top5.select("q_id", "neighbor_id")
+        .join(etop, ["q_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    tot = etop.agg(F.count(F.lit(1)).alias("n"))
+    rec = hits.crossJoin(F.broadcast(tot)).select(
+        F.expr("(10000 * h) div n").cast("long").alias("recall_bp")
+    )
+    core = top5.crossJoin(F.broadcast(rec)).crossJoin(F.broadcast(nadm))
+
+    plan = formatted_plan(core)
+    no_training = "ExistingRDD" not in plan
+    part_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    reads_probed = any(
+        "cell" in pf and " IN " in pf for pf in part_filters
+    )
+
+    out = (
+        core.withColumn("plan_no_training", F.lit(bool(no_training)))
+        .withColumn("reads_probed_cells", F.lit(bool(reads_probed)))
+        .select(
+            "q_id", "neighbor_id", "adist_u6", "rank", "recall_bp",
+            "n_admitted_hits", "plan_no_training", "reads_probed_cells",
+        )
+        .orderBy("q_id", "rank")
+    ).collect()  # ≤ 5·|queries| rows — bounded pull (work dir is
+    # deleted next)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "q_id long, neighbor_id long, adist_u6 long, rank int, "
+        "recall_bp long, n_admitted_hits long, "
+        "plan_no_training boolean, reads_probed_cells boolean",
+    ).orderBy("q_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# s19 — METADATA-FILTERED ANN SEARCH: the production vector-search
+# request is almost never "nearest over everything" — it is "nearest
+# WHERE tenant/lang/label = X". Two semantics compete: POST-filter
+# (search top-k, then drop non-qualifying — loses recall whenever the
+# filter is selective, because the k slots were spent on disqualified
+# neighbors) and PRE-filter (restrict the candidate codes BEFORE
+# scoring — exact top-k over the qualifying subset). This row runs
+# BOTH against the persisted IVF-PQ index on the same queries and
+# pins the gap: the pre-filtered search (`IvfPqIndex.search(allowed=)`
+# — a semi-join on the probed cells' codes, strategy left to
+# Catalyst/AQE) returns its top-5 with pre_recall_bp against the
+# exact label-restricted L2 truth, while post_recall_bp replays the
+# post-filter semantics (unfiltered ADC top-5, then keep label
+# matches) against the SAME truth — the measured argument for why the
+# filter must reach the index, not the result page. No-training and
+# probed-cells pruning engine-asserted as in s16. Oracle: the full
+# machinery in SQL — both rankings, both recalls. At 100 TB: the
+# allowed set rides as a broadcast/shuffle semi-join at query time;
+# the layout-time answer (hot attribute embedded next to `cell` in
+# the codes zone) is documented in the operator.
+# --------------------------------------------------------------------------
+_S19_LABEL = 1
+
+
+def _s19_oracle() -> str:
+    d = _S16_D // _S16_M
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ),
+    cents0 AS (SELECT vec_id AS cent_id, v AS cent FROM vecs
+               WHERE vec_id < 8),
+    {_lloyd_round(0)},
+    {_lloyd_round(1)},
+    assigned AS (
+        SELECT vecs.vec_id, vecs.v, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY vecs.vec_id
+                                  ORDER BY {_cos('vecs.v', 'c.cent')} DESC,
+                                           c.cent_id) AS rn
+        FROM vecs, cents2 c
+    ),
+    cells AS MATERIALIZED (SELECT vec_id, v, cell FROM assigned
+                           WHERE rn = 1),
+    resid AS MATERIALIZED (
+        SELECT c.vec_id, c.cell,
+               list_transform(range(1, {_S16_D} + 1),
+                              i -> c.v[i] - ct.cent[i]) AS rv
+        FROM cells c JOIN cents2 ct ON ct.cent_id = c.cell
+    ),
+    subs AS MATERIALIZED (
+        SELECT vec_id, r.m,
+               list_slice(rv, r.m * {d} + 1, r.m * {d} + {d}) AS sv
+        FROM resid, range({_S16_M}) r(m)
+    ),
+    pc0 AS (SELECT m, vec_id AS cent_id, sv AS cent FROM subs
+            WHERE vec_id < {_S16_K}),
+    {_pq_lloyd_round(0)},
+    {_pq_lloyd_round(1)},
+    ca AS (
+        SELECT s.vec_id, s.m, c.cent_id AS code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_sq('s.sv', 'c.cent')} ASC,
+                                           c.cent_id) AS rn
+        FROM subs s JOIN pc2 c ON c.m = s.m
+    ),
+    codes AS MATERIALIZED (SELECT vec_id, m, code FROM ca WHERE rn = 1),
+    allowed AS MATERIALIZED (
+        SELECT vec_id FROM vecs WHERE label = {_S19_LABEL}
+    ),
+    qp AS (SELECT vec_id AS q_id, v AS qv, cell FROM cells
+           WHERE vec_id < 20),
+    qres AS MATERIALIZED (
+        SELECT q.q_id, q.cell,
+               list_transform(range(1, {_S16_D} + 1),
+                              i -> q.qv[i] - ct.cent[i]) AS rqv
+        FROM qp q JOIN cents2 ct ON ct.cent_id = q.cell
+    ),
+    qsubs AS (
+        SELECT q_id, cell, r.m,
+               list_slice(rqv, r.m * {d} + 1, r.m * {d} + {d}) AS sv
+        FROM qres, range({_S16_M}) r(m)
+    ),
+    lut AS MATERIALIZED (
+        SELECT s.q_id, s.cell, s.m, c.cent_id AS code,
+               CAST(floor({_sq('s.sv', 'c.cent')} * 1000000) AS BIGINT)
+                   AS contrib
+        FROM qsubs s JOIN pc2 c ON c.m = s.m
+    ),
+    scoredf AS (
+        SELECT l.q_id, cd.vec_id AS neighbor_id,
+               CAST(sum(l.contrib) AS BIGINT) AS adist_u6
+        FROM codes cd
+        JOIN allowed al ON al.vec_id = cd.vec_id
+        JOIN cells cl ON cl.vec_id = cd.vec_id
+        JOIN lut l ON l.m = cd.m AND l.code = cd.code
+                  AND l.cell = cl.cell AND l.q_id <> cd.vec_id
+        GROUP BY 1, 2
+    ),
+    rankedf AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adist_u6 ASC, neighbor_id)
+                      AS rank
+        FROM scoredf
+    ),
+    topf AS MATERIALIZED (SELECT q_id, neighbor_id, adist_u6, rank
+                          FROM rankedf WHERE rank <= 5),
+    scoredu AS (
+        SELECT l.q_id, cd.vec_id AS neighbor_id,
+               CAST(sum(l.contrib) AS BIGINT) AS adist_u6
+        FROM codes cd
+        JOIN cells cl ON cl.vec_id = cd.vec_id
+        JOIN lut l ON l.m = cd.m AND l.code = cd.code
+                  AND l.cell = cl.cell AND l.q_id <> cd.vec_id
+        GROUP BY 1, 2
+    ),
+    rankedu AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adist_u6 ASC, neighbor_id)
+                      AS rank
+        FROM scoredu
+    ),
+    postkept AS MATERIALIZED (
+        SELECT r.q_id, r.neighbor_id FROM rankedu r
+        JOIN allowed a ON a.vec_id = r.neighbor_id
+        WHERE r.rank <= 5
+    ),
+    ex AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               CAST(floor({_sq('q.qv', 'c.v')} * 1000000) AS BIGINT)
+                   AS edist_u6
+        FROM qp q
+        JOIN vecs c ON c.vec_id <> q.q_id
+        JOIN allowed a ON a.vec_id = c.vec_id
+    ),
+    eranked AS (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY edist_u6 ASC, neighbor_id)
+                   AS erank
+        FROM ex
+    ),
+    etop AS MATERIALIZED (SELECT q_id, neighbor_id FROM eranked
+                          WHERE erank <= 5),
+    etot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM etop),
+    prehits AS (
+        SELECT CAST(count(*) AS BIGINT) AS h
+        FROM topf t JOIN etop e USING (q_id, neighbor_id)
+    ),
+    posthits AS (
+        SELECT CAST(count(*) AS BIGINT) AS h
+        FROM postkept p JOIN etop e USING (q_id, neighbor_id)
+    )
+    SELECT t.q_id, t.neighbor_id, t.adist_u6, t.rank,
+           CAST((10000 * ph.h) // e.n AS BIGINT) AS pre_recall_bp,
+           CAST((10000 * po.h) // e.n AS BIGINT) AS post_recall_bp,
+           TRUE AS plan_no_training, TRUE AS reads_probed_cells
+    FROM topf t, prehits ph, posthits po, etot e
+    ORDER BY t.q_id, t.rank
+    """
+
+
+@register(
+    "s19_filtered_ann_search",
+    oracle=_s19_oracle(),
+    tags=("similarity", "knn", "ivf", "pq", "filter", "metadata",
+          "read-path", "index", "partition-pruning"),
+)
+def s19_filtered_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered ANN (semi-join on the probed cells' codes — exact
+    top-k over the qualifying subset) vs post-filter semantics on the
+    same persisted IVF-PQ index, both recalls pinned against the
+    exact label-restricted L2 truth; no-training and probed-cells
+    pruning engine-asserted."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from hyppo_worker_spark.operators.ivfpq import IvfPqIndex
+    from hyppo_worker_spark.operators.pq import ADC_SCALE
+    from hyppo_worker_spark.plans.explain import formatted_plan
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    work = tempfile.mkdtemp(prefix="hyppo-s19-")
+
+    idx = IvfPqIndex(
+        os.path.join(work, "ivfpq"),
+        n_cells=8, m=_S16_M, k=_S16_K, dim=_S16_D, n_iter=2,
+    )
+    idx.train(emb)
+    rid = IvfPqIndex(
+        os.path.join(work, "ivfpq"),
+        n_cells=8, m=_S16_M, k=_S16_K, dim=_S16_D, n_iter=2,
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    allowed = emb.filter(F.col("label") == _S19_LABEL).select("vec_id")
+
+    topf = rid.search(spark, queries, topk=5, nprobe=1, allowed=allowed)
+    topu = rid.search(spark, queries, topk=5, nprobe=1)
+    postkept = topu.join(
+        allowed.select(F.col("vec_id").alias("neighbor_id")),
+        "neighbor_id",
+    ).select("q_id", "neighbor_id")
+
+    # exact label-restricted L2 truth
+    c = emb.filter(F.col("label") == _S19_LABEL).select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.as_double(F.col("embedding")).alias("cv"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        V.as_double(F.col("embedding")).alias("qv"),
+    )
+    ex = c.join(
+        F.broadcast(q), F.col("q_id") != F.col("neighbor_id")
+    ).select(
+        "q_id",
+        "neighbor_id",
+        F.floor(V.sqdist(F.col("qv"), F.col("cv")) * ADC_SCALE)
+        .cast("long")
+        .alias("edist_u6"),
+    )
+    we = W.partitionBy("q_id").orderBy(
+        F.col("edist_u6").asc(), "neighbor_id"
+    )
+    etop = (
+        ex.withColumn("erank", F.row_number().over(we))
+        .filter(F.col("erank") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+    etot = etop.agg(F.count(F.lit(1)).alias("n"))
+    prehits = (
+        topf.select("q_id", "neighbor_id")
+        .join(etop, ["q_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("ph"))
+    )
+    posthits = postkept.join(etop, ["q_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("po")
+    )
+    rec = (
+        prehits.crossJoin(F.broadcast(posthits))
+        .crossJoin(F.broadcast(etot))
+        .select(
+            F.expr("(10000 * ph) div n").cast("long").alias("pre_recall_bp"),
+            F.expr("(10000 * po) div n")
+            .cast("long")
+            .alias("post_recall_bp"),
+        )
+    )
+    core = topf.crossJoin(F.broadcast(rec))
+
+    plan = formatted_plan(core)
+    no_training = "ExistingRDD" not in plan
+    part_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    reads_probed = any(
+        "cell" in pf and " IN " in pf for pf in part_filters
+    )
+
+    out = (
+        core.withColumn("plan_no_training", F.lit(bool(no_training)))
+        .withColumn("reads_probed_cells", F.lit(bool(reads_probed)))
+        .select(
+            "q_id", "neighbor_id", "adist_u6", "rank", "pre_recall_bp",
+            "post_recall_bp", "plan_no_training", "reads_probed_cells",
+        )
+        .orderBy("q_id", "rank")
+    ).collect()  # ≤ 100 rows — bounded pull (work dir is deleted next)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "q_id long, neighbor_id long, adist_u6 long, rank int, "
+        "pre_recall_bp long, post_recall_bp long, "
+        "plan_no_training boolean, reads_probed_cells boolean",
+    ).orderBy("q_id", "rank")

@@ -2658,3 +2658,236 @@ def t32_udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.chunk_id ORDER BY c.chunk_id
         """
     )
+
+
+# --------------------------------------------------------------------------
+# t33 — GOPHER REPETITION FILTERS (Rae et al. 2021, arXiv:2112.11446
+# Table A1): the intra-document repetition tier of the quality family.
+# t02/t18 score documents on surface heuristics and a frozen
+# classifier; what they cannot see is a document that repeats ITSELF —
+# boilerplate loops, scraper stutter, navigation spam — the class the
+# Gopher rules were designed to drop. t12 reports repetition SIGNALS
+# (top-word share, duplicate-trigram OCCURRENCE share); this row
+# implements the paper's actual CHARACTER-fraction semantics — which
+# require the occurrence-interval union below, not a count ratio —
+# at the paper's thresholds, with corpus-level keep/drop verdicts. Two rules, in the word-n-gram
+# form this corpus supports (documents carry no newlines, so the
+# line/paragraph variants have no medium here):
+#   - top-2-gram char fraction: chars covered by the single most
+#     frequent word 2-gram (count x gram chars / total token chars),
+#     drop above 0.20;
+#   - duplicate-5-gram char fraction: chars of token POSITIONS covered
+#     by any 5-gram occurring 2+ times (occurrence intervals UNIONed —
+#     the paper's "fraction of characters contained within duplicate
+#     n-grams", not a double-counting sum), drop above 0.15.
+# Both land as integer basis points ((10000·chars) div total_chars) so
+# the verdicts hash bit-exact cross-engine. Plan shape: one token
+# explode + three doc_id-keyed aggregations — per-document narrow
+# state, no cross-document shuffle beyond the doc key, so the filter
+# scales linearly with corpus bytes at 100 TB (the reference has no
+# text operators at all — SURVEY §2.4; filter semantics are from the
+# public Gopher appendix). Output: every 5th doc's metrics (the
+# machinery, per-doc exact) plus corpus-wide keep/drop counts (the
+# filter verdict over ALL docs) as pinned constants.
+# --------------------------------------------------------------------------
+_T33_TOP2_BP, _T33_DUP5_BP = 2000, 1500
+
+
+@register(
+    "t33_gopher_repetition",
+    oracle=f"""
+    WITH {_SQL_TOK},
+    base AS MATERIALIZED (
+        SELECT doc_id, w, len(w) AS n_tokens,
+               CAST(list_sum(list_transform(w, x -> length(x)))
+                    AS BIGINT) AS total_chars
+        FROM tok WHERE len(w) > 0
+    ),
+    g2 AS (
+        SELECT doc_id, w[r.i + 1] || ' ' || w[r.i + 2] AS g
+        FROM base, LATERAL unnest(range(0, n_tokens - 1)) AS r(i)
+        WHERE n_tokens >= 2
+    ),
+    c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+    top2 AS MATERIALIZED (
+        SELECT doc_id, g, cnt FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY cnt DESC, g) AS rn
+            FROM c2
+        ) WHERE rn = 1
+    ),
+    g5 AS MATERIALIZED (
+        SELECT doc_id, CAST(r.i AS BIGINT) AS p,
+               array_to_string(list_slice(w, r.i + 1, r.i + 5), ' ') AS g
+        FROM base, LATERAL unnest(range(0, n_tokens - 4)) AS r(i)
+        WHERE n_tokens >= 5
+    ),
+    c5 AS (SELECT doc_id, g FROM g5 GROUP BY 1, 2 HAVING count(*) >= 2),
+    cov AS (
+        SELECT DISTINCT g5.doc_id, u.p2 AS p
+        FROM g5 JOIN c5 USING (doc_id, g),
+             LATERAL unnest(range(g5.p, g5.p + 5)) AS u(p2)
+    ),
+    tokpos AS (
+        SELECT doc_id, CAST(r.i AS BIGINT) AS p,
+               length(w[r.i + 1]) AS lc
+        FROM base, LATERAL unnest(range(0, n_tokens)) AS r(i)
+    ),
+    covc AS (
+        SELECT doc_id, CAST(sum(lc) AS BIGINT) AS cov_chars
+        FROM cov JOIN tokpos USING (doc_id, p) GROUP BY 1
+    ),
+    flags AS MATERIALIZED (
+        SELECT b.doc_id, b.n_tokens, b.total_chars,
+               CAST(coalesce((10000 * t.cnt * (length(t.g) - 1))
+                             // b.total_chars, 0) AS BIGINT) AS top2_bp,
+               CAST(coalesce((10000 * c.cov_chars)
+                             // b.total_chars, 0) AS BIGINT) AS dup5_bp
+        FROM base b
+        LEFT JOIN top2 t USING (doc_id)
+        LEFT JOIN covc c USING (doc_id)
+    ),
+    verdicts AS MATERIALIZED (
+        SELECT *,
+               top2_bp <= {_T33_TOP2_BP} AS keep_top2,
+               dup5_bp <= {_T33_DUP5_BP} AS keep_dup5,
+               (top2_bp <= {_T33_TOP2_BP}
+                AND dup5_bp <= {_T33_DUP5_BP}) AS keep
+        FROM flags
+    ),
+    corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped
+        FROM verdicts
+    )
+    SELECT v.doc_id, CAST(v.n_tokens AS BIGINT) AS n_tokens,
+           v.total_chars, v.top2_bp, v.dup5_bp,
+           v.keep_top2, v.keep_dup5, v.keep,
+           c.n_docs, c.n_dropped
+    FROM verdicts v, corpus c
+    WHERE v.doc_id % 5 = 0
+    ORDER BY v.doc_id
+    """,
+    tags=("text", "quality", "repetition", "gopher", "dedup"),
+)
+def t33_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher intra-document repetition filters (word-n-gram form):
+    top-2-gram char fraction and duplicate-5-gram covered-char
+    fraction as integer basis points, with the occurrence-interval
+    UNION (not a sum) for the 5-gram rule; per-doc metrics for every
+    5th doc plus corpus-wide keep/drop counts."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = tracked_persist(
+        docs.select(
+            "doc_id",
+            F.expr(
+                "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+            ).alias("w"),
+        )
+        .withColumn("n_tokens", F.size("w"))
+        .withColumn(
+            "total_chars",
+            F.expr(
+                "aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+            ),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+    # top 2-gram: count desc, gram asc — one doc_id-keyed shuffle
+    g2 = base.filter(F.col("n_tokens") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, n_tokens - 2),"
+                " i -> concat_ws(' ', slice(w, i + 1, 2)))"
+            )
+        ).alias("g"),
+    )
+    c2 = g2.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    w2 = W.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("g").asc())
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("cnt") * (F.length("g") - 1)).alias("top2_chars"),
+        )
+    )
+
+    # duplicate 5-grams: positions covered by any >=2-count gram's
+    # occurrences, UNIONed via distinct (doc_id, p) — the paper's
+    # covered-character semantics
+    g5 = tracked_persist(
+        base.filter(F.col("n_tokens") >= 5).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, n_tokens - 5),"
+                    " i -> struct(CAST(i AS BIGINT) AS p,"
+                    "             concat_ws(' ', slice(w, i + 1, 5)) AS g))"
+                )
+            ).alias("s"),
+        ).select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
+    )
+    c5 = (
+        g5.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "g")
+    )
+    cov = (
+        g5.join(c5, ["doc_id", "g"])
+        .select(
+            "doc_id", F.explode(F.expr("sequence(p, p + 4)")).alias("p")
+        )
+        .distinct()
+    )
+    tokpos = base.select(
+        "doc_id", F.posexplode("w").alias("p", "t")
+    ).select("doc_id", F.col("p").cast("long").alias("p"), F.length("t").alias("lc"))
+    covc = (
+        cov.join(tokpos, ["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(F.sum("lc").cast("long").alias("cov_chars"))
+    )
+
+    verdicts = tracked_persist(
+        base.select("doc_id", "n_tokens", "total_chars")
+        .join(top2, "doc_id", "left")
+        .join(covc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "total_chars",
+            F.expr(
+                "CAST(coalesce((10000 * top2_chars) div total_chars, 0)"
+                " AS BIGINT)"
+            ).alias("top2_bp"),
+            F.expr(
+                "CAST(coalesce((10000 * cov_chars) div total_chars, 0)"
+                " AS BIGINT)"
+            ).alias("dup5_bp"),
+        )
+        .withColumn("keep_top2", F.col("top2_bp") <= _T33_TOP2_BP)
+        .withColumn("keep_dup5", F.col("dup5_bp") <= _T33_DUP5_BP)
+        .withColumn("keep", F.col("keep_top2") & F.col("keep_dup5"))
+    )
+    corpus = verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+    return (
+        verdicts.filter(F.col("doc_id") % 5 == 0)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id", "n_tokens", "total_chars", "top2_bp", "dup5_bp",
+            "keep_top2", "keep_dup5", "keep", "n_docs", "n_dropped",
+        )
+        .orderBy("doc_id")
+    )

@@ -169,3 +169,76 @@ def test_admit_appends_and_subspace_drift_gates(spark, tmp_path):
     assert all(not r.retrain_needed for r in rep)  # proportional batch
     admitted_total = sum(r.n_admitted for r in rep)
     assert admitted_total == 10 * 4
+
+
+def test_admitted_vectors_findable_and_querying(spark, tmp_path):
+    """s18's composition claim at operator level: a vector admitted
+    AFTER training (append-only, no retrain) is immediately findable —
+    a BASE query ranks its admitted exact twin at the minimal adist —
+    and the admitted vector can itself QUERY, finding its base twin.
+    Read-your-admissions consistency of the persisted layout."""
+    base = spark.createDataFrame(
+        [
+            (
+                i,
+                [
+                    float(1 + (i % 2) * 10 + ((i * 7 + j * 3) % 5)) / 10.0
+                    + i / 1000.0
+                    for j in range(16)
+                ],
+            )
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IvfPqIndex(
+        str(tmp_path / "pq"), n_cells=4, m=4, k=4, dim=16, n_iter=2
+    )
+    idx.train(base)
+    # admit an exact twin of base vector 23 under a new id
+    twin = base.filter(F.col("vec_id") == 23).select(
+        F.lit(9000).cast("long").alias("vec_id"), "embedding"
+    )
+    idx.admit(spark, twin)
+
+    rid = IvfPqIndex(
+        str(tmp_path / "pq"), n_cells=4, m=4, k=4, dim=16, n_iter=2
+    )
+    # base -> admitted: query 23 must see 9000 at the minimal adist
+    top_b = rid.search(
+        spark, base.filter(F.col("vec_id") == 23), topk=10, nprobe=1
+    ).collect()
+    hit = [r for r in top_b if r["neighbor_id"] == 9000]
+    assert hit, "admitted twin not found by its base original"
+    assert hit[0]["adist_u6"] == top_b[0]["adist_u6"]
+    # admitted -> base: query 9000 must see 23 at the minimal adist
+    top_a = rid.search(spark, twin, topk=10, nprobe=1).collect()
+    hit = [r for r in top_a if r["neighbor_id"] == 23]
+    assert hit, "base twin not found by the admitted query"
+    assert hit[0]["adist_u6"] == top_a[0]["adist_u6"]
+
+
+def test_filtered_search_pre_filter_semantics(spark, tmp_path):
+    """search(allowed=) must be exact top-k over the qualifying
+    subset: every neighbor qualifies, and allowing EVERYTHING returns
+    the unfiltered results unchanged (the filter is a restriction,
+    not a rescoring)."""
+    corpus = _corpus(spark)
+    idx = IvfPqIndex(
+        str(tmp_path / "pq"), n_cells=4, m=4, k=4, dim=16, n_iter=2
+    )
+    idx.train(corpus)
+    rid = IvfPqIndex(
+        str(tmp_path / "pq"), n_cells=4, m=4, k=4, dim=16, n_iter=2
+    )
+    q = corpus.filter(F.col("vec_id") < 3)
+    allowed_all = corpus.select("vec_id")
+    same = rid.search(spark, q, topk=5, allowed=allowed_all).collect()
+    base = rid.search(spark, q, topk=5).collect()
+    assert sorted(map(tuple, same)) == sorted(map(tuple, base))
+
+    allowed_even = corpus.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id"
+    )
+    got = rid.search(spark, q, topk=5, allowed=allowed_even).collect()
+    assert got and all(r["neighbor_id"] % 2 == 0 for r in got)

@@ -36,18 +36,13 @@ def test_driver_registry_covers_every_family():
     for must in (
         # long-lived anchors (flagship pipeline + each family's rep)
         "p02_raw_pipeline",
-        "p08_streaming_incremental_cc",
-        "p15_streaming_funnel",
         "p17_queue_rollup_ledger",
-        "q65_native_sketch_rollup",
         "m08_video_frame_sample",
         "t31_unicode_nfc_normalize",
         "d09_corpus_export_manifest",
-        "d10_incremental_neardup",
         "t08_token_chunks",
         "t15_source_mix",
         "t17_bpe_encoding",
-        "t19_unigram_surprisal",
         "t23_term_retrieval",
         # round-10 rows that stay after the round-12 rotation (q76 and
         # q79 retired with 2 greens each; reps stay per family)
@@ -76,6 +71,15 @@ def test_driver_registry_covers_every_family():
         "s16_ivfpq_residual_search",
         "s17_streaming_ivfpq_admission",
         "q83_bloom_file_manifest",
+        # round-12 third wave (t19/p15/d10 retired — 4-6 archived
+        # greens each, family reps stay)
+        "t33_gopher_repetition",
+        "p40_streaming_bloom_manifest",
+        "s18_search_under_admission",
+        # round-12 fourth wave (q65/p08 retired — 5-6 archived greens
+        # each, family reps stay)
+        "q85_deletion_vector_reads",
+        "s19_filtered_ann_search",
     ):
         assert must in names
 

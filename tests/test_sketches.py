@@ -218,3 +218,27 @@ def test_bloom_candidates_matches_per_shard_probe(spark):
     }
     assert truth <= got
     manifest.unpersist()
+
+
+def test_bloom_sharded_incremental_fold_equals_rebuild(spark):
+    """p40's manifest maintenance: per-batch SHARDED filters OR-folded
+    per (shard, word) must equal one sharded build over all arrived
+    rows — bit_or associativity is what lets the streaming manifest
+    never re-read earlier batches."""
+    rows = [Row(k=f"k{i}", shard=f"s{i % 4}", b=i % 3) for i in range(90)]
+    df = spark.createDataFrame(rows, "k string, shard string, b int")
+    folded = None
+    for b in range(3):
+        t = bloom_build(
+            df.filter(F.col("b") == b), "k",
+            bits=BITS, hashes=K, shard_col="shard",
+        )
+        folded = t if folded is None else folded.unionByName(t)
+    folded = folded.groupBy("shard", "word").agg(
+        F.bit_or("bits_w").alias("bits_w")
+    )
+    direct = bloom_build(df, "k", bits=BITS, hashes=K, shard_col="shard")
+    cols = ["shard", "word", "bits_w"]
+    assert sorted(map(tuple, folded.select(*cols).collect())) == sorted(
+        map(tuple, direct.select(*cols).collect())
+    )

@@ -77,6 +77,22 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "erasure that DEFEATS history — shared data files rewritten once, "
      "every retained snapshot re-stamped, fail-loud crash window, "
      "rerun-convergent (`erase_rows`)"),
+    ("merge-on-read deletes (deletion vectors)",
+     ["q85_deletion_vector_reads"],
+     "the delete tier between append-only and erase_rows' "
+     "copy-on-write: the Delta/Iceberg position-delete layout as "
+     "RELATIONAL packed-word bitmaps "
+     "(`operators/deletion_vectors.py` — (fid, word, bits_w), the "
+     "bloom.py 32-bit-word discipline) — delete batches fold by "
+     "bit_or (idempotent: double-deletes are the same bit, exercised "
+     "on overlapping waves), readers anti-apply the folded sidecar in "
+     "ONE map-side broadcast join (engine-asserted: the fact side is "
+     "never shuffled for the read tax), an all-integer bit_count "
+     "density gate names which file groups earned the copy-on-write "
+     "rewrite, and the hot-group rewrite (ordinals re-stamped, "
+     "sidecar rows dropped) is pinned value-identical to the "
+     "pre-rewrite read; the oracle replays live = NOT(deleted) — a "
+     "single wrong bit shifts the aggregates"),
     ("sharding / export",
      ["t13_shard_manifest", "d09_corpus_export_manifest"],
      "deterministic md5-bucket shard writer + manifest "
@@ -126,7 +142,8 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "day one), oracle replaying coarse Lloyd → residuals → residual-PQ "
      "Lloyd → encode → cumulative per-(m, code) drift per batch_seq"),
     ("vector index serving (read path)",
-     ["s15_persisted_ivf_query", "s16_ivfpq_residual_search"],
+     ["s15_persisted_ivf_query", "s16_ivfpq_residual_search",
+      "s18_search_under_admission", "s19_filtered_ann_search"],
      "query the PERSISTED index with NO training job in the search "
      "lineage — the read path the maintenance rows built the write "
      "path for: s15 probes the persisted centroids and reads only the "
@@ -141,17 +158,35 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "(v − centroid[cell]), codes partitioned by cell, search = coarse "
      "probe + residual ADC lookup tables against persisted codebooks "
      "over only the probed cells' codes, every adist pinned bit-exact "
-     "by a full-machinery SQL replay"),
+     "by a full-machinery SQL replay; s18 closes the lifecycle "
+     "composition — vectors admitted AFTER training (append-only, no "
+     "retrain) are immediately FINDABLE and can themselves QUERY: "
+     "top-5 ADC for admitted queries over the grown index from a "
+     "fresh handle, n_admitted_hits pinning post-training neighbors, "
+     "recall bounded vs exact L2 over the full grown corpus — the "
+     "read-your-admissions consistency check; s19 adds METADATA-"
+     "FILTERED search — pre-filter (semi-join on the probed cells' "
+     "codes: exact top-k over the qualifying subset, "
+     "`IvfPqIndex.search(allowed=)`) vs post-filter on the same "
+     "queries, BOTH recalls pinned against the exact label-restricted "
+     "L2 truth: the measured argument for pushing the filter into the "
+     "index instead of the result page"),
     # ---- text ----------------------------------------------------------
     ("language ID / quality",
      ["t01_language_id", "t02_quality_scores", "t12_repetition_signals",
-      "t19_unigram_surprisal", "t28_bigram_surprisal", "t30_ngram_novelty"],
+      "t19_unigram_surprisal", "t28_bigram_surprisal", "t30_ngram_novelty",
+      "t33_gopher_repetition"],
      "stopword argmax; length/punct/stopword ratios; repetition signals; "
      "integer-exact unigram surprisal; bigram CONDITIONAL surprisal with "
      "unigram backoff (the CCNet-style perplexity filter, whole-bit "
      "integer-exact); corpus-relative n-gram novelty profile with a "
      "skew-proof three-path plan (df-1 grams holder-side, cold flags "
-     "bounded equi-join, hot flags salt-replicated)"),
+     "bounded equi-join, hot flags salt-replicated); GOPHER repetition "
+     "filters (Rae et al. 2021 Table A1) in word-n-gram form — "
+     "top-2-gram CHAR fraction and duplicate-5-gram covered-char "
+     "fraction with occurrence-interval UNION (not t12's occurrence "
+     "share: the paper's covered-character semantics), integer basis "
+     "points, per-doc metrics + corpus keep/drop verdicts"),
     ("token statistics / retrieval",
      ["t03_token_stats", "t04_fingerprints", "t05_token_frequencies",
       "t09_bigram_collocations", "t20_textrank_keywords",
@@ -217,7 +252,7 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      ["q50_zorder_skipping", "q54_zonemap_pruning", "p28_rebalance_write",
       "q73_dynamic_partition_pruning", "q75_sorted_export",
       "q80_nested_schema_pruning", "q81_max_records_per_file",
-      "q83_bloom_file_manifest"],
+      "q83_bloom_file_manifest", "p40_streaming_bloom_manifest"],
      "z-order (Morton) clustered export with min-max pruning on every "
      "clustered dimension verified from parquet footers "
      "(`operators/zorder.py`); distributed zonemap build from REAL "
@@ -244,7 +279,11 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "groups via a literal partition filter (engine-asserted), "
      "no-false-negatives engine-asserted vs the unpruned count, the "
      "exact candidate set — false positives included — replayed by the "
-     "oracle's md5 arithmetic"),
+     "oracle's md5 arithmetic; maintained under CONTINUOUS ingest in "
+     "p40 — per-batch shards built from the WRITTEN file groups and "
+     "OR-merged (the mergeable contract, never re-reading earlier "
+     "data), point lookups replayed at EVERY batch boundary with "
+     "pruning and no-false-negatives engine-asserted mid-lifecycle"),
     ("dimension history (SCD2) / merge",
      ["q30_merge_upsert", "q51_scd2_history", "q52_temporal_scd2_join",
       "p39_streaming_scd2_pit_enrichment"],
