@@ -628,6 +628,11 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "p08_streaming_incremental_cc",  # incremental CC — 6 greens
         # (r6-r11); CC semantics stay via d17 (banded pairs → CC) and
         # the archived d08/d11/d16 family; p0 control-plane keeps p02
+        # Round-12 fifth wave: one slot for p41 (streaming deletes
+        # into deletion vectors — the new family's streaming member):
+        "p20_stream_stream_outer_join",  # stream-stream ± outer —
+        # 4 greens (r8-r11); the family keeps p26 chained stateful
+        # in-window, p18/p19/p21 archived
     }
 )
 

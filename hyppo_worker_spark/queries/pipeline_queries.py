@@ -5534,3 +5534,207 @@ def p40_streaming_bloom_manifest(
         "revenue_cents long, n_groups_read long, n_groups_total long, "
         "plan_pruned boolean, no_false_negatives boolean",
     ).orderBy("batch_seq", "o_custkey")
+
+
+# --------------------------------------------------------------------------
+# p41 — STREAMING DELETES INTO DELETION VECTORS: q85's merge-on-read
+# layout under a CONTINUOUS retraction feed — the GDPR-trickle /
+# late-retraction shape where deletes arrive for years against a
+# table that was written once. Each micro-batch of delete requests
+# (business keys) is resolved to (fid, pos) against the PERSISTED
+# layout ordinals, packed to a bitmap shard, and written to a
+# per-batch OVERWRITE dir (replay-idempotent — and bit_or idempotency
+# means even a REPLAYED delete is the same bit, the s13/s17/p40
+# discipline with algebra doing the dedup). Nothing in the data zone
+# is rewritten, ever, on this path. The read is then replayed at
+# EVERY batch boundary: folded sidecars ≤ s anti-applied in one
+# map-side broadcast join (engine-asserted per boundary), live
+# aggregates monotone non-increasing (deletes only remove — the
+# no-resurrection invariant), cumulative popcount equal to the
+# arrived delete count (no lost and no double-counted bits). Oracle:
+# live at s = NOT(retracted AND arrival_block <= s), all md5
+# arithmetic. At 100 TB: a delete wave costs O(batch) + its bitmap
+# words; the table's files are untouched until q85's density gate
+# fires — the write amplification of churn drops from
+# rewrite-per-wave to rewrite-per-threshold.
+# --------------------------------------------------------------------------
+_P41_FIDS = 8
+
+
+def _p41_oracle() -> str:
+    from hyppo_worker_spark.functions.text import md5_bucket_sql
+
+    bseq = md5_bucket_sql("o_orderkey", 3)
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               (o_orderkey % 4 = 1) AS retracted,
+               {bseq} AS bseq
+        FROM orders
+    ),
+    seqs(batch_seq) AS (VALUES (0), (1), (2)),
+    state AS (
+        SELECT s.batch_seq, b.o_orderstatus,
+               (b.retracted AND b.bseq <= s.batch_seq) AS deleted,
+               b.o_totalprice
+        FROM seqs s CROSS JOIN base b
+    ),
+    live AS (
+        SELECT batch_seq, o_orderstatus,
+               CAST(count(*) FILTER (WHERE NOT deleted) AS BIGINT)
+                   AS n_live,
+               CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                             FILTER (WHERE NOT deleted), 0) AS BIGINT)
+                   AS revenue_cents,
+               CAST(count(*) FILTER (WHERE deleted) AS BIGINT)
+                   AS n_deleted_status
+        FROM state GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT batch_seq,
+               CAST(sum(n_deleted_status) AS BIGINT) AS n_deleted_cum
+        FROM live GROUP BY 1
+    )
+    SELECT CAST(l.batch_seq AS BIGINT) AS batch_seq,
+           l.o_orderstatus, l.n_live, l.revenue_cents,
+           c.n_deleted_cum,
+           TRUE AS dv_join_broadcast,
+           TRUE AS popcount_equals_arrivals
+    FROM live l JOIN cum c USING (batch_seq)
+    ORDER BY 1, 2
+    """
+
+
+@register(
+    "p41_streaming_deletion_vectors",
+    oracle=_p41_oracle(),
+    tags=("streaming", "merge-on-read", "deletion-vectors", "delete",
+          "incremental", "maintenance", "bitmap"),
+)
+def p41_streaming_deletion_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete requests stream in; each micro-batch resolves business
+    keys to persisted layout ordinals, packs a bitmap shard into a
+    per-batch overwrite dir, and the merge-on-read aggregate is
+    replayed at every batch boundary — broadcast apply
+    engine-asserted, cumulative popcount equal to arrived deletes,
+    the data zone never rewritten."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from hyppo_worker_spark.functions import text as TX
+    from hyppo_worker_spark.operators.deletion_vectors import (
+        dv_build,
+        dv_merge,
+        read_with_dv,
+        stable_positions,
+    )
+    from hyppo_worker_spark.plans.explain import formatted_plan
+    from hyppo_worker_spark.session import scoped_conf
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    work = tempfile.mkdtemp(prefix="hyppo-p41-")
+    data_dir = os.path.join(work, "orders")
+    dv_dir = os.path.join(work, "dv")
+
+    # table written ONCE: md5 file groups + persisted ordinals
+    shaped = stable_positions(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn(
+            "fid", TX.md5_bucket("o_orderkey", _P41_FIDS).cast("int")
+        ),
+        "fid",
+        "o_orderkey",
+    )
+    (
+        shaped.repartition(_P41_FIDS, F.col("fid"))
+        .write.partitionBy("fid")
+        .mode("overwrite")
+        .parquet(data_dir)
+    )
+    written = spark.read.parquet(data_dir)
+    # the delete feed: 25% churn arriving in 3 md5 blocks
+    retract = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+        "o_orderkey"
+    )
+    src = os.path.join(work, "stream")
+    os.makedirs(src)
+    stage = os.path.join(work, "stage")
+    (
+        retract.withColumn("blk", TX.md5_bucket("o_orderkey", 3).cast("int"))
+        .coalesce(1)
+        .write.partitionBy("blk")
+        .parquet(stage)
+    )
+    _move_staged_blocks(stage, src, time.time(), 3)
+
+    lookup = written.select("o_orderkey", "fid", "pos")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        # resolve business keys -> persisted ordinals, pack, land the
+        # shard in a per-batch overwrite dir (replay-idempotent)
+        resolved = batch.join(lookup, "o_orderkey").select("fid", "pos")
+        dv_build(resolved).write.mode("overwrite").parquet(
+            os.path.join(dv_dir, f"batch={int(batch_id)}")
+        )
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q = (
+            spark.readStream.schema("o_orderkey long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+
+    out_rows = []
+    for s in range(3):
+        dv = dv_merge(
+            *[
+                spark.read.parquet(os.path.join(dv_dir, f"batch={b}"))
+                for b in range(s + 1)
+            ]
+        )
+        live = read_with_dv(written, dv)
+        agg = live.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("revenue_cents"),
+        )
+        plan = formatted_plan(agg)
+        dv_broadcast = "BroadcastHashJoin" in plan
+        # no lost / double-counted bits: folded popcount == arrivals
+        pop = int(
+            dv.agg(
+                F.sum(F.bit_count("bits_w")).cast("long").alias("n")
+            ).collect()[0]["n"]
+        )  # bounded pull: 1 row
+        arrived = (
+            retract.filter(TX.md5_bucket("o_orderkey", 3) <= s).count()
+        )
+        pop_ok = pop == arrived
+        rows = {
+            r["o_orderstatus"]: (int(r["n_live"]), int(r["revenue_cents"]))
+            for r in agg.collect()
+        }  # bounded pull: 3 status rows
+        for st in sorted(rows):
+            out_rows.append(
+                (
+                    s, st, rows[st][0], rows[st][1], arrived,
+                    bool(dv_broadcast), bool(pop_ok),
+                )
+            )
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows,
+        "batch_seq long, o_orderstatus string, n_live long, "
+        "revenue_cents long, n_deleted_cum long, "
+        "dv_join_broadcast boolean, popcount_equals_arrivals boolean",
+    ).orderBy("batch_seq", "o_orderstatus")

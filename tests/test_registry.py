@@ -80,6 +80,9 @@ def test_driver_registry_covers_every_family():
         # each, family reps stay)
         "q85_deletion_vector_reads",
         "s19_filtered_ann_search",
+        # round-12 fifth wave (p20 retired — 4 archived greens,
+        # p26/p18/p19/p21 keep the stream-stream family)
+        "p41_streaming_deletion_vectors",
     ):
         assert must in names
 

@@ -42,3 +42,30 @@ def test_p40_mid_lifecycle_invariants(spark):
     # the final boundary must find every probe-key order in the table
     # (nfn is engine-asserted per boundary; this pins non-triviality)
     assert sum(r["n_orders"] for r in rows if r["batch_seq"] == 2) > 0
+
+
+def test_p41_no_resurrection_and_popcount(spark):
+    """p41 streaming deletes: live counts are monotone non-increasing
+    per status across batch boundaries (deletes only remove), the
+    folded popcount equals the arrived delete count at every boundary
+    (no lost / double-counted bits — engine-asserted, re-pinned
+    here), and the apply stays a broadcast join."""
+    from hyppo_worker_spark.queries import load_all
+    from hyppo_worker_spark.session import release_persists
+
+    rows = (
+        load_all()["p41_streaming_deletion_vectors"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    )
+    release_persists()
+    assert rows and all(r["popcount_equals_arrivals"] for r in rows)
+    assert all(r["dv_join_broadcast"] for r in rows)
+    last = {}
+    for r in sorted(rows, key=lambda r: (r["o_orderstatus"], r["batch_seq"])):
+        st = r["o_orderstatus"]
+        if st in last:
+            assert r["n_live"] <= last[st]
+        last[st] = r["n_live"]
+    # the churn is real: something was deleted by the final boundary
+    assert max(r["n_deleted_cum"] for r in rows) > 0

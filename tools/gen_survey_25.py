@@ -78,7 +78,7 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "every retained snapshot re-stamped, fail-loud crash window, "
      "rerun-convergent (`erase_rows`)"),
     ("merge-on-read deletes (deletion vectors)",
-     ["q85_deletion_vector_reads"],
+     ["q85_deletion_vector_reads", "p41_streaming_deletion_vectors"],
      "the delete tier between append-only and erase_rows' "
      "copy-on-write: the Delta/Iceberg position-delete layout as "
      "RELATIONAL packed-word bitmaps "
@@ -92,7 +92,15 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "rewrite, and the hot-group rewrite (ordinals re-stamped, "
      "sidecar rows dropped) is pinned value-identical to the "
      "pre-rewrite read; the oracle replays live = NOT(deleted) — a "
-     "single wrong bit shifts the aggregates"),
+     "single wrong bit shifts the aggregates; p41 runs the delete "
+     "side CONTINUOUSLY — retraction batches stream through "
+     "foreachBatch, each resolved to persisted ordinals and packed "
+     "into a per-batch overwrite shard (replay-idempotent twice "
+     "over: overwrite dirs AND bit_or algebra), reads replayed at "
+     "every batch boundary with the broadcast apply engine-asserted, "
+     "live counts monotone (no resurrection) and folded popcount "
+     "equal to arrived deletes (no lost or double-counted bits); the "
+     "data zone is never rewritten on the delete path"),
     ("sharding / export",
      ["t13_shard_manifest", "d09_corpus_export_manifest"],
      "deterministic md5-bucket shard writer + manifest "
