@@ -195,6 +195,14 @@ BENCH_QUERIES = [
     "s16_ivfpq_residual_search",
     "s17_streaming_ivfpq_admission",
     "q83_bloom_file_manifest",
+    # Round-12 session-2 additions:
+    "t33_gopher_repetition",
+    "p40_streaming_bloom_manifest",
+    "s18_search_under_admission",
+    "q85_deletion_vector_reads",
+    "s19_filtered_ann_search",
+    "p41_streaming_deletion_vectors",
+    "d18_boilerplate_removal",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN
@@ -233,6 +241,13 @@ VALIDATION_QUERIES = frozenset(
         "p39_streaming_scd2_pit_enrichment",  # two chained streams
         # (CDC maintenance drain + enrichment drain): micro-batch
         # fixed-cost class; the PIT join itself is broadcast-stateless
+        "p40_streaming_bloom_manifest",  # 3 availableNow triggers plus
+        # a point lookup REPLAYED at every batch boundary (the
+        # mid-lifecycle invariant under proof) — micro-batch fixed-cost
+        # class; x10 flat (20.9->17.1s)
+        "p41_streaming_deletion_vectors",  # p40's class: 3 triggers +
+        # per-boundary merge-on-read replays; the delete path itself
+        # is O(batch); x10 near-flat (9.3->13.5s)
     }
 )
 

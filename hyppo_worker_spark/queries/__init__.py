@@ -633,6 +633,11 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "p20_stream_stream_outer_join",  # stream-stream ± outer —
         # 4 greens (r8-r11); the family keeps p26 chained stateful
         # in-window, p18/p19/p21 archived
+        # Round-12 sixth wave: one slot for d18 (cross-document
+        # boilerplate removal — the rewrite tier of Lee et al.):
+        "t15_source_mix",  # sampling/mixing — 4 greens (r8-r11);
+        # the family keeps t06/t07/t26/q55 archived and the t-prefix
+        # stays via t17/t23/t31/t33
     }
 )
 

@@ -1533,3 +1533,199 @@ def d17_projection_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(occ))
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# d18 — CROSS-DOCUMENT BOILERPLATE REMOVAL (the actionable tier of
+# Lee et al. 2022): d13 DETECTS repeated spans within the corpus and
+# reports coverage; a curation pipeline must then REWRITE — strip the
+# shared boilerplate (headers, ToS lines, scraper chrome that appears
+# across many documents) while leaving each document's unique prose
+# intact. Semantics: a k-token gram is boilerplate when its DOCUMENT
+# FREQUENCY crosses a threshold (df >= 5 at k=3 here — frequency
+# across documents, not within: t33 handles within-doc repetition);
+# every occurrence's token positions are covered (interval UNION, the
+# t33 discipline — overlapping occurrences must not double-strip);
+# the cleaned text is the uncovered tokens rejoined IN ORDER. The
+# whole rewrite is pinned by an md5 checksum of every cleaned text
+# (summed per source) — one wrong strip, kept token, or reordering
+# shifts the checksum. Plan shape: one gram-keyed shuffle for df (the
+# boilerplate set is bounded by the threshold → broadcast back), then
+# per-document position work and one doc-keyed ordered reassembly —
+# linear in corpus bytes, no cross-document state beyond the gram
+# counts. At 100 TB this is the same ladder as d13/t30: grams never
+# carry text bodies, and the df table is the only corpus-wide
+# aggregate. Reference: Lee et al. 2022 (arXiv:2107.06499) deduplicate
+# repeated substrings across a corpus; the df-threshold k-gram form is
+# the streaming-friendly relaxation used in public curation stacks.
+# --------------------------------------------------------------------------
+_D18_K, _D18_DF_MIN = 3, 5
+
+
+@register(
+    "d18_boilerplate_removal",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    base AS MATERIALIZED (
+        SELECT doc_id, source, w, len(w) AS n_tokens,
+               CAST(list_sum(list_transform(w, x -> length(x)))
+                    AS BIGINT) AS total_chars
+        FROM tok WHERE len(w) > 0
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id, CAST(r.i AS BIGINT) AS p,
+               array_to_string(list_slice(w, r.i + 1, r.i + {_D18_K}), ' ')
+                   AS g
+        FROM base, LATERAL unnest(range(0, n_tokens - {_D18_K - 1})) r(i)
+        WHERE n_tokens >= {_D18_K}
+    ),
+    bp AS MATERIALIZED (
+        SELECT g FROM g GROUP BY g
+        HAVING count(DISTINCT doc_id) >= {_D18_DF_MIN}
+    ),
+    cov AS (
+        SELECT DISTINCT g.doc_id, u.p2 AS p
+        FROM g JOIN bp USING (g),
+             LATERAL unnest(range(g.p, g.p + {_D18_K})) u(p2)
+    ),
+    tokpos AS (
+        SELECT doc_id, CAST(r.i AS BIGINT) AS p, w[r.i + 1] AS t,
+               length(w[r.i + 1]) AS lc
+        FROM base, LATERAL unnest(range(0, n_tokens)) r(i)
+    ),
+    kept AS (
+        SELECT tp.doc_id,
+               coalesce(string_agg(tp.t, ' ' ORDER BY tp.p), '')
+                   AS cleaned,
+               CAST(coalesce(sum(tp.lc), 0) AS BIGINT) AS kept_chars
+        FROM tokpos tp
+        LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.p = tp.p
+        WHERE c.p IS NULL
+        GROUP BY 1
+    ),
+    per_doc AS MATERIALIZED (
+        SELECT b.doc_id, b.source, b.total_chars,
+               coalesce(k.cleaned, '') AS cleaned,
+               b.total_chars - coalesce(k.kept_chars, 0)
+                   AS removed_chars
+        FROM base b LEFT JOIN kept k USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE removed_chars > 0) AS BIGINT)
+               AS docs_touched,
+           CAST((10000 * sum(removed_chars)) // sum(total_chars)
+                AS BIGINT) AS removed_bp,
+           CAST(sum({TX.md5_bucket_sql('cleaned', 1000000)}) AS BIGINT)
+               AS cleaned_checksum
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("dedup", "boilerplate", "rewrite", "lee2022", "substring"),
+)
+def d18_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip k-grams whose document frequency crosses the threshold
+    (cross-doc boilerplate), interval-UNION covered positions, and
+    rejoin the uncovered tokens in order; per-source doc counts,
+    removed-char basis points, and an md5 checksum over every cleaned
+    text pin the rewrite byte-for-byte."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = tracked_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+            ).alias("w"),
+        )
+        .withColumn("n_tokens", F.size("w"))
+        .withColumn(
+            "total_chars",
+            F.expr(
+                "aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+            ),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    g = tracked_persist(
+        base.filter(F.col("n_tokens") >= _D18_K).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, n_tokens - {_D18_K}),"
+                    f" i -> struct(CAST(i AS BIGINT) AS p,"
+                    f" concat_ws(' ', slice(w, i + 1, {_D18_K})) AS g))"
+                )
+            ).alias("s"),
+        ).select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
+    )
+    # the df table is the only corpus-wide aggregate; the qualifying
+    # set is bounded by the threshold and broadcasts back
+    bp = (
+        g.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _D18_DF_MIN)
+        .select("g")
+    )
+    cov = (
+        g.join(F.broadcast(bp), "g")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(p, p + {_D18_K - 1})")).alias("p"),
+        )
+        .distinct()
+    )
+    tokpos = base.select(
+        "doc_id", F.posexplode("w").alias("p", "t")
+    ).select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        "t",
+        F.length("t").alias("lc"),
+    )
+    kept = (
+        tokpos.join(cov, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(p, t))), s -> s.t), ' ')"
+            ).alias("cleaned"),
+            F.sum("lc").cast("long").alias("kept_chars"),
+        )
+    )
+    per_doc = (
+        base.select("doc_id", "source", "total_chars")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "total_chars",
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            (
+                F.col("total_chars")
+                - F.coalesce("kept_chars", F.lit(0))
+            ).alias("removed_chars"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("removed_chars") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_touched"),
+            F.expr(
+                "CAST((10000 * sum(removed_chars)) div sum(total_chars)"
+                " AS BIGINT)"
+            ).alias("removed_bp"),
+            F.sum(TX.md5_bucket("cleaned", 1000000))
+            .cast("long")
+            .alias("cleaned_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -41,7 +41,6 @@ def test_driver_registry_covers_every_family():
         "t31_unicode_nfc_normalize",
         "d09_corpus_export_manifest",
         "t08_token_chunks",
-        "t15_source_mix",
         "t17_bpe_encoding",
         "t23_term_retrieval",
         # round-10 rows that stay after the round-12 rotation (q76 and
@@ -83,6 +82,9 @@ def test_driver_registry_covers_every_family():
         # round-12 fifth wave (p20 retired — 4 archived greens,
         # p26/p18/p19/p21 keep the stream-stream family)
         "p41_streaming_deletion_vectors",
+        # round-12 sixth wave (t15 retired — 4 archived greens,
+        # t06/t07/t26/q55 keep the sampling/mixing family archived)
+        "d18_boilerplate_removal",
     ):
         assert must in names
 

@@ -31,9 +31,15 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "normalized-digest groups keep the cleanest member via deterministic "
      "argmax, with the keep-min-id disagreement count reported"),
     ("exact-substring / boilerplate dedup",
-     ["d13_exact_substring_repeats"],
+     ["d13_exact_substring_repeats", "d18_boilerplate_removal"],
      "k-token repeated-span detection with run coalescing + coverage basis "
-     "points (the Lee et al. 2022 signal), one hash-keyed shuffle"),
+     "points (the Lee et al. 2022 signal), one hash-keyed shuffle; d18 is "
+     "the ACTIONABLE tier — k-grams past a document-frequency threshold "
+     "(cross-doc boilerplate, not within-doc repetition) are stripped with "
+     "occurrence-interval UNION coverage and the uncovered tokens rejoined "
+     "IN ORDER, the whole rewrite pinned byte-for-byte by an md5 checksum "
+     "over every cleaned text; the df table is the only corpus-wide "
+     "aggregate and the qualifying gram set broadcasts back"),
     ("near-dup: MinHash+LSH",
      ["d03_minhash_lsh_pairs", "d06_training_corpus_pipeline",
       "d10_incremental_neardup"],

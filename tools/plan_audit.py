@@ -70,6 +70,9 @@ EXPECTED_NLJ = {
     "d17_projection_lsh_neardup",  # 1-row broadcast occupied-bucket
     # count crossJoined onto the 5-label report — the standard
     # scalar-join pattern (q44/q50/t29)
+    "t33_gopher_repetition",  # 1-row broadcast corpus keep/drop
+    # verdicts crossJoined onto the per-doc metric rows — the
+    # standard scalar-join pattern (q44/q50/t29)
 }
 
 # Queries where an UNPARTITIONED window (single-task WindowExec) is
