@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "s19_filtered_ann_search",
     "p41_streaming_deletion_vectors",
     "d18_boilerplate_removal",
+    "s20_margin_bitext_mining",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

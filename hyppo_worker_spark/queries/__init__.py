@@ -638,6 +638,11 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t15_source_mix",  # sampling/mixing — 4 greens (r8-r11);
         # the family keeps t06/t07/t26/q55 archived and the t-prefix
         # stays via t17/t23/t31/t33
+        # Round-12 eighth wave: one slot for s20 (margin-based bitext
+        # mining — the LASER/CCMatrix parallel-pair rule):
+        "t08_token_chunks",  # chunking/packing — 4 greens (r8-r11);
+        # the family keeps t32 (UDTF chunk explode) in-window and
+        # t14/t21 archived
     }
 )
 

@@ -2703,3 +2703,129 @@ def s19_filtered_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pre_recall_bp long, post_recall_bp long, "
         "plan_no_training boolean, reads_probed_cells boolean",
     ).orderBy("q_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# s20 — margin-based bitext mining (Artetxe & Schwenk 2019, the
+# LASER/CCMatrix rule): the training-data op that BUILDS parallel
+# corpora for multilingual models. Two "languages" are simulated by
+# splitting the embedding space on vec_id parity; 1-in-10 A-side
+# vectors get a planted near-identical B-side partner (s09's 0.0625
+# first-component nudge), so the miner's job is real: the ratio
+# margin — cos(x,y) over the mean of both endpoints' average top-k
+# cross-side cosines — must pull the planted translations out of the
+# random background, and ONLY mutual-argmax pairs count (hubness
+# control: a vector close to everything has a high denominator, so
+# none of its pairs clears the bar). Everything after the cosine fold
+# is integer: cos6 grid, top-k denominator SUMS, one positive-operand
+# division to basis points (operators/similarity.margin_bitext_mine).
+# Planted pairs land at ~2.1x margin (>= 20000 bp), the best random
+# pair at ~1.1x — the 15000 bp threshold sits in the gap. Scale path
+# in the operator docstring: swap the all-pairs candidate generator
+# for the persisted IVF index probe (s15/s19); the margin algebra is
+# unchanged.
+# --------------------------------------------------------------------------
+_S20_K = 4
+_S20_T = 15000
+_S20_PLANT = 1000001
+
+
+def _s20_oracle() -> str:
+    cos = _cos("a.av", "b.bv")
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    a AS MATERIALIZED (
+        SELECT vec_id AS a_id, v AS av FROM base WHERE vec_id % 2 = 0
+    ),
+    b AS MATERIALIZED (
+        SELECT vec_id AS b_id, v AS bv FROM base WHERE vec_id % 2 = 1
+        UNION ALL
+        SELECT vec_id + {_S20_PLANT} AS b_id,
+               list_transform(range(1, len(v) + 1),
+                   i -> CASE WHEN i = 1 THEN v[1] + 0.0625
+                             ELSE v[i] END) AS bv
+        FROM base WHERE vec_id % 10 = 0
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a_id, b_id,
+               CAST(round({cos} * 1000000) AS BIGINT) AS cos6
+        FROM a, b
+    ),
+    fsum AS MATERIALIZED (
+        SELECT a_id, CAST(sum(cos6) AS BIGINT) AS fsum FROM (
+            SELECT a_id, cos6,
+                   row_number() OVER (PARTITION BY a_id
+                                      ORDER BY cos6 DESC, b_id) AS r
+            FROM pairs) WHERE r <= {_S20_K} GROUP BY a_id
+    ),
+    bsum AS MATERIALIZED (
+        SELECT b_id, CAST(sum(cos6) AS BIGINT) AS bsum FROM (
+            SELECT b_id, cos6,
+                   row_number() OVER (PARTITION BY b_id
+                                      ORDER BY cos6 DESC, a_id) AS r
+            FROM pairs) WHERE r <= {_S20_K} GROUP BY b_id
+    ),
+    m AS MATERIALIZED (
+        SELECT p.a_id, p.b_id, p.cos6,
+               (p.cos6 * {2 * _S20_K * 10000}) // (f.fsum + s.bsum)
+                   AS margin_bp
+        FROM pairs p JOIN fsum f USING (a_id) JOIN bsum s USING (b_id)
+        WHERE p.cos6 > 0 AND f.fsum + s.bsum > 0
+    ),
+    fwd AS (
+        SELECT a_id, b_id, cos6, margin_bp FROM (
+            SELECT *, row_number() OVER (PARTITION BY a_id
+                ORDER BY margin_bp DESC, b_id) AS r FROM m) WHERE r = 1
+    ),
+    bwd AS (
+        SELECT a_id, b_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY b_id
+                ORDER BY margin_bp DESC, a_id) AS r FROM m) WHERE r = 1
+    )
+    SELECT f.a_id, f.b_id, f.cos6, f.margin_bp,
+           CAST(CASE WHEN f.a_id % 10 = 0
+                      AND f.b_id = f.a_id + {_S20_PLANT}
+                     THEN 1 ELSE 0 END AS BIGINT) AS planted
+    FROM fwd f JOIN bwd USING (a_id, b_id)
+    WHERE f.margin_bp >= {_S20_T}
+    ORDER BY a_id
+    """
+
+
+@register(
+    "s20_margin_bitext_mining",
+    oracle=_s20_oracle(),
+    tags=("similarity", "bitext", "mining", "margin", "training-data"),
+)
+def s20_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-argmax ratio-margin pairs across the parity-split
+    embedding corpus, thresholded at 1.5x margin; planted cross-side
+    twins flagged so recovery is visible in the result."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    a = base.filter(F.col("vec_id") % 2 == 0)
+    plants = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + _S20_PLANT).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x)
+        ).alias("v"),
+    )
+    b = base.filter(F.col("vec_id") % 2 == 1).unionByName(plants)
+    mined = S.margin_bitext_mine(a, b, vec_col="v", k=_S20_K)
+    return (
+        mined.filter(F.col("margin_bp") >= _S20_T)
+        .withColumn(
+            "planted",
+            F.when(
+                (F.col("a_id") % 10 == 0)
+                & (F.col("b_id") == F.col("a_id") + _S20_PLANT),
+                1,
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+        .select("a_id", "b_id", "cos6", "margin_bp", "planted")
+        .orderBy("a_id")
+    )

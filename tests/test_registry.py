@@ -40,7 +40,6 @@ def test_driver_registry_covers_every_family():
         "m08_video_frame_sample",
         "t31_unicode_nfc_normalize",
         "d09_corpus_export_manifest",
-        "t08_token_chunks",
         "t17_bpe_encoding",
         "t23_term_retrieval",
         # round-10 rows that stay after the round-12 rotation (q76 and
@@ -85,6 +84,9 @@ def test_driver_registry_covers_every_family():
         # round-12 sixth wave (t15 retired — 4 archived greens,
         # t06/t07/t26/q55 keep the sampling/mixing family archived)
         "d18_boilerplate_removal",
+        # round-12 eighth wave (t08 retired — 4 archived greens,
+        # t32 keeps chunking/packing in-window)
+        "s20_margin_bitext_mining",
     ):
         assert must in names
 

@@ -116,7 +116,7 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      ["s01_knn_cosine_bruteforce", "s02_knn_sign_bucket", "s04_knn_ivf",
       "s05_knn_ivf_multiprobe", "s06_int8_quantization", "s07_pq_adc_topk",
       "s08_range_search", "s09_hard_negatives", "s10_pca_power_iteration",
-      "s11_truncated_retrieval"],
+      "s11_truncated_retrieval", "s20_margin_bitext_mining"],
      "brute-force top-k; sign-bucket ANN; k-means IVF nprobe 1/2; int8 "
      "quantization stats; product-quantization ADC at 32x compression — "
      "m-keyed fixed-point Lloyd codebooks, integer lookup-table distances "
@@ -127,7 +127,14 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "(executor-side int64 partials, pure-integer power iteration); "
      "Matryoshka-style truncated-prefix retrieval agreement (top-5 "
      "overlap + top-1 match at 64/32/16 dims — the prefix-scan "
-     "cost-quality gate)"),
+     "cost-quality gate); margin-based bitext mining (Artetxe & Schwenk "
+     "ratio margin, the LASER/CCMatrix parallel-corpus rule — "
+     "`similarity.margin_bitext_mine`): cos over the mean of both "
+     "endpoints' average top-k cross-side cosines, MUTUAL-argmax pairs "
+     "only (hubness control), everything after the bit-identical cosine "
+     "fold on an integer grid (cos6 / top-k sums / one positive-operand "
+     "division to basis points) — planted cross-side twins recovered "
+     "100/0 at 1.5x margin over a random background"),
     ("vector index maintenance",
      ["s12_incremental_ivf_maintenance", "s13_streaming_ivf_admission",
       "s14_incremental_pq_maintenance", "s17_streaming_ivfpq_admission"],

@@ -73,6 +73,9 @@ EXPECTED_NLJ = {
     "t33_gopher_repetition",  # 1-row broadcast corpus keep/drop
     # verdicts crossJoined onto the per-doc metric rows — the
     # standard scalar-join pattern (q44/q50/t29)
+    "s20_margin_bitext_mining",  # all-pairs cross-side scoring is a
+    # broadcast crossJoin by design (s01's brute-force shape; the
+    # scale path swaps to the persisted IVF candidate generator)
 }
 
 # Queries where an UNPARTITIONED window (single-task WindowExec) is
