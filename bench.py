@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "p41_streaming_deletion_vectors",
     "d18_boilerplate_removal",
     "s20_margin_bitext_mining",
+    "s21_indexed_bitext_mining",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

@@ -320,6 +320,35 @@ def kmeans_centroids(
     return cents
 
 
+def ivf_assign(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``probes`` nearest centroids by
+    UNROUNDED cosine (ties -> lowest cent_id — the convention every
+    Lloyd/IVF oracle in this repo mirrors). ``cents`` must carry
+    (cent_id, cent, cent_norm), tiny enough to broadcast. Returns
+    (__id, __v, __vnorm, cell); with probes > 1 a vector appears once
+    per probed cell."""
+    v = df.select(
+        F.col(id_col).alias("__id"), V.as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__vnorm", V.norm(F.col("__v")))
+    scored = v.join(F.broadcast(cents)).withColumn(
+        "__sim",
+        V.dot(F.col("__v"), F.col("cent"))
+        / (F.col("__vnorm") * F.col("cent_norm")),
+    )
+    w = W.partitionBy("__id").orderBy(F.col("__sim").desc(), "cent_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= probes)
+        .select("__id", "__v", "__vnorm", F.col("cent_id").alias("cell"))
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -358,27 +387,13 @@ def knn_ivf(
         .localCheckpoint(eager=True)
     )
 
-    def assign(df: DataFrame, idc: str, vecc: str, probes: int = 1) -> DataFrame:
-        v = df.select(F.col(idc).alias("__id"), V.as_double(F.col(vecc)).alias("__v"))
-        v = v.withColumn("__vnorm", V.norm(F.col("__v")))
-        scored = v.join(F.broadcast(cents)).withColumn(
-            "__sim",
-            V.dot(F.col("__v"), F.col("cent")) / (F.col("__vnorm") * F.col("cent_norm")),
-        )
-        w = W.partitionBy("__id").orderBy(F.col("__sim").desc(), "cent_id")
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= probes)
-            .select(F.col("__id"), F.col("__v"), F.col("__vnorm"), F.col("cent_id").alias("cell"))
-        )
-
-    c = assign(corpus, id_col, vec_col).select(
+    c = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col("__id").alias("neighbor_id"),
         F.col("__v").alias("cv"),
         F.col("__vnorm").alias("cnorm"),
         "cell",
     )
-    q = assign(queries, id_col, vec_col, probes=nprobe).select(
+    q = ivf_assign(queries, cents, id_col, vec_col, probes=nprobe).select(
         F.col("__id").alias("q_id"),
         F.col("__v").alias("qv"),
         F.col("__vnorm").alias("qnorm"),
@@ -548,8 +563,20 @@ def margin_bitext_mine(
         a.crossJoin(F.broadcast(b))
         .withColumn("cos6", F.round(cos * scale).cast("long"))
         .select("a_id", "b_id", "cos6")
-        .transform(tracked_persist)
     )
+    return margin_mine_pairs(pairs, k=k)
+
+
+def margin_mine_pairs(pairs: DataFrame, k: int = 4) -> DataFrame:
+    """The margin algebra over an arbitrary candidate-pair frame
+    ``(a_id, b_id, cos6)`` — shared by the exact all-pairs miner
+    above and the IVF-bucketed production form (s21): top-k
+    denominator sums, the single positive-operand division to basis
+    points, and the mutual-argmax intersection are identical
+    regardless of how the candidates were generated. Over a candidate
+    subset the denominators use each endpoint's top-min(k, |cand|)
+    candidates — the standard index-backed relaxation."""
+    pairs = tracked_persist(pairs)
     wf = W.partitionBy("a_id").orderBy(F.col("cos6").desc(), "b_id")
     fsum = (
         pairs.withColumn("__r", F.row_number().over(wf))

@@ -643,6 +643,10 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t08_token_chunks",  # chunking/packing — 4 greens (r8-r11);
         # the family keeps t32 (UDTF chunk explode) in-window and
         # t14/t21 archived
+        # Round-12 ninth wave: one slot for s21 (IVF-bucketed margin
+        # mining — the scale form of s20):
+        "t23_term_retrieval",  # token retrieval — 4 greens (r8-r11);
+        # t29 (BM25, the stronger retrieval rep) stays in-window
     }
 )
 

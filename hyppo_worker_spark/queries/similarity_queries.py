@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from hyppo_worker_spark.functions import vectors as V
 from hyppo_worker_spark.operators import similarity as S
 from hyppo_worker_spark.queries import register
-from hyppo_worker_spark.session import load_tables
+from hyppo_worker_spark.session import load_tables, tracked_persist
 
 # Sequential-fold cosine between embeddings e1, e2 (DuckDB side).
 _DOT = (
@@ -2827,5 +2827,219 @@ def s20_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
         .select("a_id", "b_id", "cos6", "margin_bp", "planted")
+        .orderBy("a_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# s21 — the SCALE form of s20: margin mining over IVF-bucketed
+# candidates instead of all pairs. A shared spherical-k-means
+# quantizer (s04's machinery: lowest-8 seeds, 2 fixed-point Lloyd
+# rounds over the UNION of both sides) buckets the corpus; each A
+# vector probes its top-2 cells and scores ONLY the B vectors living
+# there; the margin algebra — top-k denominator sums, one
+# positive-operand division, mutual argmax — runs unchanged over the
+# candidate set (`operators/similarity.margin_mine_pairs`, shared
+# with s20 by construction). The row carries its own honesty
+# columns, all integer: cand_pairs (candidate pairs actually scored
+# vs |A|x|B| all-pairs) and recall_bp (planted twins recovered,
+# closed-form denominator) — the measured prune-vs-recall trade the
+# production form is chosen on. The quadratic stage is gone: the
+# candidate join is a hash join on cell, cost sum over cells of
+# |A_probe_cell| x |B_cell| — at 1000 executors each cell's pair
+# block is an independent task and the all-pairs barrier never
+# exists.
+# --------------------------------------------------------------------------
+_S21_NPROBE = 2
+_S21_NCENTS = 8
+
+
+def _s21_oracle() -> str:
+    cosp = _cos("p.av", "q.bv")
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    a AS MATERIALIZED (
+        SELECT vec_id AS a_id, v AS av FROM base WHERE vec_id % 2 = 0
+    ),
+    b AS MATERIALIZED (
+        SELECT vec_id AS b_id, v AS bv FROM base WHERE vec_id % 2 = 1
+        UNION ALL
+        SELECT vec_id + {_S20_PLANT} AS b_id,
+               list_transform(range(1, len(v) + 1),
+                   i -> CASE WHEN i = 1 THEN v[1] + 0.0625
+                             ELSE v[i] END) AS bv
+        FROM base WHERE vec_id % 10 = 0
+    ),
+    vecs AS MATERIALIZED (
+        SELECT a_id AS vec_id, av AS v FROM a
+        UNION ALL
+        SELECT b_id AS vec_id, bv AS v FROM b
+    ),
+    cents0 AS (
+        SELECT vec_id AS cent_id, v AS cent FROM vecs
+        WHERE vec_id < {_S21_NCENTS}
+    ),
+    {_lloyd_round(0)},
+    {_lloyd_round(1)},
+    aprobe AS MATERIALIZED (
+        SELECT a_id, av, cell FROM (
+            SELECT a.a_id, a.av, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY a.a_id
+                       ORDER BY {_cos('a.av', 'c.cent')} DESC, c.cent_id)
+                       AS rn
+            FROM a, cents2 c) WHERE rn <= {_S21_NPROBE}
+    ),
+    bcell AS MATERIALIZED (
+        SELECT b_id, bv, cell FROM (
+            SELECT b.b_id, b.bv, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY b.b_id
+                       ORDER BY {_cos('b.bv', 'c.cent')} DESC, c.cent_id)
+                       AS rn
+            FROM b, cents2 c) WHERE rn = 1
+    ),
+    pairs AS MATERIALIZED (
+        SELECT p.a_id, q.b_id,
+               CAST(round({cosp} * 1000000) AS BIGINT) AS cos6
+        FROM aprobe p JOIN bcell q USING (cell)
+    ),
+    fsum AS MATERIALIZED (
+        SELECT a_id, CAST(sum(cos6) AS BIGINT) AS fsum FROM (
+            SELECT a_id, cos6,
+                   row_number() OVER (PARTITION BY a_id
+                                      ORDER BY cos6 DESC, b_id) AS r
+            FROM pairs) WHERE r <= {_S20_K} GROUP BY a_id
+    ),
+    bsum AS MATERIALIZED (
+        SELECT b_id, CAST(sum(cos6) AS BIGINT) AS bsum FROM (
+            SELECT b_id, cos6,
+                   row_number() OVER (PARTITION BY b_id
+                                      ORDER BY cos6 DESC, a_id) AS r
+            FROM pairs) WHERE r <= {_S20_K} GROUP BY b_id
+    ),
+    m AS MATERIALIZED (
+        SELECT p.a_id, p.b_id, p.cos6,
+               (p.cos6 * {2 * _S20_K * 10000}) // (f.fsum + s.bsum)
+                   AS margin_bp
+        FROM pairs p JOIN fsum f USING (a_id) JOIN bsum s USING (b_id)
+        WHERE p.cos6 > 0 AND f.fsum + s.bsum > 0
+    ),
+    fwd AS (
+        SELECT a_id, b_id, cos6, margin_bp FROM (
+            SELECT *, row_number() OVER (PARTITION BY a_id
+                ORDER BY margin_bp DESC, b_id) AS r FROM m) WHERE r = 1
+    ),
+    bwd AS (
+        SELECT a_id, b_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY b_id
+                ORDER BY margin_bp DESC, a_id) AS r FROM m) WHERE r = 1
+    ),
+    mined AS MATERIALIZED (
+        SELECT f.a_id, f.b_id, f.cos6, f.margin_bp,
+               CAST(CASE WHEN f.a_id % 10 = 0
+                          AND f.b_id = f.a_id + {_S20_PLANT}
+                         THEN 1 ELSE 0 END AS BIGINT) AS planted
+        FROM fwd f JOIN bwd USING (a_id, b_id)
+        WHERE f.margin_bp >= {_S20_T}
+    ),
+    stats AS (
+        SELECT (SELECT count(*) FROM pairs) AS cand_pairs,
+               (SELECT coalesce(sum(planted), 0) FROM mined) * 10000
+                   // (SELECT count(*) FROM a WHERE a_id % 10 = 0)
+                   AS recall_bp
+    )
+    SELECT mined.a_id, mined.b_id, mined.cos6, mined.margin_bp,
+           mined.planted,
+           CAST(stats.cand_pairs AS BIGINT) AS cand_pairs,
+           CAST(stats.recall_bp AS BIGINT) AS recall_bp
+    FROM mined, stats ORDER BY a_id
+    """
+
+
+@register(
+    "s21_indexed_bitext_mining",
+    oracle=_s21_oracle(),
+    tags=("similarity", "bitext", "mining", "ivf", "training-data"),
+)
+def s21_indexed_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s20's mining over IVF-bucketed candidates: shared 8-cell
+    quantizer, A probes top-2 cells, margin algebra unchanged over
+    the candidate set; cand_pairs and recall_bp ride as all-integer
+    honesty columns."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    a = base.filter(F.col("vec_id") % 2 == 0)
+    plants = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + _S20_PLANT).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x + F.lit(0.0625)).otherwise(x)
+        ).alias("v"),
+    )
+    b = base.filter(F.col("vec_id") % 2 == 1).unionByName(plants)
+    cents = (
+        S.kmeans_centroids(
+            a.unionByName(b), vec_col="v",
+            n_centroids=_S21_NCENTS, n_iter=2,
+        )
+        .withColumn("cent_norm", V.norm(F.col("cent")))
+        .localCheckpoint(eager=True)
+    )
+    aprobe = S.ivf_assign(a, cents, vec_col="v", probes=_S21_NPROBE).select(
+        F.col("__id").alias("a_id"),
+        F.col("__v").alias("av"),
+        F.col("__vnorm").alias("anorm"),
+        "cell",
+    )
+    bcell = S.ivf_assign(b, cents, vec_col="v").select(
+        F.col("__id").alias("b_id"),
+        F.col("__v").alias("bv"),
+        F.col("__vnorm").alias("bnorm"),
+        "cell",
+    )
+    cos = V.dot(F.col("av"), F.col("bv")) / (F.col("anorm") * F.col("bnorm"))
+    pairs = (
+        bcell.join(F.broadcast(aprobe), "cell")
+        .withColumn("cos6", F.round(cos * 1_000_000).cast("long"))
+        .select("a_id", "b_id", "cos6")
+    )
+    pairs = pairs.transform(tracked_persist)
+    mined = (
+        S.margin_mine_pairs(pairs, k=_S20_K)
+        .filter(F.col("margin_bp") >= _S20_T)
+        .withColumn(
+            "planted",
+            F.when(
+                (F.col("a_id") % 10 == 0)
+                & (F.col("b_id") == F.col("a_id") + _S20_PLANT),
+                1,
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+    )
+    mined = mined.transform(tracked_persist)
+    n_plants = a.filter(F.col("vec_id") % 10 == 0).agg(
+        F.count(F.lit(1)).alias("__np")
+    )
+    stats = (
+        pairs.agg(F.count(F.lit(1)).alias("cand_pairs"))
+        .crossJoin(
+            mined.agg(
+                F.coalesce(F.sum("planted"), F.lit(0)).alias("__pm")
+            )
+        )
+        .crossJoin(n_plants)
+        .select(
+            F.col("cand_pairs").cast("long").alias("cand_pairs"),
+            F.expr("(__pm * 10000) div __np").cast("long").alias("recall_bp"),
+        )
+    )
+    return (
+        mined.crossJoin(F.broadcast(stats))
+        .select(
+            "a_id", "b_id", "cos6", "margin_bp", "planted",
+            "cand_pairs", "recall_bp",
+        )
         .orderBy("a_id")
     )

@@ -142,3 +142,62 @@ def test_plan_broadcasts_candidate_side(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan  # all-pairs scoring side
+
+
+def test_margin_mine_pairs_candidate_restriction(spark):
+    # restricting the candidate set changes the DENOMINATORS (top-k
+    # over candidates only), not just the pair universe: dropping a
+    # high-cosine distractor pair raises the mined margin.
+    rows_all = [(0, 1, 900000), (0, 3, 500000), (2, 1, 400000), (2, 3, 350000)]
+    rows_sub = [(0, 1, 900000), (2, 3, 350000)]
+
+    def mine(rows):
+        df = spark.createDataFrame(rows, "a_id long, b_id long, cos6 long")
+        from hyppo_worker_spark.operators.similarity import margin_mine_pairs
+
+        return {
+            (r.a_id, r.b_id): r.margin_bp
+            for r in margin_mine_pairs(df, k=K).collect()
+        }
+
+    full = mine(rows_all)
+    sub = mine(rows_sub)
+    # hand-check (k=2): full fsum(0)=1400000, bsum(1)=1300000 ->
+    # margin(0,1) = 900000*40000 // 2700000 = 13333
+    assert full[(0, 1)] == 900000 * 40000 // (1400000 + 1300000)
+    # subset: fsum(0)=900000, bsum(1)=900000 -> margin = 20000
+    assert sub[(0, 1)] == 900000 * 40000 // (900000 + 900000)
+    assert sub[(0, 1)] > full[(0, 1)]
+
+
+def test_ivf_assign_multiprobe_cells(spark):
+    from hyppo_worker_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+    from hyppo_worker_spark.functions import vectors as V
+
+    base = np.eye(4)
+    rows = [(i, list(map(float, base[i % 4] + 0.01 * i))) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = (
+        kmeans_centroids(df, vec_col="v", n_centroids=4, n_iter=1)
+        .withColumn("cent_norm", V.norm(F.col("cent")))
+        .localCheckpoint(eager=True)
+    )
+    one = ivf_assign(df, cents, vec_col="v", probes=1).collect()
+    two = ivf_assign(df, cents, vec_col="v", probes=2).collect()
+    assert len(one) == 12 and len(two) == 24
+    # probes=2 is a superset: every probes=1 (id, cell) survives
+    s1 = {(r["__id"], r.cell) for r in one}
+    s2 = {(r["__id"], r.cell) for r in two}
+    assert s1 <= s2
+    # and each vector's two probed cells are distinct
+    from collections import Counter
+
+    per = Counter(r["__id"] for r in two)
+    assert set(per.values()) == {2}
+    cells_per = {}
+    for r in two:
+        cells_per.setdefault(r["__id"], set()).add(r.cell)
+    assert all(len(c) == 2 for c in cells_per.values())

@@ -41,7 +41,6 @@ def test_driver_registry_covers_every_family():
         "t31_unicode_nfc_normalize",
         "d09_corpus_export_manifest",
         "t17_bpe_encoding",
-        "t23_term_retrieval",
         # round-10 rows that stay after the round-12 rotation (q76 and
         # q79 retired with 2 greens each; reps stay per family)
         "q77_grouped_arrow_regression",
@@ -87,6 +86,9 @@ def test_driver_registry_covers_every_family():
         # round-12 eighth wave (t08 retired — 4 archived greens,
         # t32 keeps chunking/packing in-window)
         "s20_margin_bitext_mining",
+        # round-12 ninth wave (t23 retired — 4 archived greens,
+        # t29 BM25 keeps retrieval in-window)
+        "s21_indexed_bitext_mining",
     ):
         assert must in names
 

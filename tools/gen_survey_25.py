@@ -116,7 +116,8 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      ["s01_knn_cosine_bruteforce", "s02_knn_sign_bucket", "s04_knn_ivf",
       "s05_knn_ivf_multiprobe", "s06_int8_quantization", "s07_pq_adc_topk",
       "s08_range_search", "s09_hard_negatives", "s10_pca_power_iteration",
-      "s11_truncated_retrieval", "s20_margin_bitext_mining"],
+      "s11_truncated_retrieval", "s20_margin_bitext_mining",
+      "s21_indexed_bitext_mining"],
      "brute-force top-k; sign-bucket ANN; k-means IVF nprobe 1/2; int8 "
      "quantization stats; product-quantization ADC at 32x compression — "
      "m-keyed fixed-point Lloyd codebooks, integer lookup-table distances "
@@ -134,7 +135,13 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "only (hubness control), everything after the bit-identical cosine "
      "fold on an integer grid (cos6 / top-k sums / one positive-operand "
      "division to basis points) — planted cross-side twins recovered "
-     "100/0 at 1.5x margin over a random background"),
+     "100/0 at 1.5x margin over a random background; s21 is the SCALE "
+     "form — the same margin algebra (`similarity.margin_mine_pairs`, "
+     "shared code) over IVF-bucketed candidates from a shared "
+     "2-round-Lloyd quantizer, A probing top-2 cells, with all-integer "
+     "cand_pairs and recall_bp honesty columns riding in the row (100% "
+     "planted recall at 27% of the pairs; the 2 index-relaxation false "
+     "positives are visible in the output)"),
     ("vector index maintenance",
      ["s12_incremental_ivf_maintenance", "s13_streaming_ivf_admission",
       "s14_incremental_pq_maintenance", "s17_streaming_ivfpq_admission"],

@@ -76,6 +76,10 @@ EXPECTED_NLJ = {
     "s20_margin_bitext_mining",  # all-pairs cross-side scoring is a
     # broadcast crossJoin by design (s01's brute-force shape; the
     # scale path swaps to the persisted IVF candidate generator)
+    "s21_indexed_bitext_mining",  # Lloyd assignment broadcasts the
+    # tiny centroid set unconditioned (s04's shape) + the 1-row
+    # stats crossJoin (q44/q50/t29 scalar pattern); the candidate
+    # join itself is a hash join on cell
 }
 
 # Queries where an UNPARTITIONED window (single-task WindowExec) is
