@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "d18_boilerplate_removal",
     "s20_margin_bitext_mining",
     "s21_indexed_bitext_mining",
+    "t34_unigram_viterbi_cost",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

@@ -647,6 +647,11 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # mining — the scale form of s20):
         "t23_term_retrieval",  # token retrieval — 4 greens (r8-r11);
         # t29 (BM25, the stronger retrieval rep) stays in-window
+        # Round-12 tenth wave: one slot for t34 (unigram-LM Viterbi
+        # segmentation — the SentencePiece half of tokenizer training):
+        "t17_bpe_encoding",  # BPE encode — 4 greens (r8-r11); the
+        # tokenizer family keeps its NEW member t34 in-window, t16
+        # (BPE train) + t17 archived
     }
 )
 

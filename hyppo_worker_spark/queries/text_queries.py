@@ -2891,3 +2891,246 @@ def t33_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t34 — unigram-LM tokenizer segmentation cost (the SentencePiece /
+# Kudo 2018 inference half, completing the tokenizer-training family
+# next to t16/t17's BPE): a corpus-derived piece vocabulary (every
+# single character of the eligible word set for guaranteed coverage +
+# the top-50 multi-char substrings up to length 4 by token-weighted
+# occurrence count) is priced in WHOLE BITS — cost(p) =
+# length(bin(T div f_p)), the t19 integer-surprisal idiom — and every
+# word is segmented by Viterbi: dp[i] = min over vocab pieces ending
+# at i of dp[i - len(p)] + cost(p). The Spark side runs the whole DP
+# as ONE Catalyst expression — an `aggregate` fold over positions
+# carrying the dp array, with `filter`/`transform`/`array_min` over
+# the word's piece-occurrence structs inside the lambda — so
+# segmentation is embarrassingly parallel over DISTINCT words (one
+# shuffle to build occurrences, one to group them; corpus size only
+# enters through the word-count join). The oracle replays the same
+# DP as 16 unrolled chained CTEs (the s10 precedent). Per-source
+# report: token-weighted total cost and integer cost-per-char basis
+# points — the compression-rate OOD signal (a source that compresses
+# badly under the corpus tokenizer is distributionally far from the
+# corpus) — plus the long-word exclusion count as an honesty column.
+# --------------------------------------------------------------------------
+_T34_MAXW = 16   # words longer than this are excluded (reported)
+_T34_MAXP = 4    # max piece length
+_T34_V = 50      # multi-char vocabulary size
+
+
+def _t34_oracle() -> str:
+    # unrolled Viterbi: u{i} accumulates dp rows (word, pos, cost)
+    steps = []
+    for i in range(1, _T34_MAXW + 1):
+        # MATERIALIZED is load-bearing: u{{i}} is referenced TWICE per
+        # step (dp{{i+1}} + the union), so plain CTEs inline 2^16-fold
+        # (the d17/s17 DuckDB lesson, worst case yet)
+        steps.append(f""",
+    dp{i} AS MATERIALIZED (
+        SELECT o.word, {i} AS pos, min(p.cost + o.c) AS cost
+        FROM occ o JOIN u{i - 1} p
+          ON p.word = o.word AND p.pos = {i} - o.l
+        WHERE o.e = {i}
+        GROUP BY o.word
+    ),
+    u{i} AS MATERIALIZED (
+        SELECT * FROM u{i - 1} UNION ALL SELECT * FROM dp{i}
+    )""")
+    dp_chain = "".join(steps)
+    return f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text),
+                      '[^a-z0-9]+'), x -> x <> '')) AS word
+        FROM documents
+    ),
+    swc AS MATERIALIZED (
+        SELECT source, word, count(*) AS cnt FROM tok GROUP BY 1, 2
+    ),
+    wc AS MATERIALIZED (
+        SELECT word, CAST(sum(cnt) AS BIGINT) AS wcnt,
+               length(word) AS n
+        FROM swc WHERE length(word) <= {_T34_MAXW} GROUP BY 1
+    ),
+    cand AS MATERIALIZED (
+        SELECT substr(w.word, e.e - l.l + 1, l.l) AS piece,
+               w.word, CAST(e.e AS BIGINT) AS e, CAST(l.l AS BIGINT) AS l,
+               w.wcnt
+        FROM wc w,
+             LATERAL unnest(range(1, w.n + 1)) e(e),
+             LATERAL unnest(range(1, {_T34_MAXP} + 1)) l(l)
+        WHERE l.l <= e.e
+    ),
+    pf AS MATERIALIZED (
+        SELECT piece, CAST(sum(wcnt) AS BIGINT) AS f,
+               length(piece) AS pl
+        FROM cand GROUP BY 1
+    ),
+    vocab AS MATERIALIZED (
+        SELECT piece, f FROM pf WHERE pl = 1
+        UNION ALL
+        SELECT piece, f FROM (
+            SELECT piece, f FROM pf WHERE pl >= 2
+            ORDER BY f DESC, piece LIMIT {_T34_V})
+    ),
+    tsum AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM vocab),
+    vcost AS MATERIALIZED (
+        SELECT v.piece, CAST(length(bin(ts.t // v.f)) AS BIGINT) AS c
+        FROM vocab v, tsum ts
+    ),
+    occ AS MATERIALIZED (
+        SELECT c.word, c.e, c.l, vc.c
+        FROM cand c JOIN vcost vc ON vc.piece = c.piece
+    ),
+    u0 AS (
+        SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM wc
+    ){dp_chain},
+    wcost AS MATERIALIZED (
+        SELECT w.word, w.wcnt, w.n, u.cost
+        FROM wc w JOIN u{_T34_MAXW} u
+          ON u.word = w.word AND u.pos = w.n
+    ),
+    per_source AS (
+        SELECT s.source,
+               CAST(sum(s.cnt) AS BIGINT) AS n_tokens,
+               CAST(sum(s.cnt * wc.cost) AS BIGINT) AS total_cost,
+               CAST((sum(s.cnt * wc.cost) * 10000)
+                    // sum(s.cnt * wc.n) AS BIGINT) AS cost_per_char_bp
+        FROM swc s JOIN wcost wc USING (word)
+        GROUP BY 1
+    ),
+    excl AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS long_excluded
+        FROM swc WHERE length(word) > {_T34_MAXW} GROUP BY 1
+    )
+    SELECT p.source, p.n_tokens,
+           CAST(coalesce(e.long_excluded, 0) AS BIGINT) AS long_excluded,
+           p.total_cost, p.cost_per_char_bp
+    FROM per_source p LEFT JOIN excl e USING (source)
+    ORDER BY p.source
+    """
+
+
+@register(
+    "t34_unigram_viterbi_cost",
+    oracle=_t34_oracle(),
+    tags=("text", "tokenizer", "unigram", "viterbi", "training-data"),
+)
+def t34_unigram_viterbi_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-weighted Viterbi segmentation cost under a
+    corpus-derived unigram piece vocabulary (whole-bit costs); the DP
+    runs as one Catalyst aggregate-fold per distinct word."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    swc = tracked_persist(
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+                )
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = tracked_persist(
+        swc.filter(F.length("word") <= _T34_MAXW)
+        .groupBy("word")
+        .agg(F.sum("cnt").cast("long").alias("wcnt"))
+        .withColumn("n", F.length("word").cast("long"))
+    )
+    cand = tracked_persist(
+        wc.select(
+            "word",
+            "wcnt",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, n), e ->"
+                    f" transform(sequence(1, least({_T34_MAXP}, e)), l ->"
+                    f" struct(CAST(e AS BIGINT) AS e, CAST(l AS BIGINT) AS l,"
+                    f" substring(word, CAST(e - l + 1 AS INT),"
+                    f" CAST(l AS INT)) AS piece))))"
+                )
+            ).alias("s"),
+        ).select(
+            "word", "wcnt",
+            F.col("s.e").alias("e"),
+            F.col("s.l").alias("l"),
+            F.col("s.piece").alias("piece"),
+        )
+    )
+    pf = cand.groupBy("piece").agg(
+        F.sum("wcnt").cast("long").alias("f"),
+        F.length(F.first("piece")).alias("pl"),
+    )
+    top_multi = (
+        pf.filter(F.col("pl") >= 2)
+        .orderBy(F.col("f").desc(), "piece")
+        .limit(_T34_V)
+        .select("piece", "f")
+    )
+    vocab = pf.filter(F.col("pl") == 1).select("piece", "f").unionByName(
+        top_multi
+    )
+    tsum = vocab.agg(F.sum("f").cast("long").alias("t"))
+    # 1-row scalar crossJoin (the q44/t16 pattern): cost in whole bits
+    vcost = (
+        vocab.crossJoin(F.broadcast(tsum))
+        .select(
+            "piece",
+            F.length(F.bin(F.expr("t div f"))).cast("long").alias("c"),
+        )
+    )
+    occ = (
+        cand.join(vcost, "piece")
+        .groupBy("word")
+        .agg(F.collect_list(F.struct("e", "l", "c")).alias("occs"))
+    )
+    # Viterbi as ONE expression: fold positions 1..n carrying the dp
+    # array; order inside `occs` is irrelevant (array_min over the
+    # filtered candidates).
+    wcost = (
+        wc.join(occ, "word")
+        .withColumn(
+            "cost",
+            F.expr(
+                "aggregate(sequence(1, n), array(CAST(0 AS BIGINT)),"
+                " (acc, i) -> array_append(acc, array_min(transform("
+                "   filter(occs, o -> o.e = i),"
+                "   o -> element_at(acc, CAST(i - o.l + 1 AS INT)) + o.c))),"
+                " acc -> element_at(acc, CAST(n + 1 AS INT)))"
+            ),
+        )
+        .select("word", "n", "cost")
+    )
+    per_source = (
+        swc.join(wcost, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("cost")).cast("long").alias("total_cost"),
+            F.expr(
+                "CAST((sum(cnt * cost) * 10000) div sum(cnt * n) AS BIGINT)"
+            ).alias("cost_per_char_bp"),
+        )
+    )
+    excl = (
+        swc.filter(F.length("word") > _T34_MAXW)
+        .groupBy("source")
+        .agg(F.sum("cnt").cast("long").alias("long_excluded"))
+    )
+    return (
+        per_source.join(excl, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce("long_excluded", F.lit(0)).cast("long").alias(
+                "long_excluded"
+            ),
+            "total_cost",
+            "cost_per_char_bp",
+        )
+        .orderBy("source")
+    )

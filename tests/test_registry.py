@@ -40,7 +40,6 @@ def test_driver_registry_covers_every_family():
         "m08_video_frame_sample",
         "t31_unicode_nfc_normalize",
         "d09_corpus_export_manifest",
-        "t17_bpe_encoding",
         # round-10 rows that stay after the round-12 rotation (q76 and
         # q79 retired with 2 greens each; reps stay per family)
         "q77_grouped_arrow_regression",
@@ -89,6 +88,9 @@ def test_driver_registry_covers_every_family():
         # round-12 ninth wave (t23 retired — 4 archived greens,
         # t29 BM25 keeps retrieval in-window)
         "s21_indexed_bitext_mining",
+        # round-12 tenth wave (t17 retired — 4 archived greens; t34
+        # keeps the tokenizer family in-window, t16/t17 archived)
+        "t34_unigram_viterbi_cost",
     ):
         assert must in names
 

@@ -224,10 +224,20 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "PageRank; inverted-index coordinate ranking; integer-exact BM25 — "
      "piecewise-linear int log2 idf + fixed-point Robertson saturation"),
     ("tokenizer training",
-     ["t16_bpe_merges", "t17_bpe_encoding", "t24_vocab_coverage"],
+     ["t16_bpe_merges", "t17_bpe_encoding", "t24_vocab_coverage",
+      "t34_unigram_viterbi_cost"],
      "distributed BPE merge induction (vocab-table iterations); encoding "
      "with the learned merges; vocabulary coverage curves for budget "
-     "sizing"),
+     "sizing; the OTHER major tokenizer algorithm — unigram-LM Viterbi "
+     "segmentation (SentencePiece/Kudo 2018 inference): corpus-derived "
+     "piece vocab (char coverage + top-50 substrings) priced in whole "
+     "bits (t19's length(bin(T div f)) idiom), each word segmented by a "
+     "min-cost DP that runs as ONE Catalyst aggregate-fold expression "
+     "carrying the dp array (embarrassingly parallel over DISTINCT "
+     "words; corpus size enters only via the word-count join), the "
+     "oracle replaying the same DP as 16 unrolled MATERIALIZED CTEs; "
+     "per-source cost-per-char basis points = the compression-rate OOD "
+     "signal"),
     ("chunking / packing",
      ["t08_token_chunks", "t14_sequence_packing", "t32_udtf_chunk_explode"],
      "overlapping token windows; distributed prefix-sum sequence packing "

@@ -80,6 +80,9 @@ EXPECTED_NLJ = {
     # tiny centroid set unconditioned (s04's shape) + the 1-row
     # stats crossJoin (q44/q50/t29 scalar pattern); the candidate
     # join itself is a hash join on cell
+    "t34_unigram_viterbi_cost",  # 1-row vocabulary-total crossJoin
+    # pricing the pieces (q44/q50/t29 scalar pattern); the DP itself
+    # is per-word expression work after hash joins
 }
 
 # Queries where an UNPARTITIONED window (single-task WindowExec) is
