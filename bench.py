@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "s20_margin_bitext_mining",
     "s21_indexed_bitext_mining",
     "t34_unigram_viterbi_cost",
+    "t35_nb_quality_training",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN

@@ -652,6 +652,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         "t17_bpe_encoding",  # BPE encode — 4 greens (r8-r11); the
         # tokenizer family keeps its NEW member t34 in-window, t16
         # (BPE train) + t17 archived
+        # Round-12 eleventh wave: one slot for t35 (NB quality-
+        # classifier TRAINING — the gap next to t18's frozen weights):
+        "p17_queue_rollup_ledger",  # control-plane ledgers — 5
+        # greens; the family's p09/p10/p11/p14 are all archived (the
+        # deepest archive of any family; ledger bookkeeping is the
+        # least live surface in the window)
     }
 )
 

@@ -3134,3 +3134,262 @@ def t34_unigram_viterbi_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# t35 — TRAINING the curation classifier (the gap next to t18, which
+# scores with a FROZEN weight table): a multinomial Naive Bayes
+# quality classifier learned from the corpus itself, fastText-shaped
+# but SQL-honest, in the standard weak-supervision setup — the
+# positive set is heuristic-labeled (stopword density >= 60 per
+# mille, the "wiki-like" proxy real curation stacks bootstrap from)
+# and the trainer must recover that structure from token evidence
+# alone. Deterministic md5 80/20 split (md5_bucket(doc_id, 5) = 0 is
+# held out — hash-based so the split is independent of how doc_ids
+# were dealt to sources; a doc_id % 5 split would test only 4 of the
+# 20 sources here). Training is ONE (word, class) count shuffle —
+# the sufficient statistics of NB, the textbook distributed trainer —
+# and the priced model (Laplace-smoothed per-class token costs in
+# MILLIBITS via t29's piecewise-linear integer log2 — whole-bit
+# quantization was measured to collapse the decision to the majority
+# class at 50% accuracy; millibit costs lift it to the 8000s) is a
+# vocab-sized table joined back to the held-out 20%. Prediction =
+# argmin of integer cost sums (prior + sum over occurrences); strict
+# inequality breaks ties toward class 0. OOV test tokens are skipped
+# (documented: no class signal under this smoothing); a held-out doc
+# with NO in-vocab tokens still scores on the priors via the left
+# join. Per-source report: held-out count, predicted-positive,
+# agreement with the weak label, integer accuracy basis points.
+# --------------------------------------------------------------------------
+_T35_STOP_PM = 60  # per-mille stopword-density threshold for the weak label
+
+
+def _ml2_sql(r: str) -> str:
+    """DuckDB: millibit PWL log2 of a 1024-scaled int ratio (t29's
+    idiom): m*1000 + (r-2^m)*1000 // 2^m - 10000, m = bitlen(r)-1."""
+    m = f"(length(bin({r})) - 1)"
+    p = f"CAST(pow(2, {m}) AS BIGINT)"
+    return f"({m} * 1000 + (({r}) - {p}) * 1000 // {p} - 10000)"
+
+
+def _ml2_expr(r: str) -> str:
+    """Spark SQL twin of :func:`_ml2_sql` (div for floor on the
+    positive operands)."""
+    m = f"(length(bin({r})) - 1)"
+    p = f"CAST(pow(2, {m}) AS BIGINT)"
+    return f"({m} * 1000 + ((({r}) - {p}) * 1000) div {p} - 10000)"
+
+
+def _t35_oracle() -> str:
+    stop = _sql_stop_count("en")
+    c0 = _ml2_sql("tot.t0 * 1024 // (tc.f0 + 1)")
+    c1 = _ml2_sql("tot.t1 * 1024 // (tc.f1 + 1)")
+    p0 = _ml2_sql(
+        "count(*) * 1024 // sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)"
+    )
+    p1 = _ml2_sql(
+        "count(*) * 1024 // sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    WITH lab AS MATERIALIZED (
+        SELECT doc_id, source,
+               CASE WHEN {stop} * 1000 >= {_T35_STOP_PM} * len(w)
+                    THEN 1 ELSE 0 END AS y,
+               CASE WHEN {TX.md5_bucket_sql('CAST(doc_id AS VARCHAR)', 5)} = 0
+                    THEN 1 ELSE 0 END AS is_test,
+               w
+        FROM (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') AS w
+            FROM documents) WHERE len(w) > 0
+    ),
+    traintok AS MATERIALIZED (
+        SELECT unnest(w) AS word, y FROM lab WHERE is_test = 0
+    ),
+    tc AS MATERIALIZED (
+        SELECT word,
+               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0
+        FROM traintok GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(f1) + count(*) AS BIGINT) AS t1,
+               CAST(sum(f0) + count(*) AS BIGINT) AS t0
+        FROM tc
+    ),
+    model AS MATERIALIZED (
+        SELECT tc.word,
+               CAST({c0} AS BIGINT) AS c0,
+               CAST({c1} AS BIGINT) AS c1
+        FROM tc, tot
+    ),
+    prior AS (
+        SELECT CAST({p0} AS BIGINT) AS p0,
+               CAST({p1} AS BIGINT) AS p1
+        FROM lab WHERE is_test = 0
+    ),
+    ttc AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT doc_id, unnest(w) AS word FROM lab WHERE is_test = 1)
+        GROUP BY 1, 2
+    ),
+    docscore AS MATERIALIZED (
+        SELECT t.doc_id,
+               CAST(sum(t.cnt * m.c0) AS BIGINT) AS s0,
+               CAST(sum(t.cnt * m.c1) AS BIGINT) AS s1
+        FROM ttc t JOIN model m USING (word) GROUP BY 1
+    ),
+    pred AS (
+        SELECT l.doc_id, l.source, l.y,
+               CASE WHEN coalesce(d.s1, 0) + pr.p1
+                         < coalesce(d.s0, 0) + pr.p0
+                    THEN 1 ELSE 0 END AS yhat
+        FROM lab l LEFT JOIN docscore d USING (doc_id)
+        CROSS JOIN prior pr
+        WHERE l.is_test = 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(yhat) AS BIGINT) AS pred_pos,
+           CAST(sum(CASE WHEN yhat = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree,
+           CAST(sum(CASE WHEN yhat = y THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS accuracy_bp
+    FROM pred GROUP BY 1 ORDER BY source
+    """
+
+
+@register(
+    "t35_nb_quality_training",
+    oracle=_t35_oracle(),
+    tags=("text", "classifier", "training", "naive-bayes", "quality"),
+)
+def t35_nb_quality_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a multinomial NB quality classifier on the md5-hash 80%
+    split against the stopword-density weak label (one
+    sufficient-statistics shuffle, whole-bit Laplace costs), score
+    the held-out 20%, report per-source accuracy — all integer."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    stopc = F.size(
+        F.expr(
+            "filter(w, x -> x IN ({}))".format(
+                ", ".join(f"'{x}'" for x in TX.STOPWORDS["en"])
+            )
+        )
+    )
+    lab = tracked_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+            ).alias("w"),
+        )
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                stopc * 1000 >= F.lit(_T35_STOP_PM) * F.size("w"), 1
+            )
+            .otherwise(0)
+            .alias("y"),
+            F.when(
+                TX.md5_bucket(F.col("doc_id").cast("string"), 5) == 0, 1
+            )
+            .otherwise(0)
+            .alias("is_test"),
+            "w",
+        )
+    )
+    traintok = (
+        lab.filter(F.col("is_test") == 0)
+        .select("y", F.explode("w").alias("word"))
+    )
+    tc = tracked_persist(
+        traintok.groupBy("word").agg(
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("f1"),
+            F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("f0"),
+        )
+    )
+    tot = tc.agg(
+        (F.sum("f1") + F.count(F.lit(1))).cast("long").alias("t1"),
+        (F.sum("f0") + F.count(F.lit(1))).cast("long").alias("t0"),
+    )
+    model = tc.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.expr(_ml2_expr("t0 * 1024 div (f0 + 1)")).cast("long").alias("c0"),
+        F.expr(_ml2_expr("t1 * 1024 div (f1 + 1)")).cast("long").alias("c1"),
+    )
+    prior = (
+        lab.filter(F.col("is_test") == 0)
+        .agg(
+            F.expr(
+                _ml2_expr(
+                    "count(1) * 1024 div sum(CASE WHEN y = 0 THEN 1 ELSE 0"
+                    " END)"
+                )
+            )
+            .cast("long")
+            .alias("p0"),
+            F.expr(
+                _ml2_expr(
+                    "count(1) * 1024 div sum(CASE WHEN y = 1 THEN 1 ELSE 0"
+                    " END)"
+                )
+            )
+            .cast("long")
+            .alias("p1"),
+        )
+    )
+    ttc = (
+        lab.filter(F.col("is_test") == 1)
+        .select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    docscore = (
+        ttc.join(model, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("c0")).cast("long").alias("s0"),
+            F.sum(F.col("cnt") * F.col("c1")).cast("long").alias("s1"),
+        )
+    )
+    pred = (
+        lab.filter(F.col("is_test") == 1)
+        .select("doc_id", "source", "y")
+        .join(docscore, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "source",
+            "y",
+            F.when(
+                F.coalesce("s1", F.lit(0)) + F.col("p1")
+                < F.coalesce("s0", F.lit(0)) + F.col("p0"),
+                1,
+            )
+            .otherwise(0)
+            .alias("yhat"),
+        )
+    )
+    return (
+        pred.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum("yhat").cast("long").alias("pred_pos"),
+            F.sum(F.when(F.col("yhat") == F.col("y"), 1).otherwise(0))
+            .cast("long")
+            .alias("agree"),
+            F.expr(
+                "CAST(sum(CASE WHEN yhat = y THEN 1 ELSE 0 END) * 10000"
+                " div count(1) AS BIGINT)"
+            ).alias("accuracy_bp"),
+        )
+        .orderBy("source")
+    )

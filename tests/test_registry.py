@@ -36,7 +36,6 @@ def test_driver_registry_covers_every_family():
     for must in (
         # long-lived anchors (flagship pipeline + each family's rep)
         "p02_raw_pipeline",
-        "p17_queue_rollup_ledger",
         "m08_video_frame_sample",
         "t31_unicode_nfc_normalize",
         "d09_corpus_export_manifest",
@@ -91,6 +90,9 @@ def test_driver_registry_covers_every_family():
         # round-12 tenth wave (t17 retired — 4 archived greens; t34
         # keeps the tokenizer family in-window, t16/t17 archived)
         "t34_unigram_viterbi_cost",
+        # round-12 eleventh wave (p17 retired — 5 archived greens;
+        # control-plane ledgers keep p09/p10/p11/p14 archived)
+        "t35_nb_quality_training",
     ):
         assert must in names
 

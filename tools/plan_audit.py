@@ -83,6 +83,9 @@ EXPECTED_NLJ = {
     "t34_unigram_viterbi_cost",  # 1-row vocabulary-total crossJoin
     # pricing the pieces (q44/q50/t29 scalar pattern); the DP itself
     # is per-word expression work after hash joins
+    "t35_nb_quality_training",  # two 1-row scalar crossJoins (class
+    # totals pricing the model; priors onto the held-out docs) — the
+    # q44/q50/t29 pattern; scoring is a hash join on word
 }
 
 # Queries where an UNPARTITIONED window (single-task WindowExec) is
