@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "s21_indexed_bitext_mining",
     "t34_unigram_viterbi_cost",
     "t35_nb_quality_training",
+    "p42_streaming_nb_refresh",
 ]
 
 # Validation-shaped rows (VERDICT r6 item 6): queries that by DESIGN
@@ -252,6 +253,9 @@ VALIDATION_QUERIES = frozenset(
         "p41_streaming_deletion_vectors",  # p40's class: 3 triggers +
         # per-boundary merge-on-read replays; the delete path itself
         # is O(batch); x10 near-flat (9.3->13.5s)
+        "p42_streaming_nb_refresh",  # 3 availableNow triggers, each
+        # folding model statistics + re-scoring the held-out set —
+        # micro-batch fixed-cost class
     }
 )
 

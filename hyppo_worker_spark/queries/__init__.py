@@ -658,6 +658,12 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # greens; the family's p09/p10/p11/p14 are all archived (the
         # deepest archive of any family; ledger bookkeeping is the
         # least live surface in the window)
+        # Round-12 twelfth wave: one slot for p42 (streaming NB model
+        # refresh — t35's trainer folded per trigger):
+        "p23_stream_checkpoint_resume",  # streaming ingestion dedup —
+        # 4 greens (and the r12 host-floor A/B subject, fully
+        # documented); p13/p16 archived, the stateful streaming
+        # surface stays via p24/p26/p33/p35/p36/p38-p42
     }
 )
 

@@ -5738,3 +5738,363 @@ def p41_streaming_deletion_vectors(
         "revenue_cents long, n_deleted_cum long, "
         "dv_join_broadcast boolean, popcount_equals_arrivals boolean",
     ).orderBy("batch_seq", "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# p42 — CONTINUOUS classifier refresh: t35's Naive Bayes trainer run
+# as a stream. The training corpus arrives as a 3-block md5-split
+# stream; each foreachBatch trigger folds the batch's (word, class)
+# counts into a per-batch OVERWRITE model ledger (sufficient
+# statistics are integer and associative — the s13 incremental-fold
+# lesson applied to a MODEL: O(batch + vocab) I/O per trigger, no
+# rescan of earlier batches, replay of batch b re-reads ledger b−1
+# and rewrites identical bytes) and re-scores the FIXED held-out 20%
+# against the model-so-far. The last batch's cumulative counts equal
+# t35's one-shot training set by construction, so the stream
+# provably CONVERGES to the batch model — the final accuracy_bp is
+# pinned to the batch trainer's through the shared integer algebra.
+# Per-batch report: train docs seen, vocabulary size, held-out
+# predicted-positive / agreement / accuracy basis points — the
+# model-quality-over-time curve an online curation pipeline watches.
+# --------------------------------------------------------------------------
+def _p42_prefix_sql(b: int) -> str:
+    """One t35-style scoring block over the train prefix blk <= b."""
+    from hyppo_worker_spark.functions.text import md5_bucket_sql
+    from hyppo_worker_spark.queries.text_queries import (
+        _ml2_sql,
+    )
+
+    blk = md5_bucket_sql("CAST(doc_id AS VARCHAR)", 3)
+    c0 = _ml2_sql("tot.t0 * 1024 // (tc.f0 + 1)")
+    c1 = _ml2_sql("tot.t1 * 1024 // (tc.f1 + 1)")
+    p0 = _ml2_sql("nn.n * 1024 // nn.n0")
+    p1 = _ml2_sql("nn.n * 1024 // nn.n1")
+    return f"""
+    tc{b} AS MATERIALIZED (
+        SELECT word,
+               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0
+        FROM (SELECT unnest(w) AS word, y FROM lab
+              WHERE is_test = 0 AND {blk} <= {b})
+        GROUP BY 1
+    ),
+    tot{b} AS (
+        SELECT CAST(sum(f1) + count(*) AS BIGINT) AS t1,
+               CAST(sum(f0) + count(*) AS BIGINT) AS t0
+        FROM tc{b}
+    ),
+    model{b} AS MATERIALIZED (
+        SELECT tc.word,
+               CAST({c0.replace('tot.', f'tot{b}.')} AS BIGINT) AS c0,
+               CAST({c1.replace('tot.', f'tot{b}.')} AS BIGINT) AS c1
+        FROM tc{b} tc, tot{b}
+    ),
+    nn{b} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM lab WHERE is_test = 0 AND {blk} <= {b}
+    ),
+    prior{b} AS (
+        SELECT CAST({p0.replace('nn.', f'nn{b}.')} AS BIGINT) AS p0,
+               CAST({p1.replace('nn.', f'nn{b}.')} AS BIGINT) AS p1
+        FROM nn{b} nn{b}
+    ),
+    docscore{b} AS MATERIALIZED (
+        SELECT t.doc_id,
+               CAST(sum(t.cnt * m.c0) AS BIGINT) AS s0,
+               CAST(sum(t.cnt * m.c1) AS BIGINT) AS s1
+        FROM ttc t JOIN model{b} m USING (word) GROUP BY 1
+    ),
+    res{b} AS (
+        SELECT CAST({b} AS BIGINT) AS batch_seq,
+               (SELECT n FROM nn{b}) AS train_docs,
+               (SELECT count(*) FROM tc{b}) AS vocab_size,
+               CAST(sum(CASE WHEN coalesce(d.s1, 0) + pr.p1
+                                  < coalesce(d.s0, 0) + pr.p0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pred_pos,
+               CAST(sum(CASE WHEN (CASE WHEN coalesce(d.s1, 0) + pr.p1
+                                             < coalesce(d.s0, 0) + pr.p0
+                                        THEN 1 ELSE 0 END) = l.y
+                             THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+               CAST(sum(CASE WHEN (CASE WHEN coalesce(d.s1, 0) + pr.p1
+                                             < coalesce(d.s0, 0) + pr.p0
+                                        THEN 1 ELSE 0 END) = l.y
+                             THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS accuracy_bp
+        FROM lab l LEFT JOIN docscore{b} d USING (doc_id)
+        CROSS JOIN prior{b} pr
+        WHERE l.is_test = 1
+    )"""
+
+
+def _p42_oracle() -> str:
+    from hyppo_worker_spark.functions.text import md5_bucket_sql
+    from hyppo_worker_spark.queries.text_queries import (
+        _T35_STOP_PM,
+        _sql_stop_count,
+    )
+
+    stop = _sql_stop_count("en")
+    test = md5_bucket_sql("CAST(doc_id AS VARCHAR)", 5)
+    blocks = ",".join(_p42_prefix_sql(b) for b in range(3))
+    return f"""
+    WITH lab AS MATERIALIZED (
+        SELECT doc_id, source,
+               CASE WHEN {stop} * 1000 >= {_T35_STOP_PM} * len(w)
+                    THEN 1 ELSE 0 END AS y,
+               CASE WHEN {test} = 0 THEN 1 ELSE 0 END AS is_test,
+               w
+        FROM (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') AS w
+            FROM documents) WHERE len(w) > 0
+    ),
+    ttc AS MATERIALIZED (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT doc_id, unnest(w) AS word FROM lab WHERE is_test = 1)
+        GROUP BY 1, 2
+    ),{blocks}
+    SELECT * FROM res0 UNION ALL SELECT * FROM res1
+    UNION ALL SELECT * FROM res2 ORDER BY batch_seq
+    """
+
+
+@register(
+    "p42_streaming_nb_refresh",
+    oracle=_p42_oracle(),
+    tags=("pipeline", "streaming", "classifier", "incremental", "training"),
+)
+def p42_streaming_nb_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t35's NB trainer as a 3-block stream: per-trigger fold of the
+    (word, class) sufficient statistics into an idempotent per-batch
+    model ledger, held-out accuracy re-scored at every batch
+    boundary; the last batch provably equals the batch-trained
+    model."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from hyppo_worker_spark.functions import text as TX
+    from hyppo_worker_spark.queries.text_queries import (
+        _T35_STOP_PM,
+        _ml2_expr,
+    )
+    from hyppo_worker_spark.session import scoped_conf
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    stopc = F.size(
+        F.expr(
+            "filter(w, x -> x IN ({}))".format(
+                ", ".join(f"'{x}'" for x in TX.STOPWORDS["en"])
+            )
+        )
+    )
+    lab = tracked_persist(
+        docs.select(
+            "doc_id",
+            F.expr(
+                "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+            ).alias("w"),
+        )
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id",
+            F.when(
+                stopc * 1000 >= F.lit(_T35_STOP_PM) * F.size("w"), 1
+            )
+            .otherwise(0)
+            .alias("y"),
+            F.when(
+                TX.md5_bucket(F.col("doc_id").cast("string"), 5) == 0, 1
+            )
+            .otherwise(0)
+            .alias("is_test"),
+            "w",
+        )
+    )
+    held = tracked_persist(
+        lab.filter(F.col("is_test") == 1).select("doc_id", "y", "w")
+    )
+    ttc = tracked_persist(
+        held.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+    work = tempfile.mkdtemp(prefix="hyppo-p42-")
+    src = os.path.join(work, "stream")
+    os.makedirs(src)
+    stage = os.path.join(work, "stage")
+    (
+        lab.filter(F.col("is_test") == 0)
+        .select(
+            "doc_id",
+            "y",
+            F.col("w").cast("array<string>").alias("w"),
+            TX.md5_bucket(F.col("doc_id").cast("string"), 3)
+            .cast("int")
+            .alias("blk"),
+        )
+        .coalesce(1)
+        .write.partitionBy("blk")
+        .parquet(stage)
+    )
+    _move_staged_blocks(stage, src, time.time(), 3)
+
+    model_dir = os.path.join(work, "model")
+    meta_dir = os.path.join(work, "meta")
+    res_dir = os.path.join(work, "results")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        b = int(batch_id)
+        cur = (
+            batch.select("y", F.explode("w").alias("word"))
+            .groupBy("word")
+            .agg(
+                F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+                .cast("long")
+                .alias("f1"),
+                F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+                .cast("long")
+                .alias("f0"),
+            )
+        )
+        curn = batch.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+        )
+        if b > 0:
+            prev = spark.read.parquet(
+                os.path.join(model_dir, f"batch={b - 1}")
+            )
+            folded = (
+                prev.select("word", "f1", "f0")
+                .unionByName(cur)
+                .groupBy("word")
+                .agg(
+                    F.sum("f1").cast("long").alias("f1"),
+                    F.sum("f0").cast("long").alias("f0"),
+                )
+            )
+            prevn = spark.read.parquet(
+                os.path.join(meta_dir, f"batch={b - 1}")
+            )
+            foldedn = (
+                prevn.unionByName(curn)
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("n0").cast("long").alias("n0"),
+                    F.sum("n1").cast("long").alias("n1"),
+                )
+            )
+        else:
+            folded, foldedn = cur, curn
+        folded.write.mode("overwrite").parquet(
+            os.path.join(model_dir, f"batch={b}")
+        )
+        foldedn.write.mode("overwrite").parquet(
+            os.path.join(meta_dir, f"batch={b}")
+        )
+        tc = spark.read.parquet(os.path.join(model_dir, f"batch={b}"))
+        nn = spark.read.parquet(os.path.join(meta_dir, f"batch={b}"))
+        tot = tc.agg(
+            (F.sum("f1") + F.count(F.lit(1))).cast("long").alias("t1"),
+            (F.sum("f0") + F.count(F.lit(1))).cast("long").alias("t0"),
+        )
+        model = tc.crossJoin(F.broadcast(tot)).select(
+            "word",
+            F.expr(_ml2_expr("t0 * 1024 div (f0 + 1)"))
+            .cast("long")
+            .alias("c0"),
+            F.expr(_ml2_expr("t1 * 1024 div (f1 + 1)"))
+            .cast("long")
+            .alias("c1"),
+        )
+        prior = nn.select(
+            F.expr(_ml2_expr("n * 1024 div n0")).cast("long").alias("p0"),
+            F.expr(_ml2_expr("n * 1024 div n1")).cast("long").alias("p1"),
+        )
+        docscore = (
+            ttc.join(model, "word")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("cnt") * F.col("c0")).cast("long").alias("s0"),
+                F.sum(F.col("cnt") * F.col("c1")).cast("long").alias("s1"),
+            )
+        )
+        yhat = F.when(
+            F.coalesce("s1", F.lit(0)) + F.col("p1")
+            < F.coalesce("s0", F.lit(0)) + F.col("p0"),
+            1,
+        ).otherwise(0)
+        summary = (
+            held.select("doc_id", "y")
+            .join(docscore, "doc_id", "left")
+            .crossJoin(F.broadcast(prior))
+            .select("y", yhat.alias("yhat"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_test"),
+                F.sum("yhat").cast("long").alias("pred_pos"),
+                F.sum(F.when(F.col("yhat") == F.col("y"), 1).otherwise(0))
+                .cast("long")
+                .alias("agree"),
+            )
+            .crossJoin(nn.select(F.col("n").alias("train_docs")))
+            .crossJoin(
+                tc.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+            )
+            .select(
+                F.lit(b).cast("long").alias("batch_seq"),
+                "train_docs",
+                "vocab_size",
+                "pred_pos",
+                "agree",
+                F.expr("CAST(agree * 10000 div n_test AS BIGINT)").alias(
+                    "accuracy_bp"
+                ),
+            )
+        )
+        summary.write.mode("overwrite").parquet(
+            os.path.join(res_dir, f"batch={b}")
+        )
+
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        q = (
+            spark.readStream.schema(
+                "doc_id long, y int, w array<string>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_stream(q, 300)
+
+    rows = (
+        spark.read.option("basePath", res_dir).parquet(res_dir)
+        .select(
+            F.col("batch_seq").cast("long"),
+            F.col("train_docs").cast("long"),
+            F.col("vocab_size").cast("long"),
+            F.col("pred_pos").cast("long"),
+            F.col("agree").cast("long"),
+            F.col("accuracy_bp").cast("long"),
+        )
+        .orderBy("batch_seq")
+    ).collect()  # 3 rows — bounded pull (work dir deleted next)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "batch_seq long, train_docs long, vocab_size long, "
+        "pred_pos long, agree long, accuracy_bp long",
+    ).orderBy("batch_seq")

@@ -93,6 +93,9 @@ def test_driver_registry_covers_every_family():
         # round-12 eleventh wave (p17 retired — 5 archived greens;
         # control-plane ledgers keep p09/p10/p11/p14 archived)
         "t35_nb_quality_training",
+        # round-12 twelfth wave (p23 retired — 4 archived greens and
+        # the documented host-floor A/B subject; p13/p16 archived)
+        "p42_streaming_nb_refresh",
     ):
         assert must in names
 

@@ -262,7 +262,8 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "primitive Spark has no built-in for, as an Arrow-batched "
      "unicodedata stage vs DuckDB's native nfc_normalize"),
     ("quality classifier",
-     ["t18_quality_classifier", "t35_nb_quality_training"],
+     ["t18_quality_classifier", "t35_nb_quality_training",
+      "p42_streaming_nb_refresh"],
      "hashing-trick linear scoring (fastText-shaped): hashed "
      "unigram+bigram features, broadcast frozen weight table, all-integer "
      "keep decision; t35 closes the gap t18 leaves open — it TRAINS the "
@@ -273,7 +274,15 @@ FAMILIES: list[tuple[str, list[str], str]] = [
      "t29's piecewise-linear integer log2 (whole-bit quantization "
      "measurably collapses to the majority class), argmin integer "
      "decision — 8653 bp held-out accuracy at sf0.01, pinned per-source "
-     "in the row"),
+     "in the row; p42 runs the trainer CONTINUOUSLY — the training "
+     "corpus streams in 3 md5 blocks, each foreachBatch trigger folds "
+     "the batch's (word, class) counts into an idempotent per-batch "
+     "model ledger (sufficient statistics are associative — the s13 "
+     "incremental-fold lesson applied to a MODEL, O(batch + vocab) per "
+     "trigger) and re-scores the fixed held-out set; the final batch's "
+     "cumulative counts equal the one-shot training set, so the stream "
+     "provably converges to t35's model (8365 -> 8461 -> 8653 bp at "
+     "sf0.01, last row pinned equal)"),
     ("batch shaping",
      ["t21_padding_waste"],
      "padding-waste measurement for fixed-size batches, arrival vs "
