@@ -641,12 +641,13 @@ DRIVER_RETIRED: frozenset[str] = frozenset(
         # Round-12 eighth wave: one slot for s20 (margin-based bitext
         # mining — the LASER/CCMatrix parallel-pair rule):
         "t08_token_chunks",  # chunking/packing — 4 greens (r8-r11);
-        # the family keeps t32 (UDTF chunk explode) in-window and
-        # t14/t21 archived
+        # the family is archived-deep: t14/t21 (4+ greens) and t32
+        # (2 greens, retired r11)
         # Round-12 ninth wave: one slot for s21 (IVF-bucketed margin
         # mining — the scale form of s20):
         "t23_term_retrieval",  # token retrieval — 4 greens (r8-r11);
-        # t29 (BM25, the stronger retrieval rep) stays in-window
+        # retrieval is archived-deep: t29 BM25 (3 greens, retired
+        # r11) + t23's own 4
         # Round-12 tenth wave: one slot for t34 (unigram-LM Viterbi
         # segmentation — the SentencePiece half of tokenizer training):
         "t17_bpe_encoding",  # BPE encode — 4 greens (r8-r11); the
