@@ -119,7 +119,17 @@ class IvfPqIndex:
         dependent computation so the disk state is authoritative."""
         spark = corpus.sparkSession
         self.coarse.train(corpus, id_col, vec_col)
-        resid = self._residuals(spark, corpus, id_col, vec_col)
+        # The residual frame feeds every remaining training step —
+        # n_iter Lloyd rounds, the encode pass, and the cell join —
+        # and each of those is an action that would otherwise replay
+        # the corpus⋈assignments⋈centroids join from scratch (guide
+        # §5: persist what is reused AND expensive to recompute). The
+        # frame is narrow (id, cell, rv).
+        from hyppo_worker_spark.session import tracked_persist
+
+        resid = tracked_persist(
+            self._residuals(spark, corpus, id_col, vec_col)
+        )
         books = pq_codebooks(
             resid, "vec_id", "rv",
             m=self.m, k=self.k, dim=self.dim, n_iter=self.n_iter,

@@ -85,8 +85,16 @@ def pq_codebooks(
     previous centroid.
     """
     from hyppo_worker_spark.operators.similarity import seed_centroid_ids
+    from hyppo_worker_spark.session import tracked_persist
 
-    subs = pq_subvectors(corpus, id_col, vec_col, m=m, dim=dim)
+    # the exploded (vec, subspace) frame is re-consumed by the seed
+    # scan and by EVERY Lloyd round's assignment (each round ends in
+    # an eager localCheckpoint, i.e. an action) — persist it once
+    # instead of replaying the corpus scan + explode per round
+    # (guide §5); narrow rows: (id, m, d/m doubles)
+    subs = tracked_persist(
+        pq_subvectors(corpus, id_col, vec_col, m=m, dim=dim)
+    )
     cents = subs.join(
         F.broadcast(seed_centroid_ids(subs, "__id", k)), "__id"
     ).select("m", "cent_id", F.col("sv").alias("cent"))

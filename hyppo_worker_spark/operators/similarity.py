@@ -222,6 +222,135 @@ def seed_centroid_ids(ids: DataFrame, id_col: str, k: int) -> DataFrame:
     )
 
 
+def argmax_pick(
+    scored: DataFrame,
+    keys: list[str],
+    order_col,
+    tie_col,
+    picks: dict,
+) -> DataFrame:
+    """Per ``keys`` group, the ``picks`` columns of the row ranking
+    FIRST by (``order_col`` DESC, ``tie_col`` ASC) — value-identical
+    to the ``row_number().over(...) == 1`` window it replaces:
+    ``max_by`` over a ``(order, -tie)`` struct uses the same total
+    order as the sort (struct comparison, NaN greatest), and
+    ``tie_col`` is unique within a group so the pick is deterministic.
+
+    Why (guide §2.3/§2.4): the window form shuffles ALL k candidate
+    rows per key — each carrying the wide payload — then sorts every
+    partition; here partial aggregation collapses the k candidates
+    map-side, so the exchange moves ONE narrow row per key and no
+    sort runs. Same exchange count, k× fewer shuffled rows (the
+    candidate fan-out never crosses the wire), no per-partition sort.
+    """
+    val = F.struct(*[c.alias(a) for a, c in picks.items()])
+    ordk = F.struct(order_col.alias("__o"), (-tie_col).alias("__nt"))
+    agg = scored.groupBy(*keys).agg(F.max_by(val, ordk).alias("__a"))
+    return agg.select(
+        *keys, *[F.col(f"__a.{a}").alias(a) for a in picks]
+    )
+
+
+def topn_cells(
+    scored: DataFrame,
+    keys: list[str],
+    order_col,
+    cell_col,
+    payload: dict,
+    n: int,
+) -> DataFrame:
+    """Per ``keys`` group: the ``payload`` columns (constant within
+    the group) plus the top-``n`` cells by (``order_col`` DESC,
+    ``cell_col`` ASC), exploded one row per picked cell — replaces
+    ``row_number().over(...) <= n`` with a single aggregation
+    (``argmax_pick``'s contract generalized to n > 1): the per-key
+    candidate list is collected map-side as (order, -cell) pairs,
+    sorted with the same struct total order the window sort used
+    (NaN greatest), reversed (order DESC, cell ASC) and sliced. The
+    exchange carries one row per key with k tiny structs + one
+    payload copy instead of k full payload copies, and no
+    partition-wide sort runs. ``cell_col`` must be unique within a
+    group (it is the tie-break)."""
+    pay = F.struct(*[c.alias(a) for a, c in payload.items()])
+    pair = F.struct(order_col.alias("__o"), (-cell_col).alias("__nc"))
+    agg = scored.groupBy(*keys).agg(
+        F.max_by(pay, pair).alias("__p"),
+        F.slice(
+            F.reverse(F.array_sort(F.collect_list(pair))), 1, n
+        ).alias("__top"),
+    )
+    return agg.select(
+        *keys, "__p", F.explode("__top").alias("__t")
+    ).select(
+        *keys,
+        *[F.col(f"__p.{a}").alias(a) for a in payload],
+        (-F.col("__t.__nc")).alias("cell"),
+    )
+
+
+def rowwise_assign(
+    df: DataFrame,
+    cents: DataFrame,
+    sim,
+    *,
+    cent_cols: tuple = ("cent_id", "cent", "cent_norm"),
+    probes: int = 1,
+    cell_name: str = "cell",
+) -> DataFrame:
+    """``df`` plus ``cell_name``: each row's ``probes`` best centroids
+    by (``sim`` DESC, centroid-id ASC), computed IN-ROW over the
+    whole (tiny) centroid table packed into ONE broadcast array value.
+
+    Replaces the broadcast-join + row_number-window assignment shape
+    (guide §2.4 — remove shuffles outright): the join fanned every
+    row out k ways (each candidate row carrying the full vector AND
+    one centroid) and then shuffled + sorted that fan-out back down;
+    here no candidate row ever exists — the centroid array rides in
+    once per row and the argmax is a per-row array_sort over k tiny
+    (sim, -id) structs. Bytes per row: dim + k·dim doubles transient,
+    strictly below the join's k·2·dim; exchanges added: zero.
+
+    Value-identical to the window form: ``array_sort`` uses the same
+    struct total order the window's orderBy used (sim DESC via
+    reverse, id ASC via the negated id, NaN ordered greatest), and
+    the centroid id is unique, so the ranking is total and
+    deterministic. ``sim`` is a callable mapping the centroid struct
+    (fields ``cent_cols``) to the similarity Column — the SAME
+    expression the window form computed per joined row, so every
+    double is bit-identical. ``cents`` must be small enough to
+    broadcast — the same precondition the broadcast join already had
+    (PLANS.md whitelists these centroid-table NLJs; past the
+    broadcast ceiling the two-level path applies, unchanged)."""
+    id_col = cent_cols[0]
+    arr = cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(*[F.col(c).alias(c) for c in cent_cols])
+            )
+        ).alias("__cents")
+    )
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            sim(c).alias("__o"), (-c[id_col]).alias("__nc")
+        ),
+    )
+    out = df.crossJoin(F.broadcast(arr))
+    if probes == 1:
+        # single-probe: array_max picks the same struct the
+        # descending sort would rank first (identical struct total
+        # order) in one O(k) pass — no sort, no slice
+        return out.withColumn(
+            cell_name, -F.array_max(scored)["__nc"]
+        ).drop("__cents")
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, probes)
+    return (
+        out.withColumn("__t", F.explode(top))
+        .withColumn(cell_name, -F.col("__t")["__nc"])
+        .drop("__cents", "__t")
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -260,21 +389,17 @@ def kmeans_centroids(
     )
     for _ in range(n_iter):
         cn = cents.withColumn("cent_norm", V.norm(F.col("cent")))
-        scored = (
-            vecs.withColumn("__vnorm", V.norm(F.col("__v")))
-            .join(F.broadcast(cn))
-            .withColumn(
-                "__sim",
-                V.dot(F.col("__v"), F.col("cent"))
-                / (F.col("__vnorm") * F.col("cent_norm")),
-            )
-        )
-        w = W.partitionBy("__id").orderBy(F.col("__sim").desc(), "cent_id")
-        assigned = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("__id", "__v", F.col("cent_id").alias("cell"))
-        )
+        # in-row argmax over the broadcast centroid array (guide
+        # §2.4): the window form fanned every vector out k ways
+        # through a nested-loop join and shuffled+sorted the fan-out;
+        # this computes the identical (__sim DESC, cent_id ASC) pick
+        # per row with zero exchanges (see rowwise_assign)
+        assigned = rowwise_assign(
+            vecs.withColumn("__vnorm", V.norm(F.col("__v"))),
+            cn,
+            lambda c: V.dot(F.col("__v"), c["cent"])
+            / (F.col("__vnorm") * c["cent_norm"]),
+        ).select("__id", "__v", "cell")
         sums = (
             assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -336,17 +461,17 @@ def ivf_assign(
     v = df.select(
         F.col(id_col).alias("__id"), V.as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__vnorm", V.norm(F.col("__v")))
-    scored = v.join(F.broadcast(cents)).withColumn(
-        "__sim",
-        V.dot(F.col("__v"), F.col("cent"))
-        / (F.col("__vnorm") * F.col("cent_norm")),
-    )
-    w = W.partitionBy("__id").orderBy(F.col("__sim").desc(), "cent_id")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= probes)
-        .select("__id", "__v", "__vnorm", F.col("cent_id").alias("cell"))
-    )
+    # in-row top-`probes` over the broadcast centroid array (guide
+    # §2.4): identical (__sim DESC, cent_id ASC) ranking to the
+    # row_number window this replaces, zero exchanges, no k-way
+    # candidate fan-out (see rowwise_assign)
+    return rowwise_assign(
+        v,
+        cents,
+        lambda c: V.dot(F.col("__v"), c["cent"])
+        / (F.col("__vnorm") * c["cent_norm"]),
+        probes=probes,
+    ).select("__id", "__v", "__vnorm", "cell")
 
 
 def knn_ivf(
@@ -467,18 +592,20 @@ def two_level_assign(
         # once per (row x coarse-centroid) pair — same doubles, same
         # rounding, sqrt(k)-fold less folding
         df = df.withColumn("__vn", V.norm(F.col(vcol)))
-        sim = V.dot(F.col(vcol), F.col("ccent")) / (
-            F.col("__vn") * F.col("cnorm")
-        )
-        w = W.partitionBy(idcol).orderBy(
-            F.round(sim, round_to).desc(), "coarse_id"
-        )
-        return (
-            df.join(F.broadcast(coarse))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(idcol, "coarse_id")
-        )
+        # in-row argmax over the broadcast coarse table (guide §2.4):
+        # identical (rounded-sim DESC, coarse_id ASC) pick with zero
+        # exchanges and no sqrt(k)-way fan-out (see rowwise_assign)
+        return rowwise_assign(
+            df,
+            coarse,
+            lambda c: F.round(
+                V.dot(F.col(vcol), c["ccent"])
+                / (F.col("__vn") * c["cnorm"]),
+                round_to,
+            ),
+            cent_cols=("coarse_id", "ccent", "cnorm"),
+            cell_name="coarse_id",
+        ).select(idcol, "coarse_id")
 
     fine2coarse = _argmax_coarse(
         cents.select("cent_id", F.col("cent")), "cent", "cent_id"
@@ -489,16 +616,36 @@ def two_level_assign(
     )
     # vector norm hoisted out of the refine join's pair expression too
     vecs_n = vecs.withColumn("__vn", V.norm(F.col("__v")))
-    sim = V.dot(F.col("__v"), F.col("cent")) / (
-        F.col("__vn") * F.col("fnorm")
+    # refine argmax IN-ROW over the per-coarse-group fine-centroid
+    # arrays (guide §2.4): each vector joins ONE array row (its
+    # group's fine centroids) instead of fanning out k/sqrt(k)
+    # candidate rows through a join + window shuffle — identical
+    # (rounded-sim DESC, cent_id ASC) pick via the same struct total
+    # order (see rowwise_assign's contract).
+    farr = fine.groupBy("coarse_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent", "fnorm"))
+        ).alias("__cents")
     )
-    w = W.partitionBy("__id").orderBy(F.round(sim, round_to).desc(), "cent_id")
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.round(
+                V.dot(F.col("__v"), c["cent"])
+                / (F.col("__vn") * c["fnorm"]),
+                round_to,
+            ).alias("__o"),
+            (-c["cent_id"]).alias("__nc"),
+        ),
+    )
+    # array_max = the descending sort's first struct (same total
+    # order), one O(k) pass instead of sort+reverse
+    best = F.array_max(scored)
     return (
         vecs_n.join(v2coarse, "__id")
-        .join(fine, "coarse_id")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__id", F.col("cent_id").alias("cell"))
+        .join(F.broadcast(farr), "coarse_id")
+        .withColumn("cell", -best["__nc"])
+        .select("__id", "cell")
     )
 
 
@@ -577,20 +724,42 @@ def margin_mine_pairs(pairs: DataFrame, k: int = 4) -> DataFrame:
     subset the denominators use each endpoint's top-min(k, |cand|)
     candidates — the standard index-backed relaxation."""
     pairs = tracked_persist(pairs)
-    wf = W.partitionBy("a_id").orderBy(F.col("cos6").desc(), "b_id")
-    fsum = (
-        pairs.withColumn("__r", F.row_number().over(wf))
-        .filter(F.col("__r") <= k)
-        .groupBy("a_id")
-        .agg(F.sum("cos6").alias("fsum"))
-    )
-    wb = W.partitionBy("b_id").orderBy(F.col("cos6").desc(), "a_id")
-    bsum = (
-        pairs.withColumn("__r", F.row_number().over(wb))
-        .filter(F.col("__r") <= k)
-        .groupBy("b_id")
-        .agg(F.sum("cos6").alias("bsum"))
-    )
+
+    def _topk_sum(key: str, tie: str, out: str) -> DataFrame:
+        # top-k cos6 sum per endpoint WITHOUT a window (guide §2.3):
+        # collect the (cos6, -tie) pairs per key, sort with the same
+        # struct total order the window sort used, slice k, fold the
+        # integer sum. The sum is tie-insensitive (equal cos6 at the
+        # boundary contributes the same value either way), so this is
+        # value-identical to the row_number(<=k)-then-sum form while
+        # skipping the partition-wide sort — the per-key array is
+        # bounded by the candidate count (all-pairs form is the
+        # documented quadratic oracle; the production s21 form bounds
+        # candidates per cell).
+        top = F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("cos6").alias("__o"),
+                            (-F.col(tie)).alias("__nt"),
+                        )
+                    )
+                )
+            ),
+            1,
+            k,
+        )
+        return pairs.groupBy(key).agg(
+            F.aggregate(
+                top,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["__o"],
+            ).alias(out)
+        )
+
+    fsum = _topk_sum("a_id", "b_id", "fsum")
+    bsum = _topk_sum("b_id", "a_id", "bsum")
     m = (
         pairs.filter(F.col("cos6") > 0)
         .join(F.broadcast(fsum), "a_id")
@@ -602,16 +771,20 @@ def margin_mine_pairs(pairs: DataFrame, k: int = 4) -> DataFrame:
         )
         .transform(tracked_persist)
     )
-    wfb = W.partitionBy("a_id").orderBy(F.col("margin_bp").desc(), "b_id")
-    fwd_best = (
-        m.withColumn("__r", F.row_number().over(wfb))
-        .filter(F.col("__r") == 1)
-        .select("a_id", "b_id", "cos6", "margin_bp")
-    )
-    wbb = W.partitionBy("b_id").orderBy(F.col("margin_bp").desc(), "a_id")
-    bwd_best = (
-        m.withColumn("__r", F.row_number().over(wbb))
-        .filter(F.col("__r") == 1)
-        .select("a_id", "b_id")
-    )
+    # mutual argmax via max_by, not windows (guide §2.3): identical
+    # (margin_bp DESC, other-id ASC) picks, but the candidate rows
+    # collapse map-side before each exchange instead of shuffling and
+    # sorting the full pair table twice
+    fwd_best = argmax_pick(
+        m, ["a_id"], F.col("margin_bp"), F.col("b_id"),
+        {
+            "b_id": F.col("b_id"),
+            "cos6": F.col("cos6"),
+            "margin_bp": F.col("margin_bp"),
+        },
+    ).select("a_id", "b_id", "cos6", "margin_bp")
+    bwd_best = argmax_pick(
+        m, ["b_id"], F.col("margin_bp"), F.col("a_id"),
+        {"a_id": F.col("a_id")},
+    ).select("a_id", "b_id")
     return fwd_best.join(bwd_best, ["a_id", "b_id"])
