@@ -5461,6 +5461,17 @@ def p40_streaming_bloom_manifest(
 
     probes = spark.range(1, 4).select(F.col("id").alias("o_custkey"))
     data_all = spark.read.option("basePath", data_dir).parquet(data_dir)
+    # probe-key arrivals per block in ONE unpruned pass (3 rows) —
+    # the per-boundary no-false-negatives reference counts are prefix
+    # sums of these (guide §1.2: don't rescan the base table per
+    # boundary)
+    probe_blk_counts = {
+        int(r["b"]): int(r["n"])
+        for r in orders.join(F.broadcast(probes), "o_custkey")
+        .groupBy(TX.md5_bucket("o_orderkey", 3).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }  # bounded pull: ≤3 rows
     out_rows = []
     for s in range(3):
         # the global manifest at batch s: bit_or fold of the per-batch
@@ -5512,12 +5523,11 @@ def p40_streaming_bloom_manifest(
             .orderBy("o_custkey")
         ).collect()  # 3 probe rows — bounded pull
         # no false negatives AT THIS BOUNDARY: the pruned read found
-        # every probe-key order that had arrived by batch s
-        full_n = (
-            orders.filter(TX.md5_bucket("o_orderkey", 3) <= s)
-            .join(F.broadcast(probes), "o_custkey")
-            .count()
-        )
+        # every probe-key order that had arrived by batch s — the
+        # unpruned reference count is the prefix sum of the per-block
+        # probe-key counts pulled ONCE before the loop (integers;
+        # value-identical to the per-boundary rescan this replaces)
+        full_n = sum(n for b, n in probe_blk_counts.items() if b <= s)
         nfn = sum(r["n_orders"] for r in core) == full_n
         for r in core:
             out_rows.append(
@@ -5693,6 +5703,20 @@ def p41_streaming_deletion_vectors(
         )
         drain_stream(q, 300)
 
+    # arrivals per block in ONE pass over the delete feed (3 rows)
+    # instead of re-scanning the orders-derived feed at every batch
+    # boundary (guide §1.2: don't compute things twice) — the
+    # cumulative count at boundary s is the prefix sum of the block
+    # counts, integers, value-identical to the per-boundary filter
+    # counts this replaces
+    blk_counts = {
+        int(r["b"]): int(r["n"])
+        for r in retract.groupBy(
+            TX.md5_bucket("o_orderkey", 3).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }  # bounded pull: 3 rows
     out_rows = []
     for s in range(3):
         dv = dv_merge(
@@ -5716,9 +5740,7 @@ def p41_streaming_deletion_vectors(
                 F.sum(F.bit_count("bits_w")).cast("long").alias("n")
             ).collect()[0]["n"]
         )  # bounded pull: 1 row
-        arrived = (
-            retract.filter(TX.md5_bucket("o_orderkey", 3) <= s).count()
-        )
+        arrived = sum(n for b, n in blk_counts.items() if b <= s)
         pop_ok = pop == arrived
         rows = {
             r["o_orderstatus"]: (int(r["n_live"]), int(r["revenue_cents"]))
