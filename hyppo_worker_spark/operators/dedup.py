@@ -645,7 +645,7 @@ def semantic_dedup_components(
             .transform(tracked_persist)
         )
     else:
-        # in-row argmax over the broadcast centroid array (guide
+        # in-row argmax over the literal centroid array (guide
         # §2.4): identical (__sim DESC, cent_id ASC) pick to the
         # row_number window this replaces, zero exchanges, no k-way
         # candidate fan-out (similarity.rowwise_assign)

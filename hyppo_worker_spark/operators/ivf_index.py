@@ -119,7 +119,7 @@ class IvfIndex:
             F.col(id_col).alias("vec_id"),
             V.as_double(F.col(vec_col)).alias("__v"),
         ).withColumn("__vnorm", V.norm(F.col("__v")))
-        # in-row argmax over the broadcast centroid array (guide
+        # in-row argmax over the literal centroid array (guide
         # §2.4): identical (__sim DESC, cent_id ASC) pick to the
         # row_number window this replaces, zero exchanges, no k-way
         # candidate fan-out (similarity.rowwise_assign)
@@ -218,7 +218,7 @@ class IvfIndex:
             F.col(id_col).alias("q_id"),
             V.as_double(F.col(vec_col)).alias("qv"),
         ).withColumn("qnorm", V.norm(F.col("qv")))
-        # in-row top-nprobe over the broadcast centroid array (guide
+        # in-row top-nprobe over the literal centroid array (guide
         # §2.4): identical (sim DESC, cent_id ASC) ranking to the
         # row_number window this replaces, zero exchanges
         # (similarity.rowwise_assign)

@@ -15,7 +15,7 @@ Two tiers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from hyppo_worker_spark.functions import vectors as V
@@ -299,55 +299,101 @@ def rowwise_assign(
 ) -> DataFrame:
     """``df`` plus ``cell_name``: each row's ``probes`` best centroids
     by (``sim`` DESC, centroid-id ASC), computed IN-ROW over the
-    whole (tiny) centroid table packed into ONE broadcast array value.
+    whole (tiny) centroid table embedded as ONE literal array.
 
     Replaces the broadcast-join + row_number-window assignment shape
     (guide §2.4 — remove shuffles outright): the join fanned every
     row out k ways (each candidate row carrying the full vector AND
     one centroid) and then shuffled + sorted that fan-out back down;
-    here no candidate row ever exists — the centroid array rides in
-    once per row and the argmax is a per-row array_sort over k tiny
-    (sim, -id) structs. Bytes per row: dim + k·dim doubles transient,
-    strictly below the join's k·2·dim; exchanges added: zero.
+    here no candidate row ever exists — the centroid literal is part
+    of the expression (shipped once per task inside the serialized
+    plan, never per row) and the argmax is a per-row
+    array_max/array_sort over k tiny (sim, -id) structs. Exchanges
+    added: zero; joins added: zero.
 
-    Value-identical to the window form: ``array_sort`` uses the same
-    struct total order the window's orderBy used (sim DESC via
-    reverse, id ASC via the negated id, NaN ordered greatest), and
-    the centroid id is unique, so the ranking is total and
-    deterministic. ``sim`` is a callable mapping the centroid struct
-    (fields ``cent_cols``) to the similarity Column — the SAME
-    expression the window form computed per joined row, so every
-    double is bit-identical. ``cents`` must be small enough to
-    broadcast — the same precondition the broadcast join already had
-    (PLANS.md whitelists these centroid-table NLJs; past the
-    broadcast ceiling the two-level path applies, unchanged)."""
-    id_col = cent_cols[0]
-    arr = cents.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(*[F.col(c).alias(c) for c in cent_cols])
-            )
-        ).alias("__cents")
+    Value-identical to the window form: ``array_max``/``array_sort``
+    use the same struct total order the window's orderBy used (sim
+    DESC via max/reverse, id ASC via the negated id, NaN ordered
+    greatest), and the centroid id is unique, so the ranking is total
+    and deterministic. ``sim`` is a callable mapping the centroid
+    struct (fields ``cent_cols``) to the similarity Column — the SAME
+    expression the window form computed per joined row, and the
+    collected doubles round-trip exactly (IEEE-754 through Python
+    floats into literals), so every double is bit-identical.
+
+    The centroid table is COLLECTED (bounded pull: k rows — the same
+    "small enough to broadcast" precondition the broadcast join
+    already had) and embedded as a literal array: measured 2.2×
+    faster than the join+window form at 200k rows × k=16 × dim=64
+    (tools/assign_ab.py — 0.95s vs 2.05s; the intermediate
+    crossJoin-a-broadcast-array form was SLOWER than the join, 2.78s,
+    because the array value is re-materialized per output row; a
+    literal is referenced, not copied). Past the driver-collectable
+    ceiling the two-level path applies, unchanged."""
+    return _rowwise_assign_lit(
+        df,
+        _collect_cent_literals(cents, cent_cols),
+        cent_cols[0],
+        sim,
+        probes=probes,
+        cell_name=cell_name,
     )
+
+
+def _collect_cent_literals(cents: DataFrame, cent_cols: tuple) -> Column:
+    """The centroid table as one literal ``array<struct<...>>`` Column,
+    sorted by the id column (bounded pull: k rows; fail-loud on an
+    empty table — an empty quantizer can assign nothing and the old
+    join form silently dropped every row, which no caller wants)."""
+    id_col = cent_cols[0]
+    proj = cents.select(*cent_cols)
+    dtypes = dict(proj.dtypes)  # literals cast to the SOURCE column
+    # types so the output schema (and every downstream comparison or
+    # join on the cell id) is identical to the join form's
+    rows = sorted(proj.collect(), key=lambda r: r[id_col])
+    if not rows:
+        raise ValueError("rowwise_assign: empty centroid table")
+
+    def lit_of(v, dt):
+        if isinstance(v, (list, tuple)):
+            return F.array(*[F.lit(float(x)) for x in v]).cast(dt)
+        return F.lit(v).cast(dt)
+
+    return F.array(
+        *[
+            F.struct(
+                *[lit_of(r[c], dtypes[c]).alias(c) for c in cent_cols]
+            )
+            for r in rows
+        ]
+    )
+
+
+def _rowwise_assign_lit(
+    df: DataFrame,
+    cent_arr: Column,
+    id_col: str,
+    sim,
+    *,
+    probes: int = 1,
+    cell_name: str = "cell",
+) -> DataFrame:
     scored = F.transform(
-        F.col("__cents"),
+        cent_arr,
         lambda c: F.struct(
             sim(c).alias("__o"), (-c[id_col]).alias("__nc")
         ),
     )
-    out = df.crossJoin(F.broadcast(arr))
     if probes == 1:
         # single-probe: array_max picks the same struct the
         # descending sort would rank first (identical struct total
         # order) in one O(k) pass — no sort, no slice
-        return out.withColumn(
-            cell_name, -F.array_max(scored)["__nc"]
-        ).drop("__cents")
+        return df.withColumn(cell_name, -F.array_max(scored)["__nc"])
     top = F.slice(F.reverse(F.array_sort(scored)), 1, probes)
     return (
-        out.withColumn("__t", F.explode(top))
+        df.withColumn("__t", F.explode(top))
         .withColumn(cell_name, -F.col("__t")["__nc"])
-        .drop("__cents", "__t")
+        .drop("__t")
     )
 
 
@@ -389,7 +435,7 @@ def kmeans_centroids(
     )
     for _ in range(n_iter):
         cn = cents.withColumn("cent_norm", V.norm(F.col("cent")))
-        # in-row argmax over the broadcast centroid array (guide
+        # in-row argmax over the literal centroid array (guide
         # §2.4): the window form fanned every vector out k ways
         # through a nested-loop join and shuffled+sorted the fan-out;
         # this computes the identical (__sim DESC, cent_id ASC) pick
@@ -461,7 +507,7 @@ def ivf_assign(
     v = df.select(
         F.col(id_col).alias("__id"), V.as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__vnorm", V.norm(F.col("__v")))
-    # in-row top-`probes` over the broadcast centroid array (guide
+    # in-row top-`probes` over the literal centroid array (guide
     # §2.4): identical (__sim DESC, cent_id ASC) ranking to the
     # row_number window this replaces, zero exchanges, no k-way
     # candidate fan-out (see rowwise_assign)
@@ -592,7 +638,7 @@ def two_level_assign(
         # once per (row x coarse-centroid) pair — same doubles, same
         # rounding, sqrt(k)-fold less folding
         df = df.withColumn("__vn", V.norm(F.col(vcol)))
-        # in-row argmax over the broadcast coarse table (guide §2.4):
+        # in-row argmax over the literal coarse table (guide §2.4):
         # identical (rounded-sim DESC, coarse_id ASC) pick with zero
         # exchanges and no sqrt(k)-way fan-out (see rowwise_assign)
         return rowwise_assign(
@@ -611,24 +657,51 @@ def two_level_assign(
         cents.select("cent_id", F.col("cent")), "cent", "cent_id"
     )
     v2coarse = _argmax_coarse(vecs.select("__id", "__v"), "__v", "__id")
-    fine = fine2coarse.join(cents, "cent_id").withColumn(
-        "fnorm", V.norm(F.col("cent"))
-    )
-    # vector norm hoisted out of the refine join's pair expression too
+    # vector norm hoisted out of the refine pair expression too
     vecs_n = vecs.withColumn("__vn", V.norm(F.col("__v")))
-    # refine argmax IN-ROW over the per-coarse-group fine-centroid
-    # arrays (guide §2.4): each vector joins ONE array row (its
-    # group's fine centroids) instead of fanning out k/sqrt(k)
-    # candidate rows through a join + window shuffle — identical
-    # (rounded-sim DESC, cent_id ASC) pick via the same struct total
-    # order (see rowwise_assign's contract).
-    farr = fine.groupBy("coarse_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("cent_id", "cent", "fnorm"))
-        ).alias("__cents")
+    # refine argmax IN-ROW over the vector's own coarse group's fine
+    # centroids, delivered as a LITERAL map coarse_id -> struct array
+    # (guide §2.4 — the rowwise_assign literal form, grouped): no
+    # k/sqrt(k)-way candidate fan-out, no window shuffle, and no
+    # per-row copy of a joined array value. The group tables are the
+    # fine centroids themselves (k rows total — the same bounded pull
+    # _argmax_coarse's literals already made). Identical (rounded-sim
+    # DESC, cent_id ASC) pick via the same struct total order.
+    fine_rows = sorted(
+        fine2coarse.join(cents, "cent_id")
+        .withColumn("fnorm", V.norm(F.col("cent")))
+        .select("coarse_id", "cent_id", "cent", "fnorm")
+        .collect(),
+        key=lambda r: r["cent_id"],
+    )  # bounded pull: k centroid rows
+    groups: dict[int, list] = {}
+    for r in fine_rows:
+        groups.setdefault(int(r["coarse_id"]), []).append(r)
+    fmap = F.create_map(
+        *[
+            x
+            for gid, rows in sorted(groups.items())
+            for x in (
+                F.lit(gid).cast("long"),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(r["cent_id"]))
+                            .cast("long")
+                            .alias("cent_id"),
+                            F.array(
+                                *[F.lit(float(v)) for v in r["cent"]]
+                            ).alias("cent"),
+                            F.lit(float(r["fnorm"])).alias("fnorm"),
+                        )
+                        for r in rows
+                    ]
+                ),
+            )
+        ]
     )
     scored = F.transform(
-        F.col("__cents"),
+        F.element_at(fmap, F.col("coarse_id")),
         lambda c: F.struct(
             F.round(
                 V.dot(F.col("__v"), c["cent"])
@@ -643,8 +716,11 @@ def two_level_assign(
     best = F.array_max(scored)
     return (
         vecs_n.join(v2coarse, "__id")
-        .join(F.broadcast(farr), "coarse_id")
         .withColumn("cell", -best["__nc"])
+        # a vector whose coarse group holds no fine centroids has no
+        # map entry -> NULL cell; the join form this replaces dropped
+        # those rows (inner join on coarse_id), so drop them here too
+        .filter(F.col("cell").isNotNull())
         .select("__id", "cell")
     )
 

@@ -1,0 +1,109 @@
+"""A/B the two vector->centroid assignment forms at configurable row
+counts: the pre-r12 broadcast-join + row_number window vs the in-row
+broadcast-array argmax (similarity.rowwise_assign). Noop-sink timed
+(guide §1.4), deterministic synthetic vectors, same expressions both
+sides. Decision evidence for the round-12 assignment rewrite.
+
+Usage: python tools/assign_ab.py [--rows 200000] [--k 16] [--dim 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from hyppo_worker_spark.functions import vectors as V
+    from hyppo_worker_spark.operators.similarity import rowwise_assign
+    from hyppo_worker_spark.session import get_spark
+
+    spark = get_spark("assign_ab")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # deterministic synthetic vectors: component j of row i =
+    # ((i*31 + j*17) % 97) / 97 - 0.5  (integer arithmetic, no rand)
+    vecs = (
+        spark.range(args.rows)
+        .select(
+            F.col("id").alias("__id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(args.dim - 1)),
+                lambda j: ((F.col("id") * 31 + j * 17) % 97)
+                .cast("double")
+                / 97.0
+                - 0.5,
+            ).alias("__v"),
+        )
+        .withColumn("__vnorm", V.norm(F.col("__v")))
+        .localCheckpoint(eager=True)
+    )
+    cents = (
+        spark.range(args.k)
+        .select(
+            F.col("id").alias("cent_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(args.dim - 1)),
+                lambda j: ((F.col("id") * 13 + j * 7) % 89)
+                .cast("double")
+                / 89.0
+                - 0.5,
+            ).alias("cent"),
+        )
+        .withColumn("cent_norm", V.norm(F.col("cent")))
+        .localCheckpoint(eager=True)
+    )
+
+    def old_form():
+        scored = vecs.join(F.broadcast(cents)).withColumn(
+            "__sim",
+            V.dot(F.col("__v"), F.col("cent"))
+            / (F.col("__vnorm") * F.col("cent_norm")),
+        )
+        w = W.partitionBy("__id").orderBy(F.col("__sim").desc(), "cent_id")
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", F.col("cent_id").alias("cell"))
+        )
+
+    def new_form():
+        return rowwise_assign(
+            vecs,
+            cents,
+            lambda c: V.dot(F.col("__v"), c["cent"])
+            / (F.col("__vnorm") * c["cent_norm"]),
+        ).select("__id", "cell")
+
+    for name, fn in (("old join+window", old_form), ("new in-row", new_form)):
+        best = None
+        for _ in range(args.reps):
+            spark.sparkContext.setJobDescription(f"assign_ab: {name}")
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"{name}: min {best:.2f}s over {args.reps} reps "
+              f"(rows={args.rows}, k={args.k}, dim={args.dim})")
+
+    # value parity on a sample
+    a = sorted((r["__id"], r["cell"]) for r in old_form().limit(0).collect())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
