@@ -323,65 +323,42 @@ def rowwise_assign(
 
     The centroid table is COLLECTED (bounded pull: k rows — the same
     "small enough to broadcast" precondition the broadcast join
-    already had) and embedded as a literal array: measured 2.2×
-    faster than the join+window form at 200k rows × k=16 × dim=64
-    (tools/assign_ab.py — 0.95s vs 2.05s; the intermediate
-    crossJoin-a-broadcast-array form was SLOWER than the join, 2.78s,
-    because the array value is re-materialized per output row; a
-    literal is referenced, not copied). Past the driver-collectable
-    ceiling the two-level path applies, unchanged."""
-    return _rowwise_assign_lit(
-        df,
-        _collect_cent_literals(cents, cent_cols),
-        cent_cols[0],
-        sim,
-        probes=probes,
-        cell_name=cell_name,
-    )
+    already had) and embedded as ONE packed literal per column
+    (``F.lit(list)`` → a single ArrayType Literal node). The packing
+    matters: a per-value literal tree (k·dim scalar literals) changes
+    the generated code on EVERY new centroid set, so each Lloyd round
+    or freshly trained query recompiles — measured 3.9s median with
+    16s spikes per 2k-row action. One ArrayType literal rides in the
+    codegen references array, so the generated source is stable
+    across centroid values and the plan cache holds: fresh-values A/B
+    (tools/assign_ab.py) measures the packed form at parity with the
+    join+window at 2k rows (1.10s vs 1.11s per action) and slightly
+    ahead at 200k (1.96s vs 2.05s) while the exchange, the window
+    sort, and the k-way fan-out are gone from the plan. Past the
+    driver-collectable ceiling the two-level path applies,
+    unchanged.
 
-
-def _collect_cent_literals(cents: DataFrame, cent_cols: tuple) -> Column:
-    """The centroid table as one literal ``array<struct<...>>`` Column,
-    sorted by the id column (bounded pull: k rows; fail-loud on an
-    empty table — an empty quantizer can assign nothing and the old
-    join form silently dropped every row, which no caller wants)."""
+    ``cents`` is a DataFrame (collected here: one bounded k-row job)
+    or a list of already-driver-resident mappings — callers holding
+    the centroids in Python (the kmeans loop) pass the list and skip
+    the collect entirely."""
+    k, packed = _packed_cent_literals(cents, cent_cols)
     id_col = cent_cols[0]
-    proj = cents.select(*cent_cols)
-    dtypes = dict(proj.dtypes)  # literals cast to the SOURCE column
-    # types so the output schema (and every downstream comparison or
-    # join on the cell id) is identical to the join form's
-    rows = sorted(proj.collect(), key=lambda r: r[id_col])
-    if not rows:
-        raise ValueError("rowwise_assign: empty centroid table")
 
-    def lit_of(v, dt):
-        if isinstance(v, (list, tuple)):
-            return F.array(*[F.lit(float(x)) for x in v]).cast(dt)
-        return F.lit(v).cast(dt)
+    def cstruct(i):
+        return F.struct(
+            *[F.element_at(packed[c], i).alias(c) for c in cent_cols]
+        )
 
-    return F.array(
-        *[
-            F.struct(
-                *[lit_of(r[c], dtypes[c]).alias(c) for c in cent_cols]
-            )
-            for r in rows
-        ]
-    )
-
-
-def _rowwise_assign_lit(
-    df: DataFrame,
-    cent_arr: Column,
-    id_col: str,
-    sim,
-    *,
-    probes: int = 1,
-    cell_name: str = "cell",
-) -> DataFrame:
+    # GetStructField over this CreateNamedStruct collapses to the
+    # element_at expressions in the optimizer — the struct exists
+    # only so `sim` keeps the same field-access interface the joined
+    # row had.
     scored = F.transform(
-        cent_arr,
-        lambda c: F.struct(
-            sim(c).alias("__o"), (-c[id_col]).alias("__nc")
+        F.sequence(F.lit(1), F.lit(int(k))),
+        lambda i: F.struct(
+            sim(cstruct(i)).alias("__o"),
+            (-F.element_at(packed[id_col], i)).alias("__nc"),
         ),
     )
     if probes == 1:
@@ -395,6 +372,45 @@ def _rowwise_assign_lit(
         .withColumn(cell_name, -F.col("__t")["__nc"])
         .drop("__t")
     )
+
+
+def _packed_cent_literals(cents, cent_cols: tuple) -> tuple[int, dict]:
+    """The centroid table collected (bounded pull: k rows, sorted by
+    the id column; fail-loud on an empty table — the old join form
+    silently dropped every row) and packed as ONE ArrayType literal
+    per column, cast to the SOURCE column types so the output schema
+    (and every downstream comparison or join on the cell id) is
+    identical to the join form's. ``cents`` may already be a list of
+    driver-resident mappings (no job at all — long ids / double
+    arrays assumed, the type every assignment path uses). Returns
+    (k, {col: literal})."""
+    id_col = cent_cols[0]
+    if isinstance(cents, DataFrame):
+        proj = cents.select(*cent_cols)
+        dtypes = dict(proj.dtypes)
+        rows = sorted(proj.collect(), key=lambda r: r[id_col])
+    else:
+        rows = sorted(cents, key=lambda r: r[id_col])
+        dtypes = {
+            c: (
+                "array<double>"
+                if rows and isinstance(rows[0][c], (list, tuple))
+                else ("bigint" if c == id_col else "double")
+            )
+            for c in cent_cols
+        }
+    if not rows:
+        raise ValueError("rowwise_assign: empty centroid table")
+    packed = {}
+    for c in cent_cols:
+        vals = [r[c] for r in rows]
+        if isinstance(vals[0], (list, tuple)):
+            packed[c] = F.lit(
+                [[float(x) for x in v] for v in vals]
+            ).cast(f"array<{dtypes[c]}>")
+        else:
+            packed[c] = F.lit(list(vals)).cast(f"array<{dtypes[c]}>")
+    return len(rows), packed
 
 
 def kmeans_centroids(
@@ -411,8 +427,9 @@ def kmeans_centroids(
       renumbered via :func:`seed_centroid_ids` (a fixed seed —
       deterministic, mirrorable in SQL; equals ``id < k`` on the
       0-based contiguous id spaces the oracles assume).
-    - **Assign**: broadcast the tiny centroid set, argmax cosine per
-      vector (ties → lowest cent_id). One corpus scan, no shuffle.
+    - **Assign**: in-row argmax cosine per vector over the packed
+      literal centroid set (ties → lowest cent_id). One corpus scan,
+      ZERO exchanges (see :func:`rowwise_assign`).
     - **Update**: per-cell component means computed on a fixed-point
       integer grid — ``floor(x * 1e6)`` summed as longs, divided back
       once. Integer addition commutes, so the result does not depend
@@ -422,27 +439,49 @@ def kmeans_centroids(
       (cell, component) over exploded components — at 100 TB this is
       the textbook distributed-Lloyd layout (each executor emits
       partial integer sums map-side).
+    - The centroid state lives on the DRIVER between rounds (k·dim
+      doubles): each round is exactly ONE job — collect the bounded
+      (cell, pos, sum, n) aggregate (k·dim rows of integers) — and
+      the mean/empty-cell-coalesce arithmetic happens in Python with
+      the identical IEEE-754 operations the per-round DataFrame
+      update used (exact-integer operands, one double division), so
+      centroids are bit-identical. This replaces the per-round
+      localCheckpoint job + broadcast build of the join form.
     - An emptied cell keeps its previous centroid.
     """
     vecs = corpus.select(
         F.col(id_col).alias("__id"), V.as_double(F.col(vec_col)).alias("__v")
-    )
-    cents = (
+    ).withColumn("__vnorm", V.norm(F.col("__v")))
+    seed_rows = (
         vecs.join(
             F.broadcast(seed_centroid_ids(vecs, "__id", n_centroids)), "__id"
         )
         .select("cent_id", F.col("__v").alias("cent"))
+        .collect()
+    )  # bounded pull: n_centroids rows
+    rows = sorted(
+        ((int(r["cent_id"]), [float(x) for x in r["cent"]]) for r in seed_rows)
     )
+    spark = corpus.sparkSession
+
+    def py_norm(cent: list) -> float:
+        # the exact fold V.norm performs: sequential left fold of
+        # x*x then sqrt — bit-identical doubles
+        import math
+
+        acc = 0.0
+        for x in cent:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
     for _ in range(n_iter):
-        cn = cents.withColumn("cent_norm", V.norm(F.col("cent")))
-        # in-row argmax over the literal centroid array (guide
-        # §2.4): the window form fanned every vector out k ways
-        # through a nested-loop join and shuffled+sorted the fan-out;
-        # this computes the identical (__sim DESC, cent_id ASC) pick
-        # per row with zero exchanges (see rowwise_assign)
+        cent_rows = [
+            {"cent_id": cid, "cent": cent, "cent_norm": py_norm(cent)}
+            for cid, cent in rows
+        ]
         assigned = rowwise_assign(
-            vecs.withColumn("__vnorm", V.norm(F.col("__v"))),
-            cn,
+            vecs,
+            cent_rows,
             lambda c: V.dot(F.col("__v"), c["cent"])
             / (F.col("__vnorm") * c["cent_norm"]),
         ).select("__id", "__v", "cell")
@@ -455,40 +494,38 @@ def kmeans_centroids(
                 ).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
-        )
-        # Reassemble the component means into an array ordered by pos
-        # (array_sort on (pos, s) structs is deterministic: pos is
-        # unique within a cell).
-        new_cents = (
-            sums.groupBy("cell")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
-                F.max("n").alias("n"),
+        ).collect()  # bounded pull: k·dim integer rows — the ONE job
+        # this round runs
+        percell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            percell.setdefault(int(r["cell"]), {})[int(r["pos"])] = (
+                int(r["s"]),
+                int(r["n"]),
             )
-            .select(
-                F.col("cell").alias("cent_id"),
-                F.transform(
-                    "ps",
-                    lambda t: t["s"]
-                    / (F.lit(float(FIXED_POINT_SCALE)) * F.col("n")),
-                ).alias("new_cent"),
+        new_rows = []
+        for cid, old in rows:
+            ps = percell.get(cid)
+            if ps is None:
+                new_rows.append((cid, old))  # emptied cell keeps its
+                # previous centroid
+                continue
+            # same arithmetic the DataFrame update performed:
+            # s / (1e6 * n) — exact-integer operands, one IEEE-754
+            # double division, so means are bit-identical
+            new_rows.append(
+                (
+                    cid,
+                    [
+                        ps[pos][0] / (float(FIXED_POINT_SCALE) * ps[pos][1])
+                        for pos in sorted(ps)
+                    ],
+                )
             )
-        )
-        # Per-round lineage truncation: each round references the
-        # previous centroids in TWO branches (assignment + the
-        # empty-cell coalesce), so without a barrier the plan doubles
-        # per iteration — the same pathology connected_components hit
-        # on chains. The frame is n_centroids rows; the checkpoint is
-        # trivially cheap and values are unchanged (deterministic
-        # fixed-point arithmetic).
-        cents = (
-            cents.join(new_cents, "cent_id", "left")
-            .select(
-                "cent_id", F.coalesce("new_cent", "cent").alias("cent")
-            )
-            .localCheckpoint(eager=True)
-        )
-    return cents
+        rows = new_rows
+    return spark.createDataFrame(
+        [(cid, cent) for cid, cent in rows],
+        "cent_id long, cent array<double>",
+    )
 
 
 def ivf_assign(
@@ -628,9 +665,16 @@ def two_level_assign(
         n_centroids=n_coarse,
         n_iter=2,
     ).select(F.col("cent_id").alias("coarse_id"), F.col("cent").alias("ccent"))
-    coarse = coarse.withColumn("cnorm", V.norm(F.col("ccent"))).localCheckpoint(
-        eager=True
-    )
+    # collected ONCE (bounded: sqrt(k) rows) and reused by both
+    # argmax passes below — no per-pass collect job
+    coarse_rows = [
+        {
+            "coarse_id": int(r["coarse_id"]),
+            "ccent": [float(x) for x in r["ccent"]],
+            "cnorm": float(r["cnorm"]),
+        }
+        for r in coarse.withColumn("cnorm", V.norm(F.col("ccent"))).collect()
+    ]
 
     def _argmax_coarse(df, vcol, idcol):
         # per-vector norm hoisted BEFORE the pair join (ADVICE-style
@@ -643,7 +687,7 @@ def two_level_assign(
         # exchanges and no sqrt(k)-way fan-out (see rowwise_assign)
         return rowwise_assign(
             df,
-            coarse,
+            coarse_rows,
             lambda c: F.round(
                 V.dot(F.col(vcol), c["ccent"])
                 / (F.col("__vn") * c["cnorm"]),
@@ -677,38 +721,41 @@ def two_level_assign(
     groups: dict[int, list] = {}
     for r in fine_rows:
         groups.setdefault(int(r["coarse_id"]), []).append(r)
-    fmap = F.create_map(
-        *[
-            x
-            for gid, rows in sorted(groups.items())
-            for x in (
-                F.lit(gid).cast("long"),
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(int(r["cent_id"]))
-                            .cast("long")
-                            .alias("cent_id"),
-                            F.array(
-                                *[F.lit(float(v)) for v in r["cent"]]
-                            ).alias("cent"),
-                            F.lit(float(r["fnorm"])).alias("fnorm"),
-                        )
-                        for r in rows
-                    ]
-                ),
-            )
-        ]
+    # one PACKED ArrayType literal per field per group (see
+    # _packed_cent_literals: per-value literal trees would recompile
+    # the generated code on every new centroid set), delivered as
+    # literal maps coarse_id -> packed arrays
+    gids = sorted(groups)
+
+    def gmap(vals_of, cast_to):
+        return F.create_map(
+            *[
+                x
+                for gid in gids
+                for x in (
+                    F.lit(gid).cast("long"),
+                    F.lit([vals_of(r) for r in groups[gid]]).cast(cast_to),
+                )
+            ]
+        )
+
+    ids_m = gmap(lambda r: int(r["cent_id"]), "array<long>")
+    cent_m = gmap(
+        lambda r: [float(v) for v in r["cent"]], "array<array<double>>"
     )
+    nrm_m = gmap(lambda r: float(r["fnorm"]), "array<double>")
+    ids_g = F.element_at(ids_m, F.col("coarse_id"))
+    cent_g = F.element_at(cent_m, F.col("coarse_id"))
+    nrm_g = F.element_at(nrm_m, F.col("coarse_id"))
     scored = F.transform(
-        F.element_at(fmap, F.col("coarse_id")),
-        lambda c: F.struct(
+        F.sequence(F.lit(1), F.size(ids_g)),
+        lambda i: F.struct(
             F.round(
-                V.dot(F.col("__v"), c["cent"])
-                / (F.col("__vn") * c["fnorm"]),
+                V.dot(F.col("__v"), F.element_at(cent_g, i))
+                / (F.col("__vn") * F.element_at(nrm_g, i)),
                 round_to,
             ).alias("__o"),
-            (-c["cent_id"]).alias("__nc"),
+            (-F.element_at(ids_g, i)).alias("__nc"),
         ),
     )
     # array_max = the descending sort's first struct (same total

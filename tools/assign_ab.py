@@ -1,8 +1,15 @@
-"""A/B the two vector->centroid assignment forms at configurable row
-counts: the pre-r12 broadcast-join + row_number window vs the in-row
-broadcast-array argmax (similarity.rowwise_assign). Noop-sink timed
-(guide §1.4), deterministic synthetic vectors, same expressions both
-sides. Decision evidence for the round-12 assignment rewrite.
+"""A/B the vector->centroid assignment forms at configurable row
+counts: the pre-r12 broadcast-join + row_number window vs the packed
+in-row literal argmax (similarity.rowwise_assign). Noop-sink timed
+(guide §1.4), deterministic synthetic vectors.
+
+Every rep uses a FRESH centroid set (different values), because that
+is what real usage does (each Lloyd round / each trained query embeds
+new centroid values) — same-values reps hit the plan/codegen cache
+and overstate literal-based forms by 2-4x (measured: a per-value
+literal tree at 2k rows costs 0.27s warm-cached but 3.9s median with
+16s spikes when values change per action; the packed ArrayType
+literal keeps generated code stable and is immune).
 
 Usage: python tools/assign_ab.py [--rows 200000] [--k 16] [--dim 64]
 """
@@ -11,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import statistics
 import sys
 import time
 
@@ -22,7 +30,7 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--dim", type=int, default=64)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=4)
     args = ap.parse_args()
 
     from pyspark.sql import Window as W
@@ -52,23 +60,25 @@ def main() -> int:
         .withColumn("__vnorm", V.norm(F.col("__v")))
         .localCheckpoint(eager=True)
     )
-    cents = (
-        spark.range(args.k)
-        .select(
-            F.col("id").alias("cent_id"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(args.dim - 1)),
-                lambda j: ((F.col("id") * 13 + j * 7) % 89)
-                .cast("double")
-                / 89.0
-                - 0.5,
-            ).alias("cent"),
-        )
-        .withColumn("cent_norm", V.norm(F.col("cent")))
-        .localCheckpoint(eager=True)
-    )
 
-    def old_form():
+    def make_cents(seed: int):
+        return (
+            spark.range(args.k)
+            .select(
+                F.col("id").alias("cent_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(args.dim - 1)),
+                    lambda j: ((F.col("id") * 13 + j * 7 + seed) % 89)
+                    .cast("double")
+                    / 89.0
+                    - 0.5,
+                ).alias("cent"),
+            )
+            .withColumn("cent_norm", V.norm(F.col("cent")))
+            .localCheckpoint(eager=True)
+        )
+
+    def old_form(cents):
         scored = vecs.join(F.broadcast(cents)).withColumn(
             "__sim",
             V.dot(F.col("__v"), F.col("cent"))
@@ -81,7 +91,7 @@ def main() -> int:
             .select("__id", F.col("cent_id").alias("cell"))
         )
 
-    def new_form():
+    def new_form(cents):
         return rowwise_assign(
             vecs,
             cents,
@@ -89,19 +99,20 @@ def main() -> int:
             / (F.col("__vnorm") * c["cent_norm"]),
         ).select("__id", "cell")
 
-    for name, fn in (("old join+window", old_form), ("new in-row", new_form)):
-        best = None
-        for _ in range(args.reps):
+    for name, fn in (("old join+window", old_form), ("new packed in-row", new_form)):
+        fn(make_cents(0)).write.format("noop").mode("overwrite").save()  # warm
+        ts = []
+        for rep in range(args.reps):
+            cents = make_cents(100 * (rep + 1))  # FRESH values per rep
             spark.sparkContext.setJobDescription(f"assign_ab: {name}")
             t0 = time.time()
-            fn().write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        print(f"{name}: min {best:.2f}s over {args.reps} reps "
-              f"(rows={args.rows}, k={args.k}, dim={args.dim})")
-
-    # value parity on a sample
-    a = sorted((r["__id"], r["cell"]) for r in old_form().limit(0).collect())
+            fn(cents).write.format("noop").mode("overwrite").save()
+            ts.append(time.time() - t0)
+        print(
+            f"{name}: median {statistics.median(ts):.2f}s "
+            f"{['%.2f' % t for t in ts]} "
+            f"(rows={args.rows}, k={args.k}, dim={args.dim}, fresh values)"
+        )
     return 0
 
 
