@@ -645,20 +645,16 @@ def semantic_dedup_components(
             .transform(tracked_persist)
         )
     else:
-        # in-row argmax over the literal centroid array (guide
-        # §2.4): identical (__sim DESC, cent_id ASC) pick to the
-        # row_number window this replaces, zero exchanges, no k-way
-        # candidate fan-out (similarity.rowwise_assign)
-        from hyppo_worker_spark.operators.similarity import rowwise_assign
-
+        scored = v.join(F.broadcast(cents)).withColumn(
+            "__sim",
+            V.dot(F.col("vv"), F.col("cent"))
+            / (F.col("nrm") * F.col("cent_norm")),
+        )
+        w = W.partitionBy("did").orderBy(F.col("__sim").desc(), "cent_id")
         assigned = (
-            rowwise_assign(
-                v,
-                cents,
-                lambda c: V.dot(F.col("vv"), c["cent"])
-                / (F.col("nrm") * c["cent_norm"]),
-            )
-            .select("did", "vv", "nrm", "cell")
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("did", "vv", "nrm", F.col("cent_id").alias("cell"))
             .transform(tracked_persist)
         )
     a = assigned.select(

@@ -119,18 +119,19 @@ class IvfIndex:
             F.col(id_col).alias("vec_id"),
             V.as_double(F.col(vec_col)).alias("__v"),
         ).withColumn("__vnorm", V.norm(F.col("__v")))
-        # in-row argmax over the literal centroid array (guide
-        # §2.4): identical (__sim DESC, cent_id ASC) pick to the
-        # row_number window this replaces, zero exchanges, no k-way
-        # candidate fan-out (similarity.rowwise_assign)
-        from hyppo_worker_spark.operators.similarity import rowwise_assign
-
-        return rowwise_assign(
-            v,
-            cn,
-            lambda c: V.dot(F.col("__v"), c["cent"])
-            / (F.col("__vnorm") * c["cent_norm"]),
-        ).select("vec_id", "cell")
+        scored = v.join(F.broadcast(cn)).withColumn(
+            "__sim",
+            V.dot(F.col("__v"), F.col("cent"))
+            / (F.col("__vnorm") * F.col("cent_norm")),
+        )
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("__sim").desc(), "cent_id"
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", F.col("cent_id").alias("cell"))
+        )
 
     def admit(
         self, spark: SparkSession, batch: DataFrame,
@@ -218,19 +219,17 @@ class IvfIndex:
             F.col(id_col).alias("q_id"),
             V.as_double(F.col(vec_col)).alias("qv"),
         ).withColumn("qnorm", V.norm(F.col("qv")))
-        # in-row top-nprobe over the literal centroid array (guide
-        # §2.4): identical (sim DESC, cent_id ASC) ranking to the
-        # row_number window this replaces, zero exchanges
-        # (similarity.rowwise_assign)
-        from hyppo_worker_spark.operators.similarity import rowwise_assign
-
-        return rowwise_assign(
-            v,
-            cn,
-            lambda c: V.dot(F.col("qv"), c["cent"])
-            / (F.col("qnorm") * c["cent_norm"]),
-            probes=nprobe,
-        ).select("q_id", "qv", "qnorm", "cell")
+        scored = v.join(F.broadcast(cn)).withColumn(
+            "__sim",
+            V.dot(F.col("qv"), F.col("cent"))
+            / (F.col("qnorm") * F.col("cent_norm")),
+        )
+        w = W.partitionBy("q_id").orderBy(F.col("__sim").desc(), "cent_id")
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= nprobe)
+            .select("q_id", "qv", "qnorm", F.col("cent_id").alias("cell"))
+        )
 
     def search(
         self, spark: SparkSession, queries: DataFrame,

@@ -15,7 +15,7 @@ Two tiers:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from hyppo_worker_spark.functions import vectors as V
@@ -222,197 +222,6 @@ def seed_centroid_ids(ids: DataFrame, id_col: str, k: int) -> DataFrame:
     )
 
 
-def argmax_pick(
-    scored: DataFrame,
-    keys: list[str],
-    order_col,
-    tie_col,
-    picks: dict,
-) -> DataFrame:
-    """Per ``keys`` group, the ``picks`` columns of the row ranking
-    FIRST by (``order_col`` DESC, ``tie_col`` ASC) — value-identical
-    to the ``row_number().over(...) == 1`` window it replaces:
-    ``max_by`` over a ``(order, -tie)`` struct uses the same total
-    order as the sort (struct comparison, NaN greatest), and
-    ``tie_col`` is unique within a group so the pick is deterministic.
-
-    Why (guide §2.3/§2.4): the window form shuffles ALL k candidate
-    rows per key — each carrying the wide payload — then sorts every
-    partition; here partial aggregation collapses the k candidates
-    map-side, so the exchange moves ONE narrow row per key and no
-    sort runs. Same exchange count, k× fewer shuffled rows (the
-    candidate fan-out never crosses the wire), no per-partition sort.
-    """
-    val = F.struct(*[c.alias(a) for a, c in picks.items()])
-    ordk = F.struct(order_col.alias("__o"), (-tie_col).alias("__nt"))
-    agg = scored.groupBy(*keys).agg(F.max_by(val, ordk).alias("__a"))
-    return agg.select(
-        *keys, *[F.col(f"__a.{a}").alias(a) for a in picks]
-    )
-
-
-def topn_cells(
-    scored: DataFrame,
-    keys: list[str],
-    order_col,
-    cell_col,
-    payload: dict,
-    n: int,
-) -> DataFrame:
-    """Per ``keys`` group: the ``payload`` columns (constant within
-    the group) plus the top-``n`` cells by (``order_col`` DESC,
-    ``cell_col`` ASC), exploded one row per picked cell — replaces
-    ``row_number().over(...) <= n`` with a single aggregation
-    (``argmax_pick``'s contract generalized to n > 1): the per-key
-    candidate list is collected map-side as (order, -cell) pairs,
-    sorted with the same struct total order the window sort used
-    (NaN greatest), reversed (order DESC, cell ASC) and sliced. The
-    exchange carries one row per key with k tiny structs + one
-    payload copy instead of k full payload copies, and no
-    partition-wide sort runs. ``cell_col`` must be unique within a
-    group (it is the tie-break)."""
-    pay = F.struct(*[c.alias(a) for a, c in payload.items()])
-    pair = F.struct(order_col.alias("__o"), (-cell_col).alias("__nc"))
-    agg = scored.groupBy(*keys).agg(
-        F.max_by(pay, pair).alias("__p"),
-        F.slice(
-            F.reverse(F.array_sort(F.collect_list(pair))), 1, n
-        ).alias("__top"),
-    )
-    return agg.select(
-        *keys, "__p", F.explode("__top").alias("__t")
-    ).select(
-        *keys,
-        *[F.col(f"__p.{a}").alias(a) for a in payload],
-        (-F.col("__t.__nc")).alias("cell"),
-    )
-
-
-def rowwise_assign(
-    df: DataFrame,
-    cents: DataFrame,
-    sim,
-    *,
-    cent_cols: tuple = ("cent_id", "cent", "cent_norm"),
-    probes: int = 1,
-    cell_name: str = "cell",
-) -> DataFrame:
-    """``df`` plus ``cell_name``: each row's ``probes`` best centroids
-    by (``sim`` DESC, centroid-id ASC), computed IN-ROW over the
-    whole (tiny) centroid table embedded as ONE literal array.
-
-    Replaces the broadcast-join + row_number-window assignment shape
-    (guide §2.4 — remove shuffles outright): the join fanned every
-    row out k ways (each candidate row carrying the full vector AND
-    one centroid) and then shuffled + sorted that fan-out back down;
-    here no candidate row ever exists — the centroid literal is part
-    of the expression (shipped once per task inside the serialized
-    plan, never per row) and the argmax is a per-row
-    array_max/array_sort over k tiny (sim, -id) structs. Exchanges
-    added: zero; joins added: zero.
-
-    Value-identical to the window form: ``array_max``/``array_sort``
-    use the same struct total order the window's orderBy used (sim
-    DESC via max/reverse, id ASC via the negated id, NaN ordered
-    greatest), and the centroid id is unique, so the ranking is total
-    and deterministic. ``sim`` is a callable mapping the centroid
-    struct (fields ``cent_cols``) to the similarity Column — the SAME
-    expression the window form computed per joined row, and the
-    collected doubles round-trip exactly (IEEE-754 through Python
-    floats into literals), so every double is bit-identical.
-
-    The centroid table is COLLECTED (bounded pull: k rows — the same
-    "small enough to broadcast" precondition the broadcast join
-    already had) and embedded as ONE packed literal per column
-    (``F.lit(list)`` → a single ArrayType Literal node). The packing
-    matters: a per-value literal tree (k·dim scalar literals) changes
-    the generated code on EVERY new centroid set, so each Lloyd round
-    or freshly trained query recompiles — measured 3.9s median with
-    16s spikes per 2k-row action. One ArrayType literal rides in the
-    codegen references array, so the generated source is stable
-    across centroid values and the plan cache holds: fresh-values A/B
-    (tools/assign_ab.py) measures the packed form at parity with the
-    join+window at 2k rows (1.10s vs 1.11s per action) and slightly
-    ahead at 200k (1.96s vs 2.05s) while the exchange, the window
-    sort, and the k-way fan-out are gone from the plan. Past the
-    driver-collectable ceiling the two-level path applies,
-    unchanged.
-
-    ``cents`` is a DataFrame (collected here: one bounded k-row job)
-    or a list of already-driver-resident mappings — callers holding
-    the centroids in Python (the kmeans loop) pass the list and skip
-    the collect entirely."""
-    k, packed = _packed_cent_literals(cents, cent_cols)
-    id_col = cent_cols[0]
-
-    def cstruct(i):
-        return F.struct(
-            *[F.element_at(packed[c], i).alias(c) for c in cent_cols]
-        )
-
-    # GetStructField over this CreateNamedStruct collapses to the
-    # element_at expressions in the optimizer — the struct exists
-    # only so `sim` keeps the same field-access interface the joined
-    # row had.
-    scored = F.transform(
-        F.sequence(F.lit(1), F.lit(int(k))),
-        lambda i: F.struct(
-            sim(cstruct(i)).alias("__o"),
-            (-F.element_at(packed[id_col], i)).alias("__nc"),
-        ),
-    )
-    if probes == 1:
-        # single-probe: array_max picks the same struct the
-        # descending sort would rank first (identical struct total
-        # order) in one O(k) pass — no sort, no slice
-        return df.withColumn(cell_name, -F.array_max(scored)["__nc"])
-    top = F.slice(F.reverse(F.array_sort(scored)), 1, probes)
-    return (
-        df.withColumn("__t", F.explode(top))
-        .withColumn(cell_name, -F.col("__t")["__nc"])
-        .drop("__t")
-    )
-
-
-def _packed_cent_literals(cents, cent_cols: tuple) -> tuple[int, dict]:
-    """The centroid table collected (bounded pull: k rows, sorted by
-    the id column; fail-loud on an empty table — the old join form
-    silently dropped every row) and packed as ONE ArrayType literal
-    per column, cast to the SOURCE column types so the output schema
-    (and every downstream comparison or join on the cell id) is
-    identical to the join form's. ``cents`` may already be a list of
-    driver-resident mappings (no job at all — long ids / double
-    arrays assumed, the type every assignment path uses). Returns
-    (k, {col: literal})."""
-    id_col = cent_cols[0]
-    if isinstance(cents, DataFrame):
-        proj = cents.select(*cent_cols)
-        dtypes = dict(proj.dtypes)
-        rows = sorted(proj.collect(), key=lambda r: r[id_col])
-    else:
-        rows = sorted(cents, key=lambda r: r[id_col])
-        dtypes = {
-            c: (
-                "array<double>"
-                if rows and isinstance(rows[0][c], (list, tuple))
-                else ("bigint" if c == id_col else "double")
-            )
-            for c in cent_cols
-        }
-    if not rows:
-        raise ValueError("rowwise_assign: empty centroid table")
-    packed = {}
-    for c in cent_cols:
-        vals = [r[c] for r in rows]
-        if isinstance(vals[0], (list, tuple)):
-            packed[c] = F.lit(
-                [[float(x) for x in v] for v in vals]
-            ).cast(f"array<{dtypes[c]}>")
-        else:
-            packed[c] = F.lit(list(vals)).cast(f"array<{dtypes[c]}>")
-    return len(rows), packed
-
-
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -427,9 +236,8 @@ def kmeans_centroids(
       renumbered via :func:`seed_centroid_ids` (a fixed seed —
       deterministic, mirrorable in SQL; equals ``id < k`` on the
       0-based contiguous id spaces the oracles assume).
-    - **Assign**: in-row argmax cosine per vector over the packed
-      literal centroid set (ties → lowest cent_id). One corpus scan,
-      ZERO exchanges (see :func:`rowwise_assign`).
+    - **Assign**: broadcast the tiny centroid set, argmax cosine per
+      vector (ties → lowest cent_id). One corpus scan, no shuffle.
     - **Update**: per-cell component means computed on a fixed-point
       integer grid — ``floor(x * 1e6)`` summed as longs, divided back
       once. Integer addition commutes, so the result does not depend
@@ -439,52 +247,34 @@ def kmeans_centroids(
       (cell, component) over exploded components — at 100 TB this is
       the textbook distributed-Lloyd layout (each executor emits
       partial integer sums map-side).
-    - The centroid state lives on the DRIVER between rounds (k·dim
-      doubles): each round is exactly ONE job — collect the bounded
-      (cell, pos, sum, n) aggregate (k·dim rows of integers) — and
-      the mean/empty-cell-coalesce arithmetic happens in Python with
-      the identical IEEE-754 operations the per-round DataFrame
-      update used (exact-integer operands, one double division), so
-      centroids are bit-identical. This replaces the per-round
-      localCheckpoint job + broadcast build of the join form.
     - An emptied cell keeps its previous centroid.
     """
     vecs = corpus.select(
         F.col(id_col).alias("__id"), V.as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__vnorm", V.norm(F.col("__v")))
-    seed_rows = (
+    )
+    cents = (
         vecs.join(
             F.broadcast(seed_centroid_ids(vecs, "__id", n_centroids)), "__id"
         )
         .select("cent_id", F.col("__v").alias("cent"))
-        .collect()
-    )  # bounded pull: n_centroids rows
-    rows = sorted(
-        ((int(r["cent_id"]), [float(x) for x in r["cent"]]) for r in seed_rows)
     )
-    spark = corpus.sparkSession
-
-    def py_norm(cent: list) -> float:
-        # the exact fold V.norm performs: sequential left fold of
-        # x*x then sqrt — bit-identical doubles
-        import math
-
-        acc = 0.0
-        for x in cent:
-            acc = acc + x * x
-        return math.sqrt(acc)
-
     for _ in range(n_iter):
-        cent_rows = [
-            {"cent_id": cid, "cent": cent, "cent_norm": py_norm(cent)}
-            for cid, cent in rows
-        ]
-        assigned = rowwise_assign(
-            vecs,
-            cent_rows,
-            lambda c: V.dot(F.col("__v"), c["cent"])
-            / (F.col("__vnorm") * c["cent_norm"]),
-        ).select("__id", "__v", "cell")
+        cn = cents.withColumn("cent_norm", V.norm(F.col("cent")))
+        scored = (
+            vecs.withColumn("__vnorm", V.norm(F.col("__v")))
+            .join(F.broadcast(cn))
+            .withColumn(
+                "__sim",
+                V.dot(F.col("__v"), F.col("cent"))
+                / (F.col("__vnorm") * F.col("cent_norm")),
+            )
+        )
+        w = W.partitionBy("__id").orderBy(F.col("__sim").desc(), "cent_id")
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "__v", F.col("cent_id").alias("cell"))
+        )
         sums = (
             assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -494,38 +284,40 @@ def kmeans_centroids(
                 ).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
-        ).collect()  # bounded pull: k·dim integer rows — the ONE job
-        # this round runs
-        percell: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            percell.setdefault(int(r["cell"]), {})[int(r["pos"])] = (
-                int(r["s"]),
-                int(r["n"]),
+        )
+        # Reassemble the component means into an array ordered by pos
+        # (array_sort on (pos, s) structs is deterministic: pos is
+        # unique within a cell).
+        new_cents = (
+            sums.groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
+                F.max("n").alias("n"),
             )
-        new_rows = []
-        for cid, old in rows:
-            ps = percell.get(cid)
-            if ps is None:
-                new_rows.append((cid, old))  # emptied cell keeps its
-                # previous centroid
-                continue
-            # same arithmetic the DataFrame update performed:
-            # s / (1e6 * n) — exact-integer operands, one IEEE-754
-            # double division, so means are bit-identical
-            new_rows.append(
-                (
-                    cid,
-                    [
-                        ps[pos][0] / (float(FIXED_POINT_SCALE) * ps[pos][1])
-                        for pos in sorted(ps)
-                    ],
-                )
+            .select(
+                F.col("cell").alias("cent_id"),
+                F.transform(
+                    "ps",
+                    lambda t: t["s"]
+                    / (F.lit(float(FIXED_POINT_SCALE)) * F.col("n")),
+                ).alias("new_cent"),
             )
-        rows = new_rows
-    return spark.createDataFrame(
-        [(cid, cent) for cid, cent in rows],
-        "cent_id long, cent array<double>",
-    )
+        )
+        # Per-round lineage truncation: each round references the
+        # previous centroids in TWO branches (assignment + the
+        # empty-cell coalesce), so without a barrier the plan doubles
+        # per iteration — the same pathology connected_components hit
+        # on chains. The frame is n_centroids rows; the checkpoint is
+        # trivially cheap and values are unchanged (deterministic
+        # fixed-point arithmetic).
+        cents = (
+            cents.join(new_cents, "cent_id", "left")
+            .select(
+                "cent_id", F.coalesce("new_cent", "cent").alias("cent")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
 
 
 def ivf_assign(
@@ -544,17 +336,17 @@ def ivf_assign(
     v = df.select(
         F.col(id_col).alias("__id"), V.as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__vnorm", V.norm(F.col("__v")))
-    # in-row top-`probes` over the literal centroid array (guide
-    # §2.4): identical (__sim DESC, cent_id ASC) ranking to the
-    # row_number window this replaces, zero exchanges, no k-way
-    # candidate fan-out (see rowwise_assign)
-    return rowwise_assign(
-        v,
-        cents,
-        lambda c: V.dot(F.col("__v"), c["cent"])
-        / (F.col("__vnorm") * c["cent_norm"]),
-        probes=probes,
-    ).select("__id", "__v", "__vnorm", "cell")
+    scored = v.join(F.broadcast(cents)).withColumn(
+        "__sim",
+        V.dot(F.col("__v"), F.col("cent"))
+        / (F.col("__vnorm") * F.col("cent_norm")),
+    )
+    w = W.partitionBy("__id").orderBy(F.col("__sim").desc(), "cent_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= probes)
+        .select("__id", "__v", "__vnorm", F.col("cent_id").alias("cell"))
+    )
 
 
 def knn_ivf(
@@ -665,16 +457,9 @@ def two_level_assign(
         n_centroids=n_coarse,
         n_iter=2,
     ).select(F.col("cent_id").alias("coarse_id"), F.col("cent").alias("ccent"))
-    # collected ONCE (bounded: sqrt(k) rows) and reused by both
-    # argmax passes below — no per-pass collect job
-    coarse_rows = [
-        {
-            "coarse_id": int(r["coarse_id"]),
-            "ccent": [float(x) for x in r["ccent"]],
-            "cnorm": float(r["cnorm"]),
-        }
-        for r in coarse.withColumn("cnorm", V.norm(F.col("ccent"))).collect()
-    ]
+    coarse = coarse.withColumn("cnorm", V.norm(F.col("ccent"))).localCheckpoint(
+        eager=True
+    )
 
     def _argmax_coarse(df, vcol, idcol):
         # per-vector norm hoisted BEFORE the pair join (ADVICE-style
@@ -682,93 +467,38 @@ def two_level_assign(
         # once per (row x coarse-centroid) pair — same doubles, same
         # rounding, sqrt(k)-fold less folding
         df = df.withColumn("__vn", V.norm(F.col(vcol)))
-        # in-row argmax over the literal coarse table (guide §2.4):
-        # identical (rounded-sim DESC, coarse_id ASC) pick with zero
-        # exchanges and no sqrt(k)-way fan-out (see rowwise_assign)
-        return rowwise_assign(
-            df,
-            coarse_rows,
-            lambda c: F.round(
-                V.dot(F.col(vcol), c["ccent"])
-                / (F.col("__vn") * c["cnorm"]),
-                round_to,
-            ),
-            cent_cols=("coarse_id", "ccent", "cnorm"),
-            cell_name="coarse_id",
-        ).select(idcol, "coarse_id")
+        sim = V.dot(F.col(vcol), F.col("ccent")) / (
+            F.col("__vn") * F.col("cnorm")
+        )
+        w = W.partitionBy(idcol).orderBy(
+            F.round(sim, round_to).desc(), "coarse_id"
+        )
+        return (
+            df.join(F.broadcast(coarse))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(idcol, "coarse_id")
+        )
 
     fine2coarse = _argmax_coarse(
         cents.select("cent_id", F.col("cent")), "cent", "cent_id"
     )
     v2coarse = _argmax_coarse(vecs.select("__id", "__v"), "__v", "__id")
-    # vector norm hoisted out of the refine pair expression too
+    fine = fine2coarse.join(cents, "cent_id").withColumn(
+        "fnorm", V.norm(F.col("cent"))
+    )
+    # vector norm hoisted out of the refine join's pair expression too
     vecs_n = vecs.withColumn("__vn", V.norm(F.col("__v")))
-    # refine argmax IN-ROW over the vector's own coarse group's fine
-    # centroids, delivered as a LITERAL map coarse_id -> struct array
-    # (guide §2.4 — the rowwise_assign literal form, grouped): no
-    # k/sqrt(k)-way candidate fan-out, no window shuffle, and no
-    # per-row copy of a joined array value. The group tables are the
-    # fine centroids themselves (k rows total — the same bounded pull
-    # _argmax_coarse's literals already made). Identical (rounded-sim
-    # DESC, cent_id ASC) pick via the same struct total order.
-    fine_rows = sorted(
-        fine2coarse.join(cents, "cent_id")
-        .withColumn("fnorm", V.norm(F.col("cent")))
-        .select("coarse_id", "cent_id", "cent", "fnorm")
-        .collect(),
-        key=lambda r: r["cent_id"],
-    )  # bounded pull: k centroid rows
-    groups: dict[int, list] = {}
-    for r in fine_rows:
-        groups.setdefault(int(r["coarse_id"]), []).append(r)
-    # one PACKED ArrayType literal per field per group (see
-    # _packed_cent_literals: per-value literal trees would recompile
-    # the generated code on every new centroid set), delivered as
-    # literal maps coarse_id -> packed arrays
-    gids = sorted(groups)
-
-    def gmap(vals_of, cast_to):
-        return F.create_map(
-            *[
-                x
-                for gid in gids
-                for x in (
-                    F.lit(gid).cast("long"),
-                    F.lit([vals_of(r) for r in groups[gid]]).cast(cast_to),
-                )
-            ]
-        )
-
-    ids_m = gmap(lambda r: int(r["cent_id"]), "array<long>")
-    cent_m = gmap(
-        lambda r: [float(v) for v in r["cent"]], "array<array<double>>"
+    sim = V.dot(F.col("__v"), F.col("cent")) / (
+        F.col("__vn") * F.col("fnorm")
     )
-    nrm_m = gmap(lambda r: float(r["fnorm"]), "array<double>")
-    ids_g = F.element_at(ids_m, F.col("coarse_id"))
-    cent_g = F.element_at(cent_m, F.col("coarse_id"))
-    nrm_g = F.element_at(nrm_m, F.col("coarse_id"))
-    scored = F.transform(
-        F.sequence(F.lit(1), F.size(ids_g)),
-        lambda i: F.struct(
-            F.round(
-                V.dot(F.col("__v"), F.element_at(cent_g, i))
-                / (F.col("__vn") * F.element_at(nrm_g, i)),
-                round_to,
-            ).alias("__o"),
-            (-F.element_at(ids_g, i)).alias("__nc"),
-        ),
-    )
-    # array_max = the descending sort's first struct (same total
-    # order), one O(k) pass instead of sort+reverse
-    best = F.array_max(scored)
+    w = W.partitionBy("__id").orderBy(F.round(sim, round_to).desc(), "cent_id")
     return (
         vecs_n.join(v2coarse, "__id")
-        .withColumn("cell", -best["__nc"])
-        # a vector whose coarse group holds no fine centroids has no
-        # map entry -> NULL cell; the join form this replaces dropped
-        # those rows (inner join on coarse_id), so drop them here too
-        .filter(F.col("cell").isNotNull())
-        .select("__id", "cell")
+        .join(fine, "coarse_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", F.col("cent_id").alias("cell"))
     )
 
 
@@ -847,42 +577,20 @@ def margin_mine_pairs(pairs: DataFrame, k: int = 4) -> DataFrame:
     subset the denominators use each endpoint's top-min(k, |cand|)
     candidates — the standard index-backed relaxation."""
     pairs = tracked_persist(pairs)
-
-    def _topk_sum(key: str, tie: str, out: str) -> DataFrame:
-        # top-k cos6 sum per endpoint WITHOUT a window (guide §2.3):
-        # collect the (cos6, -tie) pairs per key, sort with the same
-        # struct total order the window sort used, slice k, fold the
-        # integer sum. The sum is tie-insensitive (equal cos6 at the
-        # boundary contributes the same value either way), so this is
-        # value-identical to the row_number(<=k)-then-sum form while
-        # skipping the partition-wide sort — the per-key array is
-        # bounded by the candidate count (all-pairs form is the
-        # documented quadratic oracle; the production s21 form bounds
-        # candidates per cell).
-        top = F.slice(
-            F.reverse(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("cos6").alias("__o"),
-                            (-F.col(tie)).alias("__nt"),
-                        )
-                    )
-                )
-            ),
-            1,
-            k,
-        )
-        return pairs.groupBy(key).agg(
-            F.aggregate(
-                top,
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x["__o"],
-            ).alias(out)
-        )
-
-    fsum = _topk_sum("a_id", "b_id", "fsum")
-    bsum = _topk_sum("b_id", "a_id", "bsum")
+    wf = W.partitionBy("a_id").orderBy(F.col("cos6").desc(), "b_id")
+    fsum = (
+        pairs.withColumn("__r", F.row_number().over(wf))
+        .filter(F.col("__r") <= k)
+        .groupBy("a_id")
+        .agg(F.sum("cos6").alias("fsum"))
+    )
+    wb = W.partitionBy("b_id").orderBy(F.col("cos6").desc(), "a_id")
+    bsum = (
+        pairs.withColumn("__r", F.row_number().over(wb))
+        .filter(F.col("__r") <= k)
+        .groupBy("b_id")
+        .agg(F.sum("cos6").alias("bsum"))
+    )
     m = (
         pairs.filter(F.col("cos6") > 0)
         .join(F.broadcast(fsum), "a_id")
@@ -894,20 +602,16 @@ def margin_mine_pairs(pairs: DataFrame, k: int = 4) -> DataFrame:
         )
         .transform(tracked_persist)
     )
-    # mutual argmax via max_by, not windows (guide §2.3): identical
-    # (margin_bp DESC, other-id ASC) picks, but the candidate rows
-    # collapse map-side before each exchange instead of shuffling and
-    # sorting the full pair table twice
-    fwd_best = argmax_pick(
-        m, ["a_id"], F.col("margin_bp"), F.col("b_id"),
-        {
-            "b_id": F.col("b_id"),
-            "cos6": F.col("cos6"),
-            "margin_bp": F.col("margin_bp"),
-        },
-    ).select("a_id", "b_id", "cos6", "margin_bp")
-    bwd_best = argmax_pick(
-        m, ["b_id"], F.col("margin_bp"), F.col("a_id"),
-        {"a_id": F.col("a_id")},
-    ).select("a_id", "b_id")
+    wfb = W.partitionBy("a_id").orderBy(F.col("margin_bp").desc(), "b_id")
+    fwd_best = (
+        m.withColumn("__r", F.row_number().over(wfb))
+        .filter(F.col("__r") == 1)
+        .select("a_id", "b_id", "cos6", "margin_bp")
+    )
+    wbb = W.partitionBy("b_id").orderBy(F.col("margin_bp").desc(), "a_id")
+    bwd_best = (
+        m.withColumn("__r", F.row_number().over(wbb))
+        .filter(F.col("__r") == 1)
+        .select("a_id", "b_id")
+    )
     return fwd_best.join(bwd_best, ["a_id", "b_id"])

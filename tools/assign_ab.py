@@ -1,7 +1,16 @@
 """A/B the vector->centroid assignment forms at configurable row
-counts: the pre-r12 broadcast-join + row_number window vs the packed
-in-row literal argmax (similarity.rowwise_assign). Noop-sink timed
-(guide §1.4), deterministic synthetic vectors.
+counts: the broadcast-join + row_number window (the form the repo
+ships) vs the packed in-row literal argmax that round 12 prototyped
+and REVERTED. Noop-sink timed (guide §1.4), deterministic synthetic
+vectors.
+
+History: the in-row form removed the assignment exchange+window from
+every plan and measured at parity HERE (isolated, noop sink), but the
+clean per-row end-to-end A/B (fresh process per row per tree,
+bench.py methodology) showed it 1.2-1.9x SLOWER across the registry's
+assignment-bound rows at sf0.1, so it was reverted; this harness keeps
+a self-contained copy of the rejected form so the negative result
+stays reproducible (OPTIMIZATION_r12.md item 1).
 
 Every rep uses a FRESH centroid set (different values), because that
 is what real usage does (each Lloyd round / each trained query embeds
@@ -37,8 +46,42 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from hyppo_worker_spark.functions import vectors as V
-    from hyppo_worker_spark.operators.similarity import rowwise_assign
     from hyppo_worker_spark.session import get_spark
+
+    def rowwise_assign(df, cents, sim, cent_cols=("cent_id", "cent", "cent_norm")):
+        """Self-contained copy of the REJECTED packed in-row argmax
+        (formerly similarity.rowwise_assign, probes=1 path): the
+        centroid table collected and embedded as one ArrayType literal
+        per column; each row picks argmax(sim) via array_max over
+        (sim, -cent_id) structs."""
+        id_col = cent_cols[0]
+        proj = cents.select(*cent_cols)
+        dtypes = dict(proj.dtypes)
+        rows = sorted(proj.collect(), key=lambda r: r[id_col])
+        packed = {}
+        for c in cent_cols:
+            vals = [r[c] for r in rows]
+            if isinstance(vals[0], (list, tuple)):
+                packed[c] = F.lit(
+                    [[float(x) for x in v] for v in vals]
+                ).cast(f"array<{dtypes[c]}>")
+            else:
+                packed[c] = F.lit(list(vals)).cast(f"array<{dtypes[c]}>")
+        k = len(rows)
+
+        def cstruct(i):
+            return F.struct(
+                *[F.element_at(packed[c], i).alias(c) for c in cent_cols]
+            )
+
+        scored = F.transform(
+            F.sequence(F.lit(1), F.lit(int(k))),
+            lambda i: F.struct(
+                sim(cstruct(i)).alias("__o"),
+                (-F.element_at(packed[id_col], i)).alias("__nc"),
+            ),
+        )
+        return df.withColumn("cell", -F.array_max(scored)["__nc"])
 
     spark = get_spark("assign_ab")
     spark.sparkContext.setLogLevel("ERROR")
