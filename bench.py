@@ -8,8 +8,10 @@ plan + execution + collect (the driver-visible latency).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -17,6 +19,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hyppo_worker_spark.queries import load_all
 from hyppo_worker_spark.session import clear_cache, get_spark
+
+
+def sweep_scratch(before: set[str]) -> None:
+    """Remove /tmp/hyppo-* scratch dirs created since ``before`` was
+    snapshotted. Many rows exercise write paths into per-run temp dirs
+    (layout/export/stream scratch); rows whose RETURNED frame still
+    reads its dir cannot delete it themselves, so a full bench run
+    accumulates GBs of dead scratch and later writer rows pay the
+    shared-disk contention (the r12 q75/q85 bench spikes). Sweeping
+    between rows keeps the timed region's disk clean without touching
+    any in-flight frame: the swept row is fully materialized
+    (count()) before the sweep, and preexisting dirs — possibly owned
+    by concurrent tooling — are never touched."""
+    for d in set(glob.glob("/tmp/hyppo-*")) - before:
+        shutil.rmtree(d, ignore_errors=True)
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
@@ -316,6 +333,7 @@ def main() -> None:
         q = registry.get(name)
         if q is None:
             continue
+        scratch_before = set(glob.glob("/tmp/hyppo-*"))
         if warm:
             try:
                 q.spark_fn(spark, warm_dir).count()
@@ -351,6 +369,7 @@ def main() -> None:
             del n
             clear_cache(spark, include_rdd_blocks=True)
         timings[name] = round(best, 3)
+        sweep_scratch(scratch_before)
 
     total = round(sum(timings.values()), 3)
     # The original round-1 list (BENCH_QUERIES[:20]) is the
@@ -365,14 +384,29 @@ def main() -> None:
     headline_total = round(total - validation_total, 3)
     # KEY ORDER IS LOAD-BEARING (VERDICT r4 item 3): the driver
     # archives only the LAST 2000 chars of stdout, so the big
-    # per-query dicts go FIRST and every scalar total goes LAST —
+    # per-query dict goes FIRST and every scalar total goes LAST —
     # a truncated artifact still carries the headline numbers.
+    # LINE LENGTH IS ALSO LOAD-BEARING (VERDICT r12 item 2: the r11
+    # artifact's one-line JSON outgrew the driver's tail capture and
+    # the whole round-over-round PERF comparison came back empty):
+    # the per-row probe/plan diagnostic dicts — adjudication detail,
+    # not part of the driver contract — now land in a sidecar file
+    # next to bench.py instead of tripling the stdout line, and the
+    # printed line's length is self-checked on stderr.
     probes_sorted = sorted(probe_rows.values()) or [probe or 0.0]
-    print(
-        json.dumps(
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_detail.json",
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {"probe_s": probe_rows, "plan_s": plan_times}, fh
+            )
+    except OSError as e:  # diagnostics only — never fail the bench
+        print(f"bench_detail write failed: {e}", file=sys.stderr)
+    line = json.dumps(
             {
-                "probe_s": probe_rows,
-                "plan_s": plan_times,
                 "queries": timings,
                 "runs_per_query": 3,
                 "agg": "min",
@@ -395,8 +429,16 @@ def main() -> None:
                 "unit": "sec",
                 "value": total,
             }
-        )
     )
+    # self-check: the scalars-last layout keeps the headline numbers
+    # inside any tail truncation, but flag growth loudly so a future
+    # registry expansion is noticed before a round goes blind again.
+    print(
+        f"bench line {len(line)} chars, {len(timings)} queries; "
+        f"detail dicts in bench_detail.json",
+        file=sys.stderr,
+    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hyppo_worker_spark.session import tracked_persist
+from hyppo_worker_spark.session import local_frame, tracked_persist
 
 from hyppo_worker_spark.functions import text as TX
 from hyppo_worker_spark.functions import vectors as V
@@ -876,7 +876,7 @@ def connected_components_adaptive(
             T.StructField("comp", id_type, False),
         ]
     )
-    return spark.createDataFrame(sorted(labeled.items()), schema)
+    return local_frame(spark, sorted(labeled.items()), schema)
 
 
 def local_connected_components(

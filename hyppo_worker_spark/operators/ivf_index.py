@@ -346,6 +346,27 @@ class IvfIndex:
         )
 
     @staticmethod
+    def drift_bp_int(counts: list[tuple[int, int]]) -> int:
+        """Integer basis-point L1 drift over (n_base, n_admitted)
+        pairs — the DRIVER-SIDE twin of :meth:`drift_bp_col` for
+        bounded (k-row) count lists: same floor-div arithmetic, same
+        zero-base guard (each cell contributes the maximal 10000 bp so
+        the gate FIRES on an empty/wiped base). Python ``//`` equals
+        SQL ``div`` on the non-negative operands counts are. Exists so
+        a streaming admission ledger (k rows of integers per trigger)
+        can fold on the driver instead of paying broadcast-build +
+        tiny-scan-recompute jobs per trigger; equality with the
+        Catalyst form is pinned by test."""
+        tb = sum(nb for nb, _ in counts)
+        tt = sum(nb + na for nb, na in counts)
+        if tb == 0 or tt == 0:
+            return 10000 * len(counts)
+        return sum(
+            abs((10000 * nb) // tb - (10000 * (nb + na)) // tt)
+            for nb, na in counts
+        )
+
+    @staticmethod
     def drift_bp_col(counts: DataFrame) -> DataFrame:
         """Attach the integer basis-point L1 population drift to a
         (cell, n_base, n_admitted) frame: per cell,

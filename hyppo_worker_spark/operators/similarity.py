@@ -249,8 +249,18 @@ def kmeans_centroids(
       partial integer sums map-side).
     - An emptied cell keeps its previous centroid.
     """
-    vecs = corpus.select(
-        F.col(id_col).alias("__id"), V.as_double(F.col(vec_col)).alias("__v")
+    # The corpus projection is re-consumed by the seed scan and by
+    # EVERY Lloyd round's assignment (each round ends in an eager
+    # localCheckpoint, i.e. an action) — persist it once, with the
+    # per-vector norm precomputed, instead of replaying the corpus
+    # scan + norm fold per round (guide §5; the same fix
+    # pq_codebooks got in round 12). Narrow rows: (id, dim doubles,
+    # 1 double).
+    vecs = tracked_persist(
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            V.as_double(F.col(vec_col)).alias("__v"),
+        ).withColumn("__vnorm", V.norm(F.col("__v")))
     )
     cents = (
         vecs.join(
@@ -261,7 +271,7 @@ def kmeans_centroids(
     for _ in range(n_iter):
         cn = cents.withColumn("cent_norm", V.norm(F.col("cent")))
         scored = (
-            vecs.withColumn("__vnorm", V.norm(F.col("__v")))
+            vecs
             .join(F.broadcast(cn))
             .withColumn(
                 "__sim",

@@ -35,6 +35,7 @@ import os
 from collections.abc import Iterator
 
 import pandas as pd
+from hyppo_worker_spark.session import local_frame
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,7 +60,7 @@ def build_zonemap(
     if not files:
         raise ValueError(f"no parquet files under {path}")
     cols = list(columns)
-    paths = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+    paths = local_frame(spark, [(f,) for f in files], "file string").repartition(
         min(len(files), 64)
     )
 

@@ -40,7 +40,7 @@ from hyppo_worker_spark.registry import (
     RawDataIntegration,
 )
 from hyppo_worker_spark.scheduler.scheduler import EngineConfig, HyppoEngine
-from hyppo_worker_spark.session import load_tables, tracked_persist
+from hyppo_worker_spark.session import load_tables, local_frame, tracked_persist
 from hyppo_worker_spark.storage import DataFileHandler, StorageLayout
 
 
@@ -1035,7 +1035,7 @@ def p09_scheduler_priority_ledger(
                 head.ready * 1_000_000 // rates[head.queue_name],
             )
         )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         ledger,
         "seq long, queue_name string, order_key long, "
         "ready_at_decision long, eta_us long",
@@ -1154,7 +1154,7 @@ def p10_ttl_redelivery_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
                     d.redelivered,
                 )
             )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         ledger,
         "cust_key long, queue_name string, status string, "
         "delivery_count long, redelivered boolean",
@@ -1239,7 +1239,7 @@ def p11_backoff_throttle_curves(
                 acquire_ms,
             )
         )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "nationkey long, backoff_s long, reattempt_p double, "
         "acquire_ms long",
@@ -1660,7 +1660,7 @@ def p14_delegation_affinity_ledger(
                     // rate_of[details.queue_name]
                 )
             ledger.append((s, pos, seg, details.queue_name, eta))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         ledger,
         "scenario long, pos long, segment long, queue_name string, "
         "eta_us long",
@@ -2104,7 +2104,7 @@ def p17_queue_rollup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
          ghost.unacknowledged, ghost.rate)
     )
     return (
-        spark.createDataFrame(
+        local_frame(spark, 
             ledger,
             "nationkey long, logical_name string, n_queues long, "
             "qsize long, qready long, qunacked long, rate double",
@@ -3953,7 +3953,7 @@ def p30_rocksdb_state_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("etype")
             .collect()  # ≤ n_event_types rows — bounded pull
         )
-    out = spark.createDataFrame(
+    out = local_frame(spark, 
         rows, "etype string, n_keys long, n_events long, cents long"
     )
     return out.withColumn("rocksdb_used", F.lit(bool(rocksdb_used))).orderBy(
@@ -4762,7 +4762,7 @@ def p36_rocksdb_changelog_checkpoint(
             .withColumn("rocksdb_used", F.lit(bool(rocksdb_used)))
             .orderBy("etype")
         ).collect()  # 5 event-type rows — bounded pull
-    out = spark.createDataFrame(
+    out = local_frame(spark, 
         rows,
         "etype string, n_keys long, n_events long, cents long, "
         "changelog_files_present boolean, rocksdb_used boolean",
@@ -4909,7 +4909,7 @@ def p37_state_schema_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("schema_guard_fired", F.lit(bool(guard_fired)))
             .orderBy("day")
         ).collect()  # 30 day rows — bounded pull
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "day string, n_events long, cents long, schema_guard_fired boolean",
     ).orderBy("day")
@@ -5070,7 +5070,7 @@ def p38_checkpoint_evolution_backfill(
         .orderBy("day")
     ).collect()  # 30 day rows — bounded pull
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "day string, n_events long, cents long, mx_cents long, "
         "evolution_preserves_rollup boolean, partitions_rescaled boolean",
@@ -5538,7 +5538,7 @@ def p40_streaming_bloom_manifest(
                 )
             )
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         out_rows,
         "batch_seq long, o_custkey long, n_orders long, "
         "revenue_cents long, n_groups_read long, n_groups_total long, "
@@ -5754,7 +5754,7 @@ def p41_streaming_deletion_vectors(
                 )
             )
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         out_rows,
         "batch_seq long, o_orderstatus string, n_live long, "
         "revenue_cents long, n_deleted_cum long, "
@@ -6115,7 +6115,7 @@ def p42_streaming_nb_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("batch_seq")
     ).collect()  # 3 rows — bounded pull (work dir deleted next)
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "batch_seq long, train_docs long, vocab_size long, "
         "pred_pos long, agree long, accuracy_bp long",

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from hyppo_worker_spark.functions import text as TX
 from hyppo_worker_spark.queries import register
-from hyppo_worker_spark.session import load_tables, tracked_persist
+from hyppo_worker_spark.session import load_tables, local_frame, tracked_persist
 
 _SQL_TOK = """
     tok AS (
@@ -65,7 +65,7 @@ def t01_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror functions.text.predict_lang and the oracle exactly.
     """
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    stop_dim = spark.createDataFrame(
+    stop_dim = local_frame(spark, 
         [(lang, w) for lang, ws in sorted(TX.STOPWORDS.items()) for w in ws],
         "slang string, w string",
     )
@@ -986,7 +986,7 @@ def t15_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quota sampling to a target mix: available docs,
     target percent, and the deterministically kept count."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    target = spark.createDataFrame(list(_MIX_TARGET), "lang string, pct int")
+    target = local_frame(spark, list(_MIX_TARGET), "lang string, pct int")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_available"))
     j = counts.join(F.broadcast(target), "lang")
     # The binding stratum (min over langs of n_available*100/pct) is a
@@ -1756,7 +1756,7 @@ def t23_term_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     qrows = [(qid, t) for qid, ts in _T23_QUERIES for t in ts]
-    qterms = spark.createDataFrame(qrows, "query_id string, term string")
+    qterms = local_frame(spark, qrows, "query_id string, term string")
     scored = (
         tf.join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
@@ -1842,7 +1842,7 @@ def t24_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    sizes = spark.createDataFrame([(n,) for n in _T24_SIZES], "n long")
+    sizes = local_frame(spark, [(n,) for n in _T24_SIZES], "n long")
     return (
         sizes.crossJoin(top)
         .crossJoin(F.broadcast(tot))
@@ -2273,7 +2273,7 @@ def t29_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    qterms = spark.createDataFrame(
+    qterms = local_frame(spark, 
         [(qid, t) for qid, ts in _T23_QUERIES for t in ts],
         "query_id string, term string",
     )

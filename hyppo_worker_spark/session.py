@@ -204,6 +204,82 @@ def clear_cache(spark: SparkSession, include_rdd_blocks: bool = False) -> None:
             rdd.unpersist(True)
 
 
+def _pa_type(dt):
+    """Map a Spark type to its exact pyarrow twin for the
+    local-relation fast path; None = unsupported (caller falls back)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.ArrayType):
+        inner = _pa_type(dt.elementType)
+        return pa.list_(inner) if inner is not None else None
+    return None
+
+
+def local_frame(spark: SparkSession, rows, schema):
+    """Bounded driver-side rows → DataFrame as an Arrow-backed JVM
+    local relation (``LocalTableScan``).
+
+    ``spark.createDataFrame(list_of_tuples)`` parallelizes PICKLED
+    rows into a PythonRDD scan, so every downstream action launches
+    Python workers just to re-emit a handful of driver-known values —
+    measured at ~4-5 s per action for an 8-row frame on this host
+    (tools/job_profile.py on s13: three ~5 s "parquet" jobs, one per
+    trigger, all of them the k-row ledger write) versus ~0.2 s for the
+    equivalent Arrow local relation. At 100 TB the same distinction
+    holds on every bounded pull a query returns or re-writes: a k-row
+    control-plane frame should never cost a Python-worker round trip
+    per task.
+
+    Values are unchanged: ints/booleans/strings are exact either way,
+    Python floats ARE IEEE doubles (bit-identical through Arrow), and
+    None maps to null. Types outside the mapped set (timestamps,
+    decimals, structs) fall back to the plain path, as does any
+    conversion error — the fallback is byte-for-byte today's
+    behavior, just slower."""
+    from pyspark.sql import types as T
+
+    rows = list(rows)
+    try:
+        import pyarrow as pa
+
+        st = (
+            T._parse_datatype_string(schema)
+            if isinstance(schema, str)
+            else schema
+        )
+        pa_types = [_pa_type(f.dataType) for f in st.fields]
+        if all(t is not None for t in pa_types):
+            cols = (
+                list(zip(*rows)) if rows else [[] for _ in st.fields]
+            )
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(list(c), type=t)
+                    for c, t in zip(cols, pa_types)
+                ],
+                [f.name for f in st.fields],
+            )
+            return spark.createDataFrame(tbl, st)
+    except Exception:  # unsupported values/session — use the slow path
+        pass
+    return spark.createDataFrame(rows, schema)
+
+
 TABLES = (
     "region",
     "nation",

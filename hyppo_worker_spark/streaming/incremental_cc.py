@@ -39,6 +39,7 @@ from __future__ import annotations
 import glob
 import os
 
+from hyppo_worker_spark.session import local_frame
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -301,7 +302,8 @@ class IncrementalCCSink:
             labeled = local_connected_components(
                 [(r["a_id"], r["b_id"]) for r in pulled]
             )
-            recomputed = self.spark.createDataFrame(
+            recomputed = local_frame(
+                self.spark,
                 labeled, "node long, comp long"
             )
         else:

@@ -274,3 +274,24 @@ def test_compact_assignments_preserves_counts_and_drift(spark, tmp_path):
     assert stats is not None and after_files < before_files
     after = {tuple(r) for r in idx.drift_report(spark).collect()}
     assert after == before
+
+
+def test_drift_bp_int_matches_catalyst_form(spark):
+    """The driver-side integer fold (drift_bp_int — the r13 streaming-
+    ledger path in s13/s17) must equal drift_bp_col on the same
+    counts, including the zero-base guard and exact floor-div
+    tie values."""
+    cases = [
+        [(10, 0), (10, 0), (10, 0)],            # no admission: 0 drift
+        [(7, 5), (3, 0), (90, 1), (0, 44)],     # uneven shift
+        [(0, 5), (0, 0), (0, 3), (0, 0)],       # zero base: guard fires
+        [(1, 0), (1, 1), (1, 2), (1, 3)],       # floor-div boundaries
+        [(10**12, 3), (5, 10**12)],             # int64-scale counts
+    ]
+    for pairs in cases:
+        frame = spark.createDataFrame(
+            [(i, nb, na) for i, (nb, na) in enumerate(pairs)],
+            "cell long, n_base long, n_admitted long",
+        )
+        col_val = IvfIndex.drift_bp_col(frame).collect()[0]["drift_bp"]
+        assert IvfIndex.drift_bp_int(pairs) == int(col_val), pairs

@@ -20,7 +20,15 @@ here="$(cd "$(dirname "$0")/.." && pwd)"
 for row in "$@"; do
   for tree in "$other" "$here"; do
     cd "$tree" || exit 1
-    out=$(python tools/microbench_rows.py --runs 3 "$row" 2>/dev/null | grep -E "^$row")
-    echo "$(basename "$tree") $out"
+    # keep stderr in a file and flag failures explicitly (ADVICE r12):
+    # a silent empty result must never read as a valid A/B data point
+    out=$(python tools/microbench_rows.py --runs 3 "$row" 2>/tmp/ab_clean_rows.stderr | grep -E "^$row")
+    rc=$?
+    if [ $rc -ne 0 ] || [ -z "$out" ]; then
+      echo "$(basename "$tree") $row FAILED (rc=$rc; stderr tail:" \
+        "$(tail -c 200 /tmp/ab_clean_rows.stderr | tr '\n' ' '))"
+    else
+      echo "$(basename "$tree") $out"
+    fi
   done
 done
